@@ -1,0 +1,19 @@
+#!/bin/bash
+# Dev helper: run graft.Verify directly (no sbt startup cost).
+# Usage: dev/run_verify.sh [sfdir] [outdir]
+set -e
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/verify_out}
+rm -rf "$OUT"
+ADDOPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADDOPENS -Xmx8g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Verify "$SF" "$OUT"
