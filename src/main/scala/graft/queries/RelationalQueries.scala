@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch 2 of the SURVEY.md §2 Part B surface: joins, rollup, set
+  * operations, scalar string/date/math functions (the relational layer the
+  * reference's own pom declares via spark-sql/hive but never implemented —
+  * `icebergIngest/pom.xml:40-54,78-104`).
+  *
+  * Scale notes (100 TB design, verified via .explain on sf0.1):
+  *  - dimension joins (nation, customer at low SF) broadcast — no shuffle
+  *    of the fact side; fact-fact joins shuffle on the join key only after
+  *    column pruning (ReadSchema shows only referenced columns);
+  *  - every aggregate over money is computed in exact integer e2/e4 units
+  *    (prices/discounts are 2-decimal by construction) so results are
+  *    independent of partial-aggregation order — the float-sum
+  *    nondeterminism that would otherwise break hash-compare at any
+  *    parallelism, and silently drift at cluster scale, is structurally
+  *    gone;
+  *  - map-side partial aggregation halves shuffle volume for every
+  *    groupBy here (HashAggregate partial → shuffle → final).
+  */
+object RelationalQueries {
+
+  /** Exact e2 integer units of a 2-decimal double column. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q_join_inner — 3-way equi join lineitem ⋈ orders ⋈ customer with
+    // aggregation. Plan: lineitem⋈orders shuffles on orderkey; customer
+    // side broadcasts at this SF (AQE decides); revenue is exact e4 ints.
+    QueryDef(
+      "q_join_inner",
+      (s: SparkSession, dir: String) => {
+        val l = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+              .as("revenue_e4"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("c_mktsegment", "o_orderpriority")
+      },
+      Some("""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+             |           * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_join_broadcast — explicit broadcast of the nation dimension into
+    // customer: BroadcastHashJoin, zero shuffle of the probe side. The
+    // pattern that must hold at 1000 executors: dims ship to tasks, facts
+    // never move.
+    QueryDef(
+      "q_join_broadcast",
+      (s: SparkSession, dir: String) => {
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(cents(col("c_acctbal"))).as("sum_acctbal_e2"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_cust,
+             |  CAST(SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS sum_acctbal_e2
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_join_semi_anti — left-semi (customers WITH orders) and left-anti
+    // (customers WITHOUT), tagged and unioned. Both plan as a single
+    // broadcast/shuffled semi join — no row multiplication, unlike an
+    // IN-subquery rewrite through a full join.
+    QueryDef(
+      "q_join_semi_anti",
+      (s: SparkSession, dir: String) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").select("o_custkey")
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "leftsemi")
+          .select(col("c_custkey"), lit("with_orders").as("tag"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "leftanti")
+          .select(col("c_custkey"), lit("no_orders").as("tag"))
+        semi.unionAll(anti).orderBy("tag", "c_custkey")
+      },
+      Some("""SELECT c_custkey, 'with_orders' AS tag FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, 'no_orders' AS tag FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY tag, c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_rollup — grouping sets (TPC-H Q1 shape): rollup over
+    // (returnflag, linestatus). Subtotal rows surface as NULL keys →
+    // COALESCE'd to a sentinel so both engines order identically.
+    QueryDef(
+      "q_rollup",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("sum_price_e2"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n"), col("sum_qty"), col("sum_price_e2"))
+          .orderBy("returnflag", "linestatus"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+             |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_e2
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_set_ops — UNION (distinct) / INTERSECT / EXCEPT over key
+    // projections, tagged. Spark plans these as aggregates/joins on the
+    // key — a single shuffle each.
+    QueryDef(
+      "q_set_ops",
+      (s: SparkSession, dir: String) => {
+        val cust = Tables(s, dir, "customer").select(col("c_custkey").as("k"))
+        val ordc = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+        val sup  = Tables(s, dir, "supplier").select(col("s_suppkey").as("k"))
+        val u = cust.union(sup).distinct().withColumn("tag", lit("union"))
+        val i = cust.intersect(ordc).withColumn("tag", lit("intersect"))
+        val e = cust.except(ordc).withColumn("tag", lit("except"))
+        u.unionAll(i).unionAll(e).orderBy("tag", "k")
+      },
+      Some("""WITH cust AS (SELECT c_custkey AS k FROM customer),
+             |     ordc AS (SELECT o_custkey AS k FROM orders),
+             |     sup  AS (SELECT s_suppkey AS k FROM supplier)
+             |SELECT k, 'union' AS tag FROM (SELECT k FROM cust UNION SELECT k FROM sup)
+             |UNION ALL
+             |SELECT k, 'intersect' AS tag FROM (SELECT k FROM cust INTERSECT SELECT k FROM ordc)
+             |UNION ALL
+             |SELECT k, 'except' AS tag FROM (SELECT k FROM cust EXCEPT SELECT k FROM ordc)
+             |ORDER BY tag, k""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_string_date_math — scalar function matrix in one projection:
+    // string (upper/substr/concat/length), date (year/month/date_trunc),
+    // math (abs/floor/exact round). All codegen'd, all pushed inside one
+    // WholeStageCodegen span; no rounding of derived doubles (identical
+    // IEEE ops on identical inputs are bit-equal across engines).
+    QueryDef(
+      "q_string_date_math",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            upper(col("l_returnflag")).as("flag_u"),
+            concat(col("l_returnflag"), lit("_"), col("l_linestatus")).as("flag_status"),
+            substring(col("l_shipdate").cast("string"), 1, 7).as("ship_month_s"),
+            length(col("l_returnflag")).as("flag_len"),
+            year(col("l_shipdate")).as("ship_year"),
+            month(col("l_shipdate")).as("ship_month"),
+            date_trunc("month", col("l_shipdate")).as("ship_month_ts"),
+            abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+            floor(col("l_quantity") / 10).cast("long").as("qty_decile"),
+            (cents(col("l_extendedprice")) * (lit(100L) + cents(col("l_tax"))))
+              .as("taxed_e4"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  UPPER(l_returnflag) AS flag_u,
+             |  l_returnflag || '_' || l_linestatus AS flag_status,
+             |  SUBSTR(CAST(CAST(l_shipdate AS TIMESTAMP) AS VARCHAR), 1, 7) AS ship_month_s,
+             |  CAST(LENGTH(l_returnflag) AS INTEGER) AS flag_len,
+             |  CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+             |  CAST(MONTH(l_shipdate) AS INTEGER) AS ship_month,
+             |  CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS ship_month_ts,
+             |  ABS(l_discount - 0.05) AS disc_dev,
+             |  CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile,
+             |  CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+             |    * (100 + CAST(ROUND(l_tax*100,0) AS BIGINT)) AS taxed_e4
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch 3 of the SURVEY.md §2 Part B surface: window functions,
+  * exact deduplication, and time-windowed (tumbling / session)
+  * aggregation — the streaming-shaped queries in their batch-equivalent
+  * form (the streaming runtime itself reuses these via
+  * `graft.streaming`).
+  *
+  * Scale notes: every window here partitions by `user_id` — one shuffle
+  * on the partition key, then a per-partition sort; no global sort, no
+  * driver materialization. Tumbling/session windows group on a derived
+  * key (codegen'd expression), so they scale exactly like any hash
+  * aggregation.
+  */
+object WindowQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q_window_rank — ranking window: row_number + rank over
+    // (partition by user order by ts, event_id). event_id is the unique
+    // tiebreak → fully deterministic. Keep each user's first 5 events.
+    QueryDef(
+      "q_window_rank",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .filter(col("rn") <= 5)
+          .select("user_id", "event_id", "event_type", "rn", "rnk")
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, event_id, event_type, rn, rnk FROM (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+             |    CAST(RANK() OVER w AS INTEGER) AS rnk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |) WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_window_analytic — analytic window with an explicit frame: running
+    // sum (exact cents) + lag over (partition by user order by ts,
+    // event_id rows unbounded preceding..current row).
+    QueryDef(
+      "q_window_analytic",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .withColumn("run_cents", sum(cents(col("value"))).over(wf))
+          .withColumn("prev_event", lag(col("event_id"), 1).over(w))
+          .select("user_id", "event_id", "run_cents", "prev_event")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) OVER (
+             |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+             |  LAG(event_id, 1) OVER (
+             |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_event
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_dedup_exact ★ — exact deduplication with a deterministic survivor
+    // rule: keep the FIRST event (by ts, event_id) per
+    // (user_id, event_type, value) key, then aggregate. This is
+    // `dropDuplicates` with a defined winner — the form that stays
+    // correct under any partitioning (dropDuplicates itself keeps an
+    // arbitrary row). One shuffle on the dedup key.
+    QueryDef(
+      "q_dedup_exact",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id", "event_type", "value")
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_distinct_rows"),
+            sum(cents(col("value"))).as("sum_cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_distinct_rows,
+             |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM (
+             |  SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY user_id, event_type, value
+             |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events
+             |) WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_tumbling_window — 1-hour tumbling window aggregation
+    // (`window(ts, '1 hour')`). Batch-equivalent of the streaming
+    // windowed agg; epoch-aligned, so DuckDB's date_trunc('hour')
+    // produces the identical bucket start.
+    QueryDef(
+      "q_tumbling_window",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n"), col("sum_cents"))
+          .orderBy("win_start", "event_type"),
+      Some("""SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
+             |  event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_session_gap — session windows with a 10-minute inactivity gap per
+    // user (`session_window(ts, '10 minutes')` batch form). Oracle is the
+    // classic gap-island rewrite: a new session starts when
+    // ts - lag(ts) >= gap; session id = running count of starts.
+    QueryDef(
+      "q_session_gap",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "events")
+          .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+          .select(col("session_window.start").as("sess_start"), col("user_id"),
+            col("n"), col("sum_cents"))
+          .orderBy("user_id", "sess_start"),
+      Some("""WITH marked AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    CAST(ROUND(value*100,0) AS BIGINT) AS cents,
+             |    CASE WHEN CAST(ts AS TIMESTAMP)
+             |           - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+             |           >= INTERVAL 10 MINUTE OR
+             |         LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+             |    THEN 1 ELSE 0 END AS is_start
+             |  FROM events),
+             |sess AS (
+             |  SELECT *, SUM(is_start) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marked)
+             |SELECT MIN(ts) AS sess_start, user_id, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin))
+  )
+}
