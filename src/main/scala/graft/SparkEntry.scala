@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every declared query of the engine (SURVEY.md §2 Part B). */
   def allQueries: Seq[QueryDef] =
     CoreQueries.entries ++ RelationalQueries.entries ++ WindowQueries.entries ++
-      TypesQueries.entries ++ TextQueries.entries
+      TypesQueries.entries ++ TextQueries.entries ++ DedupQueries.entries ++
+      SimilarityQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

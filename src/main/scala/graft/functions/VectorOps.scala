@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector math over `array<float|double>` embedding columns.
+  *
+  * The hot-path ops (cosine, LSH code) are native Catalyst expressions
+  * with `doGenCode`: one fused primitive loop per row, no boxing, no
+  * intermediate arrays. The first cut used `zip_with` + `aggregate`
+  * higher-order functions — those are *interpreted* (lambda eval per
+  * element, allocated intermediate ArrayData) and measured 50× slower
+  * on the candidate-verify join of `q_embed_dedup` (55 s → ~1 s at
+  * sf0.1). At 100 TB the verify join evaluates cosine on billions of
+  * candidate pairs; it must stay inside WholeStageCodegen.
+  *
+  * Fold order is left-to-right sequential in both the interpreted and
+  * generated paths, so results are bit-identical and deterministic.
+  */
+object VectorOps {
+
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  /** Fused dot / norms / cosine; NaN signals zero-norm (→ SQL null). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn > 0.0) dot / nn else Double.NaN
+  }
+
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn > 0.0) dot / nn else Double.NaN
+  }
+
+  /** One pass over the vector per plane; bit p set iff proj_p > 0. */
+  def lshCodeF(v: ArrayData, planes: Array[Array[Int]]): Long = {
+    var code = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(v.numElements(), pl.length)
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += v.getFloat(i).toDouble * pl(i); i += 1 }
+      if (proj > 0.0) code |= (1L << p)
+      p += 1
+    }
+    code
+  }
+
+  def lshCodeD(v: ArrayData, planes: Array[Array[Int]]): Long = {
+    var code = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(v.numElements(), pl.length)
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += v.getDouble(i) * pl(i); i += 1 }
+      if (proj > 0.0) code |= (1L << p)
+      p += 1
+    }
+    code
+  }
+
+  /** Cosine similarity expression; null on zero-norm input. */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (elemType(left.dataType), elemType(right.dataType)) match {
+        case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"cosine expects two array<float> or two array<double>, got " +
+            s"${left.dataType} / ${right.dataType}")
+      }
+
+    private def isFloat = left.dataType == ArrayType(FloatType, containsNull = false) ||
+      left.dataType == ArrayType(FloatType, containsNull = true)
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val r =
+        if (isFloat) cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+        else cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (r.isNaN) null else r
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (isFloat) "cosineF" else "cosineD"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.functions.VectorOps.$fn($a, $b);
+        if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+      """)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  /** Sign-bit LSH code expression; `planes` values must be ±1. */
+  case class LshCode(child: Expression, planes: Seq[Seq[Int]]) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      elemType(child.dataType) match {
+        case Some(_) => TypeCheckResult.TypeCheckSuccess
+        case None => TypeCheckResult.TypeCheckFailure(
+          s"lsh_code expects array<float|double>, got ${child.dataType}")
+      }
+
+    @transient private lazy val planeArr: Array[Array[Int]] =
+      planes.map(_.toArray).toArray
+    private def isFloat = elemType(child.dataType).contains(FloatType)
+
+    override protected def nullSafeEval(v: Any): Any =
+      if (isFloat) lshCodeF(v.asInstanceOf[ArrayData], planeArr)
+      else lshCodeD(v.asInstanceOf[ArrayData], planeArr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("lshPlanes", planeArr, "int[][]")
+      val fn = if (isFloat) "lshCodeF" else "lshCodeD"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorOps.$fn($c, $ref);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): LshCode =
+      copy(child = newChild)
+  }
+
+  /** Cosine similarity; null/zero-norm safe (returns null). */
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Sign-bit LSH code from ±1 hyperplanes: bit p = 1 iff
+    * dot(planes(p), v) > 0.
+    */
+  def lshCode(v: Column, planes: Seq[Seq[Int]]): Column =
+    GraftBridge.column(LshCode(GraftBridge.expression(v), planes))
+
+  /** Sequential-fold dot product (non-hot-path utility; higher-order
+    * functions, interpreted — use CosineSim for per-pair joins).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Deterministic ±1 hyperplane matrix (seeded `java.util.Random` —
+    * spec-fixed LCG, identical on every JVM).
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Int]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1 else -1))
+  }
+}

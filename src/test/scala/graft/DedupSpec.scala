@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+
+/** Spark-side checks for the non-oracle dedup leg (q_simhash_dup) plus
+  * cross-validation of the three near-dup queries against each other on
+  * real testdata — the rows-only queries need their own correctness
+  * story (SURVEY.md §5 strategy 2).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SimHash64 expression == plain-Scala reference hash") {
+    val docs = Seq("the quick brown fox", "the quick brown fox",
+      "pack my box with five dozen jugs", "", "single")
+    val got = docs.map(Tuple1(_)).toDF("text")
+      .select(SimHash64.simHash64(split(col("text"), " ")))
+      .collect().map(_.getLong(0)).toSeq
+    val want = docs.map(d => SimHash64.hashTokens(d.split(" ").toSeq))
+    assert(got == want)
+  }
+
+  test("identical token arrays → identical simhash; disjoint vocab → distant") {
+    val a = SimHash64.hashTokens(Seq("alpha", "beta", "gamma", "delta"))
+    val b = SimHash64.hashTokens(Seq("alpha", "beta", "gamma", "delta"))
+    val c = SimHash64.hashTokens(Seq("zq1", "zq2", "zq3", "zq4"))
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) > 10)
+  }
+
+  test("simhash banding finds every Hamming<=3 pair (pigeonhole guarantee)") {
+    // 4 bands of 16 bits: any pair within Hamming 3 shares >=1 intact band.
+    val base = SimHash64.hashTokens((1 to 50).map(i => s"tok$i"))
+    val rng = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val flips = rng.shuffle((0 until 64).toList).take(rng.nextInt(4))
+      val variant = flips.foldLeft(base)((h, b) => h ^ (1L << b))
+      val sharesBand = (0 until 4).exists(b =>
+        ((base >>> (16 * b)) & 0xffffL) == ((variant >>> (16 * b)) & 0xffffL))
+      assert(sharesBand, s"flips=$flips")
+    }
+  }
+
+  test("q_simhash_dup: precision >= 0.9 and recall >= 0.6 vs q_dedup_ngram") {
+    // Measured corpus structure: planted j>=0.6 dups at Hamming 0-5,
+    // background floor at 5 → the Hamming<=3 cut is precision ~1 at
+    // recall ~0.8 of the exact n-gram near-dup pairs.
+    val sim = SparkEntry.queries("q_simhash_dup")(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val jac = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty && jac.nonEmpty)
+    val precision = sim.intersect(jac).size.toDouble / sim.size
+    val recall = sim.intersect(jac).size.toDouble / jac.size
+    assert(precision >= 0.9, s"simhash precision $precision")
+    assert(recall >= 0.6, s"simhash recall $recall")
+  }
+
+  test("q_minhash_dup == q_dedup_ngram on testdata (LSH at j>=0.6 loses nothing here)") {
+    val mh = SparkEntry.queries("q_minhash_dup")(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val jac = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(mh == jac, s"minhash=${mh.size} ngram=${jac.size}")
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+
+/** Spark-side checks for the non-oracle similarity queries: cosine
+  * exactness against a plain-Scala reference, brute-force top-k
+  * exactness, and ANN recall vs the brute-force answer (SURVEY.md §5
+  * strategy 2 — these queries carry no DuckDB oracle).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine column == plain-Scala cosine (1e-9)") {
+    val rows = Tables(spark, sfDir, "embeddings").limit(20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    def ref(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val (qid, qv) = rows.head
+    val got = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id").isin(rows.map(_._1): _*))
+      .select(col("vec_id"), cosine(typedLit(qv), col("embedding")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, v) =>
+      assert(math.abs(got(id) - ref(qv, v)) < 1e-9, s"vec $id vs $qid")
+    }
+  }
+
+  test("cosine is null-safe on zero vectors") {
+    val z = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+      .select(cosine(col("a"), col("b"))).collect()(0)
+    assert(z.isNullAt(0))
+  }
+
+  test("q_sim_topk == exact driver-side brute force") {
+    val all = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val want = all.filter(_._1 < 5).flatMap { case (q, qv) =>
+      all.filter(_._1 != q).map { case (v, vv) => (q, v, cos(qv, vv)) }
+        .sortBy { case (_, v, c) => (-c, v) }.take(10)
+        .zipWithIndex.map { case ((_, v, _), i) => (q, i + 1, v) }
+    }.toSet
+    val got = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("q_sim_ann: recall >= 0.5 and quality >= 0.85 of exact top-10") {
+    // This corpus is near-random (exact top-10 cos ≈ 0.27-0.33), the
+    // hardest case for LSH — measured radius-2 multi-probe: recall 0.60,
+    // quality ratio 0.90 at a 35% scan fraction. On corpora with real
+    // near neighbors (cos >= 0.7) recall approaches 1.
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .select("q_id", "vec_id", "cos_e6").as[(Long, Long, Long)].collect()
+    val ann = SparkEntry.queries("q_sim_ann")(spark, sfDir)
+      .select("q_id", "vec_id", "cos_e6").as[(Long, Long, Long)].collect()
+    val exSet = exact.map(r => (r._1, r._2)).toSet
+    val recall = ann.count(r => exSet((r._1, r._2))).toDouble / exact.length
+    val quality = ann.map(_._3).sum.toDouble / exact.map(_._3).sum
+    assert(recall >= 0.5, s"ANN recall $recall")
+    assert(quality >= 0.85, s"ANN quality ratio $quality")
+  }
+
+  test("lshCode buckets are stable and in range") {
+    val planes = hyperplanes(6, 64, seed = 42L)
+    assert(planes.length == 6 && planes.forall(_.length == 64))
+    assert(planes.flatten.forall(v => v == 1 || v == -1))
+    val codes = Tables(spark, sfDir, "embeddings").limit(100)
+      .select(lshCode(col("embedding"), planes).as("c")).as[Long].collect()
+    assert(codes.forall(c => c >= 0 && c < 64))
+  }
+}
