@@ -1,0 +1,92 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{Pipeline, PartitionFieldSpec, TableDef}
+import graft.types._
+
+/** `ingest_e2e` — the full reference pipeline (SURVEY.md §2 Part B last
+  * row, A1-A25) as a driver-runnable query: authored JSON-lines
+  * fixtures (FIXTURES.md §B) → prefix-filtered listing → schema'd
+  * decode with Q7/Q8 semantics → partition transforms (Q2/Q3/Q4) →
+  * Hive-layout parquet append + commit log → read-back. Returns the
+  * read-back rows (with partition-path values) totally ordered; no
+  * DuckDB oracle (layout + round-trip asserted in IngestSpec).
+  */
+object IngestQueries {
+
+  /** FIXTURES.md §B target table: 13-type schema, 5-field partition
+    * spec over day/month/year/hour/bucket[16]/identity.
+    */
+  val fixtureTable: TableDef = TableDef(
+    "events_ingest",
+    GStruct(Seq(
+      GField("id", GLong, required = true),
+      GField("event_date", GDate),
+      GField("event_time", GTime),
+      GField("user_id", GLong),
+      GField("category", GString),
+      GField("amount", GDecimal(10, 2)),
+      GField("score", GDouble),
+      GField("ratio", GFloat),
+      GField("count", GInt),
+      GField("flag", GBoolean),
+      GField("payload", GStruct(Seq(
+        GField("a", GInt), GField("b", GString),
+        GField("c", GList(GDouble)), GField("d", GMap(GInt))))),
+      GField("tags", GList(GString)),
+      GField("attrs", GMap(GString)))),
+    Seq(
+      PartitionFieldSpec("event_date", "day"),
+      PartitionFieldSpec("user_id", "bucket[16]"),
+      PartitionFieldSpec("category", "identity")))
+
+  /** The seven fixture behaviors of FIXTURES.md §B. */
+  val fixtureLines: Seq[String] = Seq(
+    // 1. fully populated, all 13 types
+    """{"id":1,"event_date":"2024-03-15","event_time":"10:23:45","user_id":42,"category":"web","amount":123.45,"score":0.9,"ratio":0.5,"count":7,"flag":true,"payload":{"a":1,"b":"x","c":[1.5,2.5],"d":{"k":3}},"tags":["t1","t2"],"attrs":{"k1":"v1"}}""",
+    // 2. missing category + event_date → null column AND null partition (Q8)
+    """{"id":2,"event_time":"23:59:59","user_id":7,"amount":0.01,"score":1.0,"ratio":1.5,"count":1,"flag":false,"payload":{"a":2,"b":"y","c":[],"d":{}},"tags":[],"attrs":{}}""",
+    // 3. extra unknown keys silently dropped (A5 projection)
+    """{"id":3,"event_date":"2023-12-31","user_id":-5,"category":"api","unknown_key":"ignored","nested_extra":{"z":1}}""",
+    // 4. malformed line → dropped, file still ingests (Q7)
+    """{not json""",
+    // 5. deep nesting: struct containing list and map values
+    """{"id":5,"event_date":"2024-01-01","event_time":"00:00:00","user_id":1000,"category":"batch","payload":{"a":-1,"b":"deep","c":[0.1,0.2,0.3],"d":{"x":1,"y":2}},"tags":["a","b","c"],"attrs":{"m":"n","o":"p"}}"""
+  )
+
+  /** Write the fixture tree under a fresh temp dir:
+    * `events/comp1/batch-0.json`, empty `events/comp1/empty.json` (Q10),
+    * and `events/comp2/x.json` (A1 prefix filter — must NOT be read).
+    */
+  def writeFixtures(root: String): Unit = {
+    val comp1 = Paths.get(root, "events", "comp1")
+    val comp2 = Paths.get(root, "events", "comp2")
+    Files.createDirectories(comp1); Files.createDirectories(comp2)
+    Files.writeString(comp1.resolve("batch-0.json"), fixtureLines.mkString("\n"))
+    Files.writeString(comp1.resolve("empty.json"), "")
+    Files.writeString(comp2.resolve("x.json"),
+      """{"id":999,"event_date":"2020-01-01","user_id":1,"category":"other"}""")
+  }
+
+  def run(spark: SparkSession): DataFrame = {
+    val root = Files.createTempDirectory("graft_ingest_").toString
+    val tableDir = s"$root/warehouse/events_ingest"
+    writeFixtures(root)
+    Pipeline.ingest(spark, root, "comp1", fixtureTable, tableDir)
+    spark.read.parquet(tableDir)
+      .select(col("id"), col("event_date"), col("event_time"), col("user_id"),
+        col("category"), col("amount"), col("score"), col("ratio"), col("count"),
+        col("flag"), col("payload.a").as("payload_a"), col("payload.b").as("payload_b"),
+        col("tags"), col("event_date_day").cast("string").as("event_date_day"),
+        col("user_id_bucket").cast("int").as("user_id_bucket"),
+        col("category_identity").cast("string").as("category_identity"))
+      .orderBy("id")
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("ingest_e2e", (s: SparkSession, _: String) => run(s), None))
+}

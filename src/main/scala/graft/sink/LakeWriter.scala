@@ -1,0 +1,102 @@
+package graft.sink
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One committed append (the observable behavior of the reference's
+  * `newAppend().appendFile().commit()`, `App.java:147-149` / SURVEY.md
+  * A21): which files joined the table, how many rows, under which
+  * sequential snapshot id.
+  */
+final case class CommitInfo(snapshotId: Long, files: Seq[String], rows: Long)
+
+/** Transactional-append sink boundary (SURVEY.md §7: no Iceberg runtime
+  * jar exists on this system, so the default implementation emulates the
+  * observable commit semantics — Hive-layout partitioned parquet plus a
+  * JSON commit log. A real `IcebergWriter` (`df.writeTo(t).append()`)
+  * slots in behind this trait if a runtime jar ever appears.)
+  */
+trait LakeWriter {
+  /** Append `df` partitioned by `partitionCols` (already materialized as
+    * columns of `df`) under `tableDir`. Returns the commit record.
+    */
+  def append(df: DataFrame, partitionCols: Seq[String], tableDir: String): CommitInfo
+}
+
+/** Hive-layout parquet + commit-log emulation of A18-A21:
+  *
+  *  - `name=value/` directory layout (A18, `App.java:112-131`) via
+  *    `partitionBy` — value *rendering* (day → ISO date, month →
+  *    `yyyy-MM`) is the caller's job when deriving the columns;
+  *  - UUID-suffixed file names (A19) — Spark task files are already
+  *    UUID-named;
+  *  - one atomic-rename commit per append batch — deliberately better
+  *    than the reference's snapshot-per-(file × partition) (Q6): same
+  *    observable table content, O(1) commits;
+  *  - null partition values render as `name=null` like the reference
+  *    (`String.valueOf(null)`), normalized from Spark's
+  *    `__HIVE_DEFAULT_PARTITION__` during publish.
+  *
+  * Write path at scale: the caller repartitions by the partition key
+  * first (one shuffle, A17), so each task writes at most a few
+  * partition directories instead of every task writing every partition
+  * — the many-small-files failure mode at 1000 executors.
+  */
+final class HiveParquetWriter extends LakeWriter {
+
+  private val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  override def append(df: DataFrame, partitionCols: Seq[String], tableDir: String): CommitInfo = {
+    val dir = Paths.get(tableDir)
+    Files.createDirectories(dir.resolve("_graft_log"))
+    val staging = dir.resolve(s"_staging_${java.util.UUID.randomUUID()}")
+
+    val rows = df.cache().count() // one materialization: row count + write input
+    if (rows == 0) { // Q10: empty input → no files, no snapshot
+      df.unpersist()
+      return CommitInfo(0, Seq.empty, 0)
+    }
+    val writer =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*).write.partitionBy(partitionCols: _*)
+      else df.write
+    writer.parquet(staging.toString)
+    df.unpersist()
+
+    // Publish: move staged data files into the table tree, normalizing
+    // Spark's null-partition dir to the reference's `name=null`.
+    val staged = Files.walk(staging).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    val published = staged.map { p =>
+      val rel = staging.relativize(p).toString
+        .replace(s"=$NullDir", "=null")
+      val target = dir.resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      rel
+    }
+    Files.walk(staging).sorted(Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+
+    val snapshotId = nextSnapshotId(dir)
+    val filesJson = published.sorted.map(f => "\"" + f.replace("\\", "/") + "\"")
+      .mkString("[", ",", "]")
+    Files.writeString(
+      dir.resolve("_graft_log").resolve(f"$snapshotId%020d.json"),
+      s"""{"snapshotId":$snapshotId,"rows":$rows,"files":$filesJson}""")
+    CommitInfo(snapshotId, published.sorted, rows)
+  }
+
+  private def nextSnapshotId(dir: Path): Long = {
+    val log = dir.resolve("_graft_log")
+    val existing = Files.list(log).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).toSeq
+    if (existing.isEmpty) 1L else existing.max + 1L
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.{JsonDecode, Pipeline, TableDef}
+import graft.sink.{HiveParquetWriter, LakeWriter}
+
+/** Structured-Streaming variant of the ingest pipeline (SURVEY.md §2
+  * Part B note + §7 step 7): the reference's directory-draining pattern
+  * (A22/Q5 — list, parse, delete) is exactly Spark's file streaming
+  * source with `cleanSource=delete`, and its batch-job-per-invocation
+  * lifecycle is `Trigger.AvailableNow` (drain everything pending, then
+  * stop).
+  *
+  * Semantics upgrade over the reference, documented: the source file is
+  * deleted only after its micro-batch is committed to the checkpoint
+  * (at-least-once), not before parsing (the reference's at-most-once
+  * hole, Q5). The decode + transform + sink code path is shared with
+  * the batch pipeline — one implementation, two runtimes.
+  */
+object StreamingIngest {
+
+  /** Streaming decode of `events/<componentId>/` (same A1-A9 semantics
+    * as the batch path; `pathGlobFilter` reproduces the `*.json` keep
+    * rule, `maxFilesPerTrigger` bounds micro-batch size at scale).
+    */
+  def readStream(
+      spark: SparkSession,
+      baseDir: String,
+      componentId: String,
+      table: TableDef,
+      cleanSource: Boolean,
+      maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val raw = spark.readStream
+      .schema(JsonDecode.readSchema(table.schema))
+      .option("mode", "DROPMALFORMED")
+      .option("pathGlobFilter", "*.json")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("cleanSource", if (cleanSource) "delete" else "off")
+      .json(s"$baseDir/events/$componentId")
+    // Same top-level TIME/TIMESTAMP coercion as the batch read.
+    val coerced = JsonDecode.decodeRaw(raw, table.schema)
+    table.partitionSpec.foldLeft(coerced) { (df, p) =>
+      df.withColumn(p.name, Pipeline.pathColumn(table, p))
+    }
+  }
+
+  /** Drain pending files into the lake sink and stop (AvailableNow).
+    * Each micro-batch appends through the shared LakeWriter — one
+    * commit-log snapshot per micro-batch.
+    */
+  def ingestAvailableNow(
+      spark: SparkSession,
+      baseDir: String,
+      componentId: String,
+      table: TableDef,
+      tableDir: String,
+      checkpointDir: String,
+      writer: LakeWriter = new HiveParquetWriter): StreamingQuery = {
+    readStream(spark, baseDir, componentId, table, cleanSource = true)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writer.append(batch, table.partitionSpec.map(_.name), tableDir): Unit
+      }
+      .start()
+  }
+}
