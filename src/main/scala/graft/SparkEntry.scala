@@ -13,7 +13,7 @@ object SparkEntry {
   def allQueries: Seq[QueryDef] =
     CoreQueries.entries ++ RelationalQueries.entries ++ WindowQueries.entries ++
       TypesQueries.entries ++ TextQueries.entries ++ DedupQueries.entries ++
-      SimilarityQueries.entries ++ IngestQueries.entries
+      SimilarityQueries.entries ++ IngestQueries.entries ++ MultimodalQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns as opaque `binary` payloads
+  * with typed metadata — the north-star training-pipeline surface.
+  *
+  * The container has no image/audio codec libraries, so the *codec* is
+  * stubbed (`StubCodec` — a deterministic pure function of the bytes,
+  * clearly marked); everything Spark-side is real and tested: the
+  * schema, the `mapPartitions` batch shape with one codec instance per
+  * partition (the pattern a JNI/ffmpeg/JPEG codec needs — init once,
+  * stream rows through), expression-level frame slicing, and the
+  * aggregation plumbing. Swapping `StubCodec` for a real decoder is a
+  * one-class change.
+  *
+  * At scale: decode is a narrow map (no shuffle); binary payloads never
+  * enter a shuffle key; metadata extraction prunes to the binary column
+  * only (ReadSchema shows just `payload` when the caller selects meta).
+  */
+object Multimodal {
+
+  /** Decoded media metadata. */
+  final case class MediaMeta(
+      mediaId: Long, format: String, width: Int, height: Int, channels: Int)
+
+  /** Codec boundary — a real implementation (JPEG/PNG/ffmpeg) plugs in
+    * here; it may hold native handles, hence the per-partition
+    * lifecycle in [[decodeMeta]].
+    */
+  trait MediaCodec extends Serializable {
+    def decode(mediaId: Long, bytes: Array[Byte]): MediaMeta
+  }
+
+  /** STUB — deterministic fake standing in for a real decoder (no codec
+    * libs in this container). Pure function of the payload: "format"
+    * from the leading byte, dimensions from the byte length. Chosen so
+    * the same values are reproducible in ANSI SQL from
+    * `octet_length`, keeping the metadata query oracle-checkable.
+    */
+  object StubCodec extends MediaCodec {
+    override def decode(mediaId: Long, bytes: Array[Byte]): MediaMeta = {
+      val len = bytes.length
+      val fmt = if (len == 0) "empty" else if ((bytes(0) & 1) == 0) "img" else "aud"
+      MediaMeta(mediaId, fmt, 64 + len % 577, 64 + len % 331, 1 + len % 3)
+    }
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("mediaId", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false)))
+
+  /** Decode a `(id, payload)` frame into metadata via `mapPartitions`:
+    * the codec is constructed ONCE per partition and rows stream
+    * through it — the correct batch shape for heavyweight decoders
+    * (native init amortized, no per-row setup), and the shape a Pandas
+    * `mapInPandas` would have on the Python side.
+    */
+  def decodeMeta(df: DataFrame, idCol: String, binCol: String,
+      codec: () => MediaCodec = () => StubCodec): DataFrame = {
+    val ds = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    implicit val enc = Encoders.product[MediaMeta]
+    ds.mapPartitions { rows =>
+      val c = codec() // one instance per partition/task
+      rows.map(r => c.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }.toDF("media_id", "format", "width", "height", "channels")
+  }
+
+  /** Fixed-size frame sampling over a binary payload: split into
+    * `frameSize`-byte frames, keep every `every`-th — real slicing
+    * plumbing (`substring` on binary is codegen'd); a video pipeline
+    * replaces the byte-split with codec frame boundaries.
+    */
+  def frameSample(bin: Column, frameSize: Int, every: Int): Column = {
+    val nFrames = ceil(octet_length(bin) / lit(frameSize.toDouble)).cast("int")
+    val idx = sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(every))
+    when(octet_length(bin) > 0,
+      transform(idx, i => substring(bin, i * frameSize + 1, lit(frameSize))))
+      .otherwise(array().cast("array<binary>"))
+  }
+
+  /** Shannon entropy (bits/byte) of a payload — a real content signal
+    * (e.g. compressed-vs-raw detection) computed in one pass.
+    */
+  def byteEntropy(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 0.0
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    var h = 0.0
+    val n = bytes.length.toDouble
+    var b = 0
+    while (b < 256) {
+      if (counts(b) > 0) { val p = counts(b) / n; h -= p * (math.log(p) / math.log(2)) }
+      b += 1
+    }
+    h
+  }
+
+  val byteEntropyUdf = udf(byteEntropy _)
+}

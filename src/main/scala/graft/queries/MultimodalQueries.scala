@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Batch 9 ★ — multimodal binary-column operators. The testdata has no
+  * media table, so payloads are derived (`encode(text)` → binary) —
+  * the point is the operator plumbing, which is payload-agnostic:
+  * opaque bytes in, typed metadata / frame samples / content signals
+  * out. The codec itself is the documented stub
+  * ([[graft.multimodal.Multimodal.StubCodec]]); it is a pure function
+  * of the bytes, which keeps these queries DuckDB-oracle-checkable —
+  * the oracle reproduces the stub arithmetic from `octet_length`.
+  */
+object MultimodalQueries {
+
+  private def payloads(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q_mm_meta ★ — per-partition codec decode (mapPartitions batch
+    // shape) → metadata aggregation by format. Corpus text is ASCII, so
+    // ascii(first char) == first payload byte for the oracle.
+    QueryDef(
+      "q_mm_meta",
+      (s: SparkSession, dir: String) =>
+        Multimodal.decodeMeta(payloads(s, dir), "doc_id", "payload")
+          .groupBy("format")
+          .agg(count(lit(1)).as("n"), sum("width").as("sum_w"),
+            sum("height").as("sum_h"), sum("channels").as("sum_c"))
+          .orderBy("format"),
+      Some("""WITH m AS (
+             |  SELECT CASE WHEN len(text) = 0 THEN 'empty'
+             |              WHEN ascii(substring(text,1,1)) % 2 = 0 THEN 'img'
+             |              ELSE 'aud' END AS format,
+             |    64 + octet_length(encode(text)) % 577 AS width,
+             |    64 + octet_length(encode(text)) % 331 AS height,
+             |    1 + octet_length(encode(text)) % 3 AS channels
+             |  FROM documents)
+             |SELECT format, COUNT(*) AS n, SUM(width)::BIGINT AS sum_w,
+             |  SUM(height)::BIGINT AS sum_h, SUM(channels)::BIGINT AS sum_c
+             |FROM m GROUP BY format ORDER BY format""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_mm_frames ★ — fixed-size frame sampling (32-byte frames, every
+    // 4th): the Spark side slices real binaries and measures them; the
+    // oracle recomputes the same counts arithmetically — agreement
+    // verifies the slicing.
+    QueryDef(
+      "q_mm_frames",
+      (s: SparkSession, dir: String) => {
+        val frames = Multimodal.frameSample(col("payload"), frameSize = 32, every = 4)
+        payloads(s, dir)
+          .select(col("doc_id"),
+            ceil(octet_length(col("payload")) / 32.0).cast("long").as("n_frames"),
+            size(frames).cast("long").as("n_sampled"),
+            aggregate(transform(frames, f => octet_length(f).cast("long")),
+              lit(0L), (a, x) => a + x).as("bytes_sampled"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames,
+             |  CAST(len(range(0, GREATEST(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 1), 4)) AS BIGINT) AS n_sampled,
+             |  CAST(list_sum(list_transform(
+             |    range(0, GREATEST(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 1), 4),
+             |    i -> LEAST(32, octet_length(encode(text)) - 32*i))) AS BIGINT) AS bytes_sampled
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_mm_entropy ★ — byte-entropy content signal per payload (e.g.
+    // compressed-vs-text detection). No DuckDB oracle (no engine-
+    // portable entropy); value properties asserted in MultimodalSpec.
+    QueryDef(
+      "q_mm_entropy",
+      (s: SparkSession, dir: String) =>
+        payloads(s, dir)
+          .select(col("doc_id"),
+            round(Multimodal.byteEntropyUdf(col("payload")) * 1000000).cast("long")
+              .as("entropy_e6"))
+          .orderBy("doc_id"),
+      None)
+  )
+}

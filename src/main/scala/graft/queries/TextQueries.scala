@@ -153,6 +153,28 @@ object TextQueries {
              |    list_min(list_transform(range(1, len(string_split(text,' ')) - 3),
              |      i -> md5(array_to_string(string_split(text,' ')[i:i+4], ' '))))
              |  ELSE NULL END AS shingle_min_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_text_token_count ★ — per-document token counting two ways:
+    // whitespace tokens and a BPE-ish regex segmentation (letter runs /
+    // digit runs / single non-alphanumerics — the GPT-2 pre-tokenizer
+    // shape), the budget signal an LLM-data pipeline bins documents by.
+    // One narrow codegen'd projection, no shuffle.
+    QueryDef(
+      "q_text_token_count",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("ws_tokens"),
+            size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+              .cast("long").as("bpe_tokens"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens,
+             |  CAST(len(text) AS BIGINT) AS n_chars
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaCodec, MediaMeta}
+
+/** Multimodal plumbing: per-partition codec lifecycle, frame slicing
+  * against a plain-Scala reference, and entropy signal properties —
+  * the Spark-side story for the stubbed codec boundary.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeMeta constructs ONE codec per partition, not per row") {
+    val df = (1L to 100L).map(i => (i, Array.fill(i.toInt)(i.toByte))).toDF("id", "payload")
+      .repartition(4)
+    val acc = spark.sparkContext.longAccumulator("codecInits")
+    val counting = () => { acc.add(1); Multimodal.StubCodec: MediaCodec }
+    val out = Multimodal.decodeMeta(df, "id", "payload", counting).collect()
+    assert(out.length == 100)
+    assert(acc.value <= 4, s"codec built ${acc.value} times for 4 partitions")
+  }
+
+  test("stub decode is deterministic and matches its documented formula") {
+    val bytes = "hello world".getBytes("UTF-8")
+    val m = Multimodal.StubCodec.decode(7L, bytes)
+    val len = bytes.length
+    assert(m == MediaMeta(7L, if ((bytes(0) & 1) == 0) "img" else "aud",
+      64 + len % 577, 64 + len % 331, 1 + len % 3))
+    assert(Multimodal.StubCodec.decode(7L, bytes) == m)
+  }
+
+  test("frameSample slices match a plain-Scala reference") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val got = Seq(Tuple1(payload)).toDF("p")
+      .select(Multimodal.frameSample(col("p"), 32, 4).as("f"))
+      .collect()(0).getAs[scala.collection.Seq[Array[Byte]]]("f")
+    // 100 bytes → frames [0,32) [32,64) [64,96) [96,100); every 4th → frame 0 only
+    assert(got.length == 1 && got.head.toSeq == payload.slice(0, 32).toSeq)
+    val got2 = Seq(Tuple1(payload)).toDF("p")
+      .select(Multimodal.frameSample(col("p"), 16, 2).as("f"))
+      .collect()(0).getAs[scala.collection.Seq[Array[Byte]]]("f")
+    // 7 frames (last is 4 bytes); every 2nd → frames 0,2,4,6
+    assert(got2.map(_.length) == Seq(16, 16, 16, 4))
+    assert(got2(3).toSeq == payload.slice(96, 100).toSeq)
+  }
+
+  test("byte entropy: 0 for constant payloads, 8 bits for all-256-bytes, ordered") {
+    assert(Multimodal.byteEntropy(Array.fill(64)(7.toByte)) == 0.0)
+    val uniform = (0 until 256).map(_.toByte).toArray
+    assert(math.abs(Multimodal.byteEntropy(uniform) - 8.0) < 1e-9)
+    assert(Multimodal.byteEntropy(Array[Byte]()) == 0.0)
+    val text = Multimodal.byteEntropy("the quick brown fox jumps".getBytes)
+    assert(text > 0.0 && text < 8.0)
+  }
+
+  test("q_mm_entropy produces a value per document in (0, 8e6)") {
+    val rows = SparkEntry.queries("q_mm_entropy")(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(rows.length == 500)
+    assert(rows.forall { case (_, e) => e > 0 && e < 8000000 })
+  }
+}
