@@ -14,28 +14,36 @@ import graft.functions.SimHash64.simHash64
   *
   * Scale design (the part that must survive 100 TB):
   *  - NEVER a cross join: candidate pairs always come from an
-  *    equi-join on a derived key (shingle, LSH band, SimHash band), so
-  *    Spark plans a shuffled hash join on that key;
+  *    equi-join on a derived key (shingle hash, LSH band, SimHash
+  *    band), so Spark plans a shuffled hash join on that key;
   *  - shingle sets are deduped per document BEFORE the join
   *    (array_distinct in the explode), so a repeated phrase can't
   *    quadratically blow up the pair counts;
+  *  - shingle identity is a 60-bit md5 prefix held as a LONG: every
+  *    downstream aggregation (min for MinHash, count for Jaccard) runs
+  *    on 8-byte hash-aggregable buffers (`min(string)` would fall back
+  *    to SortAggregate — a full sort of the exploded shingle set), and
+  *    the pair join shuffles longs, not shingle text;
+  *  - nothing is cached: the shingle explode is recomputed for its two
+  *    consumers — two cheap scans beat materializing a 50× exploded
+  *    corpus in memory at scale;
   *  - MinHash reduces each document to a constant-size signature (8
   *    mins = one aggregation), and banding makes the candidate join key
-  *    selective — the full Jaccard verify runs only on candidates;
-  *  - SimHash goes further: a single 64-bit fingerprint per document
-  *    computed in one codegen'd pass (custom Catalyst expression, no
-  *    token explosion), banded into 4×16-bit exact-match keys
-  *    (guarantees recall for Hamming distance ≤ 3 by pigeonhole, and
-  *    catches most ≤ 6 in this corpus — verified in DedupSpec).
+  *    selective — the full Jaccard verify runs only on candidates.
   *
-  * MinHash hashes are `md5(seed || ':' || shingle)` — engine-identical,
-  * so the DuckDB oracle reproduces signatures and bands exactly;
-  * min over hex strings is lexicographic min in both engines.
+  * Oracle equivalence: the 60-bit prefix of md5 as a long (Spark) and
+  * the 15-hex-char prefix as a string (DuckDB) are order-isomorphic
+  * (fixed-length lowercase hex sorts numerically), so mins, equalities
+  * and therefore the selected pairs are engine-identical.
   */
 object DedupQueries {
 
-  /** doc_id + distinct 3-token shingles, exploded (the inverted index). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** 60-bit shingle identity: md5 hex prefix as a long. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** doc_id + distinct 3-token shingle *text*, exploded. */
+  private def shingleText(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
@@ -44,11 +52,14 @@ object DedupQueries {
             "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))
             .otherwise(expr("array()")))).as("s"))
 
-  /** (d1, d2, jac_e4) for all pairs sharing ≥1 shingle (floor e4). */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  /** (d1, d2, jac_e4) for all pairs sharing ≥1 shingle (floor e4);
+    * join + counts on the 60-bit shingle hash.
+    */
+  private def jaccardPairs(shText: DataFrame): DataFrame = {
+    val sh = shText.select(col("doc_id"), hash60(col("s")).as("h"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
     common
@@ -59,13 +70,16 @@ object DedupQueries {
           .cast("long").as("jac_e4"))
   }
 
-  // DuckDB CTE fragments shared by both oracle queries.
+  // DuckDB CTE fragments shared by both oracle queries. `s0` is the
+  // shingle text, `s` its 15-hex md5 prefix (the same 60-bit identity
+  // Spark holds as a long).
   private val ShSql =
-    """sh AS (
+    """sh0 AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(string_split(text,' ')) - 1),
-      |    i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS s
-      |  FROM documents)""".stripMargin
+      |    i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS s0
+      |  FROM documents),
+      |sh AS (SELECT doc_id, s0, substring(md5(s0),1,15) AS s FROM sh0)""".stripMargin
   private val JacSql =
     """sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |pairs AS (
@@ -85,7 +99,7 @@ object DedupQueries {
     QueryDef(
       "q_dedup_ngram",
       (s: SparkSession, dir: String) =>
-        jaccardPairs(shingles(s, dir))
+        jaccardPairs(shingleText(s, dir))
           .filter(col("jac_e4") >= 6000L)
           .orderBy("d1", "d2"),
       Some(s"""WITH $ShSql,
@@ -95,38 +109,61 @@ object DedupQueries {
 
     // ------------------------------------------------------------------
     // q_minhash_dup ★ — MinHash(k=8) + LSH(4 bands × 2 rows) candidate
-    // generation, then exact-Jaccard verification of candidates only.
+    // generation, then exact-Jaccard verification of CANDIDATES ONLY.
     // At j=0.97 the candidate probability is 1-(1-j²)⁴ ≈ 1; background
-    // pairs are pruned before the expensive verify.
+    // pairs are pruned before any per-pair work. Salted hashes are
+    // md5('<i>:' || shingle) prefixes.
+    //
+    // One shuffle does all the per-doc work: a single groupBy(doc_id)
+    // produces the 8 signature mins AND the sorted shingle-hash set
+    // (collect_list) AND the set size. The band self-join yields the
+    // (few) candidate pairs, which then broadcast-join back to the
+    // per-doc sets; exact Jaccard is size(array_intersect) per pair —
+    // per-pair cost on candidates only, never the full pair matrix
+    // (the first cut verified via the FULL shingle self-join and was
+    // slower than exhaustive n-gram Jaccard — LSH must prune work,
+    // not add to it).
     QueryDef(
       "q_minhash_dup",
       (s: SparkSession, dir: String) => {
-        val sh = shingles(s, dir).cache()
-        val sigCols = (0 until 8).map(i =>
-          min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
-        val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val sh = shingleText(s, dir)
+          .select(Seq(col("doc_id"), hash60(col("s")).as("h")) ++
+            (0 until 8).map(i =>
+              hash60(concat(lit(s"$i:"), col("s"))).as(s"g$i")): _*)
+        val aggs = (0 until 8).map(i => min(col(s"g$i")).as(s"h$i")) ++
+          Seq(sort_array(collect_list(col("h"))).as("hs"),
+            count(lit(1)).as("n"))
+        val docAgg = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         val bandArr = array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))): _*)
-        val bands = sigs.select(col("doc_id"), explode(bandArr).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+            col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))): _*)
+        val bands = docAgg.select(col("doc_id"), explode(bandArr).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.k1").as("k1"), col("bk.k2").as("k2"))
         val cand = bands.as("a")
           .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-              col("a.doc_id") < col("b.doc_id"))
+            col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+              col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
-        jaccardPairs(sh)
-          .join(cand, Seq("d1", "d2"), "leftsemi")
+        val x = docAgg.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1"))
+        val y = docAgg.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2"))
+        broadcast(cand).join(x, "d1").join(y, "d2")
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("common"),
+            col("n1"), col("n2"))
+          .select(col("d1"), col("d2"),
+            (col("common") * 10000L / (col("n1") + col("n2") - col("common")))
+              .cast("long").as("jac_e4"))
           .filter(col("jac_e4") >= 6000L)
           .orderBy("d1", "d2")
       },
       Some(s"""WITH $ShSql,
               |sig AS (SELECT doc_id,
-              |  min(md5('0:'||s)) AS h0, min(md5('1:'||s)) AS h1,
-              |  min(md5('2:'||s)) AS h2, min(md5('3:'||s)) AS h3,
-              |  min(md5('4:'||s)) AS h4, min(md5('5:'||s)) AS h5,
-              |  min(md5('6:'||s)) AS h6, min(md5('7:'||s)) AS h7
+              |  min(substring(md5('0:'||s0),1,15)) AS h0, min(substring(md5('1:'||s0),1,15)) AS h1,
+              |  min(substring(md5('2:'||s0),1,15)) AS h2, min(substring(md5('3:'||s0),1,15)) AS h3,
+              |  min(substring(md5('4:'||s0),1,15)) AS h4, min(substring(md5('5:'||s0),1,15)) AS h5,
+              |  min(substring(md5('6:'||s0),1,15)) AS h6, min(substring(md5('7:'||s0),1,15)) AS h7
               |  FROM sh GROUP BY doc_id),
               |bands AS (
               |  SELECT doc_id, 0 AS band, h0||h1 AS key FROM sig UNION ALL

@@ -91,19 +91,22 @@ object TextQueries {
 
     // ------------------------------------------------------------------
     // q_text_lang_id ★ — n-gram/marker-word language scoring → a
-    // (actual, predicted) confusion matrix. Marker lists are tiny and
-    // inlined (broadcast-free literal arrays); at 100 TB this is still
-    // a single narrow map + one small aggregation.
+    // (actual, predicted) confusion matrix. Marker counting is
+    // `regexp_count` with \b-bounded alternations — fully codegen'd,
+    // one pass over the raw text (the first cut filtered an exploded
+    // token array through interpreted higher-order lambdas; on this
+    // all-alphanumeric corpus the \b-regex count is exactly the token
+    // match count). At 100 TB this is a single narrow map + one small
+    // aggregation.
     QueryDef(
       "q_text_lang_id",
       (s: SparkSession, dir: String) => {
         val scored = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), toks.as("t"))
           .select(
             col("doc_id"), col("lang"),
-            size(expr("filter(t, x -> x in ('the','a','of','and'))")).as("s_en"),
-            size(expr("filter(t, x -> x in ('der','die','das','und'))")).as("s_de"),
-            size(expr("filter(t, x -> x in ('el','la','los','y'))")).as("s_es"))
+            regexp_count(col("text"), lit("\\b(the|a|of|and)\\b")).as("s_en"),
+            regexp_count(col("text"), lit("\\b(der|die|das|und)\\b")).as("s_de"),
+            regexp_count(col("text"), lit("\\b(el|la|los|y)\\b")).as("s_es"))
         scored
           .withColumn("predicted",
             when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
@@ -117,9 +120,9 @@ object TextQueries {
       },
       Some("""WITH sc AS (
              |  SELECT lang,
-             |    len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and'], x))) AS s_en,
-             |    len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und'], x))) AS s_de,
-             |    len(list_filter(string_split(text,' '), x -> list_contains(['el','la','los','y'], x))) AS s_es
+             |    len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS s_en,
+             |    len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS s_de,
+             |    len(regexp_extract_all(text, '\b(el|la|los|y)\b')) AS s_es
              |  FROM documents)
              |SELECT lang,
              |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
