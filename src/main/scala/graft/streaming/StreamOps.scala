@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over an event stream — the runtime the
+  * reference's pom declared but never built (`spark-streaming` at
+  * `pom.xml:50-54`, unused; SURVEY.md §1.3). Batch-equivalent forms of
+  * these ship as `q_tumbling_window` / `q_session_gap`; these are the
+  * genuinely streaming forms with watermarks and custom state.
+  *
+  * Scale notes: both operators shuffle once on their grouping key;
+  * state is bounded by the watermark (tumbling) or the explicit
+  * timeout (sessions) — without those bounds a 100 TB/day stream grows
+  * state forever.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window counts/sums per event type: late rows
+    * beyond `lateness` are dropped and their windows finalized —
+    * append-mode emits each window exactly once when the watermark
+    * passes it.
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** One user session: contiguous activity with < `gap` between events
+    * (same semantics as the batch `q_session_gap` island query).
+    */
+  final case class Session(
+      userId: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
+      events: Long, totalValue: Double)
+
+  /** Open-session state (public: the state encoder's generated code
+    * must construct it).
+    */
+  final case class SessionState(
+      start: Long, last: Long, events: Long, totalValue: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: per-user
+    * state holds the open session; a processing-time timeout closes and
+    * emits it when the user goes quiet. Demonstrates the
+    * `KeyValueGroupedDataset` stateful API the built-in
+    * `session_window` can't express (per-session running aggregates
+    * emitted exactly at close).
+    *
+    * `timeout` is injectable: production uses the default
+    * ProcessingTimeTimeout; specs pass NoTimeout because wall-clock
+    * timeouts are non-deterministic under test (and with a 0-interval
+    * trigger the timeout-check batches never quiesce for
+    * `processAllAvailable`).
+    */
+  def sessionize(
+      events: Dataset[(Long, java.sql.Timestamp, Double)],
+      gapMs: Long,
+      timeoutMs: Long = 30000,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(s =>
+              Session(userId, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.events, s.totalValue))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  cur = Some(s.copy(last = t, events = s.events + 1,
+                    totalValue = s.totalValue + v))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.events, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, v))
+              }
+            }
+            cur.foreach(state.update)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+              state.setTimeoutDuration(timeoutMs)
+            closed.result().iterator
+          }
+      }
+  }
+}

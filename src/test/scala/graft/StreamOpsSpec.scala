@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+/** Streaming operators driven through MemoryStream micro-batches:
+  * watermark drops late rows, windows finalize in append mode, and the
+  * stateful sessionizer closes sessions across batch boundaries.
+  */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window with watermark: late row dropped, windows finalize") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.tumblingCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "1 hour", lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), "a", 1.0),
+        (ts("2024-01-01 10:45:00"), "a", 2.0),
+        (ts("2024-01-01 11:05:00"), "b", 3.0))
+      q.processAllAvailable()
+      // watermark is now 11:05-10m = 10:55 → hour-10 window NOT yet final
+      in.addData((ts("2024-01-01 12:30:00"), "b", 4.0)) // advances wm to 12:20
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:50:00"), "a", 99.0)) // LATE: before 12:20 wm
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 14:00:00"), "c", 0.0)) // finalize hour 11,12
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(col("ws").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      // hour-10 'a' window emitted with the two on-time rows, late 99.0 dropped
+      assert(rows.contains(("2024-01-01 10:00:00", "a", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 11:00:00", "b", 1L, 3.0)))
+      assert(rows.contains(("2024-01-01 12:00:00", "b", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer: gap closes a session across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.sessionize(in.toDS(), gapMs = 10 * 60 * 1000,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: two events 5m apart (one session), then a 30m gap
+      in.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 10:35:00"), 5.0)) // gap > 10m → closes session 1
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select(col("userId"), col("start").cast("string"), col("end").cast("string"),
+          col("events"), col("totalValue"))
+        .as[(Long, String, String, Long, Double)].collect().toSet
+      assert(rows.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L, 3.0)))
+    } finally q.stop()
+  }
+}
