@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-out building blocks for the hot aggregation/join paths —
+  * the techniques a 1000-executor deployment of this engine leans on
+  * when AQE alone isn't enough.
+  */
+object ScaleOps {
+
+  /** Two-phase salted aggregation for skewed group keys: rows fan out
+    * over `saltBuckets` sub-keys (phase 1 shuffles on (key, salt), so
+    * one hot key spreads across `saltBuckets` reducers), then partials
+    * re-aggregate on the key alone (phase 2 moves only
+    * keys × saltBuckets rows). Correct for any algebraic aggregate —
+    * the caller supplies the partial aggs and how to merge them.
+    *
+    * `partial`/`merge` column names must line up: each phase-1 output
+    * column is merged by the same-named phase-2 expression, e.g.
+    * {{{
+    * saltedAgg(events, Seq(col("event_type")), 16)(
+    *   Seq(count(lit(1)).as("n"), sum("value").as("s")),
+    *   Seq(sum("n").as("n"), sum("s").as("s")))
+    * }}}
+    *
+    * Spark's map-side partial aggregation already handles *moderate*
+    * skew; explicit salting is for keys hot enough that a single
+    * reducer partition would spill or straggle (rule of thumb: one key
+    * > ~1 GiB of shuffle input).
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[Column], saltBuckets: Int)(
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val phase1 = salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1
+      .groupBy(keys: _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
+  /** Broadcast-threshold hint helper: force the dimension side of a
+    * join to broadcast regardless of size estimation (statistics are
+    * often missing on fresh files at scale; an 8 MiB dim mis-planned
+    * into a 100 TB shuffle join is the single most expensive planner
+    * mistake this engine can make).
+    */
+  def joinBroadcastDim(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys)
+}

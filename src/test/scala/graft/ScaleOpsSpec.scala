@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleOps
+
+/** Scale building blocks: salted aggregation equals the direct
+  * aggregation; bucketed tables join without an Exchange (the
+  * co-located join a 100 TB fact-fact join depends on); forced
+  * broadcast keeps the dim side off the shuffle.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg == direct groupBy agg (count/sum/min/max)") {
+    val events = Tables(spark, sfDir, "events")
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"),
+        min("value").as("mn"), max("value").as("mx"))
+      .orderBy("event_type").collect().toSeq
+    val salted = ScaleOps.saltedAgg(events, Seq(col("event_type")), 16)(
+      Seq(count(lit(1)).as("n"), sum("value").as("s"),
+        min("value").as("mn"), max("value").as("mx")),
+      Seq(sum("n").as("n"), sum("s").as("s"),
+        min("mn").as("mn"), max("mx").as("mx")))
+      .orderBy("event_type").collect().toSeq
+    assert(salted.length == direct.length)
+    salted.zip(direct).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getLong(1) == b.getLong(1))
+      // double sum differs in fold order — compare to 1e-9 relative
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) <= 1e-9 * math.abs(b.getDouble(2)))
+      assert(a.getDouble(3) == b.getDouble(3) && a.getDouble(4) == b.getDouble(4))
+    }
+  }
+
+  test("bucketed tables join with NO Exchange (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables(spark, sfDir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    Tables(spark, sfDir, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+
+    // force the shuffle-join path so the assertion is about bucketing,
+    // not about AQE broadcasting a small side at this tiny SF
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .select("o_orderstatus", "l_quantity")
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-partitioned on the join key by bucketBy(8):
+      // a sort-merge join with ZERO exchanges
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it is still correct
+      val direct = Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select("o_orderstatus", "l_quantity")
+        .orderBy("o_orderstatus", "l_quantity").collect().toSeq
+      assert(joined.orderBy("o_orderstatus", "l_quantity").collect().toSeq == direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE b_orders"); spark.sql("DROP TABLE b_lineitem")
+    }
+  }
+
+  test("joinBroadcastDim plans a BroadcastHashJoin") {
+    val j = ScaleOps.joinBroadcastDim(
+      Tables(spark, sfDir, "customer"),
+      Tables(spark, sfDir, "nation").withColumnRenamed("n_nationkey", "c_nationkey"),
+      Seq("c_nationkey"))
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(j.count() > 0)
+  }
+}
