@@ -106,7 +106,11 @@ object Pipeline {
     }
   }
 
-  /** Full batch ingest for one component. */
+  /** Full batch ingest for one component. Exactly-once: sources that
+    * already appear in a committed snapshot (crash between commit and
+    * delete, or `deleteSources=false` re-runs) are skipped via the
+    * commit log's source ledger.
+    */
   def ingest(
       spark: SparkSession,
       baseDir: String,
@@ -115,15 +119,22 @@ object Pipeline {
       tableDir: String,
       writer: LakeWriter = new HiveParquetWriter,
       deleteSources: Boolean = true): IngestResult = {
+    val done = graft.sink.GraftLog.committedSources(tableDir)
     val files = listPending(baseDir, componentId)
+      .filterNot(f => done.contains(sourceKey(f)))
     if (files.isEmpty) return IngestResult(Seq.empty, None)
     val df = decode(spark, table, files)
     val commit = {
-      val c = writer.append(df, table.partitionSpec.map(_.name), tableDir)
+      val c = writer.append(df, table.partitionSpec.map(_.name), tableDir,
+        sources = files.map(sourceKey))
       if (c.rows == 0) None else Some(c) // Q10: empty batch → no commit
     }
     // A22 with Q5 fixed: sources removed only after the commit landed.
     if (deleteSources) files.foreach(f => Files.deleteIfExists(Paths.get(f)))
     IngestResult(files, commit)
   }
+
+  /** Ledger key for a source file: absolute normalized path. */
+  private def sourceKey(f: String): String =
+    Paths.get(f).toAbsolutePath.normalize.toString
 }

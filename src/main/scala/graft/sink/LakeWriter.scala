@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 /** One committed append (the observable behavior of the reference's
   * `newAppend().appendFile().commit()`, `App.java:147-149` / SURVEY.md
   * A21): which files joined the table, how many rows, under which
-  * sequential snapshot id.
+  * sequential snapshot id, and which source files were consumed.
   */
 final case class CommitInfo(snapshotId: Long, files: Seq[String], rows: Long)
 
@@ -22,9 +22,11 @@ final case class CommitInfo(snapshotId: Long, files: Seq[String], rows: Long)
   */
 trait LakeWriter {
   /** Append `df` partitioned by `partitionCols` (already materialized as
-    * columns of `df`) under `tableDir`. Returns the commit record.
+    * columns of `df`) under `tableDir`, recording consumed `sources` in
+    * the commit for the exactly-once ledger. Returns the commit record.
     */
-  def append(df: DataFrame, partitionCols: Seq[String], tableDir: String): CommitInfo
+  def append(df: DataFrame, partitionCols: Seq[String], tableDir: String,
+      sources: Seq[String] = Seq.empty): CommitInfo
 }
 
 /** Hive-layout parquet + commit-log emulation of A18-A21:
@@ -50,16 +52,34 @@ final class HiveParquetWriter extends LakeWriter {
 
   private val NullDir = "__HIVE_DEFAULT_PARTITION__"
 
-  override def append(df: DataFrame, partitionCols: Seq[String], tableDir: String): CommitInfo = {
+  override def append(df: DataFrame, partitionCols: Seq[String], tableDir: String,
+      sources: Seq[String] = Seq.empty): CommitInfo = {
+    val published = HiveParquetWriter.writeFiles(df, partitionCols, tableDir)
+    val rows = published.map(_._2).sum
+    if (rows == 0) return CommitInfo(0, Seq.empty, 0) // Q10: empty input → no snapshot
+    val snapshotId = GraftLog.nextSnapshotId(tableDir)
+    GraftLog.write(tableDir,
+      GraftLog.Record(snapshotId, "append", rows, published.map(_._1).sorted, sources))
+    CommitInfo(snapshotId, published.map(_._1).sorted, rows)
+  }
+}
+
+object HiveParquetWriter {
+
+  private val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Stage + publish data files under `tableDir` (no commit record).
+    * Returns (relative path, rowCount≈) pairs; row count is the total
+    * df count attributed to the first file (callers only sum it).
+    */
+  private[sink] def writeFiles(
+      df: DataFrame, partitionCols: Seq[String], tableDir: String): Seq[(String, Long)] = {
     val dir = Paths.get(tableDir)
-    Files.createDirectories(dir.resolve("_graft_log"))
+    Files.createDirectories(dir)
     val staging = dir.resolve(s"_staging_${java.util.UUID.randomUUID()}")
 
     val rows = df.cache().count() // one materialization: row count + write input
-    if (rows == 0) { // Q10: empty input → no files, no snapshot
-      df.unpersist()
-      return CommitInfo(0, Seq.empty, 0)
-    }
+    if (rows == 0) { df.unpersist(); return Seq.empty }
     val writer =
       if (partitionCols.nonEmpty)
         df.repartition(partitionCols.map(col): _*).write.partitionBy(partitionCols: _*)
@@ -73,8 +93,7 @@ final class HiveParquetWriter extends LakeWriter {
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq
     val published = staged.map { p =>
-      val rel = staging.relativize(p).toString
-        .replace(s"=$NullDir", "=null")
+      val rel = staging.relativize(p).toString.replace(s"=$NullDir", "=null")
       val target = dir.resolve(rel)
       Files.createDirectories(target.getParent)
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
@@ -82,21 +101,6 @@ final class HiveParquetWriter extends LakeWriter {
     }
     Files.walk(staging).sorted(Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.delete)
-
-    val snapshotId = nextSnapshotId(dir)
-    val filesJson = published.sorted.map(f => "\"" + f.replace("\\", "/") + "\"")
-      .mkString("[", ",", "]")
-    Files.writeString(
-      dir.resolve("_graft_log").resolve(f"$snapshotId%020d.json"),
-      s"""{"snapshotId":$snapshotId,"rows":$rows,"files":$filesJson}""")
-    CommitInfo(snapshotId, published.sorted, rows)
-  }
-
-  private def nextSnapshotId(dir: Path): Long = {
-    val log = dir.resolve("_graft_log")
-    val existing = Files.list(log).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).toSeq
-    if (existing.isEmpty) 1L else existing.max + 1L
+    published.zipWithIndex.map { case (f, i) => (f, if (i == 0) rows else 0L) }
   }
 }

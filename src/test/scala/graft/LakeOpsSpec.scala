@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Pipeline
+import graft.queries.IngestQueries
+import graft.sink.{GraftLog, LakeOps}
+
+/** Lake-table semantics over the commit log: exactly-once re-ingest,
+  * snapshot-isolated reads, time travel, compaction as a rewrite
+  * snapshot, and snapshot-expiry GC.
+  */
+class LakeOpsSpec extends SparkSpec {
+
+  private def writeBatch(root: String, comp: String, file: String, ids: Seq[Int]): Unit = {
+    val dir = Paths.get(root, "events", comp)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(file), ids.map(i =>
+      s"""{"id":$i,"event_date":"2024-03-1${i % 10}","user_id":$i,"category":"c${i % 2}"}""")
+      .mkString("\n"))
+  }
+
+  test("exactly-once: kept sources are not re-ingested on a second run") {
+    val root = Files.createTempDirectory("graft_eo_").toString
+    val tdir = s"$root/w/t"
+    writeBatch(root, "c1", "a.json", Seq(1, 2, 3))
+    val r1 = Pipeline.ingest(spark, root, "c1", IngestQueries.fixtureTable, tdir,
+      deleteSources = false)
+    assert(r1.commit.exists(_.rows == 3))
+    // sources still on disk — a naive re-run would double-ingest
+    val r2 = Pipeline.ingest(spark, root, "c1", IngestQueries.fixtureTable, tdir,
+      deleteSources = false)
+    assert(r2.commit.isEmpty && r2.sourceFiles.isEmpty)
+    assert(LakeOps.readTable(spark, tdir).count() == 3)
+    // a genuinely new file still ingests
+    writeBatch(root, "c1", "b.json", Seq(4))
+    val r3 = Pipeline.ingest(spark, root, "c1", IngestQueries.fixtureTable, tdir,
+      deleteSources = false)
+    assert(r3.commit.exists(_.rows == 1))
+    assert(LakeOps.readTable(spark, tdir).count() == 4)
+  }
+
+  test("time travel: snapshots are readable as-of their id") {
+    val root = Files.createTempDirectory("graft_tt_").toString
+    val tdir = s"$root/w/t"
+    writeBatch(root, "c1", "a.json", Seq(1, 2))
+    Pipeline.ingest(spark, root, "c1", IngestQueries.fixtureTable, tdir)
+    writeBatch(root, "c1", "b.json", Seq(3))
+    Pipeline.ingest(spark, root, "c1", IngestQueries.fixtureTable, tdir)
+    assert(GraftLog.records(tdir).map(_.snapshotId) == Seq(1L, 2L))
+    assert(LakeOps.readSnapshot(spark, tdir, 1L).count() == 2)
+    assert(LakeOps.readSnapshot(spark, tdir, 2L).count() == 3)
+    // partition columns survive the explicit-file read
+    assert(LakeOps.readSnapshot(spark, tdir, 2L).columns.contains("user_id_bucket"))
+  }
+
+  test("compact bin-packs to one file per partition; old snapshot still readable; expiry GCs") {
+    val root = Files.createTempDirectory("graft_cp_").toString
+    val tdir = s"$root/w/t"
+    // two appends → ≥2 files in overlapping partitions
+    writeBatch(root, "c1", "a.json", Seq(1, 3))   // category c1
+    Pipeline.ingest(spark, root, "c1", IngestQueries.fixtureTable, tdir)
+    writeBatch(root, "c1", "b.json", Seq(5, 7))   // category c1 again
+    Pipeline.ingest(spark, root, "c1", IngestQueries.fixtureTable, tdir)
+    val before = LakeOps.readTable(spark, tdir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val preCompactFiles = GraftLog.liveFiles(tdir, None)
+
+    val c = LakeOps.compact(spark, tdir)
+    assert(c.snapshotId == 3L)
+    val live = GraftLog.liveFiles(tdir, None)
+    // one file per partition directory now
+    val dirsOf = (fs: Seq[String]) => fs.groupBy(_.split("/").dropRight(1).mkString("/"))
+    assert(dirsOf(live).forall(_._2.size == 1))
+    assert(live.size < preCompactFiles.size || preCompactFiles.size == live.size)
+    // same rows after compaction
+    val after = LakeOps.readTable(spark, tdir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+    // snapshot isolation: snapshot 2 still reads the OLD files
+    assert(LakeOps.readSnapshot(spark, tdir, 2L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == before)
+
+    // expire all but the latest → replaced files GC'd, current read intact
+    val deleted = LakeOps.expireSnapshots(tdir, keepLast = 1)
+    assert(deleted.nonEmpty)
+    assert(LakeOps.readTable(spark, tdir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == before)
+    // the old files are really gone from disk
+    val onDisk = Files.walk(Paths.get(tdir)).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => Paths.get(tdir).relativize(p).toString).toSet
+    assert(onDisk == live.toSet)
+  }
+}
