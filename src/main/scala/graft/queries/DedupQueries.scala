@@ -52,22 +52,74 @@ object DedupQueries {
             "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))
             .otherwise(expr("array()")))).as("s"))
 
-  /** (d1, d2, jac_e4) for all pairs sharing ≥1 shingle (floor e4);
-    * join + counts on the 60-bit shingle hash.
+  /** (d1, d2, jac_e4) for pairs with Jaccard ≥ `minJacE4`/1e4, via
+    * prefix filtering (Chaudhuri et al. ICDE'06 / PPJoin): shingles get
+    * a global (document-frequency, hash) rank; each doc's candidate
+    * prefix is its `n - ceil(t·n) + 1` RAREST shingles, and the
+    * candidate join runs on prefix shingles only — lossless for pairs
+    * at or above the threshold, but hot shingles (which at corpus
+    * scale produce quadratically many sharing pairs) never enter the
+    * join unless they are in someone's rare prefix. A length filter
+    * (`t·nx ≤ ny`) prunes further; exact Jaccard verifies candidates
+    * via array_intersect on the per-doc sorted hash sets. This is the
+    * difference between O(pairs-sharing-any-shingle) — quadratic in df
+    * — and O(pairs-sharing-a-rare-shingle).
     */
-  private def jaccardPairs(shText: DataFrame): DataFrame = {
+  private def jaccardPairs(shText: DataFrame, minJacE4: Long): DataFrame = {
     val sh = shText.select(col("doc_id"), hash60(col("s")).as("h"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sz.as("x"), col("d1") === col("x.doc_id"))
-      .join(sz.as("y"), col("d2") === col("y.doc_id"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val setsLazy = sh.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"),
+        count(lit(1)).as("n"))
+      .withColumn("hs", expr("transform(ranked, x -> x.h)"))
+      .select(col("doc_id"), col("n"), col("hs"),
+        // prefix length n - ceil(t*n) + 1, in integer e4 arithmetic
+        slice(col("hs"), lit(1),
+          (col("n") - ((col("n") * minJacE4 + 9999L) / 10000L) + 1L).cast("int"))
+          .as("prefix"))
+      // persisted AND eagerly materialized: BOTH sides of the prefix
+      // self-join consume this, and without a filled cache each branch
+      // recomputes scan → explode → md5 → df-join → collect_list
+      // (measured: 6 Generates, 4 scans in one plan; concurrent stages
+      // race an unfilled cache, so persist alone does not dedup). This
+      // is per-DOC data — corpus-linear, the safe thing to persist at
+      // any scale (spills to disk if it outgrows memory); the quadratic
+      // pair stream is never materialized.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = { setsLazy.count(); setsLazy }
+    // the full hash set rides along through the prefix join, so the
+    // verify needs no re-join back to `sets` (whose aggregate would be
+    // recomputed once per consumer)
+    val pref = sets.select(col("doc_id"), col("n"), col("hs"),
+      posexplode(col("prefix")).as(Seq("pos", "h")))
+    // required overlap for jac >= t: alpha = ceil(t/(1+t) * (nx+ny))
+    val alpha = ((col("a.n") + col("b.n")) * minJacE4 + lit(10000L + minJacE4) - 1L) /
+      lit(10000L + minJacE4)
+    pref.as("a")
+      .join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: jac >= t forces t*nx <= ny (and symmetrically)
+          col("b.n") * 10000L >= col("a.n") * minJacE4 &&
+          col("a.n") * 10000L >= col("b.n") * minJacE4 &&
+          // PPJoin position filter: elements at/after this match bound
+          // the achievable overlap
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
+      // a pair can collide on several prefix shingles — dedup before
+      // the per-pair verify (distinct = HashAggregate with no agg
+      // buffers, so array-typed keys stay hash-aggregable; first(hs)
+      // buffers would fall back to SortAggregate)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.hs").as("hs1"), col("b.hs").as("hs2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .distinct()
       .select(col("d1"), col("d2"),
-        (col("common") * 10000L / (col("x.n") + col("y.n") - col("common")))
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("common"),
+        col("n1"), col("n2"))
+      .select(col("d1"), col("d2"),
+        (col("common") * 10000L / (col("n1") + col("n2") - col("common")))
           .cast("long").as("jac_e4"))
+      .filter(col("jac_e4") >= minJacE4)
   }
 
   // DuckDB CTE fragments shared by both oracle queries. `s0` is the
@@ -99,8 +151,7 @@ object DedupQueries {
     QueryDef(
       "q_dedup_ngram",
       (s: SparkSession, dir: String) =>
-        jaccardPairs(shingleText(s, dir))
-          .filter(col("jac_e4") >= 6000L)
+        jaccardPairs(shingleText(s, dir), minJacE4 = 6000L)
           .orderBy("d1", "d2"),
       Some(s"""WITH $ShSql,
               |$JacSql
@@ -133,7 +184,13 @@ object DedupQueries {
         val aggs = (0 until 8).map(i => min(col(s"g$i")).as(s"h$i")) ++
           Seq(sort_array(collect_list(col("h"))).as("hs"),
             count(lit(1)).as("n"))
-        val docAgg = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        // persisted + eager for the same reason as jaccardPairs: four
+        // consumers (band self-join ×2, verify ×2) would each recompute
+        // the explode + 9 salted hashes + aggregation. Per-doc data,
+        // corpus-linear.
+        val docAggLazy = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val docAgg = { docAggLazy.count(); docAggLazy }
         val bandArr = array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))): _*)
