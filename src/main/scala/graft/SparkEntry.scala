@@ -13,7 +13,8 @@ object SparkEntry {
   def allQueries: Seq[QueryDef] =
     CoreQueries.entries ++ RelationalQueries.entries ++ WindowQueries.entries ++
       TypesQueries.entries ++ TextQueries.entries ++ DedupQueries.entries ++
-      SimilarityQueries.entries ++ IngestQueries.entries ++ MultimodalQueries.entries
+      SimilarityQueries.entries ++ IngestQueries.entries ++ MultimodalQueries.entries ++
+      AdvancedQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

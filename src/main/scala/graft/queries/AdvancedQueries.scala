@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch 10 — operators beyond vanilla SQL that a reference user's
+  * analytics stack grows into: as-of (nearest-earlier) joins and
+  * sketch-based approximate aggregation.
+  */
+object AdvancedQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q_asof_join — the as-of join Spark has no native operator for,
+    // composed scalably as tagged-union + window (one shuffle + sort on
+    // (user, time), NO range-join explosion): for each purchase event,
+    // the most recent error event of the same user at or before it.
+    // At equal timestamps the error sorts first (tag 0 < 1), matching
+    // the oracle's `e.ts <= p.ts`. DuckDB verifies with its native
+    // ASOF LEFT JOIN — two engines, two algorithms, same rows.
+    QueryDef(
+      "q_asof_join",
+      (s: SparkSession, dir: String) => {
+        val ev = Tables(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), lit(0).as("tag"),
+            lit(null).cast("long").as("event_id"), col("ts").as("err_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"),
+            col("event_id"), lit(null).cast("timestamp").as("err_ts"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        errors.unionByName(purchases)
+          .withColumn("last_error_ts", last(col("err_ts"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"), col("last_error_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, e.ts AS last_error_ts
+             |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN
+             |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'error') e
+             |  ON p.user_id = e.user_id AND e.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_approx_distinct — HyperLogLog++ distinct-user counts per event
+    // type (constant memory per group vs exact distinct's shuffle of
+    // every key — the 100 TB cardinality primitive). Sketches are not
+    // engine-portable → no DuckDB oracle; AdvancedSpec bounds the error
+    // against the exact count.
+    QueryDef(
+      "q_approx_distinct",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      None)
+  )
+}

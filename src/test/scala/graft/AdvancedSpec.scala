@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spark-side checks for batch 10: as-of join semantics against a
+  * plain-Scala reference, and HLL error bounds vs exact distinct.
+  */
+class AdvancedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_asof_join matches a driver-side as-of reference") {
+    val ev = Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+      .as[(Long, Long, String, java.sql.Timestamp)].collect()
+    val errorsByUser: Map[Long, Seq[Long]] = ev.filter(_._3 == "error")
+      .groupBy(_._2).map { case (u, rows) => u -> rows.map(_._4.getTime).sorted.toSeq }
+    val want = ev.filter(_._3 == "purchase").map { case (id, u, _, ts) =>
+      val prior = errorsByUser.getOrElse(u, Seq.empty).filter(_ <= ts.getTime)
+      (id, if (prior.isEmpty) None else Some(prior.max))
+    }.toMap
+    val got = SparkEntry.queries("q_asof_join")(spark, sfDir)
+      .select(col("event_id"), col("last_error_ts"))
+      .as[(Long, Option[java.sql.Timestamp])].collect()
+      .map { case (id, t) => id -> t.map(_.getTime) }.toMap
+    assert(got == want)
+  }
+
+  test("q_approx_distinct within 5% of exact per group") {
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables(spark, sfDir, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(1L, (0.05 * e).toLong),
+        s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+}
