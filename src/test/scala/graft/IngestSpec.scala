@@ -97,6 +97,18 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(tableDir).count() == 4) // idempotent re-run
   }
 
+  test("reads of the ingested table prune partitions on the partition column") {
+    val (_, tableDir) = freshRun()
+    val q = spark.read.parquet(tableDir).filter(col("category_identity") === "web")
+    val plan = q.queryExecution.executedPlan.toString
+    // Hive-layout partition columns filter at the FILE INDEX, not per-row
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("category_identity"),
+      s"partition filter not pruned:\n$plan")
+    assert(q.count() == 1)
+  }
+
   test("month path rendering recovers yyyy-MM from the Q2 ordinal") {
     val root = Files.createTempDirectory("graft_month_").toString
     val tdir = s"$root/w/t"
