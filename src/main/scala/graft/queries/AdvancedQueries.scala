@@ -50,6 +50,52 @@ object AdvancedQueries {
              |ORDER BY p.event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_cube — CUBE grouping over (returnflag, linestatus) with
+    // grouping() indicators: all 2^2 grouping-set combinations in one
+    // pass (Catalyst expands to a single shuffle with a grouping-id
+    // column, not 4 scans).
+    QueryDef(
+      "q_cube",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("l_linestatus")).cast("long").as("g_status"))
+          .orderBy(col("g_flag"), col("g_status"),
+            col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+             |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+             |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_window_range — interval RANGE frame (event-time sliding sum):
+    // per user, the sum of values in the trailing hour. Unlike a ROWS
+    // frame this is value-based — the frame a time-series pipeline
+    // actually wants.
+    QueryDef(
+      "q_window_range",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("hour_sum",
+            round(expr("sum(value) OVER (PARTITION BY user_id ORDER BY ts " +
+              "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"), 4))
+          .select(col("event_id"), col("user_id"), col("hour_sum"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+             |  ROUND(SUM(value) OVER (PARTITION BY user_id
+             |    ORDER BY CAST(ts AS TIMESTAMP)
+             |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+             |    AS hour_sum
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_approx_distinct — HyperLogLog++ distinct-user counts per event
     // type (constant memory per group vs exact distinct's shuffle of
     // every key — the 100 TB cardinality primitive). Sketches are not
