@@ -24,12 +24,14 @@ import graft.functions.SimHash64.simHash64
   *    on 8-byte hash-aggregable buffers (`min(string)` would fall back
   *    to SortAggregate — a full sort of the exploded shingle set), and
   *    the pair join shuffles longs, not shingle text;
-  *  - nothing is cached: the shingle explode is recomputed for its two
-  *    consumers — two cheap scans beat materializing a 50× exploded
-  *    corpus in memory at scale;
-  *  - MinHash reduces each document to a constant-size signature (8
-  *    mins = one aggregation), and banding makes the candidate join key
-  *    selective — the full Jaccard verify runs only on candidates.
+  *  - only per-DOC frames (signatures, sorted hash sets — corpus-
+  *    linear) are ever persisted; the quadratic pair stream is never
+  *    materialized;
+  *  - exhaustive Jaccard uses prefix+position filtering (PPJoin), so
+  *    hot shingles never enter the candidate join; MinHash reduces each
+  *    document to a constant-size signature (8 mins = one aggregation)
+  *    and banding makes the candidate join key selective — the full
+  *    Jaccard verify runs only on candidates.
   *
   * Oracle equivalence: the 60-bit prefix of md5 as a long (Spark) and
   * the 15-hex-char prefix as a string (DuckDB) are order-isomorphic
