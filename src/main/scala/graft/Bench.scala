@@ -12,7 +12,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, not count(): count() lets Catalyst prune projections
+      // and drop final sorts, under-measuring scan/projection-heavy
+      // queries; noop materializes every row of the full plan.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries: drop caches a query persisted so later ones
       // aren't measured under its memory pressure

@@ -44,6 +44,29 @@ object DedupQueries {
   private def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Exact integer floor/ceil division on non-negative long columns.
+    * `Column./` is TRUE (double) division: `(n*t + 9999) / 10000` then
+    * `.cast("int")` truncates ~ceil-0.0001, which shortens the PPJoin
+    * prefix by one element right at the threshold (a 1-shingle doc got
+    * prefix length 0 and silently never joined — ADVICE r1, high).
+    * Subtracting `pmod` first makes the numerator an exact multiple of
+    * the divisor, so the double division is exact at any magnitude.
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+  private def ceilDiv(a: Column, b: Column): Column =
+    floorDiv(a + b - 1L, b)
+
+  /** MinHash permutation family g_i(h) = (a_i·h + b_i) mod p over the
+    * 32-bit md5 prefix. p = 2^31−1 (prime); a_i < 2^30 so a_i·h < 2^62
+    * fits signed 64-bit in BOTH engines. Arbitrary fixed odd constants.
+    */
+  private val MinhashP = 2147483647L
+  private val MinhashA = Seq(529959061L, 726648389L, 171676003L, 913871213L,
+    330279721L, 464937097L, 604389403L, 247615843L)
+  private val MinhashB = Seq(117767609L, 326150957L, 892849843L, 503800931L,
+    78126601L, 645859441L, 287709941L, 735603829L)
+
   /** doc_id + distinct 3-token shingle *text*, exploded. */
   private def shingleText(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -76,9 +99,9 @@ object DedupQueries {
         count(lit(1)).as("n"))
       .withColumn("hs", expr("transform(ranked, x -> x.h)"))
       .select(col("doc_id"), col("n"), col("hs"),
-        // prefix length n - ceil(t*n) + 1, in integer e4 arithmetic
+        // prefix length n - ceil(t*n) + 1, exact integer e4 arithmetic
         slice(col("hs"), lit(1),
-          (col("n") - ((col("n") * minJacE4 + 9999L) / 10000L) + 1L).cast("int"))
+          (col("n") - ceilDiv(col("n") * minJacE4, lit(10000L)) + 1L).cast("int"))
           .as("prefix"))
       // persisted AND eagerly materialized: BOTH sides of the prefix
       // self-join consume this, and without a filled cache each branch
@@ -96,8 +119,7 @@ object DedupQueries {
     val pref = sets.select(col("doc_id"), col("n"), col("hs"),
       posexplode(col("prefix")).as(Seq("pos", "h")))
     // required overlap for jac >= t: alpha = ceil(t/(1+t) * (nx+ny))
-    val alpha = ((col("a.n") + col("b.n")) * minJacE4 + lit(10000L + minJacE4) - 1L) /
-      lit(10000L + minJacE4)
+    val alpha = ceilDiv((col("a.n") + col("b.n")) * minJacE4, lit(10000L + minJacE4))
     pref.as("a")
       .join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
@@ -119,8 +141,8 @@ object DedupQueries {
         size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("common"),
         col("n1"), col("n2"))
       .select(col("d1"), col("d2"),
-        (col("common") * 10000L / (col("n1") + col("n2") - col("common")))
-          .cast("long").as("jac_e4"))
+        floorDiv(col("common") * 10000L, col("n1") + col("n2") - col("common"))
+          .as("jac_e4"))
       .filter(col("jac_e4") >= minJacE4)
   }
 
@@ -164,8 +186,19 @@ object DedupQueries {
     // q_minhash_dup ★ — MinHash(k=8) + LSH(4 bands × 2 rows) candidate
     // generation, then exact-Jaccard verification of CANDIDATES ONLY.
     // At j=0.97 the candidate probability is 1-(1-j²)⁴ ≈ 1; background
-    // pairs are pruned before any per-pair work. Salted hashes are
-    // md5('<i>:' || shingle) prefixes.
+    // pairs are pruned before any per-pair work.
+    //
+    // The 8 permutations are affine maps of ONE md5 per shingle:
+    // g_i = (a_i·h32 + b_i) mod p over the 32-bit md5 prefix, p =
+    // 2^31−1 (a universal hash family; Carter–Wegman). Round 1 salted
+    // 9 md5s per exploded shingle and that was 35% of the whole bench
+    // (39.6 s) — hashing cost, not shuffle cost. Integer affine forms
+    // are ~free AND engine-portable: DuckDB reproduces them exactly
+    // with ('0x'||prefix)::BIGINT arithmetic (a_i < 2^30 keeps
+    // a_i·h32 < 2^62 — no signed-64 overflow on either engine).
+    // A 31-bit signature space can collide mins, but both engines
+    // compute the SAME mins, banding is only a candidate filter, and
+    // the verify below is exact-Jaccard on the full 60-bit sets.
     //
     // One shuffle does all the per-doc work: a single groupBy(doc_id)
     // produces the 8 signature mins AND the sorted shingle-hash set
@@ -180,15 +213,17 @@ object DedupQueries {
       "q_minhash_dup",
       (s: SparkSession, dir: String) => {
         val sh = shingleText(s, dir)
-          .select(Seq(col("doc_id"), hash60(col("s")).as("h")) ++
-            (0 until 8).map(i =>
-              hash60(concat(lit(s"$i:"), col("s"))).as(s"g$i")): _*)
-        val aggs = (0 until 8).map(i => min(col(s"g$i")).as(s"h$i")) ++
+          .withColumn("md", md5(col("s")))
+          .select(col("doc_id"),
+            conv(substring(col("md"), 1, 15), 16, 10).cast("long").as("h"),
+            conv(substring(col("md"), 1, 8), 16, 10).cast("long").as("h32"))
+        val aggs = (0 until 8).map(i =>
+          min(pmod(col("h32") * MinhashA(i) + MinhashB(i), lit(MinhashP))).as(s"h$i")) ++
           Seq(sort_array(collect_list(col("h"))).as("hs"),
             count(lit(1)).as("n"))
         // persisted + eager for the same reason as jaccardPairs: four
         // consumers (band self-join ×2, verify ×2) would each recompute
-        // the explode + 9 salted hashes + aggregation. Per-doc data,
+        // the explode + md5 + affine mins + aggregation. Per-doc data,
         // corpus-linear.
         val docAggLazy = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -212,31 +247,33 @@ object DedupQueries {
             size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("common"),
             col("n1"), col("n2"))
           .select(col("d1"), col("d2"),
-            (col("common") * 10000L / (col("n1") + col("n2") - col("common")))
-              .cast("long").as("jac_e4"))
+            floorDiv(col("common") * 10000L, col("n1") + col("n2") - col("common"))
+              .as("jac_e4"))
           .filter(col("jac_e4") >= 6000L)
           .orderBy("d1", "d2")
       },
-      Some(s"""WITH $ShSql,
-              |sig AS (SELECT doc_id,
-              |  min(substring(md5('0:'||s0),1,15)) AS h0, min(substring(md5('1:'||s0),1,15)) AS h1,
-              |  min(substring(md5('2:'||s0),1,15)) AS h2, min(substring(md5('3:'||s0),1,15)) AS h3,
-              |  min(substring(md5('4:'||s0),1,15)) AS h4, min(substring(md5('5:'||s0),1,15)) AS h5,
-              |  min(substring(md5('6:'||s0),1,15)) AS h6, min(substring(md5('7:'||s0),1,15)) AS h7
-              |  FROM sh GROUP BY doc_id),
-              |bands AS (
-              |  SELECT doc_id, 0 AS band, h0||h1 AS key FROM sig UNION ALL
-              |  SELECT doc_id, 1, h2||h3 FROM sig UNION ALL
-              |  SELECT doc_id, 2, h4||h5 FROM sig UNION ALL
-              |  SELECT doc_id, 3, h6||h7 FROM sig),
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              |  FROM bands a JOIN bands b
-              |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-              |$JacSql
-              |SELECT j.d1, j.d2, j.jac_e4 FROM jac j
-              |JOIN cand c ON j.d1 = c.d1 AND j.d2 = c.d2
-              |WHERE j.jac_e4 >= 6000 ORDER BY j.d1, j.d2""".stripMargin)),
+      Some {
+        val sigMins = (0 until 8).map(i =>
+          s"min((${MinhashA(i)}*h32 + ${MinhashB(i)}) % $MinhashP) AS h$i").mkString(",\n              |  ")
+        s"""WITH $ShSql,
+           |h32s AS (SELECT doc_id, ('0x' || substring(md5(s0),1,8))::BIGINT AS h32 FROM sh),
+           |sig AS (SELECT doc_id,
+           |  $sigMins
+           |  FROM h32s GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, h0 AS k1, h1 AS k2 FROM sig UNION ALL
+           |  SELECT doc_id, 1, h2, h3 FROM sig UNION ALL
+           |  SELECT doc_id, 2, h4, h5 FROM sig UNION ALL
+           |  SELECT doc_id, 3, h6, h7 FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+           |$JacSql
+           |SELECT j.d1, j.d2, j.jac_e4 FROM jac j
+           |JOIN cand c ON j.d1 = c.d1 AND j.d2 = c.d2
+           |WHERE j.jac_e4 >= 6000 ORDER BY j.d1, j.d2""".stripMargin
+      }),
 
     // ------------------------------------------------------------------
     // q_simhash_dup ★ — SimHash(64) Hamming-band near-dup: one 64-bit

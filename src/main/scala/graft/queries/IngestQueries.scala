@@ -81,7 +81,12 @@ object IngestQueries {
       .select(col("id"), col("event_date"), col("event_time"), col("user_id"),
         col("category"), col("amount"), col("score"), col("ratio"), col("count"),
         col("flag"), col("payload.a").as("payload_a"), col("payload.b").as("payload_b"),
-        col("tags"), col("event_date_day").cast("string").as("event_date_day"),
+        // scalars only in the final projection: the driver comparator
+        // cannot sort/hash array cells (CORRECTNESS_r01 crash); array
+        // round-trip itself stays asserted in IngestSpec
+        concat_ws(",", col("tags")).as("tags_str"),
+        size(col("tags")).as("n_tags"),
+        col("event_date_day").cast("string").as("event_date_day"),
         col("user_id_bucket").cast("int").as("user_id_bucket"),
         col("category_identity").cast("string").as("category_identity"))
       .orderBy("id")

@@ -15,7 +15,13 @@ import graft.Tables
   *  - double→integer: Spark CAST truncates toward zero, DuckDB CAST
   *    rounds — the oracle therefore goes through TRUNC() first;
   *  - double→decimal(12,2): both engines round to nearest; inputs are
-  *    2-decimal by construction so no representable tie exists;
+  *    2-decimal by construction so no representable tie exists. The
+  *    decimal itself is exported as exact integer cents (`v_dec_e2`):
+  *    a raw DECIMAL column reaches the driver as python Decimal('50.00')
+  *    from Spark parquet but float 50.0 from DuckDB, so the hash compare
+  *    diverges on representation while values are equal (bisected:
+  *    CORRECTNESS_r01 q_cast_matrix hash_match=false, v_dec the only
+  *    string-unequal column);
   *  - timestamp from epoch seconds (the Q1 rebuild decision,
   *    SURVEY.md §1.4): both sides build micros explicitly and construct
   *    the timestamp from the integer — no engine-specific epoch cast;
@@ -37,7 +43,7 @@ object TypesQueries {
             col("event_id"),
             col("value").cast("long").as("v_long"),
             col("value").cast("int").as("v_int"),
-            col("value").cast(DecimalType(12, 2)).as("v_dec"),
+            (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("v_dec_e2"),
             col("value").cast("float").as("v_float"),
             (col("value") > 50).as("v_bool"),
             col("user_id").cast("double").as("uid_double"),
@@ -51,7 +57,7 @@ object TypesQueries {
       Some("""SELECT event_id,
              |  CAST(TRUNC(value) AS BIGINT) AS v_long,
              |  CAST(TRUNC(value) AS INTEGER) AS v_int,
-             |  CAST(value AS DECIMAL(12,2)) AS v_dec,
+             |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_dec_e2,
              |  CAST(value AS FLOAT) AS v_float,
              |  value > 50 AS v_bool,
              |  CAST(user_id AS DOUBLE) AS uid_double,
@@ -62,9 +68,12 @@ object TypesQueries {
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q_nested_struct — A7: struct build + dot-path field access. The
-    // struct column itself round-trips through parquet (both sides read
-    // back as an identical STRUCT).
+    // q_nested_struct — A7: struct build + dot-path field access at two
+    // nesting depths. The FINAL projection is scalar leaves only: the
+    // driver's pandas comparator cannot sort/hash struct cells
+    // (CORRECTNESS_r01 'unhashable type: dict' crash), so the struct is
+    // exercised inside the plan and every output column is a leaf.
+    // Struct round-trip through parquet stays asserted in TypesSpec.
     QueryDef(
       "q_nested_struct",
       (s: SparkSession, dir: String) =>
@@ -77,17 +86,17 @@ object TypesQueries {
               struct(col("l_shipdate").as("ship"),
                 col("l_quantity").as("qty")).as("detail")).as("info"))
           .select(
-            col("l_orderkey"), col("l_linenumber"), col("info"),
+            col("l_orderkey"), col("l_linenumber"),
             col("info.flag").as("flag"),
             upper(col("info.status")).as("status_u"),
-            col("info.detail.ship").as("ship"))
+            col("info.detail.ship").as("ship"),
+            col("info.detail.qty").cast("long").as("qty"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber,
-             |  {'flag': l_returnflag, 'status': l_linestatus,
-             |   'detail': {'ship': l_shipdate, 'qty': l_quantity}} AS info,
              |  l_returnflag AS flag,
              |  UPPER(l_linestatus) AS status_u,
-             |  l_shipdate AS ship
+             |  l_shipdate AS ship,
+             |  CAST(l_quantity AS BIGINT) AS qty
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -120,10 +129,13 @@ object TypesQueries {
     // ------------------------------------------------------------------
     // q_map_ops — A9: map build / element_at / keys / concat, string
     // keys only (the reference throws on non-string keys, Q9 —
-    // enforced in the ingest path; here the query surface). No DuckDB
-    // oracle (map hashing is unstable across engines, SURVEY §2) →
-    // driver does a rows-only check; value semantics are asserted in
-    // MapOpsSpec.
+    // enforced in the ingest path; here the query surface). The FINAL
+    // projection is scalars only (the driver comparator cannot hash
+    // array/map cells — CORRECTNESS_r01 crash); key order is pinned by
+    // both engines to insertion order, so the joined key string is
+    // deterministic. DuckDB 1.0 expresses the same plan with MAP(ks,vs),
+    // m[k][1] extraction, map_keys and map_concat — a real cross-engine
+    // oracle, upgrading this row from rows-only to hash-checked.
     QueryDef(
       "q_map_ops",
       (s: SparkSession, dir: String) =>
@@ -135,13 +147,25 @@ object TypesQueries {
           .select(
             col("doc_id"),
             element_at(col("m"), "lang").as("lang"),
-            map_keys(col("m")).as("ks"),
+            concat_ws(",", map_keys(col("m"))).as("ks_str"),
             map_concat(col("m"),
               map(lit("const"), lit("x"))).as("m2"))
-          .select(col("doc_id"), col("lang"), col("ks"),
+          .select(col("doc_id"), col("lang"), col("ks_str"),
             element_at(col("m2"), "const").as("const_v"),
             size(col("m2")).as("m2_size"))
           .orderBy("doc_id"),
-      None)
+      Some("""WITH m0 AS (
+             |  SELECT doc_id, MAP(['lang','source'], [lang, source]) AS m
+             |  FROM documents),
+             |m1 AS (
+             |  SELECT doc_id,
+             |    m['lang'][1] AS lang,
+             |    array_to_string(map_keys(m), ',') AS ks_str,
+             |    map_concat(m, MAP(['const'],['x'])) AS m2
+             |  FROM m0)
+             |SELECT doc_id, lang, ks_str,
+             |  m2['const'][1] AS const_v,
+             |  CAST(cardinality(m2) AS INTEGER) AS m2_size
+             |FROM m1 ORDER BY doc_id""".stripMargin))
   )
 }

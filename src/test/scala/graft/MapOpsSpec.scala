@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Value semantics of the rows-only q_map_ops query (A9, string-keyed
-  * maps — DuckDB map hashing is unstable across engines, so this spec
-  * is its correctness story instead of the oracle).
+/** Value semantics of q_map_ops (A9, string-keyed maps). The query
+  * now also carries a DuckDB MAP-function oracle (scalarized output);
+  * this spec pins the Spark-side semantics independently.
   */
 class MapOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -17,8 +17,7 @@ class MapOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       assert(r.getAs[String]("lang") == src(id))             // element_at
-      assert(r.getAs[scala.collection.Seq[String]]("ks") ==
-        Seq("lang", "source"))                               // map_keys order
+      assert(r.getAs[String]("ks_str") == "lang,source")     // map_keys order
       assert(r.getAs[String]("const_v") == "x")              // map_concat
       assert(r.getAs[Int]("m2_size") == 3)                   // 2 + 1 keys
     }

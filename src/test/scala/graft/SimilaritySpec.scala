@@ -70,6 +70,49 @@ class SimilaritySpec extends SparkSpec {
     assert(quality >= 0.85, s"ANN quality ratio $quality")
   }
 
+  test("q_embed_dedup == exact driver-side all-pairs at cos >= 0.5") {
+    val all = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val want = (for {
+      (i, vi) <- all; (j, vj) <- all if i < j && cos(vi, vj) >= 0.5
+    } yield (i, j)).toSet
+    val got = graft.queries.SimilarityQueries.entries.find(_.name == "q_embed_dedup").get
+      .query(spark, sfDir)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
+
+  test("lshNearDupPairs: full recall + sub-quadratic candidates on planted high-cos dups") {
+    // The scale path for the realistic dedup regime (near-identical
+    // duplicates): 420 vectors, 20 planted dups at cos ≈ 0.995; with
+    // adaptive plane count (log2 n ⇒ buckets ∝ n) candidates stay a
+    // tiny fraction of all pairs while recall is 1.
+    import graft.queries.SimilarityQueries._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Seq.fill(400)(vec())
+    val dups = base.take(20).map(v => v.map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    val df = (base ++ dups).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val n = 420L
+    val planes = adaptivePlanes(n)
+    assert(planes == 9, s"adaptivePlanes(420)=$planes")
+    val candidates = lshCandidatePairs(df, planes, tables = 4).count()
+    val allPairs = n * (n - 1) / 2
+    assert(candidates < allPairs / 20,
+      s"candidates=$candidates not sub-quadratic vs $allPairs pairs")
+    val found = lshNearDupPairs(df, minCos = 0.9, planes, tables = 4)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val planted = (0 until 20).map(i => (i.toLong, 400L + i)).toSet
+    assert(planted.subsetOf(found), s"missed ${planted.diff(found)}")
+  }
+
   test("lshCode buckets are stable and in range") {
     val planes = hyperplanes(6, 64, seed = 42L)
     assert(planes.length == 6 && planes.forall(_.length == 64))
