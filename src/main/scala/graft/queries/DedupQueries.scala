@@ -282,9 +282,13 @@ object DedupQueries {
     // Manku et al. (WWW'07) operating point, and exactly the distance
     // the 4-band pigeonhole guarantees recall for. Measured on this
     // corpus: planted dups sit at Hamming 0-5, background floor at 5 —
-    // ≤ 3 keeps precision ≈ 1 at recall ≈ 0.8 of the j≥0.6 pairs. No
-    // DuckDB oracle (no engine-portable 64-bit hash) → rows-only check;
-    // fidelity + precision/recall asserted in DedupSpec.
+    // ≤ 3 keeps precision ≈ 1 at recall ≈ 0.8 of the j≥0.6 pairs.
+    // ORACLE-CHECKED (upgraded from rows-only in r1): FNV-1a-64 is pure
+    // integer arithmetic, so DuckDB reproduces the fingerprint exactly
+    // with a UBIGINT list_reduce over the token bytes (xor + multiply
+    // mod 2^64 via HUGEINT) and the same per-bit vote; band keys and
+    // Hamming distances are sign-independent bit patterns. Fidelity +
+    // precision/recall stay asserted in DedupSpec.
     QueryDef(
       "q_simhash_dup",
       (s: SparkSession, dir: String) => {
@@ -305,6 +309,31 @@ object DedupQueries {
           .filter(col("hamming") <= 3)
           .orderBy("d1", "d2")
       },
-      None)
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+             |th AS (
+             |  SELECT doc_id, list_reduce(
+             |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+             |      list_transform(range(1, len(t)+1), i -> CAST(ascii(substring(t, i, 1)) AS UBIGINT))),
+             |    (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS h
+             |  FROM toks),
+             |votes AS (
+             |  SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM th, range(64) r(j) GROUP BY doc_id, j),
+             |fp AS (
+             |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0
+             |    THEN (CAST(1 AS UBIGINT) << CAST(j AS INTEGER))
+             |    ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sh
+             |  FROM votes GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, sh, b, (sh >> CAST(16*b AS INTEGER)) & 65535 AS key
+             |  FROM fp, range(4) r(b)),
+             |pairs AS (
+             |  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+             |    CAST(bit_count(xor(a.sh, b2.sh)) AS INTEGER) AS hamming
+             |  FROM bands a JOIN bands b2
+             |  ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
+             |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
+             |ORDER BY d1, d2""".stripMargin))
   )
 }
