@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct `width`-token shingles of a token array, space-joined —
+  * the unit of n-gram Jaccard / MinHash dedup (`w`-shingling, Broder
+  * 1997, "On the resemblance and containment of documents").
+  *
+  * Semantically identical to
+  * `array_distinct(transform(sequence(1, size(t)-w+1),
+  *    i -> concat_ws(' ', slice(t, i, w))))`
+  * but implemented as a codegen'd Catalyst expression because that
+  * higher-order-function chain is INTERPRETED: measured 5.0 s for a
+  * 260k-shingle pass at sf0.1 (per-element lambda dispatch plus the
+  * JIT never warming the megamorphic eval path) vs a plain bytes loop
+  * here. At 100 TB the shingle pass runs once per document scan —
+  * it must stay inside WholeStageCodegen with the rest of the stage.
+  *
+  * Fewer than `width` tokens → empty array (a later `explode` drops
+  * the document, matching the HOF form's `otherwise(array())`).
+  */
+case class Shingles(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1, s"shingle width must be >= 1, got $width")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"shingles expects array<string>, got $t")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    Shingles.make(v.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Shingles.make($c, $width);")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+object Shingles {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Called from generated code. Distinct by first occurrence; windows
+    * containing a null token are skipped (split() never produces them).
+    */
+  def make(arr: ArrayData, width: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < width) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val window = new Array[UTF8String](width)
+    var i = 0
+    while (i <= n - width) {
+      var j = 0
+      var ok = true
+      while (j < width) {
+        if (arr.isNullAt(i + j)) ok = false
+        else window(j) = arr.getUTF8String(i + j)
+        j += 1
+      }
+      if (ok) seen.add(UTF8String.concatWs(Space, window: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column-level entry point: `shingles($"tokens", 3)`. */
+  def shingles(c: Column, width: Int): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(c), width))
+}

@@ -67,15 +67,16 @@ object DedupQueries {
   private val MinhashB = Seq(117767609L, 326150957L, 892849843L, 503800931L,
     78126601L, 645859441L, 287709941L, 735603829L)
 
-  /** doc_id + distinct 3-token shingle *text*, exploded. */
+  /** doc_id + distinct 3-token shingle *text*, exploded. Codegen'd
+    * [[graft.functions.Shingles]] — the interpreted HOF form
+    * (`transform(sequence...)` + `slice` + `concat_ws`) measured 5.0 s
+    * for this pass alone at sf0.1 and was the bulk of the "first
+    * shingle query in the bench pays ~10 s" warm-up charge.
+    */
   private def shingleText(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
-        explode(array_distinct(
-          when(size(col("t")) >= 3, expr(
-            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))
-            .otherwise(expr("array()")))).as("s"))
+        explode(graft.functions.Shingles.shingles(split(col("text"), " "), 3)).as("s"))
 
   /** (d1, d2, jac_e4) for pairs with Jaccard ≥ `minJacE4`/1e4, via
     * prefix filtering (Chaudhuri et al. ICDE'06 / PPJoin): shingles get
@@ -120,7 +121,7 @@ object DedupQueries {
       posexplode(col("prefix")).as(Seq("pos", "h")))
     // required overlap for jac >= t: alpha = ceil(t/(1+t) * (nx+ny))
     val alpha = ceilDiv((col("a.n") + col("b.n")) * minJacE4, lit(10000L + minJacE4))
-    pref.as("a")
+    val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           // length filter: jac >= t forces t*nx <= ny (and symmetrically)
@@ -129,14 +130,19 @@ object DedupQueries {
           // PPJoin position filter: elements at/after this match bound
           // the achievable overlap
           least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
-      // a pair can collide on several prefix shingles — dedup before
-      // the per-pair verify (distinct = HashAggregate with no agg
-      // buffers, so array-typed keys stay hash-aggregable; first(hs)
-      // buffers would fall back to SortAggregate)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.hs").as("hs1"), col("b.hs").as("hs2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
+      // a pair can collide on several prefix shingles — dedup BEFORE the
+      // per-pair verify, and on the bare (d1, d2) long pair only: an
+      // earlier cut deduped rows that carried both full hash-set arrays,
+      // which made the distinct's exchange shuffle candidates × |set|
+      // longs (the arrays were part of the hash key, so every candidate
+      // row shipped both documents' entire shingle sets). Dedup 16-byte
+      // pairs, then join the (persisted, corpus-linear) per-doc sets
+      // back on — two cheap shuffles instead of one enormous one.
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("common"),
         col("n1"), col("n2"))
