@@ -39,7 +39,20 @@ object GraftLog {
     Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".json"))
       .toSeq.sortBy(_.getFileName.toString)
-      .map(p => parse(Files.readString(p)))
+      .flatMap { p =>
+        // A truncated/garbled record (torn write by a foreign or crashed
+        // writer — our own commits are atomic renames and can't tear)
+        // must not poison every subsequent read of the table. Quarantine
+        // it: rename to `<name>.corrupt` (kept for forensics, no longer
+        // parsed) and carry on with the readable chain.
+        try Some(parse(Files.readString(p)))
+        catch {
+          case _: Exception =>
+            try Files.move(p, p.resolveSibling(p.getFileName.toString + ".corrupt"))
+            catch { case _: Exception => () } // read-only fs: just skip
+            None
+        }
+      }
   }
 
   private def parse(json: String): Record = {
@@ -78,14 +91,49 @@ object GraftLog {
   def committedSources(tableDir: String): Set[String] =
     records(tableDir).flatMap(_.sources).toSet
 
-  def write(tableDir: String, r: Record): Unit = {
+  /** Commit a record under the next free snapshot id — atomic and
+    * collision-safe, the two properties "transactional append" actually
+    * means (the reference gets both from Iceberg's optimistic-commit
+    * protocol, `App.java:147-149`; the r1/r2 emulation had neither:
+    * an unlocked read-modify-write id allocation plus a non-atomic
+    * `Files.writeString`, so two writers could allocate the same id and
+    * silently overwrite each other's commit, and a crash mid-write left
+    * truncated JSON that poisoned every later read).
+    *
+    * Protocol: stage the full record to a temp file (invisible to
+    * `records()` — no `.json` suffix), then publish via
+    * `Files.createLink(target, tmp)` — an atomic CREATE-NEW on POSIX
+    * (unlike `ATOMIC_MOVE`, whose rename(2) silently REPLACES an
+    * existing target). If another writer claimed the id first, the link
+    * throws `FileAlreadyExistsException`; re-read the log and retry
+    * with a fresh id. Readers see either no file or the complete
+    * record, and no commit is ever overwritten.
+    */
+  def commit(tableDir: String, op: String, rows: Long,
+      files: Seq[String], sources: Seq[String]): Record = {
     Files.createDirectories(logDir(tableDir))
     def arr(xs: Seq[String]) =
       xs.sorted.map(f => "\"" + f.replace("\\", "/") + "\"").mkString("[", ",", "]")
-    Files.writeString(
-      logDir(tableDir).resolve(f"${r.snapshotId}%020d.json"),
-      s"""{"snapshotId":${r.snapshotId},"op":"${r.op}","rows":${r.rows},""" +
-        s""""files":${arr(r.files)},"sources":${arr(r.sources)}}""")
+    var attempt = 0
+    while (true) {
+      val id = nextSnapshotId(tableDir)
+      val tmp = logDir(tableDir).resolve(s"_tmp_${java.util.UUID.randomUUID()}")
+      Files.writeString(tmp,
+        s"""{"snapshotId":$id,"op":"$op","rows":$rows,""" +
+          s""""files":${arr(files)},"sources":${arr(sources)}}""")
+      try {
+        Files.createLink(logDir(tableDir).resolve(f"$id%020d.json"), tmp)
+        Files.delete(tmp)
+        return Record(id, op, rows, files.sorted, sources.sorted)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp) // id raced away — re-read the log, try the next
+          attempt += 1
+          if (attempt > 1000)
+            throw new IllegalStateException(s"commit to $tableDir: 1000 id collisions")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def nextSnapshotId(tableDir: String): Long =

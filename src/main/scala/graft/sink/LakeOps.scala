@@ -49,10 +49,8 @@ object LakeOps {
       .coalesce(1)
     val written = HiveParquetWriter.writeFiles(df, partitionCols, tableDir)
     val rows = written.map(_._2).sum
-    val snapshotId = GraftLog.nextSnapshotId(tableDir)
-    GraftLog.write(tableDir,
-      GraftLog.Record(snapshotId, "rewrite", rows, written.map(_._1).sorted, Seq.empty))
-    CommitInfo(snapshotId, written.map(_._1).sorted, rows)
+    val rec = GraftLog.commit(tableDir, "rewrite", rows, written.map(_._1).sorted, Seq.empty)
+    CommitInfo(rec.snapshotId, rec.files, rows)
   }
 
   /** Delete data files unreachable from the newest `keepLast`

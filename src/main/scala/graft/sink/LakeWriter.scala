@@ -57,10 +57,8 @@ final class HiveParquetWriter extends LakeWriter {
     val published = HiveParquetWriter.writeFiles(df, partitionCols, tableDir)
     val rows = published.map(_._2).sum
     if (rows == 0) return CommitInfo(0, Seq.empty, 0) // Q10: empty input → no snapshot
-    val snapshotId = GraftLog.nextSnapshotId(tableDir)
-    GraftLog.write(tableDir,
-      GraftLog.Record(snapshotId, "append", rows, published.map(_._1).sorted, sources))
-    CommitInfo(snapshotId, published.map(_._1).sorted, rows)
+    val rec = GraftLog.commit(tableDir, "append", rows, published.map(_._1).sorted, sources)
+    CommitInfo(rec.snapshotId, rec.files, rows)
   }
 }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ingest.{JsonDecode, Pipeline, TableDef}
-import graft.sink.{HiveParquetWriter, LakeWriter}
+import graft.sink.{GraftLog, HiveParquetWriter, LakeWriter}
 
 /** Structured-Streaming variant of the ingest pipeline (SURVEY.md §2
   * Part B note + §7 step 7): the reference's directory-draining pattern
@@ -46,9 +46,28 @@ object StreamingIngest {
     }
   }
 
+  /** Idempotent micro-batch append: `foreachBatch` is at-least-once (a
+    * crash after the append but before the checkpoint commit replays the
+    * same `batchId` on restart), so the append records
+    * `stream:<checkpointDir>:<batchId>` as its source key in the commit
+    * log and a replayed batch that already committed is skipped — the
+    * same exactly-once ledger the batch path uses for re-offered source
+    * files (SURVEY.md Q5), keyed by the one identity Structured
+    * Streaming guarantees stable across restarts.
+    */
+  private[graft] def appendBatch(
+      writer: LakeWriter, batch: DataFrame, table: TableDef,
+      tableDir: String, checkpointDir: String, batchId: Long): Unit = {
+    val key = s"stream:$checkpointDir:$batchId"
+    if (!GraftLog.committedSources(tableDir).contains(key))
+      writer.append(batch, table.partitionSpec.map(_.name), tableDir,
+        sources = Seq(key)): Unit
+  }
+
   /** Drain pending files into the lake sink and stop (AvailableNow).
     * Each micro-batch appends through the shared LakeWriter — one
-    * commit-log snapshot per micro-batch.
+    * commit-log snapshot per micro-batch, replay-idempotent via
+    * [[appendBatch]].
     */
   def ingestAvailableNow(
       spark: SparkSession,
@@ -62,8 +81,8 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writer.append(batch, table.partitionSpec.map(_.name), tableDir): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(writer, batch, table, tableDir, checkpointDir, batchId)
       }
       .start()
   }

@@ -57,6 +57,54 @@ class LakeOpsSpec extends SparkSpec {
     assert(LakeOps.readSnapshot(spark, tdir, 2L).columns.contains("user_id_bucket"))
   }
 
+  test("concurrent committers never lose a commit (atomic create-new + id retry)") {
+    val tdir = Files.createTempDirectory("graft_cc_").toString
+    val writers = 8
+    val perWriter = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.CountDownLatch(writers)
+    (0 until writers).foreach { w =>
+      pool.execute { () =>
+        try (0 until perWriter).foreach { i =>
+          GraftLog.commit(tdir, "append", 1L, Seq(s"f_${w}_$i.parquet"), Seq.empty)
+        } catch { case t: Throwable => errs.add(t) }
+        finally done.countDown()
+      }
+    }
+    done.await()
+    pool.shutdown()
+    assert(errs.isEmpty, s"commit threw: ${errs.asScala.toList}")
+    val recs = GraftLog.records(tdir)
+    // every commit survived under a unique sequential id
+    assert(recs.size == writers * perWriter)
+    assert(recs.map(_.snapshotId).sorted == (1L to (writers * perWriter)).toSeq)
+    assert(recs.flatMap(_.files).toSet.size == writers * perWriter)
+    // no stray temp files left behind
+    val leftovers = Files.list(GraftLog.logDir(tdir)).iterator().asScala
+      .filterNot(_.getFileName.toString.endsWith(".json")).toSeq
+    assert(leftovers.isEmpty)
+  }
+
+  test("a truncated log record is quarantined, not poisoning reads or commits") {
+    val tdir = Files.createTempDirectory("graft_tr_").toString
+    GraftLog.commit(tdir, "append", 2L, Seq("a.parquet"), Seq("s1"))
+    // a foreign writer crashed mid-write: truncated JSON under a log name
+    Files.writeString(GraftLog.logDir(tdir).resolve(f"${2L}%020d.json"),
+      """{"snapshotId":2,"op":"append","rows":7,"files":["b.parq""")
+    // reads skip it and keep the valid chain
+    assert(GraftLog.records(tdir).map(_.snapshotId) == Seq(1L))
+    assert(GraftLog.liveFiles(tdir, None) == Seq("a.parquet"))
+    assert(GraftLog.committedSources(tdir) == Set("s1"))
+    // it was moved aside for forensics, and the id is free again
+    val names = Files.list(GraftLog.logDir(tdir)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(names.exists(_.endsWith(".corrupt")))
+    val rec = GraftLog.commit(tdir, "append", 3L, Seq("c.parquet"), Seq.empty)
+    assert(rec.snapshotId == 2L)
+    assert(GraftLog.liveFiles(tdir, None).sorted == Seq("a.parquet", "c.parquet"))
+  }
+
   test("compact bin-packs to one file per partition; old snapshot still readable; expiry GCs") {
     val root = Files.createTempDirectory("graft_cp_").toString
     val tdir = s"$root/w/t"

@@ -37,4 +37,30 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(spark.read.parquet(tableDir).count() == 4)
   }
+
+  test("a replayed micro-batch does not double-append (crash between append and checkpoint)") {
+    val root = Files.createTempDirectory("graft_replay_").toString
+    IngestQueries.writeFixtures(root)
+    val tableDir = s"$root/warehouse/t"
+    val ckpt = s"$root/ckpt"
+    val table = IngestQueries.fixtureTable
+    val batch = graft.ingest.Pipeline.decode(spark, table,
+      graft.ingest.Pipeline.listPending(root, "comp1"))
+
+    // foreachBatch is at-least-once: simulate the replay by running the
+    // same (checkpoint, batchId) append twice — exactly what a restart
+    // after a pre-checkpoint crash does
+    StreamingIngest.appendBatch(new graft.sink.HiveParquetWriter, batch,
+      table, tableDir, ckpt, batchId = 0L)
+    val rows = spark.read.parquet(tableDir).count()
+    assert(rows > 0)
+    StreamingIngest.appendBatch(new graft.sink.HiveParquetWriter, batch,
+      table, tableDir, ckpt, batchId = 0L)
+    assert(spark.read.parquet(tableDir).count() == rows)
+    assert(graft.sink.GraftLog.records(tableDir).size == 1)
+    // a genuinely new batch id still appends
+    StreamingIngest.appendBatch(new graft.sink.HiveParquetWriter, batch,
+      table, tableDir, ckpt, batchId = 1L)
+    assert(spark.read.parquet(tableDir).count() == 2 * rows)
+  }
 }
