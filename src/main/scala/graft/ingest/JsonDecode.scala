@@ -25,8 +25,9 @@ import graft.types._
   * field fails coercion nulls that field rather than dropping the whole
   * row (the reference's catch-all at `App.java:235-238` drops the row).
   * Field-level nulling loses strictly less data; Q7 here applies to
-  * JSON syntax errors. TIME/TIMESTAMP coercion is supported at the top
-  * level (nested struct/list/map support the other 11 types).
+  * JSON syntax errors. TIME/TIMESTAMP coercion recurses to ANY nesting
+  * depth (struct/list/map children), matching the reference's mutually
+  * recursive `extractJsonValue` dispatch (`App.java:264-319`).
   */
 object JsonDecode {
 
@@ -34,23 +35,47 @@ object JsonDecode {
   def readSchema(schema: GStruct): StructType =
     schema.readSpark.asInstanceOf[StructType]
 
-  private def coerce(f: GField): Column = f.gtype match {
-    case GTime =>
-      // "HH:mm:ss[.SSSSSS]" → nanos-of-day (micros * 1000).
-      (unix_micros(try_to_timestamp(concat(lit("1970-01-01 "), col(f.name))))
-        * 1000L).as(f.name)
-    case GTimestamp =>
-      coalesce(
-        try_to_timestamp(col(f.name)),
-        timestamp_seconds(expr(s"try_cast(${f.name} AS DOUBLE)"))).as(f.name)
-    case _ => col(f.name)
+  /** Does `t` contain a TIME or TIMESTAMP anywhere? (Untouched subtrees
+    * keep their raw columns — no rebuild cost for the common case.)
+    */
+  private def needsCoercion(t: GType): Boolean = t match {
+    case GTime | GTimestamp => true
+    case GStruct(fs)        => fs.exists(f => needsCoercion(f.gtype))
+    case GList(el)          => needsCoercion(el)
+    case GMap(v)            => needsCoercion(v)
+    case _                  => false
   }
 
-  /** Top-level TIME/TIMESTAMP coercion over an already-read raw frame
+  /** Recursive TIME/TIMESTAMP coercion — the full-depth analogue of the
+    * reference's `extractJsonValue` type dispatch (`App.java:264-319`).
+    * Containers rebuild only along paths that actually hold a TIME or
+    * TIMESTAMP; the container lambdas (`transform`/`transform_values`)
+    * are interpreted, which is acceptable on the ingest decode path
+    * (per-batch volume, not per-pair) and only paid on annotated paths.
+    */
+  private def coerceType(c: Column, t: GType): Column = t match {
+    case GTime =>
+      // "HH:mm:ss[.SSSSSS]" → nanos-of-day (micros * 1000).
+      unix_micros(try_to_timestamp(concat(lit("1970-01-01 "), c))) * 1000L
+    case GTimestamp =>
+      coalesce(try_to_timestamp(c), timestamp_seconds(c.try_cast("DOUBLE")))
+    case st @ GStruct(fs) if needsCoercion(st) =>
+      // struct() of a null struct's fields would yield a non-null
+      // struct of nulls — preserve the null container explicitly
+      when(c.isNull, lit(null).cast(st.spark))
+        .otherwise(struct(fs.map(f => coerceType(c.getField(f.name), f.gtype).as(f.name)): _*))
+    case GList(el) if needsCoercion(el) =>
+      transform(c, x => coerceType(x, el))
+    case GMap(v) if needsCoercion(v) =>
+      transform_values(c, (_, x) => coerceType(x, v))
+    case _ => c
+  }
+
+  /** TIME/TIMESTAMP coercion (any depth) over an already-read raw frame
     * (shared by the batch and streaming paths).
     */
   def decodeRaw(raw: DataFrame, schema: GStruct): DataFrame =
-    raw.select(schema.fields.map(coerce): _*)
+    raw.select(schema.fields.map(f => coerceType(col(f.name), f.gtype).as(f.name)): _*)
 
   /** Decode newline-delimited JSON files into the schema's frame. */
   def read(spark: SparkSession, schema: GStruct, paths: Seq[String]): DataFrame =
@@ -65,12 +90,15 @@ object JsonDecode {
     * the streaming path and tests).
     */
   def decodeColumn(df: DataFrame, jsonCol: String, schema: GStruct): DataFrame = {
+    // PERMISSIVE (the only from_json mode besides FAILFAST — Spark
+    // rejects DROPMALFORMED here): a malformed line parses to an
+    // all-null struct, filtered below.
     val parsed = df.select(
-      from_json(col(jsonCol), readSchema(schema), Map("mode" -> "DROPMALFORMED")).as("r"))
+      from_json(col(jsonCol), readSchema(schema)).as("r"))
       // from_json cannot drop rows; a malformed line yields an all-null
       // struct — filter it to reproduce the file-read Q7 semantics.
       .filter(col("r").isNotNull)
       .select(col("r.*"))
-    parsed.select(schema.fields.map(coerce): _*)
+    decodeRaw(parsed, schema)
   }
 }

@@ -50,7 +50,10 @@ object DedupQueries {
     * prefix by one element right at the threshold (a 1-shingle doc got
     * prefix length 0 and silently never joined — ADVICE r1, high).
     * Subtracting `pmod` first makes the numerator an exact multiple of
-    * the divisor, so the double division is exact at any magnitude.
+    * the divisor, so the double division is exact — provided the
+    * numerator stays below 2^53 (the double mantissa; larger longs
+    * round on conversion and the quotient can be off by one). Our
+    * numerators (shingle counts × 1e4) are ≤ ~10^9, far below it.
     */
   private def floorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
@@ -295,6 +298,12 @@ object DedupQueries {
     // mod 2^64 via HUGEINT) and the same per-bit vote; band keys and
     // Hamming distances are sign-independent bit patterns. Fidelity +
     // precision/recall stay asserted in DedupSpec.
+    // ASCII-ONLY ORACLE ASSUMPTION: the oracle hashes per-CHARACTER
+    // ascii() code points with character len(), while Spark's SimHash64
+    // hashes UTF-8 BYTES — identical only while every token is ASCII
+    // (verified across the sf0.01 corpus). If fixtures ever gain
+    // non-ASCII text, switch the oracle to byte-wise hashing (unnest
+    // over encode(t)) before trusting a mismatch.
     QueryDef(
       "q_simhash_dup",
       (s: SparkSession, dir: String) => {

@@ -13,8 +13,17 @@ import graft.types._
   * fixtures (FIXTURES.md §B) → prefix-filtered listing → schema'd
   * decode with Q7/Q8 semantics → partition transforms (Q2/Q3/Q4) →
   * Hive-layout parquet append + commit log → read-back. Returns the
-  * read-back rows (with partition-path values) totally ordered; no
-  * DuckDB oracle (layout + round-trip asserted in IngestSpec).
+  * read-back rows (with partition-path values) totally ordered.
+  *
+  * Oracle: a golden VALUES table — the fixture input is a compile-time
+  * constant, so the expected output is a fixed, hand-auditable row set
+  * (event_time 37425000000000 = (10·3600+23·60+45)·10⁹; bucket 10 =
+  * (Long.hashCode(42) & MaxValue) % 16; `null` partition strings are
+  * the reference's `String.valueOf(null)` path rendering — each is
+  * independently asserted from first principles in IngestSpec /
+  * RoundTripSpec). DuckDB cannot run the pipeline itself, so the oracle
+  * pins the full 17-column × 4-row result exactly (schema + hash)
+  * instead of the prior rows-only check.
   */
 object IngestQueries {
 
@@ -93,5 +102,26 @@ object IngestQueries {
   }
 
   val entries: Seq[QueryDef] = Seq(
-    QueryDef("ingest_e2e", (s: SparkSession, _: String) => run(s), None))
+    QueryDef("ingest_e2e", (s: SparkSession, _: String) => run(s),
+      Some("""SELECT CAST(id AS BIGINT) AS id, CAST(event_date AS DATE) AS event_date,
+             |  CAST(event_time AS BIGINT) AS event_time, CAST(user_id AS BIGINT) AS user_id,
+             |  category, CAST(amount AS DECIMAL(10,2)) AS amount,
+             |  CAST(score AS DOUBLE) AS score, CAST(ratio AS REAL) AS ratio,
+             |  CAST(count AS INTEGER) AS count, CAST(flag AS BOOLEAN) AS flag,
+             |  CAST(payload_a AS INTEGER) AS payload_a, payload_b, tags_str,
+             |  CAST(n_tags AS INTEGER) AS n_tags, event_date_day,
+             |  CAST(user_id_bucket AS INTEGER) AS user_id_bucket, category_identity
+             |FROM (VALUES
+             |  (1, DATE '2024-03-15', 37425000000000, 42, 'web', 123.45, 0.9, 0.5, 7, true,
+             |   1, 'x', 't1,t2', 2, '2024-03-15', 10, 'web'),
+             |  (2, NULL, 86399000000000, 7, NULL, 0.01, 1.0, 1.5, 1, false,
+             |   2, 'y', '', 0, 'null', 7, 'null'),
+             |  (3, DATE '2023-12-31', NULL, -5, 'api', NULL, NULL, NULL, NULL, NULL,
+             |   NULL, NULL, '', NULL, '2023-12-31', 4, 'api'),
+             |  (5, DATE '2024-01-01', 0, 1000, 'batch', NULL, NULL, NULL, NULL, NULL,
+             |   -1, 'deep', 'a,b,c', 3, '2024-01-01', 8, 'batch'))
+             | t(id, event_date, event_time, user_id, category, amount, score, ratio,
+             |   count, flag, payload_a, payload_b, tags_str, n_tags, event_date_day,
+             |   user_id_bucket, category_identity)
+             |ORDER BY id""".stripMargin)))
 }

@@ -64,12 +64,18 @@ object MultimodalQueries {
               lit(0L), (a, x) => a + x).as("bytes_sampled"))
           .orderBy("doc_id")
       },
+      // Empty-payload semantic, both engines: 0 frames → 0 sampled →
+      // 0 bytes (matching frameSample's empty array). `range(0, 0, 4)`
+      // is empty in DuckDB; the COALESCE covers `list_sum([]) = NULL`
+      // (the earlier `GREATEST(n_frames, 1)` workaround for that NULL
+      // silently sampled 1 frame from an empty payload — a latent
+      // divergence from Spark's 0).
       Some("""SELECT doc_id,
              |  CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames,
-             |  CAST(len(range(0, GREATEST(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 1), 4)) AS BIGINT) AS n_sampled,
-             |  CAST(list_sum(list_transform(
-             |    range(0, GREATEST(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 1), 4),
-             |    i -> LEAST(32, octet_length(encode(text)) - 32*i))) AS BIGINT) AS bytes_sampled
+             |  CAST(len(range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 4)) AS BIGINT) AS n_sampled,
+             |  COALESCE(CAST(list_sum(list_transform(
+             |    range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 4),
+             |    i -> LEAST(32, octet_length(encode(text)) - 32*i))) AS BIGINT), 0) AS bytes_sampled
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------

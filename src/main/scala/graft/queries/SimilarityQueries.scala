@@ -63,6 +63,35 @@ object SimilarityQueries {
   def adaptivePlanes(n: Long): Int =
     math.min(24, math.max(8, (math.log(math.max(1L, n).toDouble) / math.log(2.0)).ceil.toInt))
 
+  /** Sign-LSH bit count for bucketed ANN at corpus size `n`: bits grow
+    * as log₂(n) − 3 (floor 4, cap 20) with the probe radius fixed at 2,
+    * so the scanned corpus fraction (1 + b + C(b,2)) / 2^b FALLS as the
+    * corpus grows — 500 vecs → 6 bits → 34% scanned, 2k → 8 bits → 14%,
+    * 10⁹ → 20 bits → 0.02% — instead of a constant 64-bucket layout
+    * whose per-bucket occupancy (and ANN cost) is corpus-linear.
+    */
+  def annPlanes(n: Long): Int =
+    math.min(20, math.max(4,
+      (math.log(math.max(2L, n).toDouble) / math.log(2.0)).ceil.toInt - 3))
+
+  /** Block count for the exact all-pairs cosine join: each block holds
+    * at most [[RowsPerBlock]] vectors, so one task (one block pair)
+    * streams 2 × 50k × 64 floats ≈ 26 MB whatever the corpus size —
+    * per-task memory is CONSTANT in n, task count (blocks²) and total
+    * FLOPs (n²/2 × ~192) carry the quadratic. The parallelism floor
+    * keeps blocks² ≥ cores when n is small. FLOPs budget: 10⁶ vectors
+    * ≈ 10¹⁴ FLOPs ≈ minutes on a 1000-core cluster; 10⁸ vectors ≈
+    * 10¹⁸ FLOPs ≈ a day — beyond that the noise-floor-exact regime is
+    * unaffordable by construction and the declared threshold must move
+    * into `lshNearDupPairs`' sub-quadratic territory (cos ≥ ~0.8).
+    */
+  def embedDedupBlocks(n: Long, parallelism: Int): Int = {
+    val memBound = ((n + RowsPerBlock - 1) / RowsPerBlock).toInt
+    val parFloor = math.ceil(math.sqrt(math.max(1, parallelism).toDouble)).toInt
+    math.max(memBound, parFloor)
+  }
+  private val RowsPerBlock = 50000L
+
   /** Candidate near-dup pairs from OR-amplified sign-LSH: `tables`
     * independent `planesPerTable`-plane tables; a pair is a candidate
     * iff it collides in ANY table. Equi-join on (table, code) — never
@@ -88,12 +117,17 @@ object SimilarityQueries {
   }
 
   /** LSH-prefiltered near-dup pairs: exact cosine verify on candidates
-    * only. THE scale path when duplicates are near-identical (cos ≥
-    * ~0.8, per-bit agreement ≥ 0.8): with 16 planes recall per table is
-    * ≥ 0.8^16 ≈ 0.03 per plane-set... (see SimilaritySpec for the
-    * measured operating point: planted cos≥0.95 dups, 16 planes × 4
-    * tables → recall 1.0 at a per-mille candidate fraction). NOT sound
-    * at thresholds near the random-pair noise floor — see q_embed_dedup.
+    * only. The sub-quadratic path for near-identical duplicates.
+    * Recall of OR-amplified sign-LSH is 1 − (1 − p^planes)^tables with
+    * per-bit agreement p = 1 − acos(cos)/π. At the measured operating
+    * point (SimilaritySpec: planted dups at cos ≈ 0.995 ⇒ p ≈ 0.97,
+    * 9 planes × 4 tables) that is 1 − (1 − 0.97⁹)⁴ ≈ 0.997, and the
+    * planted recall is 1.0 at a per-mille candidate fraction. At
+    * cos = 0.8 (p ≈ 0.795) the same 9 × 4 config only reaches
+    * 1 − (1 − 0.795⁹)⁴ ≈ 0.42 — high recall there needs shorter codes
+    * or more tables (e.g. 6 planes × 16 tables ⇒ ≈ 0.99) at the price
+    * of a larger candidate fraction. NOT sound at thresholds near the
+    * random-pair noise floor (p − ½ too thin) — see q_embed_dedup.
     */
   def lshNearDupPairs(e: DataFrame, minCos: Double, planesPerTable: Int, tables: Int): DataFrame =
     lshCandidatePairs(e, planesPerTable, tables)
@@ -147,36 +181,36 @@ object SimilarityQueries {
       None),
 
     // ------------------------------------------------------------------
-    // q_sim_ann ★ — sign-LSH bucketed ANN: 6 hyperplanes → 64 buckets,
+    // q_sim_ann ★ — sign-LSH bucketed ANN with a corpus-adaptive code
+    // length (`annPlanes`: bits ≈ log₂(n) − 3, probe radius fixed at 2):
     // queries multi-probe all buckets within Hamming ≤ 2 of their own
-    // (1+6+15 = 22 probes), exact cosine re-rank of candidates, top-10.
-    // Scans ~35% of a uniform corpus instead of 100%; on a corpus with
-    // genuine near neighbors (cos ≥ 0.7, per-bit agreement ≥ 0.75) the
-    // true neighbors concentrate in the probed buckets and recall
-    // approaches 1. On this near-random testdata (top-10 cos ≈ 0.3):
-    // recall 0.60, returned-quality 0.90 of exact — asserted in
-    // SimilaritySpec. Plane count follows `adaptivePlanes` in spirit;
-    // 6 bits is the documented operating point for this corpus size
-    // (probe count grows with bits, so bits scale as log n with probe
-    // radius fixed).
+    // (1 + b + C(b,2) probes), exact cosine re-rank of candidates,
+    // top-10. At this corpus (500–2k vecs → 6–8 bits) that scans
+    // 14–34% instead of 100%, and the fraction FALLS as n grows
+    // (20 bits → 0.02%). On a corpus with genuine near neighbors
+    // (cos ≥ 0.7, per-bit agreement ≥ 0.75) the true neighbors
+    // concentrate in the probed buckets and recall approaches 1. On
+    // this near-random testdata (top-10 cos ≈ 0.3): recall 0.60,
+    // returned-quality 0.90 of exact at 6 bits — asserted in
+    // SimilaritySpec. The corpus count is one parquet-metadata read.
     QueryDef(
       "q_sim_ann",
       (s: SparkSession, dir: String) => {
-        val planes = hyperplanes(6, Dim, seed = 42L)
+        val bits = annPlanes(corpus(s, dir).count())
+        val planes = hyperplanes(bits, Dim, seed = 42L)
         val coded = corpus(s, dir)
           .select(col("vec_id"), col("embedding"),
             lshCode(col("embedding"), planes).as("code"))
-        val flips = (0L +: (0 until 6).map(b => 1L << b)) ++
-          (for (i <- 0 until 6; j <- i + 1 until 6) yield (1L << i) | (1L << j))
+        val flips = (0L +: (0 until bits).map(b => 1L << b)) ++
+          (for (i <- 0 until bits; j <- i + 1 until bits) yield (1L << i) | (1L << j))
         val probes = array(flips.map(lit): _*)
         val qProbed = broadcast(queriesDf(s, dir)
           .select(col("q_id"), col("q_emb"),
             lshCode(col("q_emb"), planes).as("q_code"))
           .select(col("q_id"), col("q_emb"),
-            explode(probes).as("flip"))
+            col("q_code"), explode(probes).as("flip"))
           .select(col("q_id"), col("q_emb"),
-            col("flip").bitwiseXOR(
-              lshCode(col("q_emb"), planes)).as("probe_code")))
+            col("flip").bitwiseXOR(col("q_code")).as("probe_code")))
         val cand = coded.join(qProbed,
           col("code") === col("probe_code") && col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
@@ -208,9 +242,13 @@ object SimilarityQueries {
     // behind an LSH that either misses pairs or amplifies work:
     //  - blocked all-pairs join (each side hash-repartitioned into
     //    blocks; each task = one block pair) — the classic distributed
-    //    brute-force-similarity layout (GEMM-shaped, constant memory
-    //    per task, emits ONLY matching pairs, never materializes the
-    //    pair stream);
+    //    brute-force-similarity layout (GEMM-shaped, emits ONLY
+    //    matching pairs, never materializes the pair stream); the
+    //    block count comes from `embedDedupBlocks`: blocks = ⌈n/50k⌉
+    //    (with a √cores floor), so per-task memory stays CONSTANT as
+    //    the corpus grows and the n² cost lands in task count, where
+    //    the cluster can spread it — with its FLOPs budget stated
+    //    there, past which this regime is unaffordable by design;
     //  - per-pair work is one fused codegen'd CosineSim — ~64 FMA per
     //    pair, arithmetic-bound, no boxing;
     //  - exact ⇒ deterministic ⇒ DuckDB-oracle-checkable (upgraded
@@ -221,8 +259,8 @@ object SimilarityQueries {
     QueryDef(
       "q_embed_dedup",
       (s: SparkSession, dir: String) => {
-        val blocks = 8
         val e = corpus(s, dir).select(col("vec_id"), col("embedding"))
+        val blocks = embedDedupBlocks(e.count(), s.sparkContext.defaultParallelism)
         e.repartition(blocks).as("a")
           .crossJoin(e.repartition(blocks).as("b"))
           .where(col("a.vec_id") < col("b.vec_id"))

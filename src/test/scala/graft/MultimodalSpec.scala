@@ -46,6 +46,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got2(3).toSeq == payload.slice(96, 100).toSeq)
   }
 
+  test("frameSample of an empty payload: 0 frames, 0 sampled, 0 bytes (oracle-aligned)") {
+    // the exact q_mm_frames projection over an empty binary — the
+    // semantic the DuckDB oracle now encodes (plain range, no
+    // GREATEST(n,1) floor)
+    val frames = Multimodal.frameSample(col("p"), frameSize = 32, every = 4)
+    val r = Seq(Tuple1(Array.empty[Byte])).toDF("p")
+      .select(
+        ceil(octet_length(col("p")) / 32.0).cast("long").as("n_frames"),
+        size(frames).cast("long").as("n_sampled"),
+        aggregate(transform(frames, f => octet_length(f).cast("long")),
+          lit(0L), (a, x) => a + x).as("bytes_sampled"))
+      .collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+  }
+
   test("byte entropy: 0 for constant payloads, 8 bits for all-256-bytes, ordered") {
     assert(Multimodal.byteEntropy(Array.fill(64)(7.toByte)) == 0.0)
     val uniform = (0 until 256).map(_.toByte).toArray

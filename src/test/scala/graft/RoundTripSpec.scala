@@ -75,4 +75,42 @@ class RoundTripSpec extends SparkSpec {
       java.time.LocalDate.parse(w("date").asInstanceOf[String]).toEpochDay)
     assert(ords == ords.sorted)
   }
+
+  test("TIME/TIMESTAMP coerce inside struct, array-of-struct, and map values") {
+    import spark.implicits._
+    import graft.types._
+    import graft.ingest.JsonDecode
+    val schema = GStruct(Seq(
+      GField("id", GLong),
+      GField("s", GStruct(Seq(
+        GField("t", GTime), GField("ts", GTimestamp), GField("x", GInt)))),
+      GField("arr", GList(GStruct(Seq(
+        GField("t", GTime), GField("ts", GTimestamp))))),
+      GField("m", GMap(GTimestamp))))
+    val rows = Seq(
+      """{"id":1,"s":{"t":"01:02:03","ts":"2024-03-15T12:00:00Z","x":7},""" +
+        """"arr":[{"t":"10:00:00.250","ts":1700000000},{"t":null,"ts":null}],""" +
+        """"m":{"k":"2024-01-01T00:00:00Z"}}""",
+      """{"id":2}""") // null containers must stay null, not structs-of-null
+    val df = JsonDecode.decodeColumn(rows.toDF("j"), "j", schema)
+    val got = df.select(
+      col("id"),
+      col("s.t"), unix_seconds(col("s.ts")).as("sts"), col("s.x"),
+      col("arr")(0).getField("t").as("a0t"),
+      unix_seconds(col("arr")(0).getField("ts")).as("a0ts"),
+      col("arr")(1).getField("t").as("a1t"),
+      unix_seconds(element_at(col("m"), "k")).as("mts"),
+      col("s").isNull.as("snull"), col("arr").isNull.as("anull"), col("m").isNull.as("mnull"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("t") == (1 * 3600L + 2 * 60L + 3) * 1000000000L)
+    assert(r1.getAs[Long]("sts") == 1710504000L) // 2024-03-15T12:00:00Z
+    assert(r1.getAs[Int]("x") == 7)
+    assert(r1.getAs[Long]("a0t") == 10 * 3600L * 1000000000L + 250000000L)
+    assert(r1.getAs[Long]("a0ts") == 1700000000L) // epoch-seconds number form
+    assert(r1.isNullAt(r1.fieldIndex("a1t"))) // null leaf inside array element
+    assert(r1.getAs[Long]("mts") == 1704067200L) // 2024-01-01T00:00:00Z
+    val r2 = got(2L)
+    assert(r2.getAs[Boolean]("snull") && r2.getAs[Boolean]("anull") && r2.getAs[Boolean]("mnull"))
+  }
 }

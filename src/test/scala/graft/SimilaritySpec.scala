@@ -113,6 +113,23 @@ class SimilaritySpec extends SparkSpec {
     assert(planted.subsetOf(found), s"missed ${planted.diff(found)}")
   }
 
+  test("adaptive sizing scales with corpus: embedDedupBlocks and annPlanes") {
+    import graft.queries.SimilarityQueries._
+    // blocks: parallelism floor at small n, then ∝ n (constant per-task
+    // memory — the property that kills the fixed-constant cartesian)
+    assert(embedDedupBlocks(500, 32) == 6)          // √32 floor
+    assert(embedDedupBlocks(2000, 32) == 6)
+    assert(embedDedupBlocks(1000000, 32) == 20)     // memory-bound region
+    assert(embedDedupBlocks(10000000, 32) == 200)
+    assert(embedDedupBlocks(10000000, 32) > embedDedupBlocks(1000000, 32))
+    // ANN bits: log-growth, floor 4, cap 20; 500 vecs stays at the
+    // measured 6-bit operating point the recall test below depends on
+    assert(annPlanes(10) == 4)
+    assert(annPlanes(500) == 6)
+    assert(annPlanes(2000) == 8)
+    assert(annPlanes(1L << 40) == 20)
+  }
+
   test("lshCode buckets are stable and in range") {
     val planes = hyperplanes(6, 64, seed = 42L)
     assert(planes.length == 6 && planes.forall(_.length == 64))
