@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -152,6 +152,72 @@ object VectorOps {
       copy(child = newChild)
   }
 
+  /** Indices of the `m` centroids nearest to `v` by cosine, best first
+    * (ties → smaller index). `cents` are pre-NORMALIZED rows, so cosine
+    * ranking reduces to a dot product (`|v|` is constant per row).
+    * Called from generated code.
+    */
+  def nearestCentroidsF(v: ArrayData, cents: Array[Array[Double]], m: Int): ArrayData = {
+    val k = cents.length
+    val keep = math.min(m, k)
+    val bestIdx = new Array[Int](keep)
+    val bestDot = new Array[Double](keep)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * cent(i); i += 1 }
+      // insertion into the sorted (desc) top-m; strict > keeps the
+      // earliest index on ties
+      if (filled < keep || dot > bestDot(filled - 1)) {
+        var pos = if (filled < keep) filled else keep - 1
+        while (pos > 0 && dot > bestDot(pos - 1)) {
+          bestDot(pos) = bestDot(pos - 1); bestIdx(pos) = bestIdx(pos - 1); pos -= 1
+        }
+        bestDot(pos) = dot; bestIdx(pos) = c
+        if (filled < keep) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(bestIdx.take(filled).map(i => i: Any))
+  }
+
+  /** `m` nearest-centroid indices (IVF coarse quantization) — the
+    * per-vector assign/probe step of an inverted-file ANN index, fused
+    * into one codegen'd loop (k × dim FMAs per row, no explode of the
+    * corpus × centroids pairs).
+    */
+  case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], m: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      elemType(child.dataType) match {
+        case Some(FloatType) => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids expects array<float>, got $t")
+      }
+
+    @transient private lazy val centArr: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+
+    override protected def nullSafeEval(v: Any): Any =
+      nearestCentroidsF(v.asInstanceOf[ArrayData], centArr, m)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ivfCentroids", centArr, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorOps.nearestCentroidsF($c, $ref, $m);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+      copy(child = newChild)
+  }
+
   /** Cosine similarity; null/zero-norm safe (returns null). */
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -161,6 +227,18 @@ object VectorOps {
     */
   def lshCode(v: Column, planes: Seq[Seq[Int]]): Column =
     GraftBridge.column(LshCode(GraftBridge.expression(v), planes))
+
+  /** `m` nearest-centroid indices of `v` (cosine, best first). The raw
+    * centroid rows are L2-normalized here once, so the per-row work is
+    * pure dot products.
+    */
+  def nearestCentroids(v: Column, centroids: Seq[Seq[Float]], m: Int): Column = {
+    val normed = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      if (n > 0) c.map(_.toDouble / n) else c.map(_.toDouble)
+    }
+    GraftBridge.column(NearestCentroids(GraftBridge.expression(v), normed, m))
+  }
 
   /** Sequential-fold dot product (non-hot-path utility; higher-order
     * functions, interpreted — use CosineSim for per-pair joins).

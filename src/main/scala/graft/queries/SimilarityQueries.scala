@@ -226,6 +226,54 @@ object SimilarityQueries {
       None),
 
     // ------------------------------------------------------------------
+    // q_sim_ivf ★ — IVF (inverted-file) bucketed ANN, the second scale
+    // path next to sign-LSH: a coarse quantizer of k = ⌈√n⌉ centroids
+    // partitions the corpus into k lists (each vector assigned to its
+    // nearest centroid — ONE list per vector, so unlike multi-probe LSH
+    // the candidate stream needs no dedup); queries probe their
+    // ⌈k/4⌉ nearest lists and exact-cosine re-rank only those, top-10.
+    // Assign and probe are one codegen'd NearestCentroids loop each
+    // (k × dim FMAs per row, map-only — never an explode of corpus ×
+    // centroids). Expected scan fraction ≈ nprobe/k = 25% on uniform
+    // data, FALLING with n at fixed probe fraction of lists since
+    // k = √n (at 10⁹ vectors: 31k lists, probe 25% of lists ≈ touch
+    // 25% of corpus — tune nprobe/k down as real corpora cluster).
+    // Centroids here are the first k corpus vectors (deterministic;
+    // on clustered real data swap in k-means — the query shape is
+    // identical). The collect() is k vectors = the quantizer model
+    // (√n × 64 floats — 31k × 256 B ≈ 8 MB at 10⁹ vectors), broadcast
+    // as expression state like the LSH planes; not a corpus collect.
+    // No DuckDB oracle (float rank ties, same as q_sim_topk/q_sim_ann);
+    // recall + list-partition invariants asserted in SimilaritySpec.
+    QueryDef(
+      "q_sim_ivf",
+      (s: SparkSession, dir: String) => {
+        val e = corpus(s, dir).select(col("vec_id"), col("embedding"))
+        val n = e.count()
+        val k = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val nprobe = math.max(1, (k + 3) / 4)
+        val cents: Seq[Seq[Float]] = e.filter(col("vec_id") < k)
+          .orderBy("vec_id").collect()
+          .map(_.getSeq[Float](1).toSeq).toSeq
+        val assigned = e.select(col("vec_id"), col("embedding"),
+          nearestCentroids(col("embedding"), cents, 1)(0).as("list_id"))
+        val qProbed = broadcast(queriesDf(s, dir)
+          .select(col("q_id"), col("q_emb"),
+            explode(nearestCentroids(col("q_emb"), cents, nprobe)).as("list_id")))
+        val cand = assigned.join(qProbed,
+          assigned("list_id") === qProbed("list_id") && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("q_emb"), col("embedding")).as("cos"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        cand.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("vec_id"),
+            round(col("cos") * 1000000).cast("long").as("cos_e6"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // q_embed_dedup ★ — embedding near-dup pairs at cos ≥ 0.5, EXACT.
     //
     // Operating-point analysis (r2, measured on the actual corpus): the

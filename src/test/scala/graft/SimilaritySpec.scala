@@ -113,6 +113,41 @@ class SimilaritySpec extends SparkSpec {
     assert(planted.subsetOf(found), s"missed ${planted.diff(found)}")
   }
 
+  test("nearestCentroids == plain-Scala argmax-cosine top-m") {
+    val rnd = new scala.util.Random(11)
+    val cents = Seq.fill(10)(Seq.fill(8)(rnd.nextGaussian().toFloat))
+    val vecs = Seq.fill(20)(Seq.fill(8)(rnd.nextGaussian().toFloat))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val got = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), nearestCentroids(col("v"), cents, 3).as("nc"))
+      .as[(Long, Seq[Int])].collect().toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val want = cents.indices.sortBy(c => (-cos(v, cents(c)), c)).take(3)
+      assert(got(i.toLong) == want, s"vec $i")
+    }
+  }
+
+  test("q_sim_ivf: recall >= 0.7 and quality >= 0.95 of exact top-10") {
+    // measured on this near-random corpus: recall 0.88 / quality 0.987
+    // at sf0.001 (0.94 / 0.999 at sf0.1), probing ~25% of the k = ⌈√n⌉
+    // lists — beats the sign-LSH ANN (0.60 / 0.90) at a similar scan
+    // fraction because list boundaries adapt to the data
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .select("q_id", "vec_id", "cos_e6").as[(Long, Long, Long)].collect()
+    val ivf = SparkEntry.queries("q_sim_ivf")(spark, sfDir)
+      .select("q_id", "vec_id", "cos_e6").as[(Long, Long, Long)].collect()
+    val exSet = exact.map(r => (r._1, r._2)).toSet
+    val recall = ivf.count(r => exSet((r._1, r._2))).toDouble / exact.length
+    val quality = ivf.map(_._3).sum.toDouble / exact.map(_._3).sum
+    assert(recall >= 0.7, s"IVF recall $recall")
+    assert(quality >= 0.95, s"IVF quality ratio $quality")
+  }
+
   test("adaptive sizing scales with corpus: embedDedupBlocks and annPlanes") {
     import graft.queries.SimilarityQueries._
     // blocks: parallelism floor at small n, then ∝ n (constant per-task
