@@ -18,20 +18,29 @@ object Bench {
     // so per-query numbers are comparable across rounds even when map
     // iteration order changes.
     // It also exercises the shared expression primitives (split/explode,
-    // md5+conv, groupBy collect_list/sort_array, a self-join) on a
-    // 200-document slice, so the C2 JIT compiles those library paths
-    // before any query is timed: otherwise whichever dedup query runs
-    // first in map-iteration order absorbs ~6 s of one-time JIT and the
-    // per-query numbers flip between rounds (dev/PERF_NOTES.md round-3
-    // isolation: r1 charged it to q_minhash_dup, r2 to q_dedup_ngram).
+    // md5+conv, groupBy collect_list/sort_array, posexplode/slice, a
+    // self-join) on a 2000-document slice — enough row-loop iterations
+    // to push the hot methods past C2 compile thresholds before any
+    // query is timed: otherwise whichever dedup query runs first in
+    // map-iteration order absorbs several seconds of one-time JIT and
+    // the per-query numbers flip between rounds (dev/PERF_NOTES.md
+    // round-3 isolation: r1 charged it to q_minhash_dup, r2 to
+    // q_dedup_ngram).
     try {
       import org.apache.spark.sql.functions._
-      val w = Tables(spark, sfDir, "documents").limit(200)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("s"))
+      val w = Tables(spark, sfDir, "documents").limit(2000)
+        .select(col("doc_id"),
+          explode(graft.functions.Shingles.shingles(split(col("text"), " "), 3)).as("s"))
         .select(col("doc_id"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-        .groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
-      w.as("a").join(w.as("b"), col("a.n") === col("b.n"))
-        .select(col("a.doc_id"), size(array_intersect(col("a.hs"), col("b.hs"))).as("c"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("h").as("df"), col("h").as("h")))).as("r"),
+          count(lit(1)).as("n"))
+        .withColumn("hs", expr("transform(r, x -> x.h)"))
+        .select(col("doc_id"), col("n"), col("hs"),
+          posexplode(slice(col("hs"), 1, 5)).as(Seq("pos", "h")))
+      w.as("a").join(w.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(size(array_intersect(col("a.hs"), col("b.hs"))).as("c"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -44,9 +44,13 @@ object LakeOps {
       .distinct
     val df0 = readTable(spark, tableDir)
     // render partition values back to strings (they were path-rendered
-    // on write; partition inference may have re-typed them)
+    // on write; partition inference may have re-typed them). No
+    // coalesce(1): writeFiles repartitions on the partition key, which
+    // already yields one file per partition directory (all rows of a
+    // key land in one task) while keeping the rewrite fully parallel —
+    // a single-task funnel here would be the scale bottleneck of the
+    // whole maintenance op.
     val df = partitionCols.foldLeft(df0)((d, c) => d.withColumn(c, d(c).cast("string")))
-      .coalesce(1)
     val written = HiveParquetWriter.writeFiles(df, partitionCols, tableDir)
     val rows = written.map(_._2).sum
     val rec = GraftLog.commit(tableDir, "rewrite", rows, written.map(_._1).sorted, Seq.empty)

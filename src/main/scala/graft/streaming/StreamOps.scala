@@ -33,6 +33,25 @@ object StreamOps {
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming form of `q_dedup_exact`
+    * (first occurrence of each key survives, duplicates dropped).
+    * `dropDuplicatesWithinWatermark` keys the state on `keys` but
+    * EXPIRES each entry once the watermark passes its event time plus
+    * `lateness`: on an unbounded stream the dedup state is bounded by
+    * the duplicate-arrival horizon instead of growing with every key
+    * ever seen — the only shape that survives a 100 TB/day stream
+    * (plain `dropDuplicates` on a stream retains all keys forever).
+    * One shuffle on the key columns.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** One user session: contiguous activity with < `gap` between events
     * (same semantics as the batch `q_session_gap` island query).
     */

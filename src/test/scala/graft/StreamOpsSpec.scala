@@ -47,6 +47,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicates within the watermark horizon dropped, state expires") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.dedupStream(
+      in.toDF().toDF("ts", "user_id", "event_type"),
+      keys = Seq("user_id", "event_type"), lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:01:00"), 1L, "a"), // dup within horizon → dropped
+        (ts("2024-01-01 10:00:30"), 2L, "a"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:02:00"), 1L, "a")) // still within horizon → dropped
+      q.processAllAvailable()
+      // advance the watermark far past 10:00 + 10m: state for (1,a) expires
+      in.addData((ts("2024-01-01 11:00:00"), 3L, "b"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 11:00:01"), 1L, "a")) // expired key → re-emitted
+      q.processAllAvailable()
+      val rows = spark.table("dedup")
+        .select(col("user_id"), col("event_type"), col("ts").cast("string"))
+        .as[(Long, String, String)].collect().toSeq
+      assert(rows.count(r => r._1 == 1L && r._2 == "a") == 2) // first + post-expiry
+      assert(rows.count(r => r._1 == 2L) == 1 && rows.count(r => r._1 == 3L) == 1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer: gap closes a session across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]
