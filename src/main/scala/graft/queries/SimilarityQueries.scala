@@ -274,6 +274,55 @@ object SimilarityQueries {
       None),
 
     // ------------------------------------------------------------------
+    // q_embed_cluster ★ — nearest-centroid corpus partitioning (the
+    // assignment half of k-means / the IVF build step): every vector
+    // assigned to its nearest of 16 centroids, per-cluster occupancy +
+    // id range. The training-data uses: sharding a corpus into
+    // semantically-coherent partitions, curriculum bucketing, and the
+    // list layout q_sim_ivf probes. Map-only: one codegen'd
+    // NearestCentroids loop per row (k × dim FMAs), centroids ride in
+    // the expression like LSH planes; ONE shuffle for the 16-group agg.
+    // Fixed k=16 head-of-corpus centroids keep the oracle expressible;
+    // at scale k comes from a k-means fit, same query shape.
+    // ORACLE-CHECKED: assignment is argmax over cosines whose top-2 gap
+    // is ≥ 1.1e-5 across every vector at every SF (measured) — 10⁹ ×
+    // the cross-engine double-arithmetic noise, so Spark's
+    // dot-with-normalized-centroid ranking and DuckDB's explicit
+    // cosine ranking pick identical centroids; all outputs integer.
+    QueryDef(
+      "q_embed_cluster",
+      (s: SparkSession, dir: String) => {
+        val e = corpus(s, dir).select(col("vec_id"), col("embedding"))
+        val cents: Seq[Seq[Float]] = e.filter(col("vec_id") < 16)
+          .orderBy("vec_id").collect()
+          .map(_.getSeq[Float](1).toSeq).toSeq
+        e.select(col("vec_id"),
+          nearestCentroids(col("embedding"), cents, 1)(0).as("cluster_id"))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n"),
+            min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+             |scored AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])) /
+             |      (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             |       sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS cos
+             |  FROM e CROSS JOIN c),
+             |best AS (
+             |  SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+             |  FROM scored)
+             |SELECT CAST(cid AS INTEGER) AS cluster_id, COUNT(*) AS n,
+             |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+             |FROM best WHERE rk = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_embed_dedup ★ — embedding near-dup pairs at cos ≥ 0.5, EXACT.
     //
     // Operating-point analysis (r2, measured on the actual corpus): the
