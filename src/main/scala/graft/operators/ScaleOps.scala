@@ -49,4 +49,23 @@ object ScaleOps {
     */
   def joinBroadcastDim(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     fact.join(broadcast(dim), keys)
+
+  /** Write `df` as a hash-bucketed, per-bucket-sorted table: ONE
+    * up-front shuffle on `key`, after which every equi-join or
+    * aggregation between tables bucketed on the same key with the same
+    * bucket count runs exchange-free (Spark matches the tables'
+    * `HashPartitioning`; the sort feeds SortMergeJoin without a Sort
+    * node either). This is the amortization play for the 100 TB fact
+    * table joined every day: pay the shuffle once at ingest, never at
+    * query time. ScaleOpsSpec asserts the joined plan contains no
+    * Exchange.
+    *
+    * `path` is per-table because `spark.sql.warehouse.dir` is a static
+    * conf (cannot vary per test/session).
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

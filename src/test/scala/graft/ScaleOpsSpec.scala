@@ -37,12 +37,10 @@ class ScaleOpsSpec extends SparkSpec {
     val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    Tables(spark, sfDir, "orders")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
-    Tables(spark, sfDir, "lineitem")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    ScaleOps.writeBucketed(Tables(spark, sfDir, "orders"),
+      "b_orders", s"$wh/b_orders", "o_orderkey", buckets = 8)
+    ScaleOps.writeBucketed(Tables(spark, sfDir, "lineitem"),
+      "b_lineitem", s"$wh/b_lineitem", "l_orderkey", buckets = 8)
 
     // force the shuffle-join path so the assertion is about bucketing,
     // not about AQE broadcasting a small side at this tiny SF
