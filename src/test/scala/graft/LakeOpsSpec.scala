@@ -105,6 +105,29 @@ class LakeOpsSpec extends SparkSpec {
     assert(GraftLog.liveFiles(tdir, None).sorted == Seq("a.parquet", "c.parquet"))
   }
 
+  test("batch ingest and streaming micro-batches interleave on one table without losing commits") {
+    val root = Files.createTempDirectory("graft_mix_").toString
+    val tdir = s"$root/w/t"
+    val table = IngestQueries.fixtureTable
+    // batch append
+    writeBatch(root, "c1", "a.json", Seq(1, 2))
+    Pipeline.ingest(spark, root, "c1", IngestQueries.fixtureTable, tdir, deleteSources = false)
+    // streaming micro-batch lands between two batch appends
+    writeBatch(root, "c2", "s.json", Seq(11, 12, 13))
+    val sbatch = Pipeline.decode(spark, table, Pipeline.listPending(root, "c2"))
+    graft.streaming.StreamingIngest.appendBatch(
+      new graft.sink.HiveParquetWriter, sbatch, table, tdir, s"$root/ckpt", batchId = 0L)
+    // second batch append
+    writeBatch(root, "c1", "b.json", Seq(3))
+    Pipeline.ingest(spark, root, "c1", IngestQueries.fixtureTable, tdir, deleteSources = false)
+    val recs = GraftLog.records(tdir)
+    assert(recs.map(_.snapshotId) == Seq(1L, 2L, 3L))
+    assert(recs.map(_.op).forall(_ == "append"))
+    assert(recs(1).sources == Seq(s"stream:$root/ckpt:0"))
+    assert(LakeOps.readTable(spark, tdir).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 11L, 12L, 13L))
+  }
+
   test("compact bin-packs to one file per partition; old snapshot still readable; expiry GCs") {
     val root = Files.createTempDirectory("graft_cp_").toString
     val tdir = s"$root/w/t"
