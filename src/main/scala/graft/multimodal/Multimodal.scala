@@ -71,6 +71,50 @@ object Multimodal {
     }.toDF("media_id", "format", "width", "height", "channels")
   }
 
+  /** One resized media payload: original + output dims, and the
+    * transformed bytes.
+    */
+  final case class MediaResized(
+      mediaId: Long, width: Int, height: Int,
+      outW: Int, outH: Int, outPayload: Array[Byte])
+
+  /** Aspect-preserving downscale-to-fit dims in EXACT integer e4
+    * arithmetic (no float: engine-portable, oracle-reproducible).
+    * Never upscales; floor scaling with a 1-pixel floor.
+    */
+  def fitDims(w: Int, h: Int, targetW: Int, targetH: Int): (Int, Int) = {
+    val sE4 = math.min(10000L, math.min(
+      targetW * 10000L / w, targetH * 10000L / h))
+    (math.max(1L, w * sE4 / 10000L).toInt, math.max(1L, h * sE4 / 10000L).toInt)
+  }
+
+  /** Resize via the codec seam, same `mapPartitions` batch shape as
+    * [[decodeMeta]] (one codec per partition; a real implementation
+    * does pixel resampling here). STUB output payload: the input
+    * truncated to the resized "pixel budget" `outW·outH·channels`
+    * bytes — deterministic, pure in the bytes, and its LENGTH is
+    * reproducible in SQL from `octet_length`, which keeps the query
+    * oracle-checkable while the plumbing (binary in/out through a
+    * per-partition codec) is real.
+    */
+  def resizePayloads(df: DataFrame, idCol: String, binCol: String,
+      targetW: Int, targetH: Int,
+      codec: () => MediaCodec = () => StubCodec): DataFrame = {
+    val ds = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    implicit val enc = Encoders.product[MediaResized]
+    ds.mapPartitions { rows =>
+      val c = codec()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val m = c.decode(id, bytes)
+        val (ow, oh) = fitDims(m.width, m.height, targetW, targetH)
+        val budget = math.min(bytes.length.toLong, ow.toLong * oh * m.channels).toInt
+        MediaResized(id, m.width, m.height, ow, oh, bytes.take(budget))
+      }
+    }.toDF("media_id", "width", "height", "out_w", "out_h", "out_payload")
+  }
+
   /** Fixed-size frame sampling over a binary payload: split into
     * `frameSize`-byte frames, keep every `every`-th — real slicing
     * plumbing (`substring` on binary is codegen'd); a video pipeline

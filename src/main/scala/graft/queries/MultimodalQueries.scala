@@ -79,6 +79,40 @@ object MultimodalQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_mm_resize ★ — aspect-preserving resize-to-fit 128×128 through
+    // the per-partition codec seam (the feature-extract/resize step of
+    // a multimodal training pipeline). Dimension math is exact integer
+    // e4 scaling (Multimodal.fitDims) and the stub's output payload is
+    // the input truncated to the resized pixel budget, so the oracle
+    // reproduces dims AND output length from octet_length alone; the
+    // binary-in/binary-out plumbing is real (narrow map, no shuffle of
+    // payloads — only the integer projection aggregates).
+    QueryDef(
+      "q_mm_resize",
+      (s: SparkSession, dir: String) =>
+        Multimodal.resizePayloads(payloads(s, dir), "doc_id", "payload", 128, 128)
+          .select(col("media_id").as("doc_id"),
+            col("width"), col("height"), col("out_w"), col("out_h"),
+            octet_length(col("out_payload")).cast("long").as("out_len"))
+          .orderBy("doc_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS len,
+             |    64 + octet_length(encode(text)) % 577 AS w,
+             |    64 + octet_length(encode(text)) % 331 AS h,
+             |    1 + octet_length(encode(text)) % 3 AS c
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, len, w, h, c,
+             |    LEAST(10000, 128*10000 // w, 128*10000 // h) AS s_e4
+             |  FROM m)
+             |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |  CAST(GREATEST(1, w*s_e4 // 10000) AS INTEGER) AS out_w,
+             |  CAST(GREATEST(1, h*s_e4 // 10000) AS INTEGER) AS out_h,
+             |  CAST(LEAST(len, GREATEST(1, w*s_e4 // 10000) *
+             |    GREATEST(1, h*s_e4 // 10000) * c) AS BIGINT) AS out_len
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_mm_entropy ★ — byte-entropy content signal per payload (e.g.
     // compressed-vs-text detection). No DuckDB oracle (no engine-
     // portable entropy); value properties asserted in MultimodalSpec.

@@ -22,11 +22,13 @@ import graft.functions.VectorOps._
   *    a window over q_id alone would shuffle the whole scored corpus
   *    into n_queries reducer tasks, a single-task sort at 100 TB); the
   *    global top-k then sorts only n_partitions × k × n_queries rows;
-  *  - ANN: a 6-bit sign-LSH code per vector (codegen'd fold, map-only),
-  *    queries probe their own bucket plus all Hamming ≤ 2 neighbors
-  *    (multi-probe); the candidate join is an equi-join on the bucket
-  *    code → shuffle on an int key, never a cross join. Corpus codes
-  *    would be precomputed/bucketed at rest in a real deployment;
+  *  - ANN, two interchangeable scale paths: a corpus-adaptive sign-LSH
+  *    code per vector (`annPlanes` bits, codegen'd fold, map-only) with
+  *    Hamming ≤ 2 multi-probe, and an IVF inverted-file layout
+  *    (`q_sim_ivf`: ⌈√n⌉ nearest-centroid lists, probe ¼ of them); in
+  *    both, the candidate join is an equi-join on an int key — never a
+  *    cross join — and codes/lists would be precomputed at rest in a
+  *    real deployment;
   *  - near-dup (q_embed_dedup): EXACT blocked all-pairs — see the
   *    operating-point analysis on the query. LSH prefiltering is kept
   *    as the parameterized scale path (`lshCandidatePairs` /

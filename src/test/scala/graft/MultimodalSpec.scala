@@ -61,6 +61,38 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
   }
 
+  test("fitDims: aspect-preserving integer downscale, never upscales, 1-px floor") {
+    // downscale: 640x331 into 128x128 → scale = min(1, 128/640, 128/331)
+    // = 0.2 exactly → 128 x 66
+    assert(Multimodal.fitDims(640, 331, 128, 128) == ((128, 66)))
+    // never upscale: smaller-than-target stays put
+    assert(Multimodal.fitDims(64, 64, 128, 128) == ((64, 64)))
+    // floor scaling with 1-px floor on pathological aspect
+    assert(Multimodal.fitDims(10000, 1, 128, 128) == ((128, 1)))
+    // square into square
+    assert(Multimodal.fitDims(577, 577, 128, 128) == ((127, 127))) // floor(577*2218/1e4)
+  }
+
+  test("resizePayloads stub: truncates to the pixel budget; empty payload stays empty") {
+    val payload = (0 until 5000).map(_.toByte).toArray
+    val rows = Seq((1L, payload), (2L, Array.empty[Byte]))
+      .toDF("id", "p")
+    val got = Multimodal.resizePayloads(rows, "id", "p", 128, 128)
+      .select("media_id", "width", "height", "out_w", "out_h", "out_payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getAs[Array[Byte]](5))).toMap
+    val (w, h, ow, oh, out) = got(1L)
+    // len 5000: w=64+5000%577=64+384=448, h=64+5000%331=64+35=99, c=1+5000%3=3
+    assert((w, h) == ((448, 99)))
+    val (ew, eh) = Multimodal.fitDims(448, 99, 128, 128)
+    assert((ow, oh) == ((ew, eh)))
+    assert(out.length == math.min(5000, ew * eh * 3))
+    assert(out.toSeq == payload.take(out.length).toSeq) // truncation, not fabrication
+    val (_, _, _, _, out2) = got(2L)
+    assert(out2.isEmpty)
+  }
+
   test("byte entropy: 0 for constant payloads, 8 bits for all-256-bytes, ordered") {
     assert(Multimodal.byteEntropy(Array.fill(64)(7.toByte)) == 0.0)
     val uniform = (0 until 256).map(_.toByte).toArray
