@@ -192,6 +192,70 @@ object DedupQueries {
               |ORDER BY d1, d2""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_dedup_groups ★ — duplicate-CLUSTER assignment: connected
+    // components over the ≥0.6-Jaccard pair graph, each clustered doc
+    // labeled with its component's minimum doc_id (the canonical
+    // survivor) plus the cluster size. This is the step an actual
+    // dedup pipeline needs AFTER pair generation — near-dup is
+    // transitive-ish (A~B~C), so survivor selection must operate on
+    // components, not pairs, or chained dups each keep one copy.
+    //
+    // Distributed shape: iterative min-label propagation — labels
+    // start as own id; each round every node takes the min of its own
+    // and its neighbors' labels (one join + one groupBy per round,
+    // label frame is component-linear); converges in graph-diameter
+    // rounds (dup clusters are tiny cliques: 1-2 rounds here; the
+    // driver loop only ever collects a changed-row COUNT, never data).
+    // The standard large-graph CC algorithm, pairs never materialized
+    // beyond the (small) dup-pair set. Oracle: DuckDB recursive CTE
+    // computes min reachable id over the same edges — exact integers.
+    QueryDef(
+      "q_dedup_groups",
+      (s: SparkSession, dir: String) => {
+        val pairs = jaccardPairs(shingleText(s, dir), minJacE4 = 6000L)
+          .select(col("d1"), col("d2"))
+        val edges = pairs
+          .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var labels = edges.select(col("d1").as("d")).distinct()
+          .withColumn("lbl", col("d"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 20) {
+          val viaNeighbor = edges.join(labels, edges("d2") === labels("d"))
+            .select(edges("d1").as("d"), col("lbl"))
+          val next = labels.select(col("d"), col("lbl")).union(viaNeighbor)
+            .groupBy("d").agg(min("lbl").as("lbl"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val changed = next.join(labels.withColumnRenamed("lbl", "old"), "d")
+            .filter(col("lbl") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          rounds += 1
+        }
+        val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "lbl")
+          .select(col("d").as("doc_id"), col("lbl").as("cluster_id"),
+            col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $ShSql,
+              |$JacSql,
+              |dup AS (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
+              |edges AS (SELECT d1, d2 FROM dup UNION ALL SELECT d2, d1 FROM dup),
+              |reach(d, r) AS (
+              |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
+              |  UNION
+              |  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.d = e.d2),
+              |lbl AS (SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY d),
+              |csz AS (SELECT cluster_id AS c, COUNT(*) AS cluster_size FROM lbl GROUP BY 1)
+              |SELECT doc_id, cluster_id, cluster_size
+              |FROM lbl JOIN csz ON lbl.cluster_id = csz.c
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_minhash_dup ★ — MinHash(k=8) + LSH(4 bands × 2 rows) candidate
     // generation, then exact-Jaccard verification of CANDIDATES ONLY.
     // At j=0.97 the candidate probability is 1-(1-j²)⁴ ≈ 1; background

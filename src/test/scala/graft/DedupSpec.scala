@@ -65,4 +65,32 @@ class DedupSpec extends SparkSpec {
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(mh == jac, s"minhash=${mh.size} ngram=${jac.size}")
   }
+
+  test("q_dedup_groups: exact connected components of the pair graph") {
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val groups = SparkEntry.queries("q_dedup_groups")(spark, sfDir)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val wantLabel = parent.keys.map(d => d -> find(d)).toMap
+    // canonical label = component min — re-canonicalize the reference
+    val canon = wantLabel.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn)
+    }
+    assert(groups.map(g => g._1 -> g._2).toMap == canon)
+    val wantSizes = canon.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    groups.foreach { case (_, c, sz) => assert(wantSizes(c) == sz, s"cluster $c") }
+    // and the corpus genuinely exercises transitivity (a chain beyond a pair)
+    assert(groups.map(_._3).max >= 2)
+  }
 }
