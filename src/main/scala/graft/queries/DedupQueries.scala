@@ -217,8 +217,11 @@ object DedupQueries {
         val edges = pairs
           .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var labels = edges.select(col("d1").as("d")).distinct()
-          .withColumn("lbl", col("d"))
+        // round 1 fused into initialization: label = min(own, neighbors)
+        // out of the same groupBy that enumerates the nodes
+        var labels = edges
+          .groupBy(col("d1").as("d"))
+          .agg(least(min(col("d1")), min(col("d2"))).as("lbl"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         var converged = false
         var rounds = 0
