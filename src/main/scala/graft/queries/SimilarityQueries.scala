@@ -276,6 +276,39 @@ object SimilarityQueries {
       None),
 
     // ------------------------------------------------------------------
+    // q_embed_quant ★ — symmetric int8 quantization stats per vector
+    // (the storage play: float32 embeddings quantized 4× smaller for
+    // the at-rest corpus, with |error| ≤ max|x|/254 per element). One
+    // fused codegen'd pass per row (QuantI8Stats), map-only, integer
+    // outputs. ORACLE-CHECKED: both engines compute bit-identical
+    // doubles (same IEEE ops, order-independent max) and the corpus
+    // margin from every .5 rounding boundary is ≥ 3.1e-6 (measured).
+    QueryDef(
+      "q_embed_quant",
+      (s: SparkSession, dir: String) =>
+        corpus(s, dir)
+          .select(col("vec_id"), quantI8Stats(col("embedding")).as("q"))
+          .select(col("vec_id"), col("q.sum_q").as("sum_q"),
+            col("q.l1_q").as("l1_q"), col("q.nnz").as("nnz"))
+          .orderBy("vec_id"),
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+             |q AS (
+             |  SELECT vec_id, CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+             |    ELSE list_transform(v, x -> round(x * 127 / mx)) END AS c
+             |  FROM m)
+             |SELECT vec_id,
+             |  CAST(COALESCE(list_sum(c), 0) AS BIGINT) AS sum_q,
+             |  CAST(COALESCE(list_sum(list_transform(c, x -> abs(x))), 0) AS BIGINT) AS l1_q,
+             |  CAST(len(list_filter(c, x -> x != 0)) AS BIGINT) AS nnz
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_embed_cluster ★ — nearest-centroid corpus partitioning (the
     // assignment half of k-means / the IVF build step): every vector
     // assigned to its nearest of 16 centroids, per-cluster occupancy +

@@ -148,6 +148,34 @@ class SimilaritySpec extends SparkSpec {
     assert(quality >= 0.95, s"IVF quality ratio $quality")
   }
 
+  test("quantI8Stats == plain-Scala reference; zero vector → all-zero stats") {
+    val rnd = new scala.util.Random(23)
+    val vecs = Seq.fill(30)(Seq.fill(16)(rnd.nextGaussian().toFloat)) :+ Seq.fill(16)(0f)
+    val got = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .select(col("id"), quantI8Stats(col("v")).as("q"))
+      .select(col("id"), col("q.sum_q"), col("q.l1_q"), col("q.nnz"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      val codes =
+        if (mx == 0) Seq.fill(v.length)(0L)
+        else v.map { x =>
+          val q = math.floor(math.abs(x.toDouble) * 127.0 / mx + 0.5).toLong
+          if (x < 0) -q else q
+        }
+      val want = (codes.sum, codes.map(math.abs).sum, codes.count(_ != 0).toLong)
+      assert(got(i.toLong) == want, s"vec $i")
+    }
+    // quantization error bound: |x - q*mx/127| <= mx/254 for every element
+    val v = vecs.head
+    val mx = v.map(x => math.abs(x.toDouble)).max
+    v.foreach { x =>
+      val q = math.signum(x) * math.floor(math.abs(x.toDouble) * 127.0 / mx + 0.5)
+      assert(math.abs(x - q * mx / 127.0) <= mx / 254.0 + 1e-12)
+    }
+  }
+
   test("adaptive sizing scales with corpus: embedDedupBlocks and annPlanes") {
     import graft.queries.SimilarityQueries._
     // blocks: parallelism floor at small n, then ∝ n (constant per-task
