@@ -15,6 +15,30 @@ object AdvancedQueries {
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
+    // q_sample_hash ★ — deterministic hash-based 10% sample of the
+    // document corpus: keep rows whose 60-bit md5(doc_id) ≡ 0 (mod 10).
+    // The reproducible-downsampling primitive of a training-data
+    // pipeline — no RNG state, so the sample is identical across runs,
+    // engines, cluster sizes, and retries (rand()-based sampling is
+    // none of those), composes with any stratification for free (a
+    // uniform hash is uniform within every stratum), and a row's
+    // membership is decidable locally (map-only filter, no shuffle;
+    // extending the sample 10% → 20% keeps the first 10% — nested
+    // samples by construction). Per-lang counts verify uniformity in
+    // the oracle alongside the sampled ids themselves.
+    QueryDef(
+      "q_sample_hash",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(10L)) === 0L)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_asof_join — the as-of join Spark has no native operator for,
     // composed scalably as tagged-union + window (one shuffle + sort on
     // (user, time), NO range-join explosion): for each purchase event,

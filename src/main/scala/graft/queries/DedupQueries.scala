@@ -225,6 +225,12 @@ object DedupQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         var converged = false
         var rounds = 0
+        // diameter-bound cap: dup clusters are near-cliques (diameter
+        // ≤ a few); a graph that hasn't converged by 20 rounds means
+        // the input is not a dedup pair graph — fail loudly rather
+        // than silently emit stale labels (alternating large-star/
+        // small-star would give O(log n) rounds if that regime ever
+        // became real)
         while (!converged && rounds < 20) {
           val viaNeighbor = edges.join(labels, edges("d2") === labels("d"))
             .select(edges("d1").as("d"), col("lbl"))
@@ -238,6 +244,9 @@ object DedupQueries {
           converged = changed == 0
           rounds += 1
         }
+        if (!converged)
+          throw new IllegalStateException(
+            s"q_dedup_groups: label propagation not converged after $rounds rounds")
         val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, "lbl")
           .select(col("d").as("doc_id"), col("lbl").as("cluster_id"),
