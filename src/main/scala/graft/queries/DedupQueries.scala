@@ -225,6 +225,11 @@ object DedupQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         var converged = false
         var rounds = 0
+        // Convergence check: labels are monotonically non-increasing,
+        // so Σ labels strictly decreases on any change — one exact
+        // decimal aggregate per round (overflow-proof at any corpus
+        // size) instead of a join against the previous labels.
+        var prevSum: java.math.BigDecimal = null
         // diameter-bound cap: dup clusters are near-cliques (diameter
         // ≤ a few); a graph that hasn't converged by 20 rounds means
         // the input is not a dedup pair graph — fail loudly rather
@@ -237,11 +242,12 @@ object DedupQueries {
           val next = labels.select(col("d"), col("lbl")).union(viaNeighbor)
             .groupBy("d").agg(min("lbl").as("lbl"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val changed = next.join(labels.withColumnRenamed("lbl", "old"), "d")
-            .filter(col("lbl") =!= col("old")).count()
+          val sumNow = next.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+            .collect()(0).getDecimal(0)
           labels.unpersist()
           labels = next
-          converged = changed == 0
+          converged = prevSum != null && sumNow.compareTo(prevSum) == 0
+          prevSum = sumNow
           rounds += 1
         }
         if (!converged)
