@@ -274,6 +274,57 @@ object DedupQueries {
               |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_decontaminate ★ — train/eval contamination check, the
+    // decontamination step of a training-data pipeline: for each doc of
+    // the held-out set (doc_id < 20 stands in for the benchmark), the
+    // fraction of its distinct 13-gram shingles that appear anywhere in
+    // the training corpus (doc_id ≥ 20). 13 tokens is the classic
+    // operating point (long enough that collisions imply copying).
+    // Asymmetric by design — this is NOT pair dedup: one side is tiny
+    // and BROADCAST (an eval suite is KBs–MBs), the corpus side streams
+    // through map-side hash lookup, distinct-hit counting needs one
+    // corpus-linear aggregation, and no pair stream ever exists. Exact
+    // integer e4 fraction keeps the oracle engine-exact.
+    QueryDef(
+      "q_decontaminate",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shingles
+        def sh13(df: DataFrame) = df
+          .select(col("doc_id"),
+            explode(shingles(split(col("text"), " "), 13)).as("s"))
+          .select(col("doc_id"), hash60(col("s")).as("h"))
+        val docs = Tables(s, dir, "documents")
+        val evalSh = sh13(docs.filter(col("doc_id") < 20))
+        val trainH = sh13(docs.filter(col("doc_id") >= 20))
+          .select(col("h")).distinct()
+        val nTotal = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val nHit = broadcast(evalSh).join(trainH, "h")
+          .select(col("doc_id"), col("h")).distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        nTotal.join(nHit, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("frac_e4", floorDiv(col("n_hit") * 10000L, col("n_grams")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t13 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(string_split(text,' ')) - 11),
+             |    i -> array_to_string(string_split(text,' ')[i:i+12], ' ')))) AS s0
+             |  FROM documents WHERE len(string_split(text,' ')) >= 13),
+             |h13 AS (SELECT doc_id, substring(md5(s0),1,15) AS h FROM t13),
+             |ev AS (SELECT doc_id, h FROM h13 WHERE doc_id < 20),
+             |tr AS (SELECT DISTINCT h FROM h13 WHERE doc_id >= 20),
+             |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY 1),
+             |hit AS (
+             |  SELECT doc_id, COUNT(DISTINCT ev.h) AS n_hit
+             |  FROM ev JOIN tr ON ev.h = tr.h GROUP BY 1)
+             |SELECT t.doc_id, t.n_grams, COALESCE(hit.n_hit, 0) AS n_hit,
+             |  (COALESCE(hit.n_hit, 0) * 10000) // t.n_grams AS frac_e4
+             |FROM tot t LEFT JOIN hit ON t.doc_id = hit.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_minhash_dup ★ — MinHash(k=8) + LSH(4 bands × 2 rows) candidate
     // generation, then exact-Jaccard verification of CANDIDATES ONLY.
     // At j=0.97 the candidate probability is 1-(1-j²)⁴ ≈ 1; background
