@@ -175,6 +175,84 @@ object DedupQueries {
       |  SELECT d1, d2, (common*10000) // (x.n + y.n - common) AS jac_e4
       |  FROM pairs JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2)""".stripMargin
 
+  /** Connected components of an undirected pair graph → (doc_id,
+    * cluster_id = component min, cluster_size). AQE-style adaptive plan
+    * choice on the MATERIALIZED pair-graph size (dup pairs are rare
+    * relative to the corpus, so the graph is usually tiny even when the
+    * corpus is not): at or below `driverMaxEdges` undirected pairs
+    * (default 1M ≈ 16 MB) the edge list is collected and solved with
+    * exact union-find on the driver — milliseconds, zero iterative
+    * jobs; above it, distributed iterative min-label propagation (one
+    * join + one groupBy + one exact-decimal convergence aggregate per
+    * round, component-linear label frame, graph-diameter rounds). Same
+    * fixpoint either way; the collect is bounded by the explicit
+    * threshold, never corpus-sized. Both paths are spec-tested
+    * (DedupSpec forces the distributed path with driverMaxEdges = 0).
+    */
+  def connectedComponents(s: SparkSession, pairs: DataFrame,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    var labels: DataFrame = null
+    if (nEdges <= 2L * driverMaxEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.select("d1", "d2").collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.map(d => (d, find(d)))
+      import s.implicits._
+      labels = out.toDF("d", "lbl")
+    } else {
+      // round 1 fused into initialization: label = min(own, neighbors)
+      // out of the same groupBy that enumerates the nodes
+      labels = edges
+        .groupBy(col("d1").as("d"))
+        .agg(least(min(col("d1")), min(col("d2"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var rounds = 0
+      // Convergence check: labels are monotonically non-increasing, so
+      // Σ labels strictly decreases on any change — one exact decimal
+      // aggregate per round (overflow-proof at any corpus size)
+      // instead of a join against the previous labels.
+      var prevSum: java.math.BigDecimal = null
+      // diameter-bound cap: dup clusters are near-cliques (diameter ≤
+      // a few); a graph that hasn't converged by 20 rounds means the
+      // input is not a dedup pair graph — fail loudly rather than
+      // silently emit stale labels (alternating large-star/small-star
+      // would give O(log n) rounds if that regime ever became real)
+      while (!converged && rounds < 20) {
+        val viaNeighbor = edges.join(labels, edges("d2") === labels("d"))
+          .select(edges("d1").as("d"), col("lbl"))
+        val next = labels.select(col("d"), col("lbl")).union(viaNeighbor)
+          .groupBy("d").agg(min("lbl").as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sumNow = next.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+          .collect()(0).getDecimal(0)
+        labels.unpersist()
+        labels = next
+        converged = prevSum != null && sumNow.compareTo(prevSum) == 0
+        prevSum = sumNow
+        rounds += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents: label propagation not converged after $rounds rounds")
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("d").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -211,54 +289,10 @@ object DedupQueries {
     // computes min reachable id over the same edges — exact integers.
     QueryDef(
       "q_dedup_groups",
-      (s: SparkSession, dir: String) => {
-        val pairs = jaccardPairs(shingleText(s, dir), minJacE4 = 6000L)
-          .select(col("d1"), col("d2"))
-        val edges = pairs
-          .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // round 1 fused into initialization: label = min(own, neighbors)
-        // out of the same groupBy that enumerates the nodes
-        var labels = edges
-          .groupBy(col("d1").as("d"))
-          .agg(least(min(col("d1")), min(col("d2"))).as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var converged = false
-        var rounds = 0
-        // Convergence check: labels are monotonically non-increasing,
-        // so Σ labels strictly decreases on any change — one exact
-        // decimal aggregate per round (overflow-proof at any corpus
-        // size) instead of a join against the previous labels.
-        var prevSum: java.math.BigDecimal = null
-        // diameter-bound cap: dup clusters are near-cliques (diameter
-        // ≤ a few); a graph that hasn't converged by 20 rounds means
-        // the input is not a dedup pair graph — fail loudly rather
-        // than silently emit stale labels (alternating large-star/
-        // small-star would give O(log n) rounds if that regime ever
-        // became real)
-        while (!converged && rounds < 20) {
-          val viaNeighbor = edges.join(labels, edges("d2") === labels("d"))
-            .select(edges("d1").as("d"), col("lbl"))
-          val next = labels.select(col("d"), col("lbl")).union(viaNeighbor)
-            .groupBy("d").agg(min("lbl").as("lbl"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val sumNow = next.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
-            .collect()(0).getDecimal(0)
-          labels.unpersist()
-          labels = next
-          converged = prevSum != null && sumNow.compareTo(prevSum) == 0
-          prevSum = sumNow
-          rounds += 1
-        }
-        if (!converged)
-          throw new IllegalStateException(
-            s"q_dedup_groups: label propagation not converged after $rounds rounds")
-        val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-        labels.join(sizes, "lbl")
-          .select(col("d").as("doc_id"), col("lbl").as("cluster_id"),
-            col("cluster_size"))
-          .orderBy("doc_id")
-      },
+      (s: SparkSession, dir: String) =>
+        connectedComponents(s,
+          jaccardPairs(shingleText(s, dir), minJacE4 = 6000L)
+            .select(col("d1"), col("d2"))),
       Some(s"""WITH RECURSIVE $ShSql,
               |$JacSql,
               |dup AS (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),

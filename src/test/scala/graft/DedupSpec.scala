@@ -93,4 +93,22 @@ class DedupSpec extends SparkSpec {
     // and the corpus genuinely exercises transitivity (a chain beyond a pair)
     assert(groups.map(_._3).max >= 2)
   }
+
+  test("connectedComponents: distributed label propagation == driver union-find") {
+    // force the distributed path (driverMaxEdges = 0) on a graph with a
+    // 5-node chain (multi-round propagation), a triangle, and a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("d1", "d2")
+    val viaLoop = graft.queries.DedupQueries.connectedComponents(spark, pairs,
+      driverMaxEdges = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaDriver = graft.queries.DedupQueries.connectedComponents(spark, pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaLoop == viaDriver)
+    assert(viaLoop == Set(
+      (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
+      (20L, 20L, 2L), (21L, 20L, 2L)))
+  }
 }
