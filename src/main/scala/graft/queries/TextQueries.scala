@@ -137,18 +137,20 @@ object TextQueries {
     // plus a 5-token-shingle min-hash (the "document fingerprint" a
     // dedup pipeline keys on). md5 is engine-identical, so the oracle
     // reproduces the exact fingerprint; min over hex strings is plain
-    // lexicographic min.
+    // lexicographic min. Shingle construction is the codegen'd
+    // Shingles expression (the transform(sequence…)+slice+concat_ws
+    // chain is interpreted — dev/PERF_NOTES.md); min over its DISTINCT
+    // shingles equals min over all, and array_min of the empty array
+    // (< 5 tokens) is NULL, matching the oracle's CASE.
     QueryDef(
       "q_text_fingerprint",
       (s: SparkSession, dir: String) =>
         Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text"), toks.as("t"))
           .select(
             col("doc_id"),
             md5(col("text")).as("doc_md5"),
-            when(size(col("t")) >= 5,
-              array_min(expr(
-                "transform(sequence(1, size(t) - 4), i -> md5(concat_ws(' ', slice(t, i, 5))))")))
+            array_min(transform(
+              graft.functions.Shingles.shingles(toks, 5), x => md5(x)))
               .as("shingle_min_md5"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(text) AS doc_md5,
