@@ -42,8 +42,21 @@ object Bench {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(size(array_intersect(col("a.hs"), col("b.hs"))).as("c"))
         .write.format("noop").mode("overwrite").save()
+      // Touch the events table too (footer read + JSON-path and
+      // timestamp-function codegen): r3 charged ~8 s of this first-scan
+      // cost to whichever events query ran first (q_json_extract).
+      Tables(spark, sfDir, "events").limit(20000)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").as("k"),
+          year(col("ts")).as("y"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic (sorted) execution order: Map iteration order changes
+    // as queries are added, which re-assigns residual first-execution JIT
+    // to a different query each round and makes per-query numbers
+    // incomparable round-over-round (dev/PERF_NOTES.md: the r1/r2
+    // "39.6 s" flip between q_minhash_dup and q_dedup_ngram).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune projections
       // and drop final sorts, under-measuring scan/projection-heavy
@@ -61,7 +74,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
