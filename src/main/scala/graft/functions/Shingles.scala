@@ -8,12 +8,17 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct `width`-token shingles of a token array, space-joined —
-  * the unit of n-gram Jaccard / MinHash dedup (`w`-shingling, Broder
-  * 1997, "On the resemblance and containment of documents").
+/** `width`-token shingles of a token array, space-joined — the unit of
+  * n-gram Jaccard / MinHash dedup (`w`-shingling, Broder 1997, "On the
+  * resemblance and containment of documents").
+  *
+  * `distinct = true` (the dedup default) keeps each shingle once, by
+  * first occurrence; `distinct = false` keeps every window with its
+  * multiplicity (needed by repetition-quality metrics, where the COUNT
+  * of a repeated n-gram is the signal).
   *
   * Semantically identical to
-  * `array_distinct(transform(sequence(1, size(t)-w+1),
+  * `[array_distinct](transform(sequence(1, size(t)-w+1),
   *    i -> concat_ws(' ', slice(t, i, w))))`
   * but implemented as a codegen'd Catalyst expression because that
   * higher-order-function chain is INTERPRETED: measured 5.0 s for a
@@ -25,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Fewer than `width` tokens → empty array (a later `explode` drops
   * the document, matching the HOF form's `otherwise(array())`).
   */
-case class Shingles(child: Expression, width: Int) extends UnaryExpression {
+case class Shingles(child: Expression, width: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(width >= 1, s"shingle width must be >= 1, got $width")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -38,11 +44,11 @@ case class Shingles(child: Expression, width: Int) extends UnaryExpression {
     }
 
   override protected def nullSafeEval(v: Any): Any =
-    Shingles.make(v.asInstanceOf[ArrayData], width)
+    Shingles.make(v.asInstanceOf[ArrayData], width, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Shingles.make($c, $width);")
+      s"${ev.value} = graft.functions.Shingles.make($c, $width, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
@@ -51,13 +57,14 @@ case class Shingles(child: Expression, width: Int) extends UnaryExpression {
 object Shingles {
   private val Space = UTF8String.fromString(" ")
 
-  /** Called from generated code. Distinct by first occurrence; windows
-    * containing a null token are skipped (split() never produces them).
+  /** Called from generated code. Windows containing a null token are
+    * skipped (split() never produces them).
     */
-  def make(arr: ArrayData, width: Int): ArrayData = {
+  def make(arr: ArrayData, width: Int, distinct: Boolean): ArrayData = {
     val n = arr.numElements()
     if (n < width) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val out = new java.util.ArrayList[UTF8String](n - width + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
     val window = new Array[UTF8String](width)
     var i = 0
     while (i <= n - width) {
@@ -68,17 +75,23 @@ object Shingles {
         else window(j) = arr.getUTF8String(i + j)
         j += 1
       }
-      if (ok) seen.add(UTF8String.concatWs(Space, window: _*))
+      if (ok) {
+        val sh = UTF8String.concatWs(Space, window: _*)
+        if (seen == null || seen.add(sh)) out.add(sh)
+      }
       i += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
+    val arr2 = new Array[Any](out.size)
     var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    while (k < arr2.length) { arr2(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr2)
   }
 
-  /** Column-level entry point: `shingles($"tokens", 3)`. */
+  /** Column-level entry point: `shingles($"tokens", 3)` (distinct). */
   def shingles(c: Column, width: Int): Column =
     GraftBridge.column(Shingles(GraftBridge.expression(c), width))
+
+  /** All windows with multiplicity: `shinglesAll($"tokens", 2)`. */
+  def shinglesAll(c: Column, width: Int): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(c), width, distinct = false))
 }

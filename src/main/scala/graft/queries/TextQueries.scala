@@ -29,6 +29,12 @@ object TextQueries {
   private def ratioE4(num: Column, den: Column): Column =
     ((num * lit(20000L) + den) / (den * lit(2L))).cast("long")
 
+  /** Exact integer floor division on non-negative longs (DuckDB `//`).
+    * pmod subtraction makes the double division exact while the
+    * numerator stays < 2^53 — ours are ≤ ~1e10. */
+  private def floorDivL(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -180,6 +186,169 @@ object TextQueries {
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
              |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens,
              |  CAST(len(text) AS BIGINT) AS n_chars
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_text_repetition ★ — Gopher-style repetition quality signals
+    // (Rae et al. 2021 §A1.1: documents dominated by repeated n-grams
+    // are low-quality training data): per doc, the distinct-token
+    // ratio, the fraction of 2-gram occurrences claimed by the single
+    // most frequent 2-gram, and the duplicate-2-gram fraction. All
+    // exact integer e4 (floor), so the oracle is engine-exact.
+    // Plan shape: token stats are one narrow map-only projection
+    // (size/array_distinct, codegen'd); bigram multiplicities go
+    // explode → groupBy(doc_id, bigram) → groupBy(doc_id) — both
+    // shuffles key on doc+gram / doc with map-side partial agg, the
+    // 100 TB shape (per-doc work bounded by doc length, no cross-doc
+    // blowup). `shinglesAll` is the codegen'd non-distinct shingle
+    // pass (the HOF form is interpreted — see Shingles scaladoc).
+    QueryDef(
+      "q_text_repetition",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shinglesAll
+        val docs = Tables(s, dir, "documents")
+        val tokStats = docs.select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        val bg = docs
+          .select(col("doc_id"), explode(shinglesAll(toks, 2)).as("bg"))
+          .groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum("c").as("n_bigrams"), max("c").as("max_bg"),
+            count(lit(1)).as("n_distinct_bg"))
+        tokStats.join(bg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            floorDivL(col("n_distinct") * 10000L, col("n_tokens"))
+              .as("uniq_token_e4"),
+            floorDivL(coalesce(col("max_bg"), lit(0L)) * 10000L,
+              greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+              .as("top_bigram_e4"),
+            floorDivL(
+              (coalesce(col("n_bigrams"), lit(0L)) - coalesce(col("n_distinct_bg"), lit(0L))) * 10000L,
+              greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+              .as("dup_bigram_e4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |tok AS (
+             |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+             |  FROM t),
+             |bg0 AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+             |    i -> array_to_string(ts[i:i+1], ' '))) AS bg
+             |  FROM t),
+             |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg0 GROUP BY 1, 2),
+             |bga AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |    CAST(MAX(c) AS BIGINT) AS max_bg,
+             |    CAST(COUNT(*) AS BIGINT) AS n_distinct_bg
+             |  FROM bgc GROUP BY 1)
+             |SELECT tok.doc_id, n_tokens,
+             |  (n_distinct * 10000) // n_tokens AS uniq_token_e4,
+             |  (COALESCE(max_bg, 0) * 10000) //
+             |    GREATEST(COALESCE(n_bigrams, 0), 1) AS top_bigram_e4,
+             |  ((COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bg, 0)) * 10000) //
+             |    GREATEST(COALESCE(n_bigrams, 0), 1) AS dup_bigram_e4
+             |FROM tok LEFT JOIN bga ON tok.doc_id = bga.doc_id
+             |ORDER BY tok.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_inverted_index ★ — term → (document frequency, first-20 posting
+    // list): the index-build leg of a corpus search/retrieval pipeline.
+    // Two aggregations over the distinct (term, doc) pair stream:
+    //  - df is a plain hash count (map-side combine, no buffers);
+    //  - postings are CAPPED BEFORE the global agg: a per-shuffle-
+    //    partition window keeps only the 20 smallest doc_ids per term,
+    //    so no aggregation buffer ever holds more than 20 × partitions
+    //    ids per term — heavy-hitter terms (stopwords posting half the
+    //    corpus) cannot blow up an agg buffer at 100 TB. Real systems
+    //    shard full posting lists; the declared query's product is the
+    //    capped head, which the two-phase plan computes exactly.
+    QueryDef(
+      "q_inverted_index",
+      (s: SparkSession, dir: String) => {
+        val pairs = Tables(s, dir, "documents")
+          .select(explode(toks).as("term"), col("doc_id"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count() // eager: both branches below reuse it (concurrent
+        // stages race an unfilled cache and recompute — PERF_NOTES)
+        val df_ = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(spark_partition_id(), col("term")).orderBy("doc_id")
+        val postings = pairs
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+          .groupBy("term")
+          .agg(slice(sort_array(collect_list("doc_id")), 1, 20).as("postings"))
+        df_.join(postings, "term").orderBy("term")
+      },
+      Some("""WITH p AS (
+             |  SELECT DISTINCT term, doc_id FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents))
+             |SELECT term, COUNT(*) AS df,
+             |  (list_sort(list(doc_id)))[1:20] AS postings
+             |FROM p GROUP BY term ORDER BY term""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_tfidf ★ — top-3 terms per document by tf-idf-style salience,
+    // with EXACT integer scoring so the oracle is engine-exact: the log
+    // in classic idf is replaced by the raw rarity ratio N/df (rank-
+    // equivalent per-document since log is monotone and doc length is
+    // constant within a document):
+    //   score_e4 = floor(tf * 1e4 * N / (df * n_tokens_doc)).
+    // Ties broken by term ASC — fully deterministic in both engines.
+    // Plan: tf = one (doc, term) hash agg; df = one (term) hash agg on
+    // the distinct pair stream; N rides in as a 1-row broadcast (no
+    // driver action); top-3 is a per-doc window over ≤ vocab rows.
+    QueryDef(
+      "q_tfidf",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = docs.select(col("doc_id"), explode(toks).as("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count() // eager for the same three-branch reuse reason
+        val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = pairs.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val len = pairs.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score_e4").desc, col("term"))
+        tf.join(df_, "term").join(len, "doc_id").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            floorDivL(col("tf") * 10000L * col("n_docs"),
+              col("df") * col("doc_len")).as("score_e4"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk").cast("long").as("rk"),
+            col("term"), col("score_e4"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM p GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+             |len AS (SELECT doc_id, COUNT(*) AS doc_len FROM p GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    (tf.tf * 10000 * n.n_docs) // (df.df * len.doc_len) AS score_e4
+             |  FROM tf JOIN df USING (term) JOIN len ON tf.doc_id = len.doc_id
+             |  CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, term, score_e4,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score_e4 DESC, term) AS rk
+             |  FROM scored)
+             |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+             |  CAST(score_e4 AS BIGINT) AS score_e4
+             |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
   )
 }
