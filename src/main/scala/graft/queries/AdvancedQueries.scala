@@ -120,6 +120,95 @@ object AdvancedQueries {
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_range_join — big-big band join WITHOUT a nested loop: for each
+    // click event, how many purchases by the same user landed in the
+    // following hour (ts, ts+1h]. Spark's own planner turns a raw
+    // `p.ts > c.ts AND p.ts <= c.ts + 1h` join condition into a
+    // nested-loop per user; instead the band is BUCKETIZED: purchases
+    // key on (user, hour-bucket), each click probes exactly the two
+    // buckets its window can overlap (window length = bucket width),
+    // then the exact range predicate filters inside the equi-join.
+    // Plan: two shuffles on (user_id, bkt), zero nested loops, ~2×
+    // probe-side amplification — the standard interval-join layout
+    // (DuckDB/Flink use the same binning idea natively). Per-task work
+    // is bounded by events-per-user-per-hour, independent of corpus
+    // size. All-integer micros arithmetic → engine-exact oracle (DuckDB
+    // verifies with the naive inequality join — two algorithms, same
+    // rows).
+    QueryDef(
+      "q_range_join",
+      (s: SparkSession, dir: String) => {
+        val HourUs = 3600000000L
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("pus"),
+            expr(s"us div $HourUs").as("bkt"))
+        val probed = clicks
+          .select(col("event_id"), col("user_id"), col("us"),
+            explode(array(expr(s"us div $HourUs"), expr(s"us div $HourUs") + 1L))
+              .as("bkt"))
+        val matched = probed
+          .join(purchases, Seq("user_id", "bkt"))
+          .filter(col("pus") > col("us") && col("pus") <= col("us") + HourUs)
+          .groupBy("event_id").agg(count(lit(1)).as("n_purchases"))
+        clicks.select(col("event_id"))
+          .join(matched, Seq("event_id"), "left")
+          .select(col("event_id"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |c AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, us FROM ev WHERE event_type = 'purchase')
+             |SELECT c.event_id,
+             |  CAST(COUNT(p.us) AS BIGINT) AS n_purchases
+             |FROM c LEFT JOIN p ON p.user_id = c.user_id
+             |  AND p.us > c.us AND p.us <= c.us + 3600000000
+             |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_sample_strat ★ — BALANCED stratified sample: exactly min(5, n)
+    // documents per language, chosen by md5(doc_id) hash order — the
+    // "equal representation per class" counterpart to q_sample_hash's
+    // uniform Bernoulli sample (class-balancing / eval-set carving in a
+    // training-data pipeline). Deterministic across runs, engines, and
+    // cluster sizes. Exact per-stratum top-N needs an ordered selection,
+    // so it cannot be a pure map-only filter like q_sample_hash; the
+    // scalable shape is two-phase (same pattern as q_sim_topk's heap
+    // pre-reduce): each shuffle partition keeps its local top-5 per
+    // lang, then the global top-5 is picked from ≤ 5 × partitions
+    // survivors per stratum — the full corpus is never sorted and no
+    // single task ever sees a whole stratum.
+    QueryDef(
+      "q_sample_strat",
+      (s: SparkSession, dir: String) => {
+        val hk = md5(col("doc_id").cast("string"))
+        val local = Window.partitionBy(spark_partition_id(), col("lang"))
+          .orderBy(col("hk"), col("doc_id"))
+        val global = Window.partitionBy(col("lang"))
+          .orderBy(col("hk"), col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), hk.as("hk"))
+          .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 5)
+          .withColumn("rk", row_number().over(global)).filter(col("rk") <= 5)
+          .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_approx_distinct — HyperLogLog++ distinct-user counts per event
     // type (constant memory per group vs exact distinct's shuffle of
     // every key — the 100 TB cardinality primitive). Sketches are not

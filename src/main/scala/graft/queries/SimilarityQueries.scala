@@ -419,6 +419,65 @@ object SimilarityQueries {
              |       sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |SELECT v1, v2, CAST(round(cos*1000000) AS BIGINT) AS cos_e6
-             |FROM p WHERE cos >= 0.5 ORDER BY v1, v2""".stripMargin))
+             |FROM p WHERE cos >= 0.5 ORDER BY v1, v2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_kmeans_iter ★ — one Lloyd (k-means) UPDATE step, the iterated
+    // kernel of corpus clustering / IVF codebook training: assign every
+    // vector to its nearest of 16 centroids (q_embed_cluster's map-only
+    // codegen'd assignment, argmax margin ≥ 1.1e-5 measured), then
+    // recompute per-cluster centroid state. The update is exposed as
+    // exact integers so the oracle is engine-exact: per cluster, the
+    // member count and the SUM of e6-quantized coordinates (dims 1–4;
+    // new centroid = qsum/n at e6 precision). Quantizer is
+    // floor(x*1e6 + 0.5) computed in double in BOTH engines — float→
+    // double is lossless and mult/add/floor are single IEEE ops, so the
+    // longs are bit-identical (same reasoning as q_embed_quant; no
+    // engine round() semantics involved). A float sum would be
+    // partition-order-dependent — quantized long sums commute, which is
+    // ALSO why this is the scale shape: map-side partial aggregation of
+    // a commutative long sum, ONE 16-group shuffle, no collect. Full-
+    // width centroids carry all 64 dims the same way (an array-typed
+    // sum); dims 1–4 keep the declared result narrow.
+    QueryDef(
+      "q_kmeans_iter",
+      (s: SparkSession, dir: String) => {
+        val e = corpus(s, dir).select(col("vec_id"), col("embedding"))
+        val cents: Seq[Seq[Float]] = e.filter(col("vec_id") < 16)
+          .orderBy("vec_id").collect()
+          .map(_.getSeq[Float](1).toSeq).toSeq
+        def q(i: Int) =
+          floor(element_at(col("embedding"), i).cast("double") * 1000000d + 0.5d)
+            .cast("long")
+        e.select(col("vec_id"), col("embedding"),
+          nearestCentroids(col("embedding"), cents, 1)(0).as("cluster_id"))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n"),
+            sum(q(1)).as("qsum_1"), sum(q(2)).as("qsum_2"),
+            sum(q(3)).as("qsum_3"), sum(q(4)).as("qsum_4"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+             |scored AS (
+             |  SELECT e.vec_id, c.cid, e.v,
+             |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])) /
+             |      (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             |       sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS cos
+             |  FROM e CROSS JOIN c),
+             |best AS (
+             |  SELECT vec_id, cid, v,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+             |  FROM scored)
+             |SELECT CAST(cid AS INTEGER) AS cluster_id,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(floor(v[1]*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum_1,
+             |  CAST(SUM(CAST(floor(v[2]*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum_2,
+             |  CAST(SUM(CAST(floor(v[3]*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum_3,
+             |  CAST(SUM(CAST(floor(v[4]*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum_4
+             |FROM best WHERE rk = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin))
   )
 }

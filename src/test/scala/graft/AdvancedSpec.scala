@@ -25,6 +25,38 @@ class AdvancedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_range_join matches a driver-side naive band join") {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val purchasesByUser = ev.filter(_._3 == "purchase")
+      .groupBy(_._2).map { case (u, rows) => u -> rows.map(_._4) }
+    val want = ev.filter(_._3 == "click").map { case (id, u, _, us) =>
+      id -> purchasesByUser.getOrElse(u, Array.empty[Long])
+        .count(p => p > us && p <= us + 3600000000L).toLong
+    }.toMap
+    val got = SparkEntry.queries("q_range_join")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("q_sample_strat: exactly min(5, stratum size) rows per lang, by hash order") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byLang = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+      .groupBy(_._2)
+    val want = byLang.toSeq.flatMap { case (lang, rows) =>
+      rows.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(5)
+        .zipWithIndex.map { case (id, i) => (lang, i + 1L, id) }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_sample_strat")(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q_approx_distinct within 5% of exact per group") {
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap

@@ -201,4 +201,23 @@ class SimilaritySpec extends SparkSpec {
       .select(lshCode(col("embedding"), planes).as("c")).as[Long].collect()
     assert(codes.forall(c => c >= 0 && c < 64))
   }
+
+  test("q_kmeans_iter: occupancy matches q_embed_cluster; qsums conserve mass") {
+    val got = SparkEntry.queries("q_kmeans_iter")(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // same assignment as q_embed_cluster → identical per-cluster counts
+    val occ = SparkEntry.queries("q_embed_cluster")(spark, sfDir)
+      .select("cluster_id", "n").as[(Int, Long)].collect().toMap
+    assert(got.map(r => r._1 -> r._2).toMap == occ)
+    // partition of the corpus: per-dim quantized sums over clusters must
+    // equal the corpus-wide quantized sum, independent of assignment
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select("embedding").as[Seq[Float]].collect()
+    def qtot(i: Int): Long =
+      emb.map(v => math.floor(v(i).toDouble * 1000000d + 0.5d).toLong).sum
+    assert(got.map(_._3).sum == qtot(0))
+    assert(got.map(_._4).sum == qtot(1))
+    assert(got.map(_._5).sum == qtot(2))
+    assert(got.map(_._6).sum == qtot(3))
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spark-side checks for the round-4 text-pipeline queries: repetition
+  * quality, inverted index, and tf-idf — each against a plain-Scala
+  * reference computed from the collected corpus (sf0.001 is small).
+  */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs: Seq[(Long, String)] =
+    Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+  test("q_text_repetition matches a driver-side reference") {
+    val want = docs.map { case (id, text) =>
+      val ts = text.split(" ", -1).toSeq
+      val n = ts.size.toLong
+      val bigrams = ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val nb = bigrams.size.toLong
+      val counts = bigrams.groupBy(identity).map(_._2.size.toLong)
+      val maxBg = if (counts.isEmpty) 0L else counts.max
+      val nDistinctBg = counts.size.toLong
+      (id, n,
+        ts.distinct.size.toLong * 10000L / n,
+        maxBg * 10000L / math.max(nb, 1L),
+        (nb - nDistinctBg) * 10000L / math.max(nb, 1L))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_text_repetition")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q_inverted_index matches a driver-side reference") {
+    val pairs = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).map(t => (t, id))
+    }.distinct
+    val want = pairs.groupBy(_._1).map { case (term, ps) =>
+      (term, ps.size.toLong, ps.map(_._2).sorted.take(20))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_inverted_index")(spark, sfDir)
+      .as[(String, Long, Seq[Long])].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q_tfidf matches a driver-side reference") {
+    val all = docs
+    val nDocs = all.size.toLong
+    val df = all.flatMap { case (id, t) => t.split(" ", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, ps) => t -> ps.size.toLong }
+    val want = all.flatMap { case (id, text) =>
+      val ts = text.split(" ", -1).toSeq
+      val len = ts.size.toLong
+      val scored = ts.groupBy(identity).map { case (t, o) =>
+        (t, o.size.toLong * 10000L * nDocs / (df(t) * len))
+      }.toSeq.sortBy { case (t, sc) => (-sc, t) }.take(3)
+      scored.zipWithIndex.map { case ((t, sc), i) => (id, i + 1L, t, sc) }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_tfidf")(spark, sfDir)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == want)
+  }
+}
