@@ -28,20 +28,20 @@ object Bench {
     // q_dedup_ngram).
     try {
       import org.apache.spark.sql.functions._
-      val w = Tables(spark, sfDir, "documents").limit(2000)
-        .select(col("doc_id"),
-          explode(graft.functions.Shingles.shingles(split(col("text"), " "), 3)).as("s"))
-        .select(col("doc_id"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("h").as("df"), col("h").as("h")))).as("r"),
-          count(lit(1)).as("n"))
-        .withColumn("hs", expr("transform(r, x -> x.h)"))
-        .select(col("doc_id"), col("n"), col("hs"),
-          posexplode(slice(col("hs"), 1, 5)).as(Seq("pos", "h")))
-      w.as("a").join(w.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(size(array_intersect(col("a.hs"), col("b.hs"))).as("c"))
-        .write.format("noop").mode("overwrite").save()
+      // The REAL PPJoin pair plan on a 2000-doc slice (not a hand-rolled
+      // lookalike): identical plan shapes → identical generated sources →
+      // Janino cache hits + C2-compiled join/agg machinery before any
+      // pair query is timed (dev/PERF_NOTES.md round-4).
+      // Broadcast disabled for the warm-up only: AQE would broadcast the
+      // 2000-doc slice's joins, compiling BHJ codegen while the timed
+      // full-size queries run sort-merge — warm the SMJ shapes instead.
+      val prevBT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try
+        graft.queries.DedupQueries.warmPairs(spark, sfDir, 2000)
+          .write.format("noop").mode("overwrite").save()
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBT)
+      spark.catalog.clearCache()
       // Touch the events table too (footer read + JSON-path and
       // timestamp-function codegen): r3 charged ~8 s of this first-scan
       // cost to whichever events query ran first (q_json_extract).
