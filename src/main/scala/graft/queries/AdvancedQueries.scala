@@ -209,6 +209,49 @@ object AdvancedQueries {
              |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_percentile — EXACT p50/p90/p99 of event value per type, in
+    // integer cents (value is 2-decimal: |round(v*100) − v*100| ≤
+    // 3.6e-12 measured, so the cents cast is engine-exact). The
+    // percentile definition is spelled out identically in both engines
+    // (lower discrete: sorted ASC, index = (n−1)·p div 100 + 1,
+    // 1-based) instead of trusting two engines' quantile semantics to
+    // agree. Plan: one window sort per group + conditional agg. Exact
+    // per-group percentiles require a per-group sort wherever they run;
+    // the constant-memory 100 TB variant is approx_percentile (same
+    // sketch family as q_approx_distinct) — this is the exact-answer
+    // form, which is also what makes it oracle-checkable.
+    QueryDef(
+      "q_percentile",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("event_type").orderBy("c")
+        val wn = Window.partitionBy("event_type")
+        def pAt(p: Int) =
+          max(when(col("rn") === expr(s"((n - 1) * $p) div 100 + 1"), col("c")))
+            .as(s"p${p}_c")
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("event_type")
+          .agg(max("n").as("n"), pAt(50), pAt(90), pAt(99))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, c,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM b)
+             |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             |  MAX(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN c END) AS p50_c,
+             |  MAX(CASE WHEN rn = ((n-1)*90)//100 + 1 THEN c END) AS p90_c,
+             |  MAX(CASE WHEN rn = ((n-1)*99)//100 + 1 THEN c END) AS p99_c
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_approx_distinct — HyperLogLog++ distinct-user counts per event
     // type (constant memory per group vs exact distinct's shuffle of
     // every key — the 100 TB cardinality primitive). Sketches are not

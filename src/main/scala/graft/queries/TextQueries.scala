@@ -349,6 +349,41 @@ object TextQueries {
              |  FROM scored)
              |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
              |  CAST(score_e4 AS BIGINT) AS score_e4
-             |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+             |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_text_cooccur ★ — token co-occurrence document frequencies, the
+    // build step of co-occurrence/PMI embeddings and phrase mining: for
+    // the 50 strongest pairs, in how many documents do both tokens
+    // appear. Plan: distinct (doc, term) stream → within-doc self-join
+    // (shuffle keys on doc_id; per-doc work is quadratic in the doc's
+    // DISTINCT vocabulary — bounded by doc length, never by corpus
+    // size) → one (t1, t2) hash agg → top-50 under a total (n DESC,
+    // t1, t2) order, so the limit is deterministic. The pair stream is
+    // persisted + materialized once (self-joins recompute their common
+    // subplan otherwise — PERF_NOTES).
+    QueryDef(
+      "q_text_cooccur",
+      (s: SparkSession, dir: String) => {
+        val pairs = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("t"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        pairs.as("a")
+          .join(pairs.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+          .select(col("a.t").as("t1"), col("b.t").as("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("t1"), col("t2"))
+          .limit(50)
+      },
+      Some("""WITH p AS (
+             |  SELECT DISTINCT doc_id, t FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |    FROM documents))
+             |SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_docs
+             |FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.t < b.t
+             |GROUP BY 1, 2 ORDER BY n_docs DESC, t1, t2 LIMIT 50""".stripMargin))
   )
 }

@@ -57,6 +57,21 @@ class AdvancedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_percentile matches a driver-side reference") {
+    val byType = Tables(spark, sfDir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    val want = byType.toSeq.map { case (t, rows) =>
+      val cs = rows.map(_._2).sorted
+      val n = cs.length.toLong
+      def at(p: Int) = cs(((n - 1) * p / 100).toInt)
+      (t, n, at(50), at(90), at(99))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_percentile")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q_approx_distinct within 5% of exact per group") {
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap

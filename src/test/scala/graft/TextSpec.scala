@@ -44,6 +44,19 @@ class TextSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_text_cooccur matches a driver-side reference") {
+    val want = docs
+      .flatMap { case (id, text) =>
+        val ts = text.split(" ", -1).distinct.sorted
+        for (i <- ts.indices; j <- i + 1 until ts.size) yield (ts(i), ts(j))
+      }
+      .groupBy(identity).map { case ((a, b), o) => (a, b, o.size.toLong) }
+      .toSeq.sortBy { case (a, b, n) => (-n, a, b) }.take(50)
+    val got = SparkEntry.queries("q_text_cooccur")(spark, sfDir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q_tfidf matches a driver-side reference") {
     val all = docs
     val nDocs = all.size.toLong
