@@ -35,14 +35,15 @@ import graft.functions.VectorOps._
   *    `lshNearDupPairs`) for the high-cosine regime where it is sound,
   *    with corpus-adaptive plane count (buckets grow with n).
   *
-  * q_sim_topk / q_sim_ann carry no DuckDB oracle (float fold-order
-  * risk on 1999-term sums is acceptable nowhere near a decision
-  * boundary, but top-k RANK flips on ties are not); exactness/recall
-  * are asserted against a plain-Scala reference in SimilaritySpec.
-  * q_embed_dedup IS oracle-checked: its cosines are reproduced in
-  * DuckDB with explicit double arithmetic and every value is ≥ 1.6e-3
-  * away from the 0.5 threshold (measured, both SFs), so the row set is
-  * engine-stable. Cosines are exported in e6 integer units.
+  * Oracle status: q_embed_dedup, q_sim_topk, and q_sim_ivf are
+  * DuckDB-oracle-checked — their cosines are reproduced with explicit
+  * double arithmetic, and every decision boundary's distance from the
+  * nearest rank/threshold/rounding flip is MEASURED to dominate
+  * cross-engine double-summation noise (see each query's scaladoc for
+  * its margins). Only q_sim_ann stays spec-only: its seeded LSH
+  * hyperplanes are not reproducible in SQL. Exactness/recall are
+  * additionally asserted against plain-Scala references in
+  * SimilaritySpec. Cosines are exported in e6 integer units.
   */
 object SimilarityQueries {
 
@@ -271,8 +272,14 @@ object SimilarityQueries {
     // identical). The collect() is k vectors = the quantizer model
     // (√n × 64 floats — 31k × 256 B ≈ 8 MB at 10⁹ vectors), broadcast
     // as expression state like the LSH planes; not a corpus collect.
-    // No DuckDB oracle (float rank ties, same as q_sim_topk/q_sim_ann);
-    // recall + list-partition invariants asserted in SimilaritySpec.
+    // ORACLE-CHECKED since r4: unlike sign-LSH (seeded planes are not
+    // reproducible in SQL), every IVF decision is pure corpus-derived
+    // arithmetic, and every decision layer's margin is measured ≫
+    // cross-engine double noise (~1e-13): assignment argmax gap ≥
+    // 3.0e-5, probe-set cutoff gap ≥ 1.1e-3, final rank/e6-rounding
+    // margin ≥ 3.6e-9 — across all SFs. The SQL recomputes k = ⌈√n⌉
+    // and nprobe from COUNT(*), so it holds at every SF. Recall +
+    // list-partition invariants remain asserted in SimilaritySpec.
     QueryDef(
       "q_sim_ivf",
       (s: SparkSession, dir: String) => {
@@ -299,7 +306,42 @@ object SimilarityQueries {
             round(col("cos") * 1000000).cast("long").as("cos_e6"))
           .orderBy("q_id", "rank")
       },
-      None),
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |p AS (
+             |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) AS k,
+             |    GREATEST(1, (GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) + 3) // 4) AS nprobe
+             |  FROM e),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e, p WHERE vec_id < p.k),
+             |ac AS (
+             |  SELECT e.vec_id, c.cid, list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])) / (sqrt(list_sum(list_transform(e.v, x -> x*x))) * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS cos
+             |  FROM e CROSS JOIN c),
+             |asg AS (
+             |  SELECT vec_id, cid AS list_id FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+             |    FROM ac) WHERE rk = 1),
+             |qp AS (
+             |  SELECT t.vec_id AS q_id, t.cid AS list_id FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+             |    FROM ac WHERE vec_id < 5) t, p WHERE t.rk <= p.nprobe),
+             |cand AS (
+             |  SELECT qp.q_id, a.vec_id
+             |  FROM qp JOIN asg a ON a.list_id = qp.list_id
+             |  WHERE a.vec_id != qp.q_id),
+             |scored AS (
+             |  SELECT cand.q_id, cand.vec_id, list_sum(list_transform(range(1, len(qe.v)+1), i -> qe.v[i]*e.v[i])) / (sqrt(list_sum(list_transform(qe.v, x -> x*x))) * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+             |  FROM cand JOIN e ON e.vec_id = cand.vec_id
+             |  JOIN e qe ON qe.vec_id = cand.q_id),
+             |ranked AS (
+             |  SELECT q_id, vec_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id,
+             |  CAST(round(cos*1000000) AS BIGINT) AS cos_e6
+             |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_embed_quant ★ — symmetric int8 quantization stats per vector
