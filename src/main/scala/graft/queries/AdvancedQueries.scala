@@ -209,6 +209,43 @@ object AdvancedQueries {
              |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_mix_weights ★ — the data-mixing table of a training pipeline:
+    // per source, document count, token count, and the source's token
+    // share of the corpus in exact integer e6 (the sampling weights a
+    // mixture-trained run consumes). One hash agg on source + a 1-row
+    // broadcast total — map-side combine makes the first agg linear,
+    // nothing is ever collected. Weight in e6 floor units so the
+    // oracle is engine-exact.
+    QueryDef(
+      "q_mix_weights",
+      (s: SparkSession, dir: String) => {
+        val per = Tables(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+        val tot = per.agg(sum("n_tokens").as("total_tokens"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            ((col("n_tokens") * 1000000L -
+              pmod(col("n_tokens") * 1000000L, col("total_tokens"))) /
+              col("total_tokens")).cast("long").as("weight_e6"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents),
+             |per AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+             |  FROM d GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+             |SELECT source, n_docs, n_tokens,
+             |  CAST((n_tokens * 1000000) // total AS BIGINT) AS weight_e6
+             |FROM per, t ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_percentile — EXACT p50/p90/p99 of event value per type, in
     // integer cents (value is 2-decimal: |round(v*100) − v*100| ≤
     // 3.6e-12 measured, so the cents cast is engine-exact). The

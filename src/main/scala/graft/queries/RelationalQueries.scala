@@ -189,6 +189,55 @@ object RelationalQueries {
              |  CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile,
              |  CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
              |    * (100 + CAST(ROUND(l_tax*100,0) AS BIGINT)) AS taxed_e4
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_join_star — the TPC-H Q5 shape: a 6-table star join (lineitem ⋈
+    // orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with the "local
+    // supplier" condition c_nationkey = s_nationkey, a year filter on
+    // orders, and a region filter — revenue per nation. The join-order/
+    // broadcast showcase: region + nation are explicitly broadcast
+    // (guaranteed tiny at any scale: 5 / 25 rows), the big fact joins
+    // (lineitem–orders, orders–customer) shuffle on their keys, and
+    // supplier is left to AQE (broadcast-able at this SF; a shuffle
+    // join at 100 TB where supplier is SF×10k rows). Both filters reach
+    // the scans (PushedFilters / partition-prunable at rest). Revenue
+    // in exact integer e4 cents (extprice_c × (100 − disc_pct)) so the
+    // cross-engine sum commutes and the oracle hash-matches.
+    QueryDef(
+      "q_join_star",
+      (s: SparkSession, dir: String) => {
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+        val c = Tables(s, dir, "customer")
+        val su = Tables(s, dir, "supplier")
+        val n = Tables(s, dir, "nation")
+        val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount")))).as("revenue_e4"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue_e4").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+             |    * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT)
+             |    AS revenue_e4,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE YEAR(o_orderdate) = 1996 AND r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin))
   )
 }

@@ -72,6 +72,57 @@ class AdvancedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_mix_weights: weights partition the corpus and floor-sum to <= 1e6") {
+    val rows = SparkEntry.queries("q_mix_weights")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val totalTokens = rows.map(_._3).sum
+    assert(rows.map(_._2).sum ==
+      Tables(spark, sfDir, "documents").count())
+    rows.foreach { case (_, _, nTok, wE6) =>
+      assert(wE6 == nTok * 1000000L / totalTokens)
+    }
+    val wSum = rows.map(_._4).sum
+    assert(wSum <= 1000000L && wSum > 1000000L - rows.size)
+  }
+
+  test("q_join_star matches a driver-side reference") {
+    def rows(t: String) = Tables(spark, sfDir, t)
+    val orders = rows("orders")
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .as[(Long, Long, Int)].collect().filter(_._3 == 1996)
+      .map(r => r._1 -> r._2).toMap
+    val cust = rows("customer").select("c_custkey", "c_nationkey")
+      .as[(Long, Long)].collect().toMap
+    val supp = rows("supplier").select("s_suppkey", "s_nationkey")
+      .as[(Long, Long)].collect().toMap
+    val nation = rows("nation").select("n_nationkey", "n_name", "n_regionkey")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val asiaRegions = rows("region").select("r_regionkey", "r_name")
+      .as[(Long, String)].collect().filter(_._2 == "ASIA").map(_._1).toSet
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    rows("lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("ep"),
+        round(col("l_discount") * 100).cast("long").as("dc"))
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { case (ok, sk, ep, dc) =>
+        for {
+          custkey <- orders.get(ok)
+          cNat <- cust.get(custkey)
+          sNat <- supp.get(sk) if cNat == sNat
+          (nName, rKey) <- nation.get(sNat) if asiaRegions(rKey)
+        } {
+          val (rev, cnt) = acc.getOrElse(nName, (0L, 0L))
+          acc(nName) = (rev + ep * (100 - dc), cnt + 1)
+        }
+      }
+    val want = acc.toSeq.map { case (n, (rev, cnt)) => (n, rev, cnt) }
+      .sortBy { case (n, rev, _) => (-rev, n) }
+    val got = SparkEntry.queries("q_join_star")(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q_approx_distinct within 5% of exact per group") {
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap
