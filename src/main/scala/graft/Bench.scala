@@ -45,10 +45,13 @@ object Bench {
       // Touch the events table too (footer read + JSON-path and
       // timestamp-function codegen): r3 charged ~8 s of this first-scan
       // cost to whichever events query ran first (q_json_extract).
+      // k and y MUST be consumed by the aggregate: column pruning would
+      // otherwise delete them and the JSON-path/timestamp codegen this
+      // exists to warm would never run.
       Tables(spark, sfDir, "events").limit(20000)
         .select(col("event_type"), get_json_object(col("props"), "$.k").as("k"),
           year(col("ts")).as("y"))
-        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .groupBy("event_type").agg(count(col("k")).as("nk"), count(col("y")).as("ny"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // Deterministic (sorted) execution order: Map iteration order changes

@@ -227,9 +227,9 @@ object AdvancedQueries {
         val tot = per.agg(sum("n_tokens").as("total_tokens"))
         per.crossJoin(broadcast(tot))
           .select(col("source"), col("n_docs"), col("n_tokens"),
-            ((col("n_tokens") * 1000000L -
-              pmod(col("n_tokens") * 1000000L, col("total_tokens"))) /
-              col("total_tokens")).cast("long").as("weight_e6"))
+            graft.functions.ExactMath
+              .floorDiv(col("n_tokens") * 1000000L, col("total_tokens"))
+              .as("weight_e6"))
           .orderBy("source")
       },
       Some("""WITH d AS (

@@ -49,14 +49,12 @@ object DedupQueries {
     * `.cast("int")` truncates ~ceil-0.0001, which shortens the PPJoin
     * prefix by one element right at the threshold (a 1-shingle doc got
     * prefix length 0 and silently never joined — ADVICE r1, high).
-    * Subtracting `pmod` first makes the numerator an exact multiple of
-    * the divisor, so the double division is exact — provided the
-    * numerator stays below 2^53 (the double mantissa; larger longs
-    * round on conversion and the quotient can be off by one). Our
-    * numerators (shingle counts × 1e4) are ≤ ~10^9, far below it.
+    * Delegates to Catalyst IntegralDivide (exact over the full long
+    * range — the earlier pmod-subtraction trick was exact only below
+    * 2^53; see graft.functions.ExactMath).
     */
   private def floorDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    graft.functions.ExactMath.floorDiv(a, b)
   private def ceilDiv(a: Column, b: Column): Column =
     floorDiv(a + b - 1L, b)
 

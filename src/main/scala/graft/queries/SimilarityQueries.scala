@@ -44,6 +44,14 @@ import graft.functions.VectorOps._
   * hyperplanes are not reproducible in SQL. Exactness/recall are
   * additionally asserted against plain-Scala references in
   * SimilaritySpec. Cosines are exported in e6 integer units.
+  *
+  * FIXTURE INVARIANT the SQL oracles rely on: no zero-norm embedding
+  * exists (SimilaritySpec asserts it). On a zero vector Spark's
+  * CosineSim yields null (sorted/filtered last) while DuckDB's
+  * dot/(0·…) yields NaN, which sorts FIRST under ORDER BY cos DESC —
+  * a zero vector entering the corpus would take rank 1 in every
+  * query's oracle top-k and hash-mismatch. If real corpora can carry
+  * zero vectors, add a norm > 0 guard to BOTH engines.
   */
 object SimilarityQueries {
 

@@ -29,11 +29,10 @@ object TextQueries {
   private def ratioE4(num: Column, den: Column): Column =
     ((num * lit(20000L) + den) / (den * lit(2L))).cast("long")
 
-  /** Exact integer floor division on non-negative longs (DuckDB `//`).
-    * pmod subtraction makes the double division exact while the
-    * numerator stays < 2^53 — ours are ≤ ~1e10. */
+  /** Exact integer floor division on non-negative longs (DuckDB `//`),
+    * via Catalyst IntegralDivide — exact over the full long range. */
   private def floorDivL(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    graft.functions.ExactMath.floorDiv(a, b)
 
   val entries: Seq[QueryDef] = Seq(
 

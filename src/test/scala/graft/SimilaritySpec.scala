@@ -202,6 +202,16 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall(c => c >= 0 && c < 64))
   }
 
+  test("fixture invariant: no zero-norm embedding (oracle NaN-ordering hazard)") {
+    // Spark CosineSim → null on zero vectors; DuckDB dot/(0·…) → NaN,
+    // which sorts FIRST under cos DESC — the SQL oracles of
+    // q_sim_topk/q_sim_ivf depend on this never occurring.
+    val zeroNorm = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().filter(_._2.forall(_ == 0f))
+    assert(zeroNorm.isEmpty, s"zero-norm vec_ids: ${zeroNorm.map(_._1).toSeq}")
+  }
+
   test("q_kmeans_iter: occupancy matches q_embed_cluster; qsums conserve mass") {
     val got = SparkEntry.queries("q_kmeans_iter")(spark, sfDir)
       .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
