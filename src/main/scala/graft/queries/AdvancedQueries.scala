@@ -209,6 +209,46 @@ object AdvancedQueries {
              |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_pack_sequences ★ — sequence packing, the batch-assembly step of
+    // a training pipeline: per source, documents are concatenated in
+    // doc_id order into a token stream that is cut into 256-token
+    // packs; a document belongs to the pack where it STARTS (the
+    // standard concat-then-chunk approximation). pack_id = floor of the
+    // running token count BEFORE the doc over the budget — one window
+    // prefix-sum per source partition + one (source, pack) hash agg.
+    // At 100 TB packing is per-shard by construction (each source
+    // partition's prefix sum is independent); all-integer → oracle
+    // engine-exact.
+    QueryDef(
+      "q_pack_sequences",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("cum", sum("toks").over(w))
+          .select(col("source"), col("doc_id"), col("toks"),
+            graft.functions.ExactMath
+              .floorDiv(col("cum") - col("toks"), lit(256L)).as("pack_id"))
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+          .orderBy("source", "pack_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, doc_id, toks,
+             |    SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM d)
+             |SELECT source, CAST((cum - toks) // 256 AS BIGINT) AS pack_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_mix_weights ★ — the data-mixing table of a training pipeline:
     // per source, document count, token count, and the source's token
     // share of the corpus in exact integer e6 (the sampling weights a

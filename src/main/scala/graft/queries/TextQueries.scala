@@ -34,6 +34,39 @@ object TextQueries {
   private def floorDivL(a: Column, b: Column): Column =
     graft.functions.ExactMath.floorDiv(a, b)
 
+  /** Per-doc repetition metric frame shared by q_text_repetition and
+    * q_quality_gate: (doc_id, n_tokens, uniq_token_e4, top_bigram_e4,
+    * dup_bigram_e4), all exact integer e4. Token stats are a map-only
+    * codegen'd projection; bigram multiplicities go explode →
+    * groupBy(doc_id, bigram) → groupBy(doc_id) (map-side partial agg,
+    * per-doc-bounded work — the 100 TB shape).
+    */
+  private def repetitionMetrics(docs: DataFrame): DataFrame = {
+    import graft.functions.Shingles.shinglesAll
+    val tokStats = docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val bg = docs
+      .select(col("doc_id"), explode(shinglesAll(toks, 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum("c").as("n_bigrams"), max("c").as("max_bg"),
+        count(lit(1)).as("n_distinct_bg"))
+    tokStats.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        floorDivL(col("n_distinct") * 10000L, col("n_tokens"))
+          .as("uniq_token_e4"),
+        floorDivL(coalesce(col("max_bg"), lit(0L)) * 10000L,
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .as("top_bigram_e4"),
+        floorDivL(
+          (coalesce(col("n_bigrams"), lit(0L)) - coalesce(col("n_distinct_bg"), lit(0L))) * 10000L,
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .as("dup_bigram_e4"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -203,33 +236,11 @@ object TextQueries {
     // pass (the HOF form is interpreted — see Shingles scaladoc).
     QueryDef(
       "q_text_repetition",
-      (s: SparkSession, dir: String) => {
-        import graft.functions.Shingles.shinglesAll
-        val docs = Tables(s, dir, "documents")
-        val tokStats = docs.select(
-          col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          size(array_distinct(toks)).cast("long").as("n_distinct"))
-        val bg = docs
-          .select(col("doc_id"), explode(shinglesAll(toks, 2)).as("bg"))
-          .groupBy(col("doc_id"), col("bg"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum("c").as("n_bigrams"), max("c").as("max_bg"),
-            count(lit(1)).as("n_distinct_bg"))
-        tokStats.join(bg, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            floorDivL(col("n_distinct") * 10000L, col("n_tokens"))
-              .as("uniq_token_e4"),
-            floorDivL(coalesce(col("max_bg"), lit(0L)) * 10000L,
-              greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
-              .as("top_bigram_e4"),
-            floorDivL(
-              (coalesce(col("n_bigrams"), lit(0L)) - coalesce(col("n_distinct_bg"), lit(0L))) * 10000L,
-              greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
-              .as("dup_bigram_e4"))
-          .orderBy("doc_id")
-      },
+      (s: SparkSession, dir: String) =>
+        repetitionMetrics(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("n_tokens"), col("uniq_token_e4"),
+            col("top_bigram_e4"), col("dup_bigram_e4"))
+          .orderBy("doc_id"),
       Some("""WITH t AS (
              |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
              |tok AS (
@@ -383,6 +394,63 @@ object TextQueries {
              |    FROM documents))
              |SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_docs
              |FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.t < b.t
-             |GROUP BY 1, 2 ORDER BY n_docs DESC, t1, t2 LIMIT 50""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY n_docs DESC, t1, t2 LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_quality_gate ★ — the filter cascade of a training-data
+    // pipeline: each document gets its FIRST failing rule (rule order
+    // fixed: too_short → too_repetitive → low_diversity → kept) and
+    // the gate reports per-verdict document/token counts and id range.
+    // Thresholds sit at measured corpus quantiles (n_tokens < 20 drops
+    // ~6%, dup_bigram_e4 > 600 ~10%, uniq_token_e4 < 3300 ~10%) so
+    // every branch is exercised at every SF. All inputs are the exact
+    // integer metrics of `repetitionMetrics` — the verdict, and hence
+    // the oracle, is engine-exact. Plan: the metric frame + one
+    // 4-group hash agg, nothing driver-side.
+    QueryDef(
+      "q_quality_gate",
+      (s: SparkSession, dir: String) =>
+        repetitionMetrics(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("n_tokens"),
+            when(col("n_tokens") < 20, "too_short")
+              .when(col("dup_bigram_e4") > 600, "too_repetitive")
+              .when(col("uniq_token_e4") < 3300, "low_diversity")
+              .otherwise("kept").as("verdict"))
+          .groupBy("verdict")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("verdict"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |tok AS (
+             |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+             |  FROM t),
+             |bg0 AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+             |    i -> array_to_string(ts[i:i+1], ' '))) AS bg
+             |  FROM t),
+             |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg0 GROUP BY 1, 2),
+             |bga AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |    CAST(COUNT(*) AS BIGINT) AS n_distinct_bg
+             |  FROM bgc GROUP BY 1),
+             |m AS (
+             |  SELECT tok.doc_id, n_tokens,
+             |    (n_distinct * 10000) // n_tokens AS uniq_token_e4,
+             |    ((COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bg, 0)) * 10000) //
+             |      GREATEST(COALESCE(n_bigrams, 0), 1) AS dup_bigram_e4
+             |  FROM tok LEFT JOIN bga ON tok.doc_id = bga.doc_id),
+             |v AS (
+             |  SELECT doc_id, n_tokens,
+             |    CASE WHEN n_tokens < 20 THEN 'too_short'
+             |         WHEN dup_bigram_e4 > 600 THEN 'too_repetitive'
+             |         WHEN uniq_token_e4 < 3300 THEN 'low_diversity'
+             |         ELSE 'kept' END AS verdict
+             |  FROM m)
+             |SELECT verdict, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin))
   )
 }

@@ -57,6 +57,45 @@ class TextSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_quality_gate is consistent with q_text_repetition's metrics") {
+    val metrics = SparkEntry.queries("q_text_repetition")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val want = metrics.map { case (id, n, uniq, _, dup) =>
+      val verdict =
+        if (n < 20) "too_short"
+        else if (dup > 600) "too_repetitive"
+        else if (uniq < 3300) "low_diversity"
+        else "kept"
+      (verdict, id, n)
+    }.groupBy(_._1).map { case (v, rows) =>
+      (v, rows.length.toLong, rows.map(_._3).sum,
+        rows.map(_._2).min, rows.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_quality_gate")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q_pack_sequences matches a driver-side greedy packer") {
+    val docs3 = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .as[(String, Long, Long)].collect()
+    val want = docs3.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, _, toks) =>
+        val packId = cum / 256L
+        cum += toks
+        (src, packId, toks)
+      }.groupBy(_._2).map { case (p, rs) =>
+        (src, p, rs.length.toLong, rs.map(_._3).sum)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_pack_sequences")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q_tfidf matches a driver-side reference") {
     val all = docs
     val nDocs = all.size.toLong
