@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Batch 10 — operators beyond vanilla SQL that a reference user's
-  * analytics stack grows into: as-of (nearest-earlier) joins and
-  * sketch-based approximate aggregation.
+  * analytics stack grows into: deterministic hash/stratified sampling,
+  * as-of and bucketized range/band joins, CUBE and interval RANGE
+  * frames, exact per-group percentiles, sketch-based approximate
+  * aggregation, and the training-pipeline assembly steps (data-mixing
+  * weights, sequence packing).
   */
 object AdvancedQueries {
 
