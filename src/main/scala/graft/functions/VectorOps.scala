@@ -317,4 +317,21 @@ object VectorOps {
     val rnd = new java.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1 else -1))
   }
+
+  /** Hash-derived ±1 hyperplane matrix: entry (p, d) is +1 iff the
+    * first hex digit of md5("p_d") is < 8 — one unbiased bit per
+    * entry, no RNG STATE anywhere. Any engine (and any oracle) can
+    * rebuild the exact planes from the (p, d) indices alone, so LSH
+    * codes are reproducible across runs, engines, and cluster sizes
+    * without persisting a plane matrix — the property that makes
+    * `q_sim_ann` DuckDB-oracle-checkable, and operationally the same
+    * win as hash-based sampling over `rand()`.
+    */
+  def hashPlanes(nPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(nPlanes)(p => Seq.tabulate(dim) { d =>
+      val h = md.digest(s"${p}_$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) < 8) 1 else -1
+    })
+  }
 }

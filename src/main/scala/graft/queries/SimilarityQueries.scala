@@ -35,13 +35,13 @@ import graft.functions.VectorOps._
   *    `lshNearDupPairs`) for the high-cosine regime where it is sound,
   *    with corpus-adaptive plane count (buckets grow with n).
   *
-  * Oracle status: q_embed_dedup, q_sim_topk, and q_sim_ivf are
-  * DuckDB-oracle-checked — their cosines are reproduced with explicit
-  * double arithmetic, and every decision boundary's distance from the
-  * nearest rank/threshold/rounding flip is MEASURED to dominate
-  * cross-engine double-summation noise (see each query's scaladoc for
-  * its margins). Only q_sim_ann stays spec-only: its seeded LSH
-  * hyperplanes are not reproducible in SQL. Exactness/recall are
+  * Oracle status: ALL similarity queries are DuckDB-oracle-checked —
+  * cosines are reproduced with explicit double arithmetic, q_sim_ann's
+  * hyperplanes are hash-derived (md5 of the (plane, dim) index, no RNG
+  * state) so the oracle rebuilds them in SQL, and every decision
+  * boundary's distance from the nearest rank/threshold/rounding flip
+  * is MEASURED to dominate cross-engine double-summation noise (see
+  * each query's scaladoc for its margins). Exactness/recall are
   * additionally asserted against plain-Scala references in
   * SimilaritySpec. Cosines are exported in e6 integer units.
   *
@@ -82,8 +82,12 @@ object SimilarityQueries {
     * whose per-bucket occupancy (and ANN cost) is corpus-linear.
     */
   def annPlanes(n: Long): Int =
+    // ⌈log₂(n)⌉ − 3 via INTEGER bit length, not floating log: a float
+    // log₂ at exact powers of two can land a hair above the integer
+    // (log(2^k)/log(2) = k + ~1e-15) and ceil to k+1 — and the DuckDB
+    // oracle must derive the identical count (length(bin(n-1)) there).
     math.min(20, math.max(4,
-      (math.log(math.max(2L, n).toDouble) / math.log(2.0)).ceil.toInt - 3))
+      (64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1L)) - 3))
 
   /** Block count for the exact all-pairs cosine join: each block holds
     * at most [[RowsPerBlock]] vectors, so one task (one block pair)
@@ -223,18 +227,26 @@ object SimilarityQueries {
     // queries multi-probe all buckets within Hamming ≤ 2 of their own
     // (1 + b + C(b,2) probes), exact cosine re-rank of candidates,
     // top-10. At this corpus (500–2k vecs → 6–8 bits) that scans
-    // 14–34% instead of 100%, and the fraction FALLS as n grows
+    // 17–32% instead of 100%, and the fraction FALLS as n grows
     // (20 bits → 0.02%). On a corpus with genuine near neighbors
     // (cos ≥ 0.7, per-bit agreement ≥ 0.75) the true neighbors
-    // concentrate in the probed buckets and recall approaches 1. On
-    // this near-random testdata (top-10 cos ≈ 0.3): recall 0.60,
-    // returned-quality 0.90 of exact at 6 bits — asserted in
-    // SimilaritySpec. The corpus count is one parquet-metadata read.
+    // concentrate in the probed buckets and recall approaches 1; on
+    // this near-random testdata (top-10 cos ≈ 0.3): recall 0.52,
+    // quality 0.91 — asserted in SimilaritySpec.
+    // ORACLE-CHECKED since r4: the planes are HASH-DERIVED (`hashPlanes`
+    // — ±1 from md5(plane_dim), no RNG state), so the oracle rebuilds
+    // the identical matrix in SQL from the indices alone; code bits are
+    // decided by sign(dot) with measured min |dot| ≥ 4.5e-5 across all
+    // SFs (~10⁸ × cross-engine double noise), and final rank/e6 margins
+    // ≥ 8.4e-11 (~6000 × the ~1.4e-14 worst-case 64-term reorder
+    // noise). Reproducible-without-stored-state LSH is also the
+    // operational win: codes can be recomputed anywhere, the same
+    // property hash-based sampling has over rand().
     QueryDef(
       "q_sim_ann",
       (s: SparkSession, dir: String) => {
         val bits = annPlanes(corpus(s, dir).count())
-        val planes = hyperplanes(bits, Dim, seed = 42L)
+        val planes = hashPlanes(bits, Dim)
         val coded = corpus(s, dir)
           .select(col("vec_id"), col("embedding"),
             lshCode(col("embedding"), planes).as("code"))
@@ -260,7 +272,49 @@ object SimilarityQueries {
             round(col("cos") * 1000000).cast("long").as("cos_e6"))
           .orderBy("q_id", "rank")
       },
-      None),
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |p AS (
+             |  SELECT LEAST(20, GREATEST(4, length(bin(COUNT(*) - 1)) - 3)) AS bits FROM e),
+             |pl AS (
+             |  SELECT pr.range AS p, dr.range AS i,
+             |    CASE WHEN ('0x' || substring(md5(pr.range || '_' || dr.range), 1, 1))::INT < 8
+             |         THEN 1.0 ELSE -1.0 END AS s
+             |  FROM range(0, 20) pr, range(0, 64) dr, p WHERE pr.range < p.bits),
+             |dots AS (
+             |  SELECT e.vec_id, pl.p, SUM(e.v[pl.i + 1] * pl.s) AS dot
+             |  FROM e, pl GROUP BY 1, 2),
+             |codes AS (
+             |  SELECT vec_id,
+             |    CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS code
+             |  FROM dots GROUP BY 1),
+             |flips AS (
+             |  SELECT 0::BIGINT AS f
+             |  UNION ALL
+             |  SELECT (1::BIGINT << b.range) FROM range(0, 20) b, p WHERE b.range < p.bits
+             |  UNION ALL
+             |  SELECT (1::BIGINT << i.range) | (1::BIGINT << j.range)
+             |    FROM range(0, 20) i, range(0, 20) j, p
+             |    WHERE i.range < j.range AND j.range < p.bits),
+             |probes AS (
+             |  SELECT c.vec_id AS q_id, xor(c.code, f.f) AS probe_code
+             |  FROM codes c, flips f WHERE c.vec_id < 5),
+             |cand AS (
+             |  SELECT pr.q_id, c.vec_id
+             |  FROM probes pr JOIN codes c ON c.code = pr.probe_code
+             |  WHERE c.vec_id != pr.q_id),
+             |scored AS (
+             |  SELECT cand.q_id, cand.vec_id, list_sum(list_transform(range(1, len(qe.v)+1), i -> qe.v[i]*e.v[i])) / (sqrt(list_sum(list_transform(qe.v, x -> x*x))) * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+             |  FROM cand JOIN e ON e.vec_id = cand.vec_id
+             |  JOIN e qe ON qe.vec_id = cand.q_id),
+             |ranked AS (
+             |  SELECT q_id, vec_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id,
+             |  CAST(round(cos*1000000) AS BIGINT) AS cos_e6
+             |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_sim_ivf ★ — IVF (inverted-file) bucketed ANN, the second scale

@@ -56,9 +56,10 @@ class SimilaritySpec extends SparkSpec {
 
   test("q_sim_ann: recall >= 0.5 and quality >= 0.85 of exact top-10") {
     // This corpus is near-random (exact top-10 cos ≈ 0.27-0.33), the
-    // hardest case for LSH — measured radius-2 multi-probe: recall 0.60,
-    // quality ratio 0.90 at a 35% scan fraction. On corpora with real
-    // near neighbors (cos >= 0.7) recall approaches 1.
+    // hardest case for LSH — measured radius-2 multi-probe with the
+    // hash-derived planes: recall 0.52, quality ratio 0.91 at a 32%
+    // scan fraction (deterministic — same planes every run). On
+    // corpora with real near neighbors (cos >= 0.7) recall approaches 1.
     val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)
       .select("q_id", "vec_id", "cos_e6").as[(Long, Long, Long)].collect()
     val ann = SparkEntry.queries("q_sim_ann")(spark, sfDir)
