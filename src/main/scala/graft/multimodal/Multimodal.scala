@@ -147,4 +147,38 @@ object Multimodal {
   }
 
   val byteEntropyUdf = udf(byteEntropy _)
+
+  /** Exact integer byte-distribution stats of a payload — the rational
+    * (oracle-checkable) sibling of [[byteEntropy]]: Shannon entropy
+    * needs libm ln (not engine-portable at the last ulp), while the
+    * Simpson/collision concentration Σcᵢ²·1e6 / n² is pure integer
+    * arithmetic. Returns (n_bytes, distinct_bytes, modal_byte,
+    * modal_count, simpson_e6); modal ties break on the LOWER byte
+    * value. simpson_e6 is exact while n ≤ 3e6 (n²·1e6 < 2^63); beyond
+    * that, compute the signal in the codec seam in floating point.
+    */
+  def byteStats(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    if (bytes == null || bytes.isEmpty) return (0L, 0L, -1L, 0L, 0L)
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    var distinct = 0L
+    var modal = -1L
+    var modalCount = 0L
+    var sumSq = 0L
+    var b = 0
+    while (b < 256) {
+      val c = counts(b)
+      if (c > 0) {
+        distinct += 1
+        sumSq += c * c
+        if (c > modalCount) { modalCount = c; modal = b }
+      }
+      b += 1
+    }
+    val n = bytes.length.toLong
+    (n, distinct, modal, modalCount, sumSq * 1000000L / (n * n))
+  }
+
+  val byteStatsUdf = udf(byteStats _)
 }

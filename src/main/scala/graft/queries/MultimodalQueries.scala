@@ -129,6 +129,53 @@ object MultimodalQueries {
             round(Multimodal.byteEntropyUdf(col("payload")) * 1000000).cast("long")
               .as("entropy_e6"))
           .orderBy("doc_id"),
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // q_mm_byte_stats ★ — exact byte-distribution content signals per
+    // payload: size, distinct bytes, modal byte (+count, ties to the
+    // LOWER byte value in both engines), and the Simpson/collision
+    // concentration Σcᵢ²·1e6/n² — the rational, ORACLE-CHECKED sibling
+    // of q_mm_entropy's Shannon signal (which needs libm ln and is
+    // measured non-portable). Same detection use (compressed/random
+    // payloads → low concentration, structured → high), none of the
+    // transcendental arithmetic. One pass per payload in the codec
+    // seam; the oracle recomputes from per-char ascii() — valid under
+    // the corpus's documented ASCII-only invariant (payload bytes ==
+    // code points).
+    QueryDef(
+      "q_mm_byte_stats",
+      (s: SparkSession, dir: String) =>
+        payloads(s, dir)
+          .select(col("doc_id"), Multimodal.byteStatsUdf(col("payload")).as("st"))
+          .select(col("doc_id"),
+            col("st._1").as("n_bytes"), col("st._2").as("distinct_bytes"),
+            col("st._3").as("modal_byte"), col("st._4").as("modal_count"),
+            col("st._5").as("simpson_e6"))
+          .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(text)+1),
+             |    i -> ascii(substring(text, i, 1)))) AS byte
+             |  FROM documents),
+             |c AS (SELECT doc_id, byte, COUNT(*) AS c FROM b GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bytes,
+             |    CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
+             |    CAST(SUM(c*c) AS BIGINT) AS sum_sq, MAX(c) AS mc
+             |  FROM c GROUP BY 1),
+             |modal AS (
+             |  SELECT c.doc_id, CAST(MIN(c.byte) AS BIGINT) AS modal_byte
+             |  FROM c JOIN agg ON c.doc_id = agg.doc_id AND c.c = agg.mc
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(n_bytes, 0) AS n_bytes,
+             |  COALESCE(distinct_bytes, 0) AS distinct_bytes,
+             |  COALESCE(modal_byte, -1) AS modal_byte,
+             |  CAST(COALESCE(mc, 0) AS BIGINT) AS modal_count,
+             |  COALESCE((sum_sq * 1000000) // (n_bytes * n_bytes), 0) AS simpson_e6
+             |FROM documents d
+             |LEFT JOIN agg ON d.doc_id = agg.doc_id
+             |LEFT JOIN modal ON d.doc_id = modal.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

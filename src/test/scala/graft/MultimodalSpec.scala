@@ -108,4 +108,20 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == 500)
     assert(rows.forall { case (_, e) => e > 0 && e < 8000000 })
   }
+
+  test("byteStats: edge cases and a driver-side reference") {
+    assert(Multimodal.byteStats(Array[Byte]()) == ((0L, 0L, -1L, 0L, 0L)))
+    // constant payload: 1 distinct byte, full concentration (1e6)
+    assert(Multimodal.byteStats(Array.fill(64)(7.toByte)) == ((64L, 1L, 7L, 64L, 1000000L)))
+    // modal tie breaks to the LOWER byte value
+    assert(Multimodal.byteStats(Array[Byte](2, 1, 1, 2)) == ((4L, 2L, 1L, 2L, 500000L)))
+    val got = SparkEntry.queries("q_mm_byte_stats")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val want = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> Multimodal.byteStats(t.getBytes("UTF-8")) }
+      .toMap
+    assert(got == want)
+  }
 }
