@@ -192,6 +192,35 @@ object RelationalQueries {
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_pivot — long→wide reshaping: events per day pivoted into one
+    // count column per event type. The value list is EXPLICIT
+    // (`pivot(col, values)`) — the form that scales: without it Spark
+    // runs a separate distinct scan to discover the columns, and an
+    // unbounded value set would make the schema data-dependent. Plan
+    // is a single hash agg over (day) with 5 conditional counts —
+    // identical to the oracle's COUNT(*) FILTER columns; nulls for
+    // absent combinations are filled to 0 on both sides.
+    QueryDef(
+      "q_pivot",
+      (s: SparkSession, dir: String) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+          .groupBy("day")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L, types)
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |  COUNT(*) FILTER (event_type = 'click') AS click,
+             |  COUNT(*) FILTER (event_type = 'error') AS error,
+             |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+             |  COUNT(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_join_star — the TPC-H Q5 shape: a 6-table star join (lineitem ⋈
     // orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with the "local
     // supplier" condition c_nationkey = s_nationkey, a year filter on

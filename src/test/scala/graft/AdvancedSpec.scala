@@ -72,6 +72,20 @@ class AdvancedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_pivot matches a driver-side long-to-wide reshape") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .as[(java.sql.Date, String)].collect()
+    val want = ev.groupBy(_._1.toString).map { case (day, rows) =>
+      day -> types.map(t => rows.count(_._2 == t).toLong)
+    }
+    val got = SparkEntry.queries("q_pivot")(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1.toString -> Seq(r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(got == want)
+  }
+
   test("q_mix_weights: weights partition the corpus and floor-sum to <= 1e6") {
     val rows = SparkEntry.queries("q_mix_weights")(spark, sfDir)
       .as[(String, Long, Long, Long)].collect().toSeq
