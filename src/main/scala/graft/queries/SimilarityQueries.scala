@@ -272,7 +272,7 @@ object SimilarityQueries {
             round(col("cos") * 1000000).cast("long").as("cos_e6"))
           .orderBy("q_id", "rank")
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings),
              |p AS (
@@ -281,7 +281,7 @@ object SimilarityQueries {
              |  SELECT pr.range AS p, dr.range AS i,
              |    CASE WHEN ('0x' || substring(md5(pr.range || '_' || dr.range), 1, 1))::INT < 8
              |         THEN 1.0 ELSE -1.0 END AS s
-             |  FROM range(0, 20) pr, range(0, 64) dr, p WHERE pr.range < p.bits),
+             |  FROM range(0, 20) pr, range(0, $Dim) dr, p WHERE pr.range < p.bits),
              |dots AS (
              |  SELECT e.vec_id, pl.p, SUM(e.v[pl.i + 1] * pl.s) AS dot
              |  FROM e, pl GROUP BY 1, 2),

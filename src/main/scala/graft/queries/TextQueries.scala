@@ -34,6 +34,39 @@ object TextQueries {
   private def floorDivL(a: Column, b: Column): Column =
     graft.functions.ExactMath.floorDiv(a, b)
 
+  /** DuckDB twin of [[repetitionMetrics]] — ONE copy of the metric CTE
+    * chain, shared by both oracles exactly as the Scala side shares the
+    * DataFrame builder (an edit to the metric definition hits both
+    * queries on both engines or neither). Opens a WITH ending in `m`
+    * (doc_id, n_tokens, uniq_token_e4, top_bigram_e4, dup_bigram_e4);
+    * callers append further CTEs with a leading comma or SELECT from m.
+    */
+  private val RepMetricsSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |tok AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+      |  FROM t),
+      |bg0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |    i -> array_to_string(ts[i:i+1], ' '))) AS bg
+      |  FROM t),
+      |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg0 GROUP BY 1, 2),
+      |bga AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |    CAST(MAX(c) AS BIGINT) AS max_bg,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct_bg
+      |  FROM bgc GROUP BY 1),
+      |m AS (
+      |  SELECT tok.doc_id, n_tokens,
+      |    (n_distinct * 10000) // n_tokens AS uniq_token_e4,
+      |    (COALESCE(max_bg, 0) * 10000) //
+      |      GREATEST(COALESCE(n_bigrams, 0), 1) AS top_bigram_e4,
+      |    ((COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bg, 0)) * 10000) //
+      |      GREATEST(COALESCE(n_bigrams, 0), 1) AS dup_bigram_e4
+      |  FROM tok LEFT JOIN bga ON tok.doc_id = bga.doc_id)""".stripMargin
+
   /** Per-doc repetition metric frame shared by q_text_repetition and
     * q_quality_gate: (doc_id, n_tokens, uniq_token_e4, top_bigram_e4,
     * dup_bigram_e4), all exact integer e4. Token stats are a map-only
@@ -241,30 +274,10 @@ object TextQueries {
           .select(col("doc_id"), col("n_tokens"), col("uniq_token_e4"),
             col("top_bigram_e4"), col("dup_bigram_e4"))
           .orderBy("doc_id"),
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-             |tok AS (
-             |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-             |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
-             |  FROM t),
-             |bg0 AS (
-             |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
-             |    i -> array_to_string(ts[i:i+1], ' '))) AS bg
-             |  FROM t),
-             |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg0 GROUP BY 1, 2),
-             |bga AS (
-             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-             |    CAST(MAX(c) AS BIGINT) AS max_bg,
-             |    CAST(COUNT(*) AS BIGINT) AS n_distinct_bg
-             |  FROM bgc GROUP BY 1)
-             |SELECT tok.doc_id, n_tokens,
-             |  (n_distinct * 10000) // n_tokens AS uniq_token_e4,
-             |  (COALESCE(max_bg, 0) * 10000) //
-             |    GREATEST(COALESCE(n_bigrams, 0), 1) AS top_bigram_e4,
-             |  ((COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bg, 0)) * 10000) //
-             |    GREATEST(COALESCE(n_bigrams, 0), 1) AS dup_bigram_e4
-             |FROM tok LEFT JOIN bga ON tok.doc_id = bga.doc_id
-             |ORDER BY tok.doc_id""".stripMargin)),
+      Some(RepMetricsSql + """
+             |SELECT doc_id, n_tokens, uniq_token_e4, top_bigram_e4,
+             |  dup_bigram_e4
+             |FROM m ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_inverted_index ★ — term → (document frequency, first-20 posting
@@ -420,27 +433,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
             min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
           .orderBy("verdict"),
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-             |tok AS (
-             |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-             |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
-             |  FROM t),
-             |bg0 AS (
-             |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
-             |    i -> array_to_string(ts[i:i+1], ' '))) AS bg
-             |  FROM t),
-             |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg0 GROUP BY 1, 2),
-             |bga AS (
-             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-             |    CAST(COUNT(*) AS BIGINT) AS n_distinct_bg
-             |  FROM bgc GROUP BY 1),
-             |m AS (
-             |  SELECT tok.doc_id, n_tokens,
-             |    (n_distinct * 10000) // n_tokens AS uniq_token_e4,
-             |    ((COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bg, 0)) * 10000) //
-             |      GREATEST(COALESCE(n_bigrams, 0), 1) AS dup_bigram_e4
-             |  FROM tok LEFT JOIN bga ON tok.doc_id = bga.doc_id),
+      Some(RepMetricsSql + """,
              |v AS (
              |  SELECT doc_id, n_tokens,
              |    CASE WHEN n_tokens < 20 THEN 'too_short'
