@@ -78,7 +78,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Ambient-load context: PERF_NOTES documents 1.7–2.9× wall-clock
+    // inflation from driver background load at sf0.1, which makes
+    // single-run round-over-round comparisons meaningless on their own.
+    // /proc/loadavg (1/5/15-min averages) rides along so a regression
+    // can be adjudicated against the machine state it ran under.
+    val loadavg =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"loadavg":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

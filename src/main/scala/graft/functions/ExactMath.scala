@@ -15,14 +15,26 @@ import org.apache.spark.sql.catalyst.expressions.IntegralDivide
   * operands every caller uses.
   */
 object ExactMath {
+  import org.apache.spark.sql.functions.{lit, when}
 
-  /** `a div b` — exact integer division (callers use non-negative
-    * operands, where truncating and floor division coincide). */
-  def floorDiv(a: Column, b: Column): Column =
+  /** `a div b` — truncating integer division (rounds toward zero, the
+    * SQL-standard `div`). Exact over the full long range. NOT DuckDB
+    * `//` for mixed-sign operands — use [[floorDiv]] for that. */
+  def divTrunc(a: Column, b: Column): Column =
     GraftBridge.column(IntegralDivide(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** True floor division — matches DuckDB `//` (and Python `//`) for
+    * ALL sign combinations, not just the non-negative operands most
+    * callers use: the truncated quotient is decremented when the
+    * division is inexact and the operands disagree in sign. The extra
+    * branch is codegen'd and constant-folds away for literal signs. */
+  def floorDiv(a: Column, b: Column): Column = {
+    val q = divTrunc(a, b)
+    when((a < 0) =!= (b < 0) && (a % b) =!= lit(0L), q - 1).otherwise(q)
+  }
+
   /** ceil(a/b) for non-negative a, positive b. */
   def ceilDiv(a: Column, b: Column): Column =
-    floorDiv(a + b - org.apache.spark.sql.functions.lit(1L), b)
+    divTrunc(a + b - lit(1L), b)
 }

@@ -233,7 +233,7 @@ object AdvancedQueries {
           .withColumn("cum", sum("toks").over(w))
           .select(col("source"), col("doc_id"), col("toks"),
             graft.functions.ExactMath
-              .floorDiv(col("cum") - col("toks"), lit(256L)).as("pack_id"))
+              .divTrunc(col("cum") - col("toks"), lit(256L)).as("pack_id"))
           .groupBy("source", "pack_id")
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
           .orderBy("source", "pack_id")
@@ -258,7 +258,11 @@ object AdvancedQueries {
     // mixture-trained run consumes). One hash agg on source + a 1-row
     // broadcast total — map-side combine makes the first agg linear,
     // nothing is ever collected. Weight in e6 floor units so the
-    // oracle is engine-exact.
+    // oracle is engine-exact. Headroom: n_tokens * 1e6 stays in signed
+    // 64-bit up to ~9.2e12 tokens PER SOURCE (2^63/1e6); a corpus
+    // beyond that must compute the share via two-step division
+    // (divTrunc(n_tokens, divTrunc(total, 1e6))) or decimal(38,0) —
+    // the e6 grid itself loses nothing either way.
     QueryDef(
       "q_mix_weights",
       (s: SparkSession, dir: String) => {

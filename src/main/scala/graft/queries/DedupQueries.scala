@@ -54,9 +54,9 @@ object DedupQueries {
     * 2^53; see graft.functions.ExactMath).
     */
   private def floorDiv(a: Column, b: Column): Column =
-    graft.functions.ExactMath.floorDiv(a, b)
+    graft.functions.ExactMath.divTrunc(a, b) // all callers non-negative
   private def ceilDiv(a: Column, b: Column): Column =
-    floorDiv(a + b - 1L, b)
+    graft.functions.ExactMath.ceilDiv(a, b)
 
   /** MinHash permutation family g_i(h) = (a_i·h + b_i) mod p over the
     * 32-bit md5 prefix. p = 2^31−1 (prime); a_i < 2^30 so a_i·h < 2^62
@@ -474,16 +474,15 @@ object DedupQueries {
     // ≤ 3 keeps precision ≈ 1 at recall ≈ 0.8 of the j≥0.6 pairs.
     // ORACLE-CHECKED (upgraded from rows-only in r1): FNV-1a-64 is pure
     // integer arithmetic, so DuckDB reproduces the fingerprint exactly
-    // with a UBIGINT list_reduce over the token bytes (xor + multiply
-    // mod 2^64 via HUGEINT) and the same per-bit vote; band keys and
-    // Hamming distances are sign-independent bit patterns. Fidelity +
-    // precision/recall stay asserted in DedupSpec.
-    // ASCII-ONLY ORACLE ASSUMPTION: the oracle hashes per-CHARACTER
-    // ascii() code points with character len(), while Spark's SimHash64
-    // hashes UTF-8 BYTES — identical only while every token is ASCII
-    // (verified across the sf0.01 corpus). If fixtures ever gain
-    // non-ASCII text, switch the oracle to byte-wise hashing (unnest
-    // over encode(t)) before trusting a mismatch.
+    // with a UBIGINT list_reduce over the token's UTF-8 BYTES (xor +
+    // multiply mod 2^64 via HUGEINT) and the same per-bit vote; band
+    // keys and Hamming distances are sign-independent bit patterns.
+    // Fidelity + precision/recall stay asserted in DedupSpec.
+    // BYTE-WISE since r5 (was per-character ascii(), an ASCII-only
+    // assumption — r4 ask #6): bytes come from hex(encode(t)) parsed
+    // two hex digits at a time, so the oracle hashes the identical
+    // UTF-8 byte stream Spark's SimHash64 hashes — verified equal to
+    // FNV-1a over .getBytes on multi-byte fixtures (é, 日本).
     QueryDef(
       "q_simhash_dup",
       (s: SparkSession, dir: String) => {
@@ -509,7 +508,8 @@ object DedupQueries {
              |th AS (
              |  SELECT doc_id, list_reduce(
              |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
-             |      list_transform(range(1, len(t)+1), i -> CAST(ascii(substring(t, i, 1)) AS UBIGINT))),
+             |      list_transform(range(1, octet_length(encode(t))+1),
+             |        i -> CAST(('0x' || substring(hex(encode(t)), 2*i-1, 2))::INT AS UBIGINT))),
              |    (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS h
              |  FROM toks),
              |votes AS (

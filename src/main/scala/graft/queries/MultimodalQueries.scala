@@ -58,7 +58,8 @@ object MultimodalQueries {
         val frames = Multimodal.frameSample(col("payload"), frameSize = 32, every = 4)
         payloads(s, dir)
           .select(col("doc_id"),
-            ceil(octet_length(col("payload")) / 32.0).cast("long").as("n_frames"),
+            graft.functions.ExactMath.ceilDiv(
+              octet_length(col("payload")).cast("long"), lit(32L)).as("n_frames"),
             size(frames).cast("long").as("n_sampled"),
             aggregate(transform(frames, f => octet_length(f).cast("long")),
               lit(0L), (a, x) => a + x).as("bytes_sampled"))

@@ -45,13 +45,18 @@ import graft.functions.VectorOps._
   * additionally asserted against plain-Scala references in
   * SimilaritySpec. Cosines are exported in e6 integer units.
   *
-  * FIXTURE INVARIANT the SQL oracles rely on: no zero-norm embedding
-  * exists (SimilaritySpec asserts it). On a zero vector Spark's
-  * CosineSim yields null (sorted/filtered last) while DuckDB's
-  * dot/(0·…) yields NaN, which sorts FIRST under ORDER BY cos DESC —
-  * a zero vector entering the corpus would take rank 1 in every
-  * query's oracle top-k and hash-mismatch. If real corpora can carry
-  * zero vectors, add a norm > 0 guard to BOTH engines.
+  * Zero-norm guard (r5, was a fixture-luck invariant): on a zero
+  * vector Spark's CosineSim yields null (sorted/filtered last) while
+  * DuckDB's dot/(0·…) yields NaN, which sorts FIRST under ORDER BY
+  * cos DESC — a zero vector entering the corpus would take rank 1 in
+  * every oracle top-k and hash-mismatch. The ranked queries (top-k /
+  * ANN / IVF / LSH-dedup) therefore drop zero-norm vectors EXPLICITLY
+  * in both engines: Spark filters cosine(v,v).isNotNull (codegen'd;
+  * null iff Σx² = 0) and each oracle's corpus CTE carries
+  * `list_sum(list_transform(v, x -> x*x)) > 0`. Both tests are exact
+  * "has a nonzero element" predicates: inputs are float32 widened to
+  * double, so x² ≥ (1.4e-45)² ≈ 2e-90 never underflows a double sum.
+  * SimilaritySpec covers a corpus containing a zero vector.
   */
 object SimilarityQueries {
 
@@ -60,9 +65,17 @@ object SimilarityQueries {
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
+  /** Corpus with zero-norm vectors dropped — the ranked queries' input
+    * (see the zero-norm guard note above). cosine(v,v) is null exactly
+    * when Σx² = 0, i.e. every element is zero; one fused codegen'd
+    * pass, no interpreted HOF on the scan.
+    */
+  private def guarded(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).filter(cosine(col("embedding"), col("embedding")).isNotNull)
+
   /** The fixed benchmark query set: vec_id < 5 (present at every SF). */
   private def queriesDf(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir).filter(col("vec_id") < 5)
+    guarded(s, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
   /** Default number of sign-LSH planes for a corpus of `n` vectors:
@@ -131,6 +144,43 @@ object SimilarityQueries {
       .distinct()
   }
 
+  /** [[lshCandidatePairs]] with HASH-DERIVED planes (md5 of the global
+    * (plane, dim) index — `hashPlanes`, the q_sim_ann trick): table `t`
+    * reads global plane rows [t·ppt, (t+1)·ppt), so an oracle rebuilds
+    * the identical 4-table code layout from indices alone, no RNG
+    * state. This is the declared-query form of the candidate
+    * generator; the seeded variant stays for parameter sweeps in
+    * SimilaritySpec.
+    */
+  def lshCandidatePairsHashed(e: DataFrame, planesPerTable: Int, tables: Int): DataFrame = {
+    val all = hashPlanes(planesPerTable * tables, Dim)
+    val codeCols = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        lshCode(col("embedding"),
+          all.slice(t * planesPerTable, (t + 1) * planesPerTable)).as("code")))
+    val coded = e
+      .select(col("vec_id"), col("embedding"),
+        explode(array(codeCols: _*)).as("tc"))
+      .select(col("vec_id"), col("embedding"),
+        col("tc.tbl").as("tbl"), col("tc.code").as("code"))
+    coded.as("a")
+      .join(coded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .distinct()
+  }
+
+  /** Per-table plane count for the DECLARED LSH near-dup query:
+    * ⌈log₂(n)⌉ clamped to [8, 24], via integer bit length (the float-
+    * log₂ ceil trap — see [[annPlanes]]); DuckDB derives the identical
+    * count as GREATEST(8, LEAST(24, length(bin(n-1)))).
+    */
+  def lshDedupPlanes(n: Long): Int =
+    math.min(24, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1L)))
+
   /** LSH-prefiltered near-dup pairs: exact cosine verify on candidates
     * only. The sub-quadratic path for near-identical duplicates.
     * Recall of OR-amplified sign-LSH is 1 − (1 − p^planes)^tables with
@@ -170,7 +220,7 @@ object SimilarityQueries {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         val q = broadcast(queriesDf(s, dir))
-        val scored = corpus(s, dir).join(q, col("vec_id") =!= col("q_id"))
+        val scored = guarded(s, dir).join(q, col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             cosine(col("q_emb"), col("embedding")).as("cos"))
           .filter(col("cos").isNotNull)
@@ -204,7 +254,9 @@ object SimilarityQueries {
       Some("""WITH e AS (
              |  SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
              |scored AS (
              |  SELECT q.q_id, e.vec_id,
@@ -245,9 +297,9 @@ object SimilarityQueries {
     QueryDef(
       "q_sim_ann",
       (s: SparkSession, dir: String) => {
-        val bits = annPlanes(corpus(s, dir).count())
+        val bits = annPlanes(guarded(s, dir).count())
         val planes = hashPlanes(bits, Dim)
-        val coded = corpus(s, dir)
+        val coded = guarded(s, dir)
           .select(col("vec_id"), col("embedding"),
             lshCode(col("embedding"), planes).as("code"))
         val flips = (0L +: (0 until bits).map(b => 1L << b)) ++
@@ -274,7 +326,9 @@ object SimilarityQueries {
       },
       Some(s"""WITH e AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
              |p AS (
              |  SELECT LEAST(20, GREATEST(4, length(bin(COUNT(*) - 1)) - 3)) AS bits FROM e),
              |pl AS (
@@ -342,10 +396,15 @@ object SimilarityQueries {
     // margin ≥ 3.6e-9 — across all SFs. The SQL recomputes k = ⌈√n⌉
     // and nprobe from COUNT(*), so it holds at every SF. Recall +
     // list-partition invariants remain asserted in SimilaritySpec.
+    // list_id here stays the centroid-array INDEX (unlike
+    // q_embed_cluster's exported label): it is never exported, and the
+    // sorted collect makes index ↔ cid an order-preserving bijection,
+    // so the equi-join candidates and the tie-breaks (smaller index ↔
+    // smaller cid) are identical either way.
     QueryDef(
       "q_sim_ivf",
       (s: SparkSession, dir: String) => {
-        val e = corpus(s, dir).select(col("vec_id"), col("embedding"))
+        val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
         val n = e.count()
         val k = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
         val nprobe = math.max(1, (k + 3) / 4)
@@ -370,7 +429,9 @@ object SimilarityQueries {
       },
       Some("""WITH e AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
              |p AS (
              |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) AS k,
              |    GREATEST(1, (GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) + 3) // 4) AS nprobe
@@ -458,11 +519,19 @@ object SimilarityQueries {
       "q_embed_cluster",
       (s: SparkSession, dir: String) => {
         val e = corpus(s, dir).select(col("vec_id"), col("embedding"))
-        val cents: Seq[Seq[Float]] = e.filter(col("vec_id") < 16)
-          .orderBy("vec_id").collect()
-          .map(_.getSeq[Float](1).toSeq).toSeq
+        val crows = e.filter(col("vec_id") < 16).orderBy("vec_id").collect()
+        val cents: Seq[Seq[Float]] = crows.map(_.getSeq[Float](1).toSeq).toSeq
+        // Label clusters by the centroid's ACTUAL vec_id, not the array
+        // index — they only coincide when vec_ids 0..15 are all present
+        // and contiguous (true of this fixture, asserted in
+        // SimilaritySpec, but a sparse id space would silently mislabel
+        // vs the oracle's cid = vec_id — ADVICE r4). element_at on a
+        // 16-slot literal array stays codegen'd.
+        val centIds = array(crows.map(r => lit(r.getLong(0))): _*)
         e.select(col("vec_id"),
-          nearestCentroids(col("embedding"), cents, 1)(0).as("cluster_id"))
+          element_at(centIds,
+            nearestCentroids(col("embedding"), cents, 1)(0) + 1)
+            .cast("int").as("cluster_id"))
           .groupBy("cluster_id")
           .agg(count(lit(1)).as("n"),
             min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
@@ -573,14 +642,17 @@ object SimilarityQueries {
       "q_kmeans_iter",
       (s: SparkSession, dir: String) => {
         val e = corpus(s, dir).select(col("vec_id"), col("embedding"))
-        val cents: Seq[Seq[Float]] = e.filter(col("vec_id") < 16)
-          .orderBy("vec_id").collect()
-          .map(_.getSeq[Float](1).toSeq).toSeq
+        val crows = e.filter(col("vec_id") < 16).orderBy("vec_id").collect()
+        val cents: Seq[Seq[Float]] = crows.map(_.getSeq[Float](1).toSeq).toSeq
+        // Actual centroid vec_id as the label (see q_embed_cluster).
+        val centIds = array(crows.map(r => lit(r.getLong(0))): _*)
         def q(i: Int) =
           floor(element_at(col("embedding"), i).cast("double") * 1000000d + 0.5d)
             .cast("long")
         e.select(col("vec_id"), col("embedding"),
-          nearestCentroids(col("embedding"), cents, 1)(0).as("cluster_id"))
+          element_at(centIds,
+            nearestCentroids(col("embedding"), cents, 1)(0) + 1)
+            .cast("int").as("cluster_id"))
           .groupBy("cluster_id")
           .agg(count(lit(1)).as("n"),
             sum(q(1)).as("qsum_1"), sum(q(2)).as("qsum_2"),
@@ -608,6 +680,85 @@ object SimilarityQueries {
              |  CAST(SUM(CAST(floor(v[2]*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum_2,
              |  CAST(SUM(CAST(floor(v[3]*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum_3,
              |  CAST(SUM(CAST(floor(v[4]*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum_4
-             |FROM best WHERE rk = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin))
+             |FROM best WHERE rk = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_embed_dedup_lsh ★ — the SUB-QUADRATIC embedding near-dup path,
+    // promoted to a declared oracle-checked query (r4 ask #3): top-20
+    // candidate pairs by exact cosine from 4-table OR-amplified
+    // sign-LSH with HASH-DERIVED planes. This is the pass that actually
+    // runs at 100 TB (q_embed_dedup's exact blocked all-pairs is the
+    // noise-floor fallback with an explicit FLOPs budget):
+    //  - planes per table = ⌈log₂(n)⌉ clamped [8,24] (integer bit
+    //    length; oracle recomputes it from COUNT(*)), so bucket count
+    //    tracks corpus size and the candidate-pair stream stays
+    //    corpus-LINEAR (Σ tables·n²/2^bits ≈ 4n); measured fraction of
+    //    all pairs FALLS with n: 0.91% at 500 vecs → 0.27% at 2k;
+    //  - candidates come from an equi-join on (table, code) — never a
+    //    cross join; exact cosine verifies candidates only;
+    //  - global top-20 is TakeOrderedAndProject (distributed heap
+    //    per partition + 20-row merge on the driver — no global sort
+    //    shuffle); rank is then a window over 20 rows.
+    // ORACLE-CHECKED by construction: the planes are md5-derived from
+    // the global (plane, dim) index (table t = plane rows [t·b,(t+1)·b)
+    // — `lshCandidatePairsHashed`), so DuckDB rebuilds the identical
+    // code layout from indices alone. Measured margins (all SFs): sign
+    // decisions min |dot| ≥ 1.29e-5, top-30 adjacent-cosine gaps ≥
+    // 7.5e-6, e6 rounding margins ≥ 8.4e-3 e6-units — each ≥ 10⁴ × the
+    // ~1e-13 cross-engine double-fold noise; no exact ties.
+    QueryDef(
+      "q_embed_dedup_lsh",
+      (s: SparkSession, dir: String) => {
+        val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
+        val bits = lshDedupPlanes(e.count())
+        val cand = lshCandidatePairsHashed(e, bits, tables = 4)
+          .filter(col("cos").isNotNull)
+        val top = cand
+          .orderBy(col("cos").desc, col("v1"), col("v2")).limit(20)
+        val w = Window.orderBy(col("cos").desc, col("v1"), col("v2"))
+        top.withColumn("rank", row_number().over(w))
+          .select(col("rank"), col("v1"), col("v2"),
+            round(col("cos") * 1000000).cast("long").as("cos_e6"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |p AS (
+             |  SELECT GREATEST(8, LEAST(24, length(bin(COUNT(*) - 1)))) AS bits FROM e),
+             |pl AS (
+             |  SELECT pr.range AS gp, dr.range AS i,
+             |    CASE WHEN ('0x' || substring(md5(pr.range || '_' || dr.range), 1, 1))::INT < 8
+             |         THEN 1.0 ELSE -1.0 END AS s
+             |  FROM range(0, 96) pr, range(0, $Dim) dr, p WHERE pr.range < 4 * p.bits),
+             |dots AS (
+             |  SELECT e.vec_id, pl.gp // p.bits AS tbl, pl.gp % p.bits AS bit,
+             |    SUM(e.v[pl.i + 1] * pl.s) AS dot
+             |  FROM e, pl, p GROUP BY 1, 2, 3),
+             |codes AS (
+             |  SELECT vec_id, tbl,
+             |    CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS code
+             |  FROM dots GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+             |  FROM codes a JOIN codes b
+             |    ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id),
+             |scored AS (
+             |  SELECT cand.v1, cand.v2,
+             |    list_sum(list_transform(range(1, len(ea.v)+1), i -> ea.v[i]*eb.v[i])) /
+             |      (sqrt(list_sum(list_transform(ea.v, x -> x*x))) *
+             |       sqrt(list_sum(list_transform(eb.v, x -> x*x)))) AS cos
+             |  FROM cand
+             |  JOIN e ea ON ea.vec_id = cand.v1
+             |  JOIN e eb ON eb.vec_id = cand.v2),
+             |ranked AS (
+             |  SELECT v1, v2, cos,
+             |    row_number() OVER (ORDER BY cos DESC, v1, v2) AS rank
+             |  FROM scored)
+             |SELECT CAST(rank AS INTEGER) AS rank, v1, v2,
+             |  CAST(round(cos*1000000) AS BIGINT) AS cos_e6
+             |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin))
   )
 }

@@ -25,14 +25,16 @@ object TextQueries {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Half-up integer ratio in e4 units: round(1e4 * num/den). */
+  /** Half-up integer ratio in e4 units: round(1e4 * num/den) — exact
+    * long division (ExactMath), never double (per-doc numerators can't
+    * reach 2^53 today, but the exact form costs nothing). */
   private def ratioE4(num: Column, den: Column): Column =
-    ((num * lit(20000L) + den) / (den * lit(2L))).cast("long")
+    graft.functions.ExactMath.divTrunc(num * lit(20000L) + den, den * lit(2L))
 
-  /** Exact integer floor division on non-negative longs (DuckDB `//`),
-    * via Catalyst IntegralDivide — exact over the full long range. */
+  /** Exact integer division on non-negative longs (≡ DuckDB `//` in
+    * that range), via Catalyst IntegralDivide — exact full long range. */
   private def floorDivL(a: Column, b: Column): Column =
-    graft.functions.ExactMath.floorDiv(a, b)
+    graft.functions.ExactMath.divTrunc(a, b)
 
   /** DuckDB twin of [[repetitionMetrics]] — ONE copy of the metric CTE
     * chain, shared by both oracles exactly as the Scala side shares the
@@ -137,8 +139,9 @@ object TextQueries {
           .select(
             col("doc_id"), col("lang"), col("n_tokens"), col("n_chars"),
             // mean token length in e2 (half-up): (200*chars + n) div (2n)
-            ((col("n_nonspace") * 200L + col("n_tokens")) / (col("n_tokens") * 2L))
-              .cast("long").as("avg_tok_len_e2"),
+            graft.functions.ExactMath.divTrunc(
+              col("n_nonspace") * 200L + col("n_tokens"),
+              col("n_tokens") * 2L).as("avg_tok_len_e2"),
             ratioE4(col("n_stop"), col("n_tokens")).as("stop_ratio_e4"))
           .withColumn("quality",
             when(col("n_tokens") >= 20 && col("n_tokens") <= 80 &&
@@ -306,7 +309,13 @@ object TextQueries {
         val postings = pairs
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
           .groupBy("term")
-          .agg(slice(sort_array(collect_list("doc_id")), 1, 20).as("postings"))
+          // Scalarized: the driver's hash-compare cannot canonicalize
+          // array columns (r4 RED row), so export the capped posting
+          // list as a comma-joined string. Sort NUMERICALLY first, then
+          // stringify — lexicographic sort of "10" < "9" would diverge.
+          .agg(array_join(
+            transform(slice(sort_array(collect_list("doc_id")), 1, 20),
+              _.cast("string")), ",").as("postings"))
         df_.join(postings, "term").orderBy("term")
       },
       Some("""WITH p AS (
@@ -314,7 +323,7 @@ object TextQueries {
              |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
              |    FROM documents))
              |SELECT term, COUNT(*) AS df,
-             |  (list_sort(list(doc_id)))[1:20] AS postings
+             |  array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
              |FROM p GROUP BY term ORDER BY term""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -325,6 +334,10 @@ object TextQueries {
     // constant within a document):
     //   score_e4 = floor(tf * 1e4 * N / (df * n_tokens_doc)).
     // Ties broken by term ASC — fully deterministic in both engines.
+    // Headroom: tf*1e4*N stays in signed 64-bit while tf·N < 9.2e14 —
+    // ample for any single shard; a 1e11-doc global corpus must rank
+    // with score_e4 = divTrunc(tf*1e4, df) (rank-equivalent per doc
+    // since N and doc_len are constant within a document).
     // Plan: tf = one (doc, term) hash agg; df = one (term) hash agg on
     // the distinct pair stream; N rides in as a 1-row broadcast (no
     // driver action); top-3 is a per-doc window over ≤ vocab rows.

@@ -22,6 +22,28 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("SimHash64 hashes UTF-8 BYTES: non-ASCII tokens match the cross-engine constants (r5)") {
+    // A single-token doc's simhash IS the token's FNV-1a-64 (each bit's
+    // vote is ±1 from that one hash). These constants were verified
+    // identical in DuckDB's byte-wise oracle (hex(encode(t)) parse) and
+    // plain-Python FNV over .encode() — the three-way agreement pins
+    // the UTF-8-byte semantics the r4 oracle only assumed for ASCII.
+    val want = Map(
+      "ab" -> 620445648566982762L,
+      "é" -> 775207407765167617L,
+      "日本" -> 1305338235904577169L)
+    want.foreach { case (tok, h) =>
+      assert(SimHash64.hashTokens(Seq(tok)) == h, s"token $tok")
+    }
+    // expression path == reference path on a mixed-script corpus
+    val docs = Seq("héllo wörld 日本語 モデル", "naïve café résumé straße",
+      "пример текста на русском")
+    val got = docs.map(Tuple1(_)).toDF("text")
+      .select(SimHash64.simHash64(split(col("text"), " ")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == docs.map(d => SimHash64.hashTokens(d.split(" ").toSeq)))
+  }
+
   test("identical token arrays → identical simhash; disjoint vocab → distant") {
     val a = SimHash64.hashTokens(Seq("alpha", "beta", "gamma", "delta"))
     val b = SimHash64.hashTokens(Seq("alpha", "beta", "gamma", "delta"))

@@ -213,6 +213,59 @@ class SimilaritySpec extends SparkSpec {
     assert(zeroNorm.isEmpty, s"zero-norm vec_ids: ${zeroNorm.map(_._1).toSeq}")
   }
 
+  test("zero-norm guard: a zero vector in the corpus changes no ranked result (r5)") {
+    // The ranked queries drop zero-norm vectors explicitly in both
+    // engines, so correctness no longer rides on the fixture invariant
+    // above: planting a zero vector must leave every declared result
+    // bit-identical (the guard also keeps n — and with it the adaptive
+    // bits/k derivations — unchanged).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zeroguard").toString
+    Tables(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((999999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    for (q <- Seq("q_sim_topk", "q_sim_ann", "q_sim_ivf", "q_embed_dedup_lsh")) {
+      val base = SparkEntry.queries(q)(spark, sfDir).collect().toSeq
+      val planted = SparkEntry.queries(q)(spark, tmp).collect().toSeq
+      assert(planted == base, s"$q changed under a planted zero vector")
+    }
+  }
+
+  test("centroid labels are actual vec_ids, not array indices (sparse id space, r5)") {
+    // ADVICE r4: with a sparse/non-contiguous id space the array index
+    // and the centroid's vec_id diverge — the exported cluster_id must
+    // be the vec_id (what the oracle's cid is). Fixture: even ids only,
+    // so centroids are vec_ids {0,2,...,14} while indices are 0..7.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sparse").toString
+    Tables(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val centIds = (0 until 16 by 2).toSet
+    val clus = SparkEntry.queries("q_embed_cluster")(spark, tmp)
+      .select("cluster_id", "n").as[(Int, Long)].collect().toMap
+    assert(clus.keySet.subsetOf(centIds),
+      s"cluster labels ${clus.keySet} must be actual centroid vec_ids $centIds")
+    // q_kmeans_iter uses the same mapping — labels and occupancy agree
+    val km = SparkEntry.queries("q_kmeans_iter")(spark, tmp)
+      .select("cluster_id", "n").as[(Int, Long)].collect().toMap
+    assert(km == clus)
+    // plain-Scala reference: argmax cosine over the even-id centroids,
+    // tie → smaller vec_id (sorted collect = ascending id order)
+    import graft.functions.VectorOps
+    val all = Tables(spark, tmp, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+    val cents = all.filter(_._1 < 16)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val want = all.groupBy { case (_, v) =>
+      cents.maxBy { case (cid, cv) => (cos(v, cv), -cid) }._1
+    }.map { case (cid, rows) => cid.toInt -> rows.size.toLong }
+    assert(clus == want)
+  }
+
   test("q_kmeans_iter: occupancy matches q_embed_cluster; qsums conserve mass") {
     val got = SparkEntry.queries("q_kmeans_iter")(spark, sfDir)
       .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq

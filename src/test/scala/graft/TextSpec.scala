@@ -37,10 +37,12 @@ class TextSpec extends SparkSpec {
       text.split(" ", -1).map(t => (t, id))
     }.distinct
     val want = pairs.groupBy(_._1).map { case (term, ps) =>
-      (term, ps.size.toLong, ps.map(_._2).sorted.take(20))
+      // postings export comma-joined (scalarized for the driver's
+      // hash-compare, which cannot canonicalize array columns — r5)
+      (term, ps.size.toLong, ps.map(_._2).sorted.take(20).mkString(","))
     }.toSeq.sortBy(_._1)
     val got = SparkEntry.queries("q_inverted_index")(spark, sfDir)
-      .as[(String, Long, Seq[Long])].collect().toSeq
+      .as[(String, Long, String)].collect().toSeq
     assert(got == want)
   }
 
