@@ -1,31 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: the first Spark job in a fresh JVM pays ~4.6 s of
-    // scheduler/parquet/codegen-framework bootstrap regardless of what it
-    // computes (measured: first count() of a 5k-row parquet 4.62 s, the
-    // same count again 0.35 s — dev/PERF_NOTES.md). Paying it here keeps
-    // that one-time charge out of whichever query happens to run first,
-    // so per-query numbers are comparable across rounds even when map
-    // iteration order changes.
-    // It also exercises the shared expression primitives (split/explode,
-    // md5+conv, groupBy collect_list/sort_array, posexplode/slice, a
-    // self-join) on a 2000-document slice — enough row-loop iterations
-    // to push the hot methods past C2 compile thresholds before any
-    // query is timed: otherwise whichever dedup query runs first in
-    // map-iteration order absorbs several seconds of one-time JIT and
-    // the per-query numbers flip between rounds (dev/PERF_NOTES.md
-    // round-3 isolation: r1 charged it to q_minhash_dup, r2 to
-    // q_dedup_ngram).
+
+  /** The untimed warm-up, callable from Time (`-w`) so first-execution
+    * charges can be measured under Bench's exact conditions.
+    */
+  def warmUp(spark: SparkSession, sfDir: String): Unit = {
     try {
       import org.apache.spark.sql.functions._
       // The REAL PPJoin pair plan on a 2000-doc slice (not a hand-rolled
@@ -54,6 +34,34 @@ object Bench {
         .groupBy("event_type").agg(count(col("k")).as("nk"), count(col("y")).as("ny"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: the first Spark job in a fresh JVM pays ~4.6 s of
+    // scheduler/parquet/codegen-framework bootstrap regardless of what it
+    // computes (measured: first count() of a 5k-row parquet 4.62 s, the
+    // same count again 0.35 s — dev/PERF_NOTES.md). Paying it here keeps
+    // that one-time charge out of whichever query happens to run first,
+    // so per-query numbers are comparable across rounds even when map
+    // iteration order changes.
+    // It also exercises the shared expression primitives (split/explode,
+    // md5+conv, groupBy collect_list/sort_array, posexplode/slice, a
+    // self-join) on a 2000-document slice — enough row-loop iterations
+    // to push the hot methods past C2 compile thresholds before any
+    // query is timed: otherwise whichever dedup query runs first in
+    // map-iteration order absorbs several seconds of one-time JIT and
+    // the per-query numbers flip between rounds (dev/PERF_NOTES.md
+    // round-3 isolation: r1 charged it to q_minhash_dup, r2 to
+    // q_dedup_ngram).
+    warmUp(spark, sfDir)
     // Deterministic (sorted) execution order: Map iteration order changes
     // as queries are added, which re-assigns residual first-execution JIT
     // to a different query each round and makes per-query numbers
