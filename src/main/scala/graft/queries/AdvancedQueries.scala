@@ -339,15 +339,24 @@ object AdvancedQueries {
     // q_approx_distinct — HyperLogLog++ distinct-user counts per event
     // type (constant memory per group vs exact distinct's shuffle of
     // every key — the 100 TB cardinality primitive). Sketches are not
-    // engine-portable → no DuckDB oracle; AdvancedSpec bounds the error
-    // against the exact count.
+    // engine-portable → no DuckDB oracle; instead the declared output
+    // CARRIES ITS OWN CHECK (r4 ask #8): exact_users rides alongside
+    // the sketch and within_5pct asserts the |approx − exact| ≤ 5%
+    // bound in integer arithmetic, so the driver sees the self-check
+    // row-by-row without an oracle. The exact column is the self-check
+    // apparatus — at 100 TB it is dropped and only the sketch runs;
+    // AdvancedSpec additionally asserts every within_5pct is true.
     QueryDef(
       "q_approx_distinct",
       (s: SparkSession, dir: String) =>
         Tables(s, dir, "events")
           .groupBy("event_type")
           .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"),
             count(lit(1)).as("n"))
+          .withColumn("within_5pct",
+            abs(col("approx_users") - col("exact_users")) * 100L
+              <= col("exact_users") * 5L)
           .orderBy("event_type"),
       None)
   )

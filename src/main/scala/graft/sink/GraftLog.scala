@@ -43,12 +43,19 @@ object GraftLog {
         // A truncated/garbled record (torn write by a foreign or crashed
         // writer — our own commits are atomic renames and can't tear)
         // must not poison every subsequent read of the table. Quarantine
-        // it: rename to `<name>.corrupt` (kept for forensics, no longer
-        // parsed) and carry on with the readable chain.
+        // it: rename to a UNIQUE `<name>.<nonce>.corrupt` (kept for
+        // forensics, no longer parsed) and carry on with the readable
+        // chain. The nonce matters: a fixed `.corrupt` name collides
+        // when a SECOND torn write lands on the same id (found by the
+        // r5 randomized-sequence spec) — the rename then fails forever,
+        // the id stays occupied-but-invisible to nextSnapshotId, and
+        // commit() exhausts its 1000 retries on a permanent collision.
         try Some(parse(Files.readString(p)))
         catch {
           case _: Exception =>
-            try Files.move(p, p.resolveSibling(p.getFileName.toString + ".corrupt"))
+            val nonce = java.util.UUID.randomUUID().toString.take(8)
+            try Files.move(p,
+              p.resolveSibling(s"${p.getFileName.toString}.$nonce.corrupt"))
             catch { case _: Exception => () } // read-only fs: just skip
             None
         }

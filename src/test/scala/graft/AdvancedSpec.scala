@@ -137,16 +137,21 @@ class AdvancedSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("q_approx_distinct within 5% of exact per group") {
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
-      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+  test("q_approx_distinct within 5% of exact per group; self-check column agrees") {
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .select("event_type", "approx_users", "exact_users", "within_5pct")
+      .as[(String, Long, Long, Boolean)].collect()
     val exact = Tables(spark, sfDir, "events")
       .groupBy("event_type").agg(countDistinct("user_id").as("u"))
       .as[(String, Long)].collect().toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, e) =>
-      assert(math.abs(approx(k) - e) <= math.max(1L, (0.05 * e).toLong),
-        s"$k: approx=${approx(k)} exact=$e")
+    assert(rows.map(_._1).toSet == exact.keySet)
+    rows.foreach { case (k, a, e, ok) =>
+      assert(e == exact(k), s"$k: exported exact_users $e != $exact")
+      assert(math.abs(a - e) <= math.max(1L, (0.05 * e).toLong),
+        s"$k: approx=$a exact=$e")
+      // the declared self-check column must hold AND match its formula
+      assert(ok == (math.abs(a - e) * 100L <= e * 5L), s"$k within_5pct")
+      assert(ok, s"$k: within_5pct false (approx=$a exact=$e)")
     }
   }
 }

@@ -86,6 +86,82 @@ class LakeOpsSpec extends SparkSpec {
     assert(leftovers.isEmpty)
   }
 
+  test("barrier-start committers all pick the same id and still serialize losslessly (r5)") {
+    // Sharper collision forcing than the loop test above: every writer
+    // reads the (empty) log BEFORE any link is published, so all 16
+    // choose snapshot id 1 and 15 of them MUST take the
+    // FileAlreadyExists retry path.
+    val tdir = Files.createTempDirectory("graft_barrier_").toString
+    val writers = 16
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.CountDownLatch(writers)
+    (0 until writers).foreach { w =>
+      pool.execute { () =>
+        try {
+          barrier.await()
+          GraftLog.commit(tdir, "append", 1L, Seq(s"w$w.parquet"), Seq.empty)
+        } catch { case t: Throwable => errs.add(t) }
+        finally done.countDown()
+      }
+    }
+    done.await()
+    pool.shutdown()
+    assert(errs.isEmpty, s"commit threw: ${errs.asScala.toList}")
+    val recs = GraftLog.records(tdir)
+    assert(recs.map(_.snapshotId).sorted == (1L to writers).toSeq)
+    assert(recs.flatMap(_.files).toSet == (0 until writers).map(w => s"w$w.parquet").toSet)
+  }
+
+  test("randomized append/rewrite/torn-write sequences fold to the model (seeded, r5)") {
+    // Property test of the whole log protocol: a seeded random mix of
+    // appends, compacting rewrites, and foreign torn writes (including
+    // REPEATED torn writes on the SAME id — the case that found the
+    // fixed-name quarantine collision: with a constant `.corrupt`
+    // suffix the second quarantine rename fails forever, the id stays
+    // occupied-but-invisible, and commit() dies after 1000 retries).
+    // Invariants per sequence: ids stay contiguous 1..n, liveFiles
+    // equals a plain fold model, sources ledger is exact.
+    val rnd = new scala.util.Random(20260812L)
+    (0 until 10).foreach { iter =>
+      val tdir = Files.createTempDirectory(s"graft_prop_$iter").toString
+      var live = Vector.empty[String]
+      var sources = Set.empty[String]
+      var committed = 0
+      var nf = 0
+      (0 until 30).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 | 1 | 2 =>
+            val fs = (0 to rnd.nextInt(2)).map { _ => nf += 1; s"f$nf.parquet" }
+            val srcs = if (rnd.nextBoolean()) Seq(s"s$nf") else Seq.empty
+            GraftLog.commit(tdir, "append", fs.size.toLong, fs, srcs)
+            live = live ++ fs.sorted
+            sources ++= srcs
+            committed += 1
+          case 3 =>
+            nf += 1
+            val packed = s"packed$nf.parquet"
+            GraftLog.commit(tdir, "rewrite", live.size.toLong, Seq(packed), Seq.empty)
+            live = Vector(packed)
+            committed += 1
+          case 4 =>
+            // foreign torn write at the CURRENT next id (often the same
+            // id twice in a row when this branch repeats)
+            Files.createDirectories(GraftLog.logDir(tdir))
+            val id = GraftLog.nextSnapshotId(tdir)
+            Files.writeString(GraftLog.logDir(tdir).resolve(f"$id%020d.json"),
+              s"""{"snapshotId":$id,"op":"append","rows":3,"files":["torn""")
+        }
+      }
+      val recs = GraftLog.records(tdir)
+      assert(recs.map(_.snapshotId).sorted == (1L to committed).toSeq,
+        s"iter $iter: ids ${recs.map(_.snapshotId).sorted}")
+      assert(GraftLog.liveFiles(tdir).sorted == live.sorted, s"iter $iter live")
+      assert(GraftLog.committedSources(tdir) == sources, s"iter $iter sources")
+    }
+  }
+
   test("a truncated log record is quarantined, not poisoning reads or commits") {
     val tdir = Files.createTempDirectory("graft_tr_").toString
     GraftLog.commit(tdir, "append", 2L, Seq("a.parquet"), Seq("s1"))
