@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ExactMath
+
+/** Batch 10 ★ (r5) — data-profiling operators over `events`: the
+  * ANALYZE/data-quality leg every ingestion pipeline runs before
+  * training jobs trust a new drop. Both queries are exact-integer and
+  * oracle-checked; money-like doubles travel as cents (the `value`
+  * column is 2-decimal with measured |round(v·100) − v·100| ≤ 3.6e-12,
+  * the same engine-exact cast q_percentile proved out).
+  */
+object ProfileQueries {
+
+  private def cents: Column = round(col("value") * 100).cast("long")
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q_profile_stats ★ — one profiling row per column: total rows,
+    // null count, exact distinct count, min/max (rendered as strings so
+    // the 5 per-column rows share one schema; numeric min/max are cast
+    // AFTER aggregation, so the ordering stays numeric). One pass over
+    // the table; the multi-column exact distincts make Spark plan an
+    // EXPAND (data duplicated once per distinct agg) — the honest cost
+    // of exact profiling. At 100 TB swap countDistinct for
+    // approx_count_distinct: the expand disappears and the query shape
+    // is otherwise identical (the HLL play of q_approx_distinct).
+    QueryDef(
+      "q_profile_stats",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            cents.as("cents"), col("props"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("event_id")).as("nn_event_id"),
+            countDistinct(col("event_id")).as("nd_event_id"),
+            min("event_id").cast("string").as("mn_event_id"),
+            max("event_id").cast("string").as("mx_event_id"),
+            count(col("user_id")).as("nn_user_id"),
+            countDistinct(col("user_id")).as("nd_user_id"),
+            min("user_id").cast("string").as("mn_user_id"),
+            max("user_id").cast("string").as("mx_user_id"),
+            count(col("event_type")).as("nn_event_type"),
+            countDistinct(col("event_type")).as("nd_event_type"),
+            min("event_type").as("mn_event_type"),
+            max("event_type").as("mx_event_type"),
+            count(col("cents")).as("nn_cents"),
+            countDistinct(col("cents")).as("nd_cents"),
+            min("cents").cast("string").as("mn_cents"),
+            max("cents").cast("string").as("mx_cents"),
+            count(col("props")).as("nn_props"),
+            countDistinct(col("props")).as("nd_props"),
+            min("props").as("mn_props"),
+            max("props").as("mx_props"))
+          .selectExpr(
+            """stack(5,
+              |  'cents',      n, n - nn_cents,      nd_cents,      mn_cents,      mx_cents,
+              |  'event_id',   n, n - nn_event_id,   nd_event_id,   mn_event_id,   mx_event_id,
+              |  'event_type', n, n - nn_event_type, nd_event_type, mn_event_type, mx_event_type,
+              |  'props',      n, n - nn_props,      nd_props,      mn_props,      mx_props,
+              |  'user_id',    n, n - nn_user_id,    nd_user_id,    mn_user_id,    mx_user_id
+              |) as (col_name, n, n_null, n_distinct, min_s, max_s)""".stripMargin)
+          .orderBy("col_name"),
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS cents, props
+             |  FROM events)
+             |SELECT * FROM (
+             |  SELECT 'cents' AS col_name, COUNT(*) AS n,
+             |    COUNT(*) - COUNT(cents) AS n_null,
+             |    COUNT(DISTINCT cents) AS n_distinct,
+             |    CAST(MIN(cents) AS VARCHAR) AS min_s,
+             |    CAST(MAX(cents) AS VARCHAR) AS max_s FROM e
+             |  UNION ALL
+             |  SELECT 'event_id', COUNT(*), COUNT(*) - COUNT(event_id),
+             |    COUNT(DISTINCT event_id),
+             |    CAST(MIN(event_id) AS VARCHAR), CAST(MAX(event_id) AS VARCHAR) FROM e
+             |  UNION ALL
+             |  SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+             |    COUNT(DISTINCT event_type),
+             |    MIN(event_type), MAX(event_type) FROM e
+             |  UNION ALL
+             |  SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+             |    COUNT(DISTINCT props),
+             |    MIN(props), MAX(props) FROM e
+             |  UNION ALL
+             |  SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+             |    COUNT(DISTINCT user_id),
+             |    CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM e
+             |) ORDER BY col_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_histogram ★ — fixed-width value histogram per event type
+    // (500-cent bins): the distribution-profiling op behind drift
+    // detection and outlier triage. Exact integer bin = cents div 500;
+    // ONE hash aggregation (map-side combine), output is bins ×
+    // event types — constant-size whatever the corpus, the shape that
+    // makes it a dashboard query at 100 TB.
+    QueryDef(
+      "q_histogram",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            ExactMath.divTrunc(cents, lit(500L)).as("bin"))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("bin"),
+            (col("bin") * 500L).as("lo_cents"), col("n"))
+          .orderBy("event_type", "bin"),
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    CAST(round(value * 100) AS BIGINT) // 500 AS bin
+             |  FROM events)
+             |SELECT event_type, bin, bin * 500 AS lo_cents, COUNT(*) AS n
+             |FROM b GROUP BY event_type, bin
+             |ORDER BY event_type, bin""".stripMargin))
+  )
+}

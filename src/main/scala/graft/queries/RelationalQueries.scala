@@ -267,6 +267,48 @@ object RelationalQueries {
              |JOIN nation ON s_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE YEAR(o_orderdate) = 1996 AND r_name = 'ASIA'
-             |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin))
+             |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_join_salted ★ (new r5) — the EXPLICIT skew-salting join
+    // pattern, declared as a query so the technique itself is
+    // oracle-checked: events (the fact side, where one hot key can dwarf
+    // every other task at 100 TB) join customer on user_id with the key
+    // space widened by a deterministic salt — fact rows get
+    // salt = event_id mod S, the dim side is replicated S× via a
+    // generated salt column, and the join runs on (key, salt), slicing
+    // any hot key into S independently-placed shuffle partitions. The
+    // result is EXACTLY the unsalted join (each fact row matches
+    // exactly one replica), which is what the DuckDB oracle runs — the
+    // pattern's whole point is changing the partitioning without
+    // changing the answer. AQE's skew-join split covers the common
+    // case at runtime; explicit salting is the plan-level tool for the
+    // known-hot-key regime (AQE only splits ABOVE a size threshold and
+    // cannot split a single in-flight hash-build). Salt is derived from
+    // event_id, not rand(): deterministic → retry-safe and
+    // engine-reproducible, the same property hash-sampling has.
+    // S = 8 multiplies the dim side's shuffle volume 8× — the dim is
+    // the small side by construction, so that cost is bounded.
+    QueryDef(
+      "q_join_salted",
+      (s: SparkSession, dir: String) => {
+        val S = 8
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"),
+            cents(col("value")).as("cents"),
+            pmod(col("event_id"), lit(S.toLong)).as("salt"))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            explode(array((0 until S).map(i => lit(i.toLong)): _*)).as("salt"))
+        ev.join(cust,
+            ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -457,6 +457,77 @@ object TextQueries {
              |SELECT verdict, COUNT(*) AS n_docs,
              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
              |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-             |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin))
+             |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_ngram_lm ★ (new r5) — corpus-bigram predictability score per
+    // document: the KenLM-style language-model quality signal of a
+    // pretraining pipeline, made ENGINE-EXACT by replacing log-prob
+    // sums with the mean conditional-probability in e4 units:
+    //   p_e4(occurrence) = floor(1e4 · c(bigram) / c(prefix)),
+    //   lm_score_e4(doc) = floor(Σ p_e4 / n_bigrams)
+    // (c(prefix) = Σ over bigrams starting with the token, so the
+    // model normalizes exactly and every ratio ≤ 1e4; boilerplate-ish
+    // repeated text scores high, token-salad scores low — same
+    // ordering a real LM filter produces, in integers both engines
+    // agree on bit-for-bit).
+    // Plan: one explode into bigram occurrences (persisted — two
+    // consumers), TWO corpus-wide hash aggs (bigram counts; prefix
+    // counts folded FROM the bigram counts, so the second agg runs on
+    // the vocabulary, not the corpus), then an equi-join of occurrences
+    // to the (vocabulary-sized, broadcastable) count tables and one
+    // per-doc agg. Map-side combine everywhere; no driver state; at
+    // 100 TB the count tables are the LM "model" and would persist at
+    // rest exactly like the IVF centroids.
+    QueryDef(
+      "q_ngram_lm",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shinglesAll
+        val docs = Tables(s, dir, "documents")
+        val bg = docs
+          .select(col("doc_id"), explode(shinglesAll(toks, 2)).as("bg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bg.count() // eager: bgc + the occurrence join both reuse it
+        val bgc = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+        val pfx = bgc.groupBy(substring_index(col("bg"), " ", 1).as("p"))
+          .agg(sum("cbg").as("cp"))
+        val occ = bg.join(bgc, "bg")
+          .join(pfx, substring_index(col("bg"), " ", 1) === col("p"))
+          .select(col("doc_id"),
+            floorDivL(col("cbg") * 10000L, col("cp")).as("p_e4"))
+        val agg = occ.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("p_e4").as("sum_e4"))
+        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0L))
+              .otherwise(floorDivL(col("sum_e4"), col("n_bigrams")))
+              .as("lm_score_e4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+             |    i -> array_to_string(ts[i:i+1], ' '))) AS bg
+             |  FROM t),
+             |bgc AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY 1),
+             |pfx AS (
+             |  SELECT string_split(bg, ' ')[1] AS p, CAST(SUM(cbg) AS BIGINT) AS cp
+             |  FROM bgc GROUP BY 1),
+             |occ AS (
+             |  SELECT b.doc_id, (bgc.cbg * 10000) // pfx.cp AS p_e4
+             |  FROM bg b
+             |  JOIN bgc ON b.bg = bgc.bg
+             |  JOIN pfx ON string_split(b.bg, ' ')[1] = pfx.p),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS n_bigrams,
+             |    CAST(SUM(p_e4) AS BIGINT) AS sum_e4
+             |  FROM occ GROUP BY 1)
+             |SELECT t.doc_id AS doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+             |  CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN CAST(0 AS BIGINT)
+             |       ELSE sum_e4 // n_bigrams END AS lm_score_e4
+             |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+             |ORDER BY t.doc_id""".stripMargin))
   )
 }

@@ -33,6 +33,32 @@ class ExactMathSpec extends SparkSpec {
     }
   }
 
+  test("floorDiv is TRUE floor on mixed signs (Math.floorDiv); divTrunc truncates (r5)") {
+    // ADVICE r4: the old floorDiv wrapped IntegralDivide (truncation)
+    // under a floor-promising name — a negative numerator diverged from
+    // DuckDB `//` by one. floorDiv now matches java.lang.Math.floorDiv
+    // (= DuckDB/Python floor division) for every sign combination;
+    // divTrunc keeps the SQL `div` truncation semantics.
+    val rnd = new scala.util.Random(99)
+    val cases = Seq.tabulate(400) { i =>
+      val mag = if (i % 2 == 0) rnd.nextInt(1000).toLong
+                else rnd.nextLong() & 0x3FFFFFFFFFFFFFFFL
+      val a = if (rnd.nextBoolean()) mag else -mag
+      val bm = 1L + (rnd.nextLong() & 0xFFFFL)
+      val b = if (rnd.nextBoolean()) bm else -bm
+      (a, b)
+    } :+ ((-7L, 2L)) :+ ((7L, -2L)) :+ ((-7L, -2L)) :+ ((-6L, 2L)) :+ ((0L, -5L))
+    val got = cases.toDF("a", "b")
+      .select(
+        graft.functions.ExactMath.floorDiv(col("a"), col("b")).as("fd"),
+        graft.functions.ExactMath.divTrunc(col("a"), col("b")).as("dt"))
+      .as[(Long, Long)].collect()
+    cases.zip(got).foreach { case ((a, b), (fd, dt)) =>
+      assert(fd == Math.floorDiv(a, b), s"floorDiv($a, $b) = $fd")
+      assert(dt == a / b, s"divTrunc($a, $b) = $dt")
+    }
+  }
+
   test("shinglesAll keeps every window with multiplicity; shingles dedups") {
     val rnd = new scala.util.Random(7)
     val docs = Seq.tabulate(50) { _ =>

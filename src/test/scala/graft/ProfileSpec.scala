@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-side references for the r5 profiling batch (q_profile_stats,
+  * q_histogram) and the salted-join equivalence property
+  * (q_join_salted must equal the plain join it re-partitions).
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventRows =
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("props"))
+      .collect()
+
+  test("q_profile_stats matches a driver-side per-column profile") {
+    val rows = eventRows
+    val n = rows.length.toLong
+    def longCol(i: Int) = rows.map(r => Option(r.get(i)).map(_.asInstanceOf[Number].longValue))
+    def strCol(i: Int) = rows.map(r => Option(r.get(i)).map(_.toString))
+    def profNum(name: String, vs: Seq[Option[Long]]) = {
+      val d = vs.flatten
+      (name, n, vs.count(_.isEmpty).toLong, d.distinct.size.toLong,
+        d.min.toString, d.max.toString)
+    }
+    def profStr(name: String, vs: Seq[Option[String]]) = {
+      val d = vs.flatten
+      (name, n, vs.count(_.isEmpty).toLong, d.distinct.size.toLong, d.min, d.max)
+    }
+    val want = Seq(
+      profNum("cents", longCol(3)),
+      profNum("event_id", longCol(0)),
+      profStr("event_type", strCol(2)),
+      profStr("props", strCol(4)),
+      profNum("user_id", longCol(1)))
+    val got = SparkEntry.queries("q_profile_stats")(spark, sfDir)
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q_histogram matches a driver-side binning") {
+    val want = eventRows
+      .map(r => (r.getString(2), r.getLong(3) / 500L))
+      .groupBy(identity).map { case ((t, b), o) => (t, b, b * 500L, o.size.toLong) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_histogram")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q_join_salted == the plain unsalted join (salting must not change the answer)") {
+    val want = Tables(spark, sfDir, "events")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .join(Tables(spark, sfDir, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .orderBy("c_mktsegment")
+      .as[(String, Long, Long)].collect().toSeq
+    val got = SparkEntry.queries("q_join_salted")(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+    // and the salt really fans out: every fact row matched exactly once
+    assert(got.map(_._2).sum == want.map(_._2).sum)
+  }
+}

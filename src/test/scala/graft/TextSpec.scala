@@ -32,6 +32,26 @@ class TextSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_ngram_lm matches a driver-side bigram-predictability reference (r5)") {
+    val bigramsOf = (text: String) =>
+      text.split(" ", -1).toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    val all = docs.flatMap { case (_, t) => bigramsOf(t) }
+    val cbg = all.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val cp = all.map(_.split(" ", -1).head)
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val want = docs.map { case (id, t) =>
+      val bs = bigramsOf(t)
+      if (bs.isEmpty) (id, 0L, 0L)
+      else {
+        val pe4 = bs.map(b => cbg(b) * 10000L / cp(b.split(" ", -1).head))
+        (id, bs.size.toLong, pe4.sum / bs.size)
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_ngram_lm")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("q_inverted_index matches a driver-side reference") {
     val pairs = docs.flatMap { case (id, text) =>
       text.split(" ", -1).map(t => (t, id))
