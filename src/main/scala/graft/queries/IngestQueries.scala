@@ -123,5 +123,68 @@ object IngestQueries {
              | t(id, event_date, event_time, user_id, category, amount, score, ratio,
              |   count, flag, payload_a, payload_b, tags_str, n_tags, event_date_day,
              |   user_id_bucket, category_identity)
-             |ORDER BY id""".stripMargin)))
+             |ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // lake_ops_e2e (new r5) — the TABLE-MAINTENANCE lifecycle as a
+    // declared query: append → append → compact (rewrite snapshot) →
+    // append → expire old snapshots, observing after each step the
+    // snapshot-isolated row count, live-file count, and content sum
+    // through time travel (`LakeOps.readSnapshot` resolves files
+    // through the commit log, never the directory listing). Everything
+    // observed is DETERMINISTIC: appends repartition on the partition
+    // key, so each (append, category) writes exactly one file, and the
+    // compactor bin-packs to one file per partition dir — the golden
+    // VALUES oracle pins the full ledger (4 A+B files expired once the
+    // rewrite makes them unreachable from the kept 2 snapshots).
+    // Every number in the output is COMPUTED from the lake state, not
+    // restated: the query fails the oracle if snapshot isolation,
+    // rewrite semantics, basePath partition recovery, or expiry
+    // reachability drift. (Same trust argument as ingest_e2e: constant
+    // fixture input ⇒ fixed expected output, DuckDB can't run the
+    // pipeline itself.)
+    QueryDef("lake_ops_e2e", (s: SparkSession, _: String) => {
+      import s.implicits._
+      import graft.sink.{GraftLog, HiveParquetWriter, LakeOps}
+      val tableDir =
+        Files.createTempDirectory("graft_lake_").toString + "/warehouse/t"
+      val w = new HiveParquetWriter
+      def snapRow(step: Long, id: Long): (Long, String, Long, Long, Long, Long) = {
+        val op = GraftLog.records(tableDir).find(_.snapshotId == id).get.op
+        val a = LakeOps.readSnapshot(s, tableDir, id)
+          .agg(count(lit(1)).cast("long"), sum(col("v")).cast("long")).head()
+        (step, op, a.getLong(0),
+          GraftLog.liveFiles(tableDir, Some(id)).size.toLong, a.getLong(1), 0L)
+      }
+      val s1 = w.append(Seq((1L, "c1", 10L), (2L, "c1", 20L), (3L, "c2", 30L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val r1 = snapRow(1, s1)
+      val s2 = w.append(Seq((4L, "c2", 40L), (5L, "c3", 50L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val r2 = snapRow(2, s2)
+      val s3 = LakeOps.compact(s, tableDir).snapshotId
+      val r3 = snapRow(3, s3)
+      val s4 = w.append(Seq((6L, "c1", 60L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val r4 = snapRow(4, s4)
+      val expired = LakeOps.expireSnapshots(tableDir, keepLast = 2).size.toLong
+      val fin = LakeOps.readTable(s, tableDir)
+        .agg(count(lit(1)).cast("long"), sum(col("v")).cast("long")).head()
+      val r5 = (5L, "post_expiry", fin.getLong(0),
+        GraftLog.liveFiles(tableDir, None).size.toLong, fin.getLong(1), expired)
+      Seq(r1, r2, r3, r4, r5)
+        .toDF("step", "op", "n_rows", "n_files", "sum_v", "n_expired")
+        .orderBy("step")
+    },
+      Some("""SELECT CAST(step AS BIGINT) AS step, op,
+             |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_files AS BIGINT) AS n_files,
+             |  CAST(sum_v AS BIGINT) AS sum_v, CAST(n_expired AS BIGINT) AS n_expired
+             |FROM (VALUES
+             |  (1, 'append',      3, 2, 60,  0),
+             |  (2, 'append',      5, 4, 150, 0),
+             |  (3, 'rewrite',     5, 3, 150, 0),
+             |  (4, 'append',      6, 4, 210, 0),
+             |  (5, 'post_expiry', 6, 4, 210, 4))
+             | t(step, op, n_rows, n_files, sum_v, n_expired)
+             |ORDER BY step""".stripMargin)))
 }
