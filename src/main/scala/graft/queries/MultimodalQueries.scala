@@ -177,6 +177,44 @@ object MultimodalQueries {
              |FROM documents d
              |LEFT JOIN agg ON d.doc_id = agg.doc_id
              |LEFT JOIN modal ON d.doc_id = modal.doc_id
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_mm_frame_energy ★ (new r5) — per-frame byte-energy stats over
+    // 32-byte frames: the frame-level triage signal of an audio/video
+    // pipeline (silence / black-frame detection runs on exactly this
+    // shape; the codec seam swaps byte sums for decoded sample energy
+    // without changing the query). ONE fused codegen'd pass per payload
+    // (`FrameEnergy` expression — no per-frame array materializes, no
+    // interpreted HOF), exact integer outputs. The oracle reconstructs
+    // the byte stream from hex(encode(text)) — byte-wise, so it holds
+    // for non-ASCII payloads too (the r5 simhash-oracle idiom).
+    QueryDef(
+      "q_mm_frame_energy",
+      (s: SparkSession, dir: String) =>
+        payloads(s, dir)
+          .select(col("doc_id"),
+            graft.functions.FrameEnergy.frameEnergy(col("payload"), 32).as("fe"))
+          .select(col("doc_id"),
+            col("fe.n_frames").as("n_frames"), col("fe.sum_e").as("sum_e"),
+            col("fe.max_e").as("max_e"), col("fe.min_e").as("min_e"))
+          .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+             |h AS (
+             |  SELECT doc_id, hex(payload) AS hx,
+             |    CAST(octet_length(payload) AS BIGINT) AS n
+             |  FROM p),
+             |e AS (
+             |  SELECT doc_id,
+             |    list_transform(range((n + 31) // 32),
+             |      f -> list_sum(list_transform(
+             |        range(32*f + 1, LEAST(32*f + 32, n) + 1),
+             |        i -> CAST(('0x' || substring(hx, CAST(2*i-1 AS INTEGER), 2))::INT AS BIGINT)))) AS es
+             |  FROM h)
+             |SELECT doc_id, CAST(len(es) AS BIGINT) AS n_frames,
+             |  CAST(COALESCE(list_sum(es), 0) AS BIGINT) AS sum_e,
+             |  CAST(COALESCE(list_max(es), 0) AS BIGINT) AS max_e,
+             |  CAST(COALESCE(list_min(es), 0) AS BIGINT) AS min_e
+             |FROM e ORDER BY doc_id""".stripMargin))
   )
 }
