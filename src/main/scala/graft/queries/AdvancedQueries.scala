@@ -42,6 +42,42 @@ object AdvancedQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_split_assign ★ (new r5) — deterministic train/val/test split:
+    // the disjoint-partition sibling of q_sample_hash's sampling. Every
+    // document lands in exactly one split by 60-bit md5(doc_id) mod 100
+    // (< 90 train, < 95 val, else test) — no RNG state, so the split is
+    // identical across runs/engines/cluster sizes, a document NEVER
+    // migrates between splits as the corpus grows (membership is a pure
+    // function of the id), and eval contamination by re-shuffling is
+    // impossible by construction. Map-only assignment + one small hash
+    // agg per (source, split): counts and token sums — the table a
+    // training run reads to weight its loaders. Salting/stratification
+    // compose for free (uniform hash is uniform within every stratum).
+    QueryDef(
+      "q_split_assign",
+      (s: SparkSession, dir: String) => {
+        val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(100L))
+        Tables(s, dir, "documents")
+          .select(col("source"),
+            when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+          .orderBy("source", "split")
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+             |         WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents)
+             |SELECT source, split, COUNT(*) AS n_docs,
+             |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+             |FROM d GROUP BY source, split ORDER BY source, split""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_asof_join — the as-of join Spark has no native operator for,
     // composed scalably as tagged-union + window (one shuffle + sort on
     // (user, time), NO range-join explosion): for each purchase event,

@@ -137,6 +137,35 @@ class AdvancedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_split_assign: disjoint, exhaustive, deterministic, ~90/5/5 (r5)") {
+    val rows = SparkEntry.queries("q_split_assign")(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val total = Tables(spark, sfDir, "documents").count()
+    // exhaustive + disjoint: per-split doc counts sum to the corpus
+    assert(rows.map(_._3).sum == total)
+    assert(rows.map(r => (r._1, r._2)).distinct.size == rows.size)
+    // deterministic: a second run is bit-identical
+    val again = SparkEntry.queries("q_split_assign")(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(again == rows)
+    // ratio sanity on the whole corpus (hash-uniform: train ≈ 90%)
+    val train = rows.filter(_._2 == "train").map(_._3).sum.toDouble / total
+    assert(train > 0.8 && train < 0.97, s"train fraction $train")
+    // membership is a pure function of doc_id: recompute in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(id: Long): String = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16) % 100
+      if (h < 90) "train" else if (h < 95) "val" else "test"
+    }
+    val want = Tables(spark, sfDir, "documents")
+      .select("source", "doc_id").as[(String, Long)].collect()
+      .groupBy { case (src, id) => (src, splitOf(id)) }
+      .map { case (k, xs) => k -> xs.size.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == want)
+  }
+
   test("q_approx_distinct within 5% of exact per group; self-check column agrees") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users", "exact_users", "within_5pct")
