@@ -309,6 +309,52 @@ object RelationalQueries {
       Some("""SELECT c_mktsegment, COUNT(*) AS n_events,
              |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events JOIN customer ON user_id = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // bucketed_join_e2e (new r5) — the CO-LOCATED JOIN pattern declared
+    // and SELF-CHECKING: both join sides are written as hash-bucketed,
+    // per-bucket-sorted tables (`ScaleOps.writeBucketed` — ONE up-front
+    // shuffle each), then joined exchange-free: Spark matches the two
+    // tables' HashPartitioning, so the sort-merge join has ZERO
+    // Exchange nodes and no Sort either. This is the amortization play
+    // for the 100 TB fact-fact join that runs every day — pay the
+    // shuffle once at ingest, never at query time. The query REQUIRES
+    // the exchange-free property of its own plan (broadcast disabled
+    // during the check so the assertion is about bucketing, not about
+    // AQE broadcasting a tiny side at test SF) — a planner regression
+    // fails the CORRECTNESS row, not just a spec. The oracle runs the
+    // plain join: co-location must not change the answer.
+    QueryDef(
+      "bucketed_join_e2e",
+      (s: SparkSession, dir: String) => {
+        import graft.operators.ScaleOps
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        val wh = java.nio.file.Files.createTempDirectory("graft_bjoin_").toString
+        ScaleOps.writeBucketed(
+          Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+          s"bj_li_$tag", s"$wh/li", "l_orderkey", buckets = 8)
+        ScaleOps.writeBucketed(
+          Tables(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+          s"bj_o_$tag", s"$wh/o", "o_orderkey", buckets = 8)
+        val joined = s.table(s"bj_li_$tag")
+          .join(s.table(s"bj_o_$tag"), col("l_orderkey") === col("o_orderkey"))
+        val prevBT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val plan = joined.queryExecution.executedPlan.toString
+          require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+            s"bucketed join must be an exchange-free SMJ, got:\n$plan")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBT)
+        joined
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"),
+            sum(cents(col("l_quantity"))).as("sum_qty_c"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }
