@@ -372,6 +372,52 @@ object AdvancedQueries {
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_approx_percentile (new r5) — the SKETCH sibling of q_percentile
+    // and the variant its own scaladoc names as the 100 TB path:
+    // `percentile_approx` (Greenwald–Khanna style summaries, constant
+    // memory per group, mergeable map-side — no per-group sort).
+    // Sketches are not engine-portable → no DuckDB oracle; instead the
+    // declared output CARRIES ITS OWN CHECK (the q_approx_distinct
+    // pattern): for each approximate quantile v the true-rank inclusion
+    // count(c < v) ≤ n·(p + tol) ∧ count(c ≤ v) ≥ n·(p − tol) is
+    // evaluated with tol = 1% in exact integer arithmetic — the
+    // two-sided form is what stays sound under heavy value ties, where
+    // a one-sided count(≤ v) can legitimately overshoot the target
+    // rank by the whole tie mass. Plan: one sketch agg + one broadcast
+    // join of the 5-row quantile table back over the stream for the
+    // exact rank counts (the checking apparatus; at 100 TB only the
+    // sketch agg runs).
+    QueryDef(
+      "q_approx_percentile",
+      (s: SparkSession, dir: String) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        val ap = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            percentile_approx(col("c"),
+              array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+          .select(col("event_type"), col("n"),
+            col("ap")(0).as("p50_a"), col("ap")(1).as("p90_a"), col("ap")(2).as("p99_a"))
+        val j = ev.join(broadcast(ap), "event_type")
+        def ranks(p: Int, v: String) = Seq(
+          sum(when(col("c") < col(v), 1L).otherwise(0L)).as(s"lt_$p"),
+          sum(when(col("c") <= col(v), 1L).otherwise(0L)).as(s"le_$p"))
+        val agg = j.groupBy("event_type")
+          .agg(max("n").as("n"),
+            (Seq(max("p50_a").as("p50_a"), max("p90_a").as("p90_a"),
+              max("p99_a").as("p99_a")) ++
+              ranks(50, "p50_a") ++ ranks(90, "p90_a") ++ ranks(99, "p99_a")): _*)
+        def ok(p: Int) =
+          (col(s"lt_$p") * 100L <= col("n") * (p + 1L)) &&
+            (col(s"le_$p") * 100L >= col("n") * (p - 1L))
+        agg.select(col("event_type"), col("n"),
+            col("p50_a"), col("p90_a"), col("p99_a"),
+            ok(50).as("ok_p50"), ok(90).as("ok_p90"), ok(99).as("ok_p99"))
+          .orderBy("event_type")
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // q_approx_distinct — HyperLogLog++ distinct-user counts per event
     // type (constant memory per group vs exact distinct's shuffle of
     // every key — the 100 TB cardinality primitive). Sketches are not

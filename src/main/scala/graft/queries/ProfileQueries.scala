@@ -118,6 +118,64 @@ object ProfileQueries {
              |  FROM events)
              |SELECT event_type, bin, bin * 500 AS lo_cents, COUNT(*) AS n
              |FROM b GROUP BY event_type, bin
-             |ORDER BY event_type, bin""".stripMargin))
+             |ORDER BY event_type, bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_skew_stats ★ (new r5) — join/agg-key skew measurement: the
+    // numbers that DECIDE whether q_join_salted's salting (or AQE's
+    // skew split) is needed for a key. Per candidate key column
+    // (user_id here): distinct keys, total rows, max and exact-p99
+    // per-key multiplicity, the hottest key, and the max/mean ratio in
+    // e4 (the "how many reducers does the hot key monopolize" figure —
+    // ratio_e4/1e4 ≈ the straggler factor of an unsalted shuffle).
+    // Plan: one (key) hash agg — map-side combined, so the full scan
+    // reduces to key-count pairs — then ONE tiny agg over the
+    // key-histogram (n_keys rows, vocabulary-sized at any corpus
+    // scale). p99 uses the same explicit lower-disc index formula as
+    // q_percentile; all outputs exact integers.
+    QueryDef(
+      "q_skew_stats",
+      (s: SparkSession, dir: String) => {
+        val kc = Tables(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("n"), col("user_id"))
+        val ranked = kc
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_keys", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        // NOTE: the global window runs over the KEY HISTOGRAM (n_keys
+        // rows), not the corpus — single-partition is fine there at any
+        // scale (31k rows at 10⁹ events with √n-ish key spaces; for a
+        // truly huge key space swap in approx_percentile).
+        ranked
+          .agg(
+            max(col("n_keys")).as("n_keys"),
+            sum(col("n")).as("n_rows"),
+            max(col("n")).as("max_key_n"),
+            max(when(col("rn") === ExactMath.divTrunc((col("n_keys") - 1L) * 99L, lit(100L)) + 1L,
+              col("n"))).as("p99_key_n"),
+            max(struct(col("n"), (lit(Long.MaxValue) - col("user_id")).as("inv"),
+              col("user_id"))).getField("user_id").as("top_key"))
+          .select(col("n_keys"), col("n_rows"), col("max_key_n"), col("p99_key_n"),
+            col("top_key"),
+            ExactMath.divTrunc(col("max_key_n") * 10000L * col("n_keys"), col("n_rows"))
+              .as("skew_ratio_e4"))
+      },
+      Some("""WITH kc AS (
+             |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+             |r AS (
+             |  SELECT user_id, n,
+             |    row_number() OVER (ORDER BY n, user_id) AS rn,
+             |    COUNT(*) OVER () AS n_keys
+             |  FROM kc)
+             |SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+             |  CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  CAST(MAX(n) AS BIGINT) AS max_key_n,
+             |  CAST(MAX(CASE WHEN rn = (n_keys - 1) * 99 // 100 + 1 THEN n END) AS BIGINT)
+             |    AS p99_key_n,
+             |  CAST((SELECT user_id FROM kc ORDER BY n DESC, user_id LIMIT 1) AS BIGINT)
+             |    AS top_key,
+             |  CAST(MAX(n) * 10000 * MAX(n_keys) // SUM(n) AS BIGINT) AS skew_ratio_e4
+             |FROM r""".stripMargin))
   )
 }

@@ -166,6 +166,31 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2) -> r._3).toMap == want)
   }
 
+  test("q_approx_percentile: self-check columns hold and approx tracks exact (r5)") {
+    val rows = SparkEntry.queries("q_approx_percentile")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, _, _, _, _, ok50, ok90, ok99) =>
+      assert(ok50 && ok90 && ok99, s"$t rank self-check failed")
+    }
+    // approx within 5% of the exact per-group percentile VALUES — for
+    // p50/p90 only: at sf0.001 a group holds ~200 rows, so p99's ±1%
+    // RANK tolerance spans ±2 ranks, and in the heavy tail adjacent
+    // ranks sit far apart in value (observed 25394 vs 16289 — both
+    // rank-correct). The tail quantile is exactly what the in-output
+    // rank self-check (ok_p99, asserted above) is FOR; value closeness
+    // is only a meaningful test where the distribution is dense.
+    val exact = SparkEntry.queries("q_percentile")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    rows.foreach { case (t, _, a50, a90, _, _, _, _) =>
+      val (e50, e90) = exact(t)
+      def close(a: Long, e: Long) = math.abs(a - e) <= math.max(5L, e / 20)
+      assert(close(a50, e50) && close(a90, e90),
+        s"$t approx ($a50,$a90) vs exact ($e50,$e90)")
+    }
+  }
+
   test("q_approx_distinct within 5% of exact per group; self-check column agrees") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users", "exact_users", "within_5pct")

@@ -50,6 +50,21 @@ class ProfileSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_skew_stats matches a driver-side key-histogram reference (r5)") {
+    val counts = Tables(spark, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSeq
+    val ns = counts.map(_._2).sorted
+    val nKeys = counts.size.toLong
+    val nRows = ns.sum
+    val p99 = ns(((nKeys - 1) * 99 / 100).toInt)
+    val top = counts.maxBy { case (k, n) => (n, -k) }._1
+    val want = (nKeys, nRows, ns.max, p99, top, ns.max * 10000L * nKeys / nRows)
+    val got = SparkEntry.queries("q_skew_stats")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got == want)
+  }
+
   test("q_join_salted == the plain unsalted join (salting must not change the answer)") {
     val want = Tables(spark, sfDir, "events")
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
