@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: sweep EVERY declared query's physical plan for the
+  * anti-patterns the 100 TB design bans — cartesian products,
+  * broadcast-nested-loop joins, and unpartitioned (single-task)
+  * window operators — and print one line per flagged query. The
+  * documented exceptions are listed here so the sweep stays
+  * zero-noise: a new flag means a planner regression or an
+  * undocumented scale hazard. Usage: PlanAudit [sfDir]
+  */
+object PlanAudit {
+
+  /** (query, flag) pairs that are DESIGNED, with the reason. */
+  val documented: Set[(String, String)] = Set(
+    // explicit Θ(n²) exact fallback, blocked + FLOPs-budgeted; at test
+    // SF AQE renders the blocked crossJoin as a BNLJ over the
+    // broadcast-able block, at scale it is a shuffled cartesian —
+    // both are the same designed quadratic
+    ("q_embed_dedup", "CartesianProduct"),
+    ("q_embed_dedup", "BroadcastNestedLoopJoin"),
+    // tiny broadcast side × non-equi predicate (vec_id != q_id): BNLJ
+    // over a 5-row broadcast IS the intended stream-the-corpus plan
+    ("q_sim_topk", "BroadcastNestedLoopJoin"),
+    // 1-row broadcast total joined with no key — nested-loop over 1 row
+    ("q_mix_weights", "BroadcastNestedLoopJoin"),
+    ("q_tfidf", "BroadcastNestedLoopJoin"),
+    // rank window over ≤20 rows AFTER TakeOrderedAndProject
+    ("q_embed_dedup_lsh", "globalWindow"),
+    // windows over the KEY HISTOGRAM (vocabulary-sized), not the corpus
+    ("q_skew_stats", "globalWindow"))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var undocumented = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          // a Window with an empty partition spec runs in ONE task
+          "globalWindow" -> raw"Window \[[^\]]*\], \[\]".r.findFirstIn(plan).isDefined)
+          .collect { case (f, true) => f }
+        flags.foreach { f =>
+          val doc = documented.contains((name, f))
+          if (!doc) undocumented += 1
+          println(s"$name: $f${if (doc) " (documented)" else "  <-- UNDOCUMENTED"}")
+        }
+      } catch { case e: Throwable =>
+        undocumented += 1
+        println(s"$name: PLAN ERROR ${Option(e.getMessage).getOrElse(e.toString).take(100)}")
+      }
+      spark.catalog.clearCache()
+    }
+    println(s"AUDIT DONE undocumented=$undocumented")
+    spark.stop()
+  }
+}
