@@ -23,6 +23,7 @@ object WindowQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** Appended by r5: see q_cdc_state at the end of [[entries]]. */
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -149,6 +150,44 @@ object WindowQueries {
              |  FROM marked)
              |SELECT MIN(ts) AS sess_start, user_id, COUNT(*) AS n,
              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
-             |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin))
+             |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_cdc_state ★ (new r5) — CDC changelog compaction (the MERGE
+    // INTO / upsert kernel): the events stream read as a change log
+    // keyed by user_id — every event upserts the user's state, an
+    // 'error' event is a TOMBSTONE (deletes the key) — compacted to
+    // current state: last writer wins by (ts, event_id), tombstoned
+    // keys absent from the output. This is the "read the changelog,
+    // produce the table" job every lakehouse runs (and the batch twin
+    // of a streaming state store). Distinct from q_dedup_exact, which
+    // keeps a FIRST deterministic survivor and has no delete
+    // semantics. Plan: ONE shuffle on the key + per-key sort (the
+    // window), filter to rn = 1 — at 100 TB this is the standard
+    // changelog-compaction shape, and the (ts, event_id) total order
+    // makes replays idempotent.
+    QueryDef(
+      "q_cdc_state",
+      (s: SparkSession, dir: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"),
+            cents(col("value")).as("last_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(ROUND(value*100,0) AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, event_id AS last_event_id,
+             |  event_type AS last_type, cents AS last_cents
+             |FROM ranked WHERE rn = 1 AND event_type != 'error'
+             |ORDER BY user_id""".stripMargin))
   )
 }

@@ -65,6 +65,25 @@ class ProfileSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_cdc_state: last-writer-wins with tombstones matches a driver-side fold (r5)") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("tsm"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, String, Long, Long)].collect()
+    val want = rows.groupBy(_._1).flatMap { case (uid, evs) =>
+      val last = evs.maxBy(e => (e._4, e._2)) // (ts, event_id) last writer
+      if (last._3 == "error") None // tombstone: key deleted
+      else Some((uid, last._2, last._3, last._5))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_cdc_state")(spark, sfDir)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == want)
+    // tombstones actually delete: some user must be absent
+    val allUsers = rows.map(_._1).distinct.size
+    assert(got.size < allUsers, "expected at least one tombstoned user")
+  }
+
   test("q_join_salted == the plain unsalted join (salting must not change the answer)") {
     val want = Tables(spark, sfDir, "events")
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
