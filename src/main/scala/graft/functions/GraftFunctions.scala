@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration of the engine's custom codegen'd expressions, so a
+  * pure-SQL user (`spark.sql(...)`) reaches the same primitives the
+  * DataFrame API does — the library surface without any Scala imports:
+  *
+  * {{{
+  * SELECT graft_cosine(a.embedding, b.embedding)      -- fused cosine
+  * SELECT graft_simhash64(split(text, ' '))           -- 64-bit SimHash
+  * SELECT graft_java_hash(user_id)                    -- A15 bucket hash
+  * SELECT graft_lsh_code(embedding, 8, 64)            -- sign-LSH code
+  * SELECT graft_shingles(split(text, ' '), 3)         -- distinct 3-grams
+  * SELECT graft_quant_i8(embedding)                   -- int8 quant stats
+  * SELECT graft_frame_energy(payload, 32)             -- frame byte energy
+  * }}}
+  *
+  * Two registration paths sharing ONE builder list:
+  *  - [[GraftFunctions.register]] on any live session (tests, REPL);
+  *  - [[graft.GraftExtensions]] via
+  *    `spark.sql.extensions=graft.GraftExtensions` at session build —
+  *    the deployment path, which also survives `newSession()`.
+  * Static arguments (plane counts, shingle width, frame size) must be
+  * integer literals — they parameterize generated code, exactly like
+  * the DataFrame API's Scala arguments.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, expression builder) — the single source for both paths. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (es => VectorOps.CosineSim(es(0), es(1))),
+    "graft_simhash64" -> (es => SimHash64(es.head)),
+    "graft_java_hash" -> (es => JavaHash(es.head)),
+    "graft_quant_i8" -> (es => VectorOps.QuantI8Stats(es.head)),
+    "graft_shingles" -> (es =>
+      Shingles(es.head, intLit(es(1), "shingle width"))),
+    "graft_frame_energy" -> (es =>
+      FrameEnergy.FrameEnergyExpr(es.head, intLit(es(1), "frame size"))),
+    "graft_lsh_code" -> (es =>
+      VectorOps.LshCode(es.head,
+        VectorOps.hashPlanes(intLit(es(1), "plane count"), intLit(es(2), "dim")))))
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftFunctions.type].getName, name)
+
+  /** Register every function on a live session's catalog. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name), es => b(es))
+    }
+
+  /** Injection list for [[graft.GraftExtensions]]. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), es => b(es)))
+    }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, SimHash64, VectorOps}
+
+/** The SQL registration surface: every custom expression is reachable
+  * from `spark.sql(...)` and agrees with its DataFrame-API twin.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("graft_cosine in SQL == VectorOps.cosine") {
+    Tables(spark, sfDir, "embeddings").limit(50).createOrReplaceTempView("e_sql")
+    val sql = spark.sql(
+      """SELECT a.vec_id, b.vec_id, graft_cosine(a.embedding, b.embedding)
+        |FROM e_sql a JOIN e_sql b ON a.vec_id < b.vec_id""".stripMargin)
+      .as[(Long, Long, Double)].collect().toMap2
+    val api = Tables(spark, sfDir, "embeddings").limit(50).as("a")
+      .join(Tables(spark, sfDir, "embeddings").limit(50).as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")))
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(sql == api)
+  }
+
+  test("graft_simhash64 / graft_java_hash / graft_shingles in SQL match the API") {
+    val docs = Seq("the quick brown fox", "héllo wörld 日本語", "x")
+    docs.map(Tuple1(_)).toDF("text").createOrReplaceTempView("d_sql")
+    val sql = spark.sql(
+      """SELECT graft_simhash64(split(text, ' ')),
+        |  graft_java_hash(text),
+        |  graft_shingles(split(text, ' '), 2)
+        |FROM d_sql""".stripMargin)
+      .as[(Long, Int, Seq[String])].collect().toSeq
+    val want = docs.map { t =>
+      (SimHash64.hashTokens(t.split(" ").toSeq), t.hashCode,
+        t.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")).toSeq.distinct)
+    }
+    assert(sql == want)
+  }
+
+  test("graft_lsh_code(v, bits, dim) in SQL == hashPlanes + lshCode API") {
+    val api = Tables(spark, sfDir, "embeddings").limit(30)
+      .select(col("vec_id"),
+        VectorOps.lshCode(col("embedding"), VectorOps.hashPlanes(8, 64)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    Tables(spark, sfDir, "embeddings").limit(30).createOrReplaceTempView("e2_sql")
+    val sql = spark.sql(
+      "SELECT vec_id, graft_lsh_code(embedding, 8, 64) FROM e2_sql")
+      .as[(Long, Long)].collect().toMap
+    assert(sql == api)
+  }
+
+  test("graft_frame_energy and graft_quant_i8 in SQL produce the documented structs") {
+    val row = spark.sql(
+      """SELECT graft_frame_energy(encode('abc', 'UTF-8'), 2).n_frames,
+        |  graft_frame_energy(encode('abc', 'UTF-8'), 2).sum_e,
+        |  graft_quant_i8(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))).nnz
+        |""".stripMargin).as[(Long, Long, Long)].head()
+    assert(row == ((2L, 97L + 98L + 99L, 2L)))
+  }
+
+  test("a non-literal static argument fails loudly") {
+    Seq(Tuple1("t")).toDF("text").createOrReplaceTempView("bad_sql")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(split(text, ' '), length(text)) FROM bad_sql")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}
