@@ -18,17 +18,24 @@ object ExactMath {
   import org.apache.spark.sql.functions.{lit, when}
 
   /** `a div b` — truncating integer division (rounds toward zero, the
-    * SQL-standard `div`). Exact over the full long range. NOT DuckDB
-    * `//` for mixed-sign operands — use [[floorDiv]] for that. */
+    * SQL-standard `div`). Exact over the full long range. This IS what
+    * DuckDB's integer `//` computes for every sign combination
+    * (VERIFIED on the shipped DuckDB 1.0.0 oracle engine:
+    * -7 // 2 = -3, 7 // -2 = -3 — truncation, despite `//` reading as
+    * "floor division"); oracle-paired integer division must therefore
+    * use divTrunc, never [[floorDiv]], when operands can go negative. */
   def divTrunc(a: Column, b: Column): Column =
     GraftBridge.column(IntegralDivide(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** True floor division — matches DuckDB `//` (and Python `//`) for
+  /** True floor division — matches Python `//` and Math.floorDiv for
     * ALL sign combinations, not just the non-negative operands most
     * callers use: the truncated quotient is decremented when the
-    * division is inexact and the operands disagree in sign. The extra
-    * branch is codegen'd and constant-folds away for literal signs. */
+    * division is inexact and the operands disagree in sign. NOT what
+    * DuckDB integer `//` computes on mixed signs (that truncates — see
+    * [[divTrunc]]); use this for floor SEMANTICS, divTrunc for oracle
+    * parity. The extra branch is codegen'd and constant-folds away for
+    * literal signs. */
   def floorDiv(a: Column, b: Column): Column = {
     val q = divTrunc(a, b)
     when((a < 0) =!= (b < 0) && (a % b) =!= lit(0L), q - 1).otherwise(q)

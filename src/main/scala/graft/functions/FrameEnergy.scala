@@ -24,24 +24,29 @@ import org.apache.spark.sql.types._
   */
 object FrameEnergy {
 
-  /** Fused stats loop; called from generated code. */
+  /** Fused stats loop; called from generated code. Frame bounds are
+    * derived from the running start, never `(f+1)*frameSize` — at
+    * payloads within frameSize of Int.MaxValue (a just-under-2GiB
+    * blob) the multiplication form wraps negative, skips the last
+    * frame's inner loop, and silently folds a spurious 0 into
+    * sum/min. */
   def frameStats(bytes: Array[Byte], frameSize: Int): InternalRow = {
     val n = bytes.length
     if (n == 0) return InternalRow(0L, 0L, 0L, 0L)
-    val frames = (n + frameSize - 1) / frameSize
+    val frames = (n - 1) / frameSize + 1
     var sum = 0L
     var mx = Long.MinValue
     var mn = Long.MaxValue
-    var f = 0
-    while (f < frames) {
-      val end = math.min((f + 1) * frameSize, n)
+    var start = 0
+    while (start < n) {
+      val end = start + math.min(frameSize, n - start)
       var e = 0L
-      var i = f * frameSize
+      var i = start
       while (i < end) { e += (bytes(i) & 0xff).toLong; i += 1 }
       sum += e
       if (e > mx) mx = e
       if (e < mn) mn = e
-      f += 1
+      start = end
     }
     InternalRow(frames.toLong, sum, mx, mn)
   }

@@ -82,11 +82,12 @@ object IngestQueries {
   }
 
   def run(spark: SparkSession): DataFrame = {
-    val root = Files.createTempDirectory("graft_ingest_").toString
+    val rootPath = Files.createTempDirectory("graft_ingest_")
+    val root = rootPath.toString
     val tableDir = s"$root/warehouse/events_ingest"
     writeFixtures(root)
     Pipeline.ingest(spark, root, "comp1", fixtureTable, tableDir)
-    spark.read.parquet(tableDir)
+    val result = spark.read.parquet(tableDir)
       .select(col("id"), col("event_date"), col("event_time"), col("user_id"),
         col("category"), col("amount"), col("score"), col("ratio"), col("count"),
         col("flag"), col("payload.a").as("payload_a"), col("payload.b").as("payload_b"),
@@ -99,6 +100,20 @@ object IngestQueries {
         col("user_id_bucket").cast("int").as("user_id_bucket"),
         col("category_identity").cast("string").as("category_identity"))
       .orderBy("id")
+    // eager protocol (r5): the result is 4 fixture rows — collect it
+    // (schema preserved exactly via createDataFrame) and delete the
+    // temp lake, so repeated Bench/Time/Verify runs don't fill /tmp
+    val rows = result.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    locally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p =>
+          try Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+    out
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -146,8 +161,8 @@ object IngestQueries {
     QueryDef("lake_ops_e2e", (s: SparkSession, _: String) => {
       import s.implicits._
       import graft.sink.{GraftLog, HiveParquetWriter, LakeOps}
-      val tableDir =
-        Files.createTempDirectory("graft_lake_").toString + "/warehouse/t"
+      val tmpRoot = Files.createTempDirectory("graft_lake_")
+      val tableDir = tmpRoot.toString + "/warehouse/t"
       val w = new HiveParquetWriter
       def snapRow(step: Long, id: Long): (Long, String, Long, Long, Long, Long) = {
         val op = GraftLog.records(tableDir).find(_.snapshotId == id).get.op
@@ -172,6 +187,15 @@ object IngestQueries {
         .agg(count(lit(1)).cast("long"), sum(col("v")).cast("long")).head()
       val r5 = (5L, "post_expiry", fin.getLong(0),
         GraftLog.liveFiles(tableDir, None).size.toLong, fin.getLong(1), expired)
+      // every observation is a collected scalar by now — delete the
+      // temp lake so repeated Bench/Time runs don't fill /tmp
+      locally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(tmpRoot)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(p =>
+            try Files.deleteIfExists(p) catch { case _: Exception => () })
+      }
       Seq(r1, r2, r3, r4, r5)
         .toDF("step", "op", "n_rows", "n_files", "sum_v", "n_expired")
         .orderBy("step")

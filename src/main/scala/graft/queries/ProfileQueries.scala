@@ -154,8 +154,12 @@ object ProfileQueries {
             max(col("n")).as("max_key_n"),
             max(when(col("rn") === ExactMath.divTrunc((col("n_keys") - 1L) * 99L, lit(100L)) + 1L,
               col("n"))).as("p99_key_n"),
-            max(struct(col("n"), (lit(Long.MaxValue) - col("user_id")).as("inv"),
-              col("user_id"))).getField("user_id").as("top_key"))
+            // top key = max n, ties → smallest key: min over (-n, key).
+            // (-n can't overflow — n is a positive count; the earlier
+            // MaxValue - key inversion trick overflowed on negative
+            // keys and silently flipped the tie-break.)
+            min(struct((-col("n")).as("nn"), col("user_id")))
+              .getField("user_id").as("top_key"))
           .select(col("n_keys"), col("n_rows"), col("max_key_n"), col("p99_key_n"),
             col("top_key"),
             ExactMath.divTrunc(col("max_key_n") * 10000L * col("n_keys"), col("n_rows"))

@@ -328,29 +328,47 @@ object RelationalQueries {
     QueryDef(
       "bucketed_join_e2e",
       (s: SparkSession, dir: String) => {
+        import s.implicits._
         import graft.operators.ScaleOps
         val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-        val wh = java.nio.file.Files.createTempDirectory("graft_bjoin_").toString
-        ScaleOps.writeBucketed(
-          Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
-          s"bj_li_$tag", s"$wh/li", "l_orderkey", buckets = 8)
-        ScaleOps.writeBucketed(
-          Tables(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
-          s"bj_o_$tag", s"$wh/o", "o_orderkey", buckets = 8)
-        val joined = s.table(s"bj_li_$tag")
-          .join(s.table(s"bj_o_$tag"), col("l_orderkey") === col("o_orderkey"))
-        val prevBT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val whPath = java.nio.file.Files.createTempDirectory("graft_bjoin_")
+        val wh = whPath.toString
+        // Eager protocol: run the whole scenario, COLLECT the tiny
+        // aggregate (≤ #order-statuses rows), then drop the tables and
+        // delete the bucketed copies before returning an in-memory
+        // frame — repeated Bench/Time/Verify runs must not accumulate
+        // catalog entries or fill /tmp with data-sized table copies.
         try {
-          val plan = joined.queryExecution.executedPlan.toString
-          require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
-            s"bucketed join must be an exchange-free SMJ, got:\n$plan")
-        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBT)
-        joined
-          .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n_items"),
-            sum(cents(col("l_quantity"))).as("sum_qty_c"))
-          .orderBy("o_orderstatus")
+          ScaleOps.writeBucketed(
+            Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+            s"bj_li_$tag", s"$wh/li", "l_orderkey", buckets = 8)
+          ScaleOps.writeBucketed(
+            Tables(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+            s"bj_o_$tag", s"$wh/o", "o_orderkey", buckets = 8)
+          val joined = s.table(s"bj_li_$tag")
+            .join(s.table(s"bj_o_$tag"), col("l_orderkey") === col("o_orderkey"))
+          val prevBT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          try {
+            val plan = joined.queryExecution.executedPlan.toString
+            require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+              s"bucketed join must be an exchange-free SMJ, got:\n$plan")
+          } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBT)
+          joined
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n_items"),
+              sum(cents(col("l_quantity"))).as("sum_qty_c"))
+            .as[(String, Long, Long)].collect().toSeq.sorted
+            .toDF("o_orderstatus", "n_items", "sum_qty_c")
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS bj_li_$tag")
+          s.sql(s"DROP TABLE IF EXISTS bj_o_$tag")
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(whPath)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(p =>
+              try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+        }
       },
       Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
              |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c

@@ -34,11 +34,13 @@ class ExactMathSpec extends SparkSpec {
   }
 
   test("floorDiv is TRUE floor on mixed signs (Math.floorDiv); divTrunc truncates (r5)") {
-    // ADVICE r4: the old floorDiv wrapped IntegralDivide (truncation)
-    // under a floor-promising name — a negative numerator diverged from
-    // DuckDB `//` by one. floorDiv now matches java.lang.Math.floorDiv
-    // (= DuckDB/Python floor division) for every sign combination;
-    // divTrunc keeps the SQL `div` truncation semantics.
+    // ADVICE r4 flagged the old floorDiv (IntegralDivide truncation
+    // under a floor-promising name). The split: floorDiv now matches
+    // java.lang.Math.floorDiv / Python `//` for every sign
+    // combination; divTrunc keeps SQL `div` truncation — which is ALSO
+    // what DuckDB 1.0.0's integer `//` computes on mixed signs
+    // (verified: -7 // 2 = -3), so divTrunc, not floorDiv, is the
+    // oracle-parity primitive for signed division.
     val rnd = new scala.util.Random(99)
     val cases = Seq.tabulate(400) { i =>
       val mag = if (i % 2 == 0) rnd.nextInt(1000).toLong

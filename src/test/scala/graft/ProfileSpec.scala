@@ -68,7 +68,10 @@ class ProfileSpec extends SparkSpec {
   test("q_cdc_state: last-writer-wins with tombstones matches a driver-side fold (r5)") {
     val rows = Tables(spark, sfDir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
-        col("ts").cast("long").as("tsm"),
+        // full micros precision — cast("long") would truncate to whole
+        // SECONDS and resolve same-second orderings by event_id where
+        // the query under test resolves them by sub-second ts
+        unix_micros(col("ts")).as("tsm"),
         round(col("value") * 100).cast("long").as("cents"))
       .as[(Long, Long, String, Long, Long)].collect()
     val want = rows.groupBy(_._1).flatMap { case (uid, evs) =>

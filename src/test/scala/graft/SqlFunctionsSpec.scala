@@ -13,14 +13,17 @@ class SqlFunctionsSpec extends SparkSpec {
   GraftFunctions.register(spark)
 
   test("graft_cosine in SQL == VectorOps.cosine") {
-    Tables(spark, sfDir, "embeddings").limit(50).createOrReplaceTempView("e_sql")
+    // deterministic subset via a predicate — limit() without orderBy
+    // takes rows in task-completion order and three independent
+    // limit(50) scans need not agree
+    def e = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 50)
+    e.createOrReplaceTempView("e_sql")
     val sql = spark.sql(
       """SELECT a.vec_id, b.vec_id, graft_cosine(a.embedding, b.embedding)
         |FROM e_sql a JOIN e_sql b ON a.vec_id < b.vec_id""".stripMargin)
       .as[(Long, Long, Double)].collect().toMap2
-    val api = Tables(spark, sfDir, "embeddings").limit(50).as("a")
-      .join(Tables(spark, sfDir, "embeddings").limit(50).as("b"),
-        col("a.vec_id") < col("b.vec_id"))
+    val api = e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id"), col("b.vec_id"),
         VectorOps.cosine(col("a.embedding"), col("b.embedding")))
       .as[(Long, Long, Double)].collect().toMap2
@@ -45,11 +48,12 @@ class SqlFunctionsSpec extends SparkSpec {
   }
 
   test("graft_lsh_code(v, bits, dim) in SQL == hashPlanes + lshCode API") {
-    val api = Tables(spark, sfDir, "embeddings").limit(30)
+    val api = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 30)
       .select(col("vec_id"),
         VectorOps.lshCode(col("embedding"), VectorOps.hashPlanes(8, 64)).as("c"))
       .as[(Long, Long)].collect().toMap
-    Tables(spark, sfDir, "embeddings").limit(30).createOrReplaceTempView("e2_sql")
+    Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 30)
+      .createOrReplaceTempView("e2_sql")
     val sql = spark.sql(
       "SELECT vec_id, graft_lsh_code(embedding, 8, 64) FROM e2_sql")
       .as[(Long, Long)].collect().toMap
