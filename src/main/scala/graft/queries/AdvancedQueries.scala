@@ -372,6 +372,65 @@ object AdvancedQueries {
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_resample_locf ★ (new r5) — time-series resampling with
+    // gap-fill: each user's event stream is resampled onto a dense
+    // hourly grid over [first, last] activity and empty hours carry
+    // the last observation forward (LOCF) — the feature-store /
+    // training-window materialization kernel (a model consuming
+    // "user state at hour h" needs a value at EVERY h, not just
+    // active ones). Declared output is the per-user validation
+    // aggregate (grid size, gap count, LOCF sum — the sum is only
+    // right if every gap got exactly the carried value).
+    // Plan: one (user, hour) hash agg; per-user bounds agg; the grid
+    // generates per-user rows via sequence+explode (bounded by that
+    // user's own activity span, never a global cross join); one left
+    // join back on (user, hour); the LOCF is a per-user running
+    // last_value(ignoreNulls) window — one shuffle+sort on the grid,
+    // which is |users| × span rows, the same order as the input. All
+    // integer cents → engine-exact.
+    QueryDef(
+      "q_resample_locf",
+      (s: SparkSession, dir: String) => {
+        val hourly = Tables(s, dir, "events")
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("c"),
+            count(lit(1)).as("n"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("c_locf", last(col("c"), ignoreNulls = true).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_gaps"),
+            sum("c_locf").as("sum_c_locf"))
+          .orderBy("user_id")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS c,
+             |    COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             |  FROM b),
+             |filled AS (
+             |  SELECT g.user_id, g.h, hourly.c, hourly.n,
+             |    last_value(hourly.c IGNORE NULLS) OVER (
+             |      PARTITION BY g.user_id ORDER BY g.h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_locf
+             |  FROM grid g
+             |  LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h)
+             |SELECT user_id, COUNT(*) AS n_hours,
+             |  CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+             |  CAST(SUM(c_locf) AS BIGINT) AS sum_c_locf
+             |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_approx_percentile (new r5) — the SKETCH sibling of q_percentile
     // and the variant its own scaladoc names as the 100 TB path:
     // `percentile_approx` (Greenwald–Khanna style summaries, constant

@@ -166,6 +166,36 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2) -> r._3).toMap == want)
   }
 
+  test("q_resample_locf matches a driver-side grid + carry-forward fold (r5)") {
+    val hourly = Tables(spark, sfDir, "events")
+      .select(col("user_id"),
+        graft.functions.ExactMath.divTrunc(
+          unix_micros(date_trunc("hour", col("ts"))), lit(3600000000L)).as("h"),
+        round(col("value") * 100).cast("long").as("c"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case ((u, h), rs) => (u, h) -> (rs.map(_._3).sum, rs.size) }
+    val want = hourly.keys.groupBy(_._1).map { case (u, ks) =>
+      val h0 = ks.map(_._2).min
+      val h1 = ks.map(_._2).max
+      var lastC = 0L
+      var gaps = 0L
+      var sum = 0L
+      (h0 to h1).foreach { h =>
+        hourly.get((u, h)) match {
+          case Some((c, _)) => lastC = c; sum += c
+          case None => gaps += 1; sum += lastC
+        }
+      }
+      (u, h1 - h0 + 1, gaps, sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_resample_locf")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // gaps must exist, or the query degenerates to the plain hourly agg
+    assert(got.exists(_._3 > 0))
+  }
+
   test("q_approx_percentile: self-check columns hold and approx tracks exact (r5)") {
     val rows = SparkEntry.queries("q_approx_percentile")(spark, sfDir)
       .as[(String, Long, Long, Long, Long, Boolean, Boolean, Boolean)].collect()
