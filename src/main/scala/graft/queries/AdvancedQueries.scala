@@ -372,6 +372,74 @@ object AdvancedQueries {
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_funnel ★ (new r5) — WINDOWED ordered-sequence funnel: of the
+    // users who VIEWed, how many CLICKed within 24 h strictly after
+    // their first view, then PURCHASEd within 24 h strictly after that
+    // first qualifying click — the behavioral-sequence operator of
+    // product analytics and of sequence-conditioned training-data
+    // selection ("users who completed the flow"). The per-stage
+    // conversion window is what makes a funnel a funnel (without it,
+    // any sufficiently long history converts everyone — measured 100%
+    // at every stage on this fixture; with 24 h: 150 → 60 → 25 at
+    // sf0.01, every branch live). Stage k is the MIN event time of the
+    // k-th type inside (t_{k−1}, t_{k−1} + 24 h], so each user follows
+    // one deterministic path and the result is engine-exact.
+    // Plan: one filtered agg per stage + equi-joins on user_id whose
+    // RIGHT side shrinks monotonically (stage-k survivors) — each join
+    // is broadcast-able at any scale where the funnel narrows, and
+    // every filter pushes to the scan. Conversions in exact e4.
+    QueryDef(
+      "q_funnel",
+      (s: SparkSession, dir: String) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        def within24h(prev: String) =
+          col("ts") > col(prev) &&
+            col("ts") <= col(prev) + expr("interval 24 hours")
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(broadcast(s1), "user_id").filter(within24h("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(broadcast(s2), "user_id").filter(within24h("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        def e4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+          graft.functions.ExactMath.divTrunc(num * 10000L, greatest(den, lit(1L)))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .agg(count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_click"),
+            count(col("t3")).as("n_purchase"))
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            e4(col("n_click"), col("n_view")).as("click_conv_e4"),
+            e4(col("n_purchase"), col("n_click")).as("purchase_conv_e4"))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (
+             |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+             |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+             |    AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 24 HOUR
+             |  GROUP BY e.user_id),
+             |s3 AS (
+             |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+             |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+             |    AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 24 HOUR
+             |  GROUP BY e.user_id),
+             |j AS (
+             |  SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+             |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+             |  LEFT JOIN s3 ON s1.user_id = s3.user_id)
+             |SELECT COUNT(t1) AS n_view, COUNT(t2) AS n_click,
+             |  COUNT(t3) AS n_purchase,
+             |  COUNT(t2) * 10000 // GREATEST(COUNT(t1), 1) AS click_conv_e4,
+             |  COUNT(t3) * 10000 // GREATEST(COUNT(t2), 1) AS purchase_conv_e4
+             |FROM j""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_resample_locf ★ (new r5) — time-series resampling with
     // gap-fill: each user's event stream is resampled onto a dense
     // hourly grid over [first, last] activity and empty hours carry

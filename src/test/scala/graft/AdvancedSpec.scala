@@ -166,6 +166,31 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2) -> r._3).toMap == want)
   }
 
+  test("q_funnel matches a driver-side sequential fold; windows create drop-off (r5)") {
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tm"))
+      .as[(Long, String, Long)].collect()
+    val day = 24L * 3600L * 1000000L
+    val byUser = evs.groupBy(_._1)
+    def stage(prev: Map[Long, Long], typ: String): Map[Long, Long] =
+      prev.flatMap { case (u, t0) =>
+        byUser(u).filter(e => e._2 == typ && e._3 > t0 && e._3 <= t0 + day)
+          .map(_._3).minOption.map(u -> _)
+      }
+    val t1 = evs.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val t2 = stage(t1, "click")
+    val t3 = stage(t2, "purchase")
+    def e4(n: Long, d: Long) = n * 10000L / math.max(d, 1L)
+    val want = (t1.size.toLong, t2.size.toLong, t3.size.toLong,
+      e4(t2.size, t1.size), e4(t3.size, t2.size))
+    val got = SparkEntry.queries("q_funnel")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == want)
+    // the windows must bind: strictly decreasing stages on this fixture
+    assert(got._1 > got._2 && got._2 > got._3 && got._3 > 0, got.toString)
+  }
+
   test("q_resample_locf matches a driver-side grid + carry-forward fold (r5)") {
     val hourly = Tables(spark, sfDir, "events")
       .select(col("user_id"),
