@@ -440,6 +440,111 @@ object AdvancedQueries {
              |FROM j""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_transition_matrix ★ (new r5) — first-order Markov transition
+    // matrix of the event stream: for every ordered pair of consecutive
+    // events WITHIN a user's timeline, count (src_type → dst_type) and
+    // row-normalize to an exact e4 probability — the behavioral-model
+    // operator behind next-action prediction features and sequence-
+    // anomaly detection ("error→error spikes"). Consecutive-ness is a
+    // lead() over (user ORDER BY ts, event_id) — the event_id tie-break
+    // makes the per-user order TOTAL, so both engines pair identical
+    // neighbors even on equal timestamps. Plan: one window partitioned
+    // by user (shuffles once on user_id; each user's slice sorts
+    // independently — no global sort), one hash agg down to the
+    // |types|² matrix, then a window over those ≤25 rows for the row
+    // totals. Per-user state is two fields — nothing corpus-sized.
+    QueryDef(
+      "q_transition_matrix",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val tr = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("dst_type", lead(col("event_type"), 1).over(w))
+          .filter(col("dst_type").isNotNull)
+          .groupBy(col("event_type").as("src_type"), col("dst_type"))
+          .agg(count(lit(1)).as("n"))
+        tr.withColumn("tot", sum("n").over(Window.partitionBy("src_type")))
+          .select(col("src_type"), col("dst_type"), col("n"),
+            graft.functions.ExactMath
+              .divTrunc(col("n") * 20000L + col("tot"), col("tot") * 2L)
+              .as("p_e4"))
+          .orderBy("src_type", "dst_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+             |  FROM events),
+             |t AS (
+             |  SELECT event_type AS src_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS dst_type
+             |  FROM e),
+             |c AS (
+             |  SELECT src_type, dst_type, COUNT(*) AS n
+             |  FROM t WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+             |s AS (
+             |  SELECT src_type, dst_type, n,
+             |    SUM(n) OVER (PARTITION BY src_type) AS tot
+             |  FROM c)
+             |SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
+             |  CAST((n * 20000 + tot) // (tot * 2) AS BIGINT) AS p_e4
+             |FROM s ORDER BY src_type, dst_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_cohort_retention ★ (new r5) — customer-cohort retention matrix
+    // over `orders`: cohort = year of a customer's FIRST order, and for
+    // each offset k, how many of that cohort ordered again k years
+    // later (exact e4 share of the cohort) — the engagement-decay view
+    // every analytics stack ships, and the operator that decides which
+    // user strata a behavioral-training corpus over-samples. Runs on
+    // `orders` because its order dates spread first-purchases over 7
+    // years (every user in `events` starts on day 1 — a single-cohort
+    // fixture would leave the cohort dimension dead). Plan: one shuffle
+    // on o_custkey serves both the first-order agg and the join back
+    // (co-partitioned), distinct (cohort, k, custkey) collapses
+    // member-years before counting — per-customer state is one long,
+    // the output is the ≤ years² retention triangle, and the k=0
+    // cohort-size denominator comes from a window over those rows, not
+    // a re-scan. 10000 at k=0 is the built-in self-check.
+    QueryDef(
+      "q_cohort_retention",
+      (s: SparkSession, dir: String) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("y"))
+        val first = o.groupBy("o_custkey").agg(min("y").as("y0"))
+        val active = o.join(first, "o_custkey")
+          .select(col("y0").as("cohort_year"), (col("y") - col("y0")).as("k"),
+            col("o_custkey"))
+          .distinct()
+          .groupBy("cohort_year", "k")
+          .agg(count(lit(1)).as("n_active"))
+        active
+          .withColumn("cohort_n",
+            max(when(col("k") === 0L, col("n_active")))
+              .over(Window.partitionBy("cohort_year")))
+          .select(col("cohort_year"), col("k"), col("n_active"),
+            graft.functions.ExactMath
+              .divTrunc(col("n_active") * 20000L + col("cohort_n"), col("cohort_n") * 2L)
+              .as("retention_e4"))
+          .orderBy("cohort_year", "k")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS y FROM orders),
+             |f AS (SELECT o_custkey, MIN(y) AS y0 FROM o GROUP BY 1),
+             |a AS (
+             |  SELECT DISTINCT f.y0 AS cohort_year, o.y - f.y0 AS k, o.o_custkey
+             |  FROM o JOIN f USING (o_custkey)),
+             |c AS (SELECT cohort_year, k, COUNT(*) AS n_active FROM a GROUP BY 1, 2),
+             |w AS (
+             |  SELECT cohort_year, k, n_active,
+             |    MAX(CASE WHEN k = 0 THEN n_active END)
+             |      OVER (PARTITION BY cohort_year) AS cohort_n
+             |  FROM c)
+             |SELECT cohort_year, k, CAST(n_active AS BIGINT) AS n_active,
+             |  CAST((n_active * 20000 + cohort_n) // (cohort_n * 2) AS BIGINT)
+             |    AS retention_e4
+             |FROM w ORDER BY cohort_year, k""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_resample_locf ★ (new r5) — time-series resampling with
     // gap-fill: each user's event stream is resampled onto a dense
     // hourly grid over [first, last] activity and empty hours carry

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -16,6 +16,43 @@ import graft.functions.ExactMath
 object ProfileQueries {
 
   private def cents: Column = round(col("value") * 100).cast("long")
+
+  /** Tukey-fence outlier profile over rows of (event_type, c): per
+    * group, the lower-discrete q1/q3 (same explicit index formula as
+    * q_percentile), the 1.5×IQR fences, and how many rows fall outside
+    * each fence. All arithmetic is long-integer: the fence compare runs
+    * in HALF-cent units (2c vs 2q1 − 3·IQR) so the 1.5 factor never
+    * creates a fraction, and both engines evaluate the identical
+    * integer predicate. Public so the spec can drive it on a synthetic
+    * group where the LOWER fence fires — on `events.value` (non-negative,
+    * right-skewed) the lower fence is structurally unreachable
+    * (q1 − 1.5·IQR < 0 ≤ c), so the fixture only exercises n_high.
+    */
+  def tukeyFences(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("c")
+    val wn = Window.partitionBy("event_type")
+    def qAt(p: Int, nm: String) =
+      max(when(col("rn") ===
+        ExactMath.divTrunc((col("n") - 1L) * p, lit(100L)) + 1L, col("c"))).as(nm)
+    val f = e.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), qAt(25, "q1_c"), qAt(75, "q3_c"))
+    val iqr = col("q3_c") - col("q1_c")
+    e.join(broadcast(f), "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("q1_c").as("q1_c"), max("q3_c").as("q3_c"),
+        sum(when(col("c") * 2L < col("q1_c") * 2L - iqr * 3L, 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("c") * 2L > col("q3_c") * 2L + iqr * 3L, 1L).otherwise(0L))
+          .as("n_high"))
+      .select(col("event_type"), col("n"), col("q1_c"), col("q3_c"),
+        (col("q3_c") - col("q1_c")).as("iqr_c"), col("n_low"), col("n_high"),
+        ExactMath.divTrunc((col("n_low") + col("n_high")) * 20000L + col("n"),
+          col("n") * 2L).as("out_pct_e4"))
+      .orderBy("event_type")
+  }
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -119,6 +156,52 @@ object ProfileQueries {
              |SELECT event_type, bin, bin * 500 AS lo_cents, COUNT(*) AS n
              |FROM b GROUP BY event_type, bin
              |ORDER BY event_type, bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_outlier_fences ★ (new r5) — Tukey-fence outlier profile per
+    // event type: q1/q3 as lower-discrete order statistics on integer
+    // cents, fences at 1.5×IQR, and the count of rows outside each
+    // fence — the robust (quantile-based, so hot outliers can't move
+    // their own threshold the way mean±kσ lets them) anomaly-triage
+    // operator of a data-quality pass. The 1.5 factor is evaluated in
+    // half-cent units (2c vs 2q1 − 3·IQR), so every compare is exact
+    // long arithmetic in both engines; see [[tukeyFences]] for the
+    // fence derivation and the structurally-dead lower fence on this
+    // fixture (proven live on a synthetic group in ProfileSpec).
+    // Plan: one per-group window sort for the exact quantiles (the
+    // honest cost of exactness, same as q_percentile), then a broadcast
+    // of the 5-row fence table onto a second scan — map-only flagging.
+    // At 100 TB the fences come from approx_percentile's sketch in one
+    // pass and the flag pass is unchanged.
+    QueryDef(
+      "q_outlier_fences",
+      (s: SparkSession, dir: String) =>
+        tukeyFences(Tables(s, dir, "events").select(col("event_type"), cents.as("c"))),
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, c,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM b),
+             |f AS (
+             |  SELECT event_type, MAX(n) AS n,
+             |    MAX(CASE WHEN rn = ((n-1)*25)//100 + 1 THEN c END) AS q1_c,
+             |    MAX(CASE WHEN rn = ((n-1)*75)//100 + 1 THEN c END) AS q3_c
+             |  FROM r GROUP BY event_type)
+             |SELECT f.event_type, CAST(f.n AS BIGINT) AS n, f.q1_c, f.q3_c,
+             |  f.q3_c - f.q1_c AS iqr_c,
+             |  CAST(SUM(CASE WHEN 2*b.c < 2*f.q1_c - 3*(f.q3_c - f.q1_c)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |  CAST(SUM(CASE WHEN 2*b.c > 2*f.q3_c + 3*(f.q3_c - f.q1_c)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |  CAST(((SUM(CASE WHEN 2*b.c < 2*f.q1_c - 3*(f.q3_c - f.q1_c) THEN 1 ELSE 0 END)
+             |       + SUM(CASE WHEN 2*b.c > 2*f.q3_c + 3*(f.q3_c - f.q1_c) THEN 1 ELSE 0 END))
+             |      * 20000 + f.n) // (f.n * 2) AS BIGINT) AS out_pct_e4
+             |FROM b JOIN f ON b.event_type = f.event_type
+             |GROUP BY f.event_type, f.n, f.q1_c, f.q3_c
+             |ORDER BY f.event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_skew_stats ★ (new r5) — join/agg-key skew measurement: the

@@ -191,6 +191,45 @@ class AdvancedSpec extends SparkSpec {
     assert(got._1 > got._2 && got._2 > got._3 && got._3 > 0, got.toString)
   }
 
+  test("q_transition_matrix matches a driver-side pairing fold (r5)") {
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tm"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val counts = evs.groupBy(_._1).values.toSeq.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(_._4).toSeq
+      sorted.zip(sorted.tail)
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val tots = counts.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val want = counts.toSeq.map { case ((a, b), n) =>
+      (a, b, n, (n * 20000L + tots(a)) / (2L * tots(a)))
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_transition_matrix")(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == want)
+    // a transition matrix is only a matrix if multiple sources are live
+    assert(got.map(_._1).distinct.size > 1)
+  }
+
+  test("q_cohort_retention matches a driver-side fold; k=0 is exactly 10000 (r5)") {
+    val os = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("y"))
+      .as[(Long, Long)].collect()
+    val first = os.groupBy(_._1).map { case (c, ys) => c -> ys.map(_._2).min }
+    val counts = os.map { case (c, y) => (first(c), y - first(c), c) }.distinct
+      .groupBy(t => (t._1, t._2)).map { case (k, xs) => k -> xs.size.toLong }
+    val want = counts.toSeq.map { case ((cy, k), n) =>
+      val cn = counts((cy, 0L))
+      (cy, k, n, (n * 20000L + cn) / (2L * cn))
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_cohort_retention")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.filter(_._2 == 0L).forall(_._4 == 10000L))
+    // orders (not events) is the input precisely so cohorts are live
+    assert(got.map(_._1).distinct.size > 1)
+  }
+
   test("q_resample_locf matches a driver-side grid + carry-forward fold (r5)") {
     val hourly = Tables(spark, sfDir, "events")
       .select(col("user_id"),

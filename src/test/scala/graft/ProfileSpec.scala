@@ -102,4 +102,34 @@ class ProfileSpec extends SparkSpec {
     // and the salt really fans out: every fact row matched exactly once
     assert(got.map(_._2).sum == want.map(_._2).sum)
   }
+
+  test("q_outlier_fences matches a driver-side reference; low fence proven live on synthetic data (r5)") {
+    def fences(rows: Seq[(String, Long)]) =
+      rows.groupBy(_._1).toSeq.map { case (g, xs) =>
+        val v = xs.map(_._2).sorted
+        val n = v.length.toLong
+        def q(p: Int) = v((((n - 1) * p) / 100).toInt)
+        val (q1, q3) = (q(25), q(75))
+        val iqr = q3 - q1
+        val nLow = v.count(c => 2 * c < 2 * q1 - 3 * iqr).toLong
+        val nHigh = v.count(c => 2 * c > 2 * q3 + 3 * iqr).toLong
+        (g, n, q1, q3, iqr, nLow, nHigh, ((nLow + nHigh) * 20000L + n) / (2 * n))
+      }.sortBy(_._1)
+    val cs = Tables(spark, sfDir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .as[(String, Long)].collect().toSeq
+    val got = SparkEntry.queries("q_outlier_fences")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == fences(cs))
+    // the high fence is live on the fixture (right-skewed value)...
+    assert(got.forall(_._7 > 0))
+    // ...and the lower fence, structurally dead on non-negative values,
+    // is proven on a synthetic group with one outlier on each side
+    val syn = Seq.tabulate(101)(i => ("g", 1000L + i)) ++
+      Seq(("g", -5000L), ("g", 20000L))
+    val gotSyn = graft.queries.ProfileQueries.tukeyFences(syn.toDF("event_type", "c"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotSyn == fences(syn))
+    assert(gotSyn.head._6 == 1L && gotSyn.head._7 == 1L)
+  }
 }
