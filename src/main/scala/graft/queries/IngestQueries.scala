@@ -210,5 +210,63 @@ object IngestQueries {
              |  (4, 'append',      6, 4, 210, 0),
              |  (5, 'post_expiry', 6, 4, 210, 4))
              | t(step, op, n_rows, n_files, sum_v, n_expired)
+             |ORDER BY step""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // lake_upsert_e2e (new r5) — copy-on-write MERGE as a declared
+    // query: append 3 rows across partitions c1/c2, then upsert a batch
+    // that UPDATES key 2 (in c1) and INSERTS key 7 (new partition c3),
+    // observing each snapshot's row count, live-file count, content sum
+    // — and `n_shared`, the file-path intersection between the pre- and
+    // post-merge snapshots, which proves the rewrite scope was the
+    // TOUCHED partitions only (exactly the untouched c2 file is shared;
+    // 0 or 3 would mean full-table rewrite or isolation breakage). Step
+    // 3 re-reads the PRE-merge snapshot after the merge committed:
+    // snapshot isolation across a content change, not just compaction.
+    // Every observed number is computed from the live lake state (the
+    // lake_ops_e2e trust argument); the golden VALUES oracle pins the
+    // ledger. Determinism: appends/upserts repartition on the partition
+    // key → exactly one file per (write, partition).
+    QueryDef("lake_upsert_e2e", (s: SparkSession, _: String) => {
+      import s.implicits._
+      import graft.sink.{GraftLog, HiveParquetWriter, LakeOps}
+      val tmpRoot = Files.createTempDirectory("graft_upsert_")
+      val tableDir = tmpRoot.toString + "/warehouse/t"
+      val w = new HiveParquetWriter
+      def obs(step: Long, op: String, id: Long, shared: Long): (Long, String, Long, Long, Long, Long) = {
+        val a = LakeOps.readSnapshot(s, tableDir, id)
+          .agg(count(lit(1)).cast("long"), sum(col("v")).cast("long")).head()
+        (step, op, a.getLong(0),
+          GraftLog.liveFiles(tableDir, Some(id)).size.toLong, a.getLong(1), shared)
+      }
+      val s1 = w.append(Seq((1L, "c1", 10L), (2L, "c1", 20L), (3L, "c2", 30L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val r1 = obs(1, "append", s1, 0L)
+      val s2 = LakeOps.upsert(s, tableDir,
+        Seq((2L, "c1", 25L), (7L, "c3", 70L)).toDF("id", "category", "v"),
+        keyCols = Seq("id"), partitionCols = Seq("category")).snapshotId
+      val shared = GraftLog.liveFiles(tableDir, Some(s1))
+        .intersect(GraftLog.liveFiles(tableDir, Some(s2))).size.toLong
+      val r2 = obs(2, "overwrite", s2, shared)
+      val r3 = obs(3, "time_travel", s1, shared)
+      locally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(tmpRoot)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(p =>
+            try Files.deleteIfExists(p) catch { case _: Exception => () })
+      }
+      Seq(r1, r2, r3)
+        .toDF("step", "op", "n_rows", "n_files", "sum_v", "n_shared")
+        .orderBy("step")
+    },
+      Some("""SELECT CAST(step AS BIGINT) AS step, op,
+             |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_files AS BIGINT) AS n_files,
+             |  CAST(sum_v AS BIGINT) AS sum_v, CAST(n_shared AS BIGINT) AS n_shared
+             |FROM (VALUES
+             |  (1, 'append',      3, 2, 60,  0),
+             |  (2, 'overwrite',   4, 3, 135, 1),
+             |  (3, 'time_travel', 3, 2, 60,  1))
+             | t(step, op, n_rows, n_files, sum_v, n_shared)
              |ORDER BY step""".stripMargin)))
 }

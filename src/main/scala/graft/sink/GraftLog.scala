@@ -9,11 +9,16 @@ import org.json4s.jackson.JsonMethods
 /** The table's commit log: one JSON record per snapshot under
   * `<tableDir>/_graft_log/`, emulating the observable metadata of
   * Iceberg's snapshot chain (`App.java:147-149` territory, SURVEY.md
-  * A21/A24) with two operations:
+  * A21/A24) with three operations:
   *
   *  - `append`: `files` join the table;
   *  - `rewrite`: `files` REPLACE the live set (compaction — same rows,
-  *    fewer/bigger files).
+  *    fewer/bigger files);
+  *  - `overwrite`: `files` REPLACE the live set with CHANGED content
+  *    (copy-on-write MERGE — [[LakeOps.upsert]] lists carried-over
+  *    files of untouched partitions plus the rewritten ones, so the
+  *    fold semantics are those of `rewrite`; the distinct op name keeps
+  *    the ledger honest about which snapshots changed rows).
   *
   * The live file set of a snapshot is the fold of operations up to it;
   * readers must resolve through the log (never the directory listing —
@@ -88,8 +93,8 @@ object GraftLog {
       .filter(r => snapshotId.forall(r.snapshotId <= _))
     upTo.foldLeft(Vector.empty[String]) { (live, r) =>
       r.op match {
-        case "rewrite" => r.files.toVector
-        case _         => live ++ r.files
+        case "rewrite" | "overwrite" => r.files.toVector
+        case _                       => live ++ r.files
       }
     }
   }

@@ -57,6 +57,64 @@ object LakeOps {
     CommitInfo(rec.snapshotId, rec.files, rows)
   }
 
+  /** Copy-on-write MERGE (the observable semantics of Iceberg's
+    * `MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+    * INSERT`): every key of `updates` replaces the table's existing row
+    * with that key, and unmatched keys are inserted. The rewrite scope
+    * is the TOUCHED PARTITIONS only — files of partitions no update
+    * row lands in carry over into the new snapshot byte-identical
+    * (verified by relative path in LakeOpsSpec), which is what keeps a
+    * point update on a 100 TB table from rewriting 100 TB. Committed as
+    * an `overwrite` snapshot; readers at older snapshots still see the
+    * pre-merge rows (snapshot isolation across content changes, not
+    * just compaction).
+    *
+    * Contract: `updates` has the table's schema with partition columns
+    * materialized as strings rendered exactly as the write path renders
+    * the directory (the [[LakeWriter.append]] contract); `keyCols` are
+    * unique within `updates`. The touched-partition list is collected
+    * to the driver — it is bounded by the partitions the update batch
+    * touches (a point-update workload touches few), never by table
+    * size. A delete composes as: upsert the survivors of the touched
+    * keys' partitions, or run a full `rewrite` for bulk erasure.
+    * Returns the no-op `CommitInfo(0, Seq.empty, 0)` for an empty
+    * update batch (the Q10 rule: no empty snapshots).
+    */
+  def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
+      keyCols: Seq[String], partitionCols: Seq[String]): CommitInfo = {
+    import org.apache.spark.sql.functions.col
+    val up = partitionCols.foldLeft(updates)((d, c) => d.withColumn(c, d(c).cast("string")))
+    val touched: Set[String] = up.select(partitionCols.map(col): _*).distinct()
+      .collect().map { r =>
+        partitionCols.indices
+          .map(i => s"${partitionCols(i)}=${String.valueOf(r.get(i))}")
+          .mkString("/")
+      }.toSet
+    if (touched.isEmpty) return CommitInfo(0, Seq.empty, 0)
+    val live = GraftLog.liveFiles(tableDir, None)
+    val (touchedFiles, carried) =
+      live.partition(f => touched.exists(p => f.startsWith(p + "/")))
+    val merged =
+      if (touchedFiles.isEmpty) up
+      else {
+        val cur0 = spark.read.option("basePath", tableDir)
+          .parquet(touchedFiles.map(f => s"$tableDir/$f"): _*)
+        // partition inference may re-type the directory values; string
+        // them back so the anti-join/union/write see one schema (same
+        // normalization as compact)
+        val cur = partitionCols.foldLeft(cur0)((d, c) => d.withColumn(c, d(c).cast("string")))
+        cur.join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+          .unionByName(up)
+      }
+    val written = HiveParquetWriter.writeFiles(merged, partitionCols, tableDir)
+    // Record.rows = rows written in the rewrite scope (same convention
+    // as compact: the rows this snapshot's own files hold is what the
+    // 0-th staged file reports; carried files keep their original rows)
+    val rec = GraftLog.commit(tableDir, "overwrite", written.map(_._2).sum,
+      (carried ++ written.map(_._1)).sorted, Seq.empty)
+    CommitInfo(rec.snapshotId, rec.files, written.map(_._2).sum)
+  }
+
   /** Delete data files unreachable from the newest `keepLast`
     * snapshots. Returns the deleted relative paths.
     */

@@ -242,4 +242,46 @@ class LakeOpsSpec extends SparkSpec {
       .map(p => Paths.get(tdir).relativize(p).toString).toSet
     assert(onDisk == live.toSet)
   }
+
+  test("upsert: touched partitions rewritten, untouched carried byte-identical, old snapshot intact (r5)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_up_").toString
+    val tdir = s"$root/w/t"
+    val w = new graft.sink.HiveParquetWriter
+    val s1 = w.append(Seq((1L, "c1", 10L), (2L, "c1", 20L), (3L, "c2", 30L))
+      .toDF("id", "category", "v"), Seq("category"), tdir).snapshotId
+    val liveBefore = GraftLog.liveFiles(tdir, Some(s1))
+
+    // update key 2 (partition c1), insert key 7 (new partition c3)
+    val s2 = LakeOps.upsert(spark, tdir,
+      Seq((2L, "c1", 25L), (7L, "c3", 70L)).toDF("id", "category", "v"),
+      keyCols = Seq("id"), partitionCols = Seq("category")).snapshotId
+    val got = LakeOps.readTable(spark, tdir)
+      .select(col("id"), col("category").cast("string"), col("v"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "c1", 10L), (2L, "c1", 25L), (3L, "c2", 30L), (7L, "c3", 70L)))
+    // the untouched c2 file carried over under its ORIGINAL path;
+    // touched c1 was rewritten (its old file is no longer live)
+    val liveAfter = GraftLog.liveFiles(tdir, Some(s2))
+    val c2Before = liveBefore.filter(_.startsWith("category=c2/"))
+    assert(c2Before.nonEmpty && c2Before.forall(liveAfter.contains))
+    assert(liveBefore.filter(_.startsWith("category=c1/")).forall(f => !liveAfter.contains(f)))
+    // snapshot isolation: the pre-merge snapshot still reads old values
+    assert(LakeOps.readSnapshot(spark, tdir, s1)
+      .select(col("id"), col("v")).as[(Long, Long)].collect().sortBy(_._1).toSeq
+      == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+
+    // a second upsert stacks (update the inserted key)
+    LakeOps.upsert(spark, tdir, Seq((7L, "c3", 77L)).toDF("id", "category", "v"),
+      keyCols = Seq("id"), partitionCols = Seq("category"))
+    assert(LakeOps.readTable(spark, tdir)
+      .agg(sum(col("v")).cast("long")).head().getLong(0) == 10L + 25L + 30L + 77L)
+
+    // empty update batch = no snapshot (Q10 rule)
+    val before = GraftLog.records(tdir).size
+    val noop = LakeOps.upsert(spark, tdir,
+      Seq.empty[(Long, String, Long)].toDF("id", "category", "v"),
+      keyCols = Seq("id"), partitionCols = Seq("category"))
+    assert(noop.snapshotId == 0L && GraftLog.records(tdir).size == before)
+  }
 }
