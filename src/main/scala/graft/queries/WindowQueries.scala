@@ -188,6 +188,50 @@ object WindowQueries {
              |SELECT user_id, event_id AS last_event_id,
              |  event_type AS last_type, cents AS last_cents
              |FROM ranked WHERE rn = 1 AND event_type != 'error'
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_rolling_distinct ★ (new r5) — sliding-window DISTINCT count:
+    // per hour, how many distinct users were active in the trailing 24
+    // hours (the DAU/WAU rolling-engagement kernel). Distinct-over-a-
+    // sliding-window does NOT decompose into window-function frames
+    // (count(distinct) is unsupported over RANGE frames in both
+    // engines, and a per-window re-scan is quadratic), so the scalable
+    // shape is contribution-explode: compress the corpus to distinct
+    // (hour, user) pairs first — one shuffle, corpus → activity-grid-
+    // sized — then explode each pair to the ≤24 window-ends it serves,
+    // semi-join onto OBSERVED hours (broadcast, bounded by the time
+    // span), and distinct-count per window end. The ×24 row dilation is
+    // the price of exactness and scales with the GRID, not the corpus;
+    // at 100 TB the same plan holds (pairs ≪ events), or swap the final
+    // distinct for an HLL merge (q_approx_distinct's play) when even
+    // the grid is too hot. 720 window ends, counts 19–143 at sf0.01 —
+    // fully live ramp-up and decay.
+    QueryDef(
+      "q_rolling_distinct",
+      (s: SparkSession, dir: String) => {
+        val hu = Tables(s, dir, "events")
+          .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+          .distinct()
+        val hours = hu.select(col("h")).distinct()
+        hu.select(col("user_id"),
+            explode(sequence(col("h"), col("h") + expr("interval 23 hours"),
+              expr("interval 1 hour"))).as("h"))
+          .join(broadcast(hours), "h")
+          .distinct()
+          .groupBy("h").agg(count(lit(1)).as("n_users_24h"))
+          .orderBy("h")
+      },
+      Some("""WITH hu AS (
+             |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             |    user_id
+             |  FROM events),
+             |hours AS (SELECT DISTINCT h FROM hu),
+             |w AS (
+             |  SELECT DISTINCT hours.h AS h, hu.user_id
+             |  FROM hu JOIN hours
+             |    ON hu.h BETWEEN hours.h - INTERVAL 23 HOUR AND hours.h)
+             |SELECT h, COUNT(*) AS n_users_24h
+             |FROM w GROUP BY h ORDER BY h""".stripMargin))
   )
 }

@@ -230,6 +230,24 @@ class AdvancedSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size > 1)
   }
 
+  test("q_rolling_distinct matches a driver-side sliding-window distinct fold (r5)") {
+    val pairs = Tables(spark, sfDir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .distinct().as[(java.sql.Timestamp, Long)].collect()
+    val byHour = pairs.groupBy(_._1.getTime).view.mapValues(_.map(_._2).toSet).toMap
+    val want = byHour.keySet.toSeq.sorted.map { h =>
+      val users = (0 until 24)
+        .flatMap(k => byHour.getOrElse(h - k * 3600000L, Set.empty[Long])).toSet
+      (h, users.size.toLong)
+    }
+    val got = SparkEntry.queries("q_rolling_distinct")(spark, sfDir)
+      .as[(java.sql.Timestamp, Long)].collect()
+      .map(t => (t._1.getTime, t._2)).toSeq
+    assert(got == want)
+    // the window must be live: ramp-up/decay give many distinct counts
+    assert(got.map(_._2).distinct.size > 10)
+  }
+
   test("q_resample_locf matches a driver-side grid + carry-forward fold (r5)") {
     val hourly = Tables(spark, sfDir, "events")
       .select(col("user_id"),
