@@ -26,12 +26,24 @@ object LakeOps {
   def readTable(spark: SparkSession, tableDir: String): DataFrame =
     readSnapshot(spark, tableDir, GraftLog.records(tableDir).map(_.snapshotId).max)
 
-  /** Time travel: the table as of `snapshotId`. */
+  /** Time travel: the table as of `snapshotId`.
+    *
+    * `mergeSchema` makes ADD-COLUMN schema evolution observable the way
+    * Iceberg exposes it: the snapshot's schema is the union of its
+    * files' schemas, and rows written before the column existed read as
+    * null — while a snapshot that predates the column keeps the narrow
+    * schema (time travel travels the schema too). Iceberg resolves the
+    * schema from table metadata in O(1); this emulation pays a footer
+    * read per file instead — footers are KB-sized and read in parallel,
+    * but a real `IcebergWriter` behind the [[LakeWriter]] seam would
+    * carry the schema in the log, not the files.
+    */
   def readSnapshot(spark: SparkSession, tableDir: String, snapshotId: Long): DataFrame = {
     val files = GraftLog.liveFiles(tableDir, Some(snapshotId))
       .map(f => s"$tableDir/$f")
     // basePath keeps Hive partition columns when reading explicit files
-    spark.read.option("basePath", tableDir).parquet(files: _*)
+    spark.read.option("basePath", tableDir).option("mergeSchema", "true")
+      .parquet(files: _*)
   }
 
   /** Bin-pack the live set: one file per partition directory, committed

@@ -284,4 +284,30 @@ class LakeOpsSpec extends SparkSpec {
       keyCols = Seq("id"), partitionCols = Seq("category"))
     assert(noop.snapshotId == 0L && GraftLog.records(tdir).size == before)
   }
+
+  test("schema evolution: added column reads as null for old rows; time travel keeps the old schema (r5)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_se_").toString
+    val tdir = s"$root/w/t"
+    val w = new graft.sink.HiveParquetWriter
+    val s1 = w.append(Seq((1L, "c1", 10L)).toDF("id", "category", "v"),
+      Seq("category"), tdir).snapshotId
+    val s2 = w.append(Seq((2L, "c1", 20L, "x"), (3L, "c2", 30L, "y"))
+      .toDF("id", "category", "v", "w"), Seq("category"), tdir).snapshotId
+    // current read: union schema, pre-evolution rows null in the new column
+    val cur = LakeOps.readTable(spark, tdir)
+      .select(col("id"), col("v"), col("w")).as[(Long, Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(cur == Seq((1L, 10L, None), (2L, 20L, Some("x")), (3L, 30L, Some("y"))))
+    // time travel to the pre-evolution snapshot: the column doesn't exist
+    val old = LakeOps.readSnapshot(spark, tdir, s1)
+    assert(!old.columns.contains("w"))
+    assert(old.select("id").as[Long].collect().toSeq == Seq(1L))
+    // maintenance still works across the evolved schema
+    val c = LakeOps.compact(spark, tdir)
+    assert(LakeOps.readSnapshot(spark, tdir, c.snapshotId)
+      .select(col("id"), col("w")).as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+      == Seq((1L, None), (2L, Some("x")), (3L, Some("y"))))
+  }
 }
