@@ -528,6 +528,48 @@ object TextQueries {
              |  CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN CAST(0 AS BIGINT)
              |       ELSE sum_e4 // n_bigrams END AS lm_score_e4
              |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_bpe_pairs ★ (new r5) — the vocabulary-induction kernel of BPE
+    // tokenizer training: the first merge iteration's candidate table,
+    // i.e. every adjacent character pair's corpus frequency, weighted
+    // by word frequency (each in-word occurrence counts, so "aaa"
+    // contributes (a,a)×2), top-50 by count with a total (count DESC,
+    // pair ASC) order so the cutoff is engine-deterministic. The
+    // iterated merge loop is driver-orchestrated re-runs of this exact
+    // plan on a re-segmented corpus — the per-iteration table is the
+    // distributed part, and this is it. Plan: corpus → word-frequency
+    // table FIRST (one hash agg; pair generation then runs on the
+    // VOCABULARY — corpus-compressed, the trick that makes BPE training
+    // feasible at 100 TB), explode length−1 in-word positions, one pair
+    // hash agg, TakeOrderedAndProject for the top-50 (per-partition
+    // heaps + driver merge of 50, never a global sort).
+    QueryDef(
+      "q_bpe_pairs",
+      (s: SparkSession, dir: String) => {
+        val words = Tables(s, dir, "documents")
+          .select(explode(toks).as("w"))
+          .filter(length(col("w")) >= 2) // 0/1-char words yield no pairs
+          .groupBy("w").agg(count(lit(1)).as("wf"))
+        words
+          // sequence(1, n) is DESCENDING when n < 1 — the length filter
+          // above guarantees ascending 1..len−1 here
+          .select(col("wf"),
+            expr("explode(sequence(1, length(w) - 1))").as("i"), col("w"))
+          .select(expr("substring(w, i, 2)").as("pair"), col("wf"))
+          .groupBy("pair").agg(sum("wf").as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(50)
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |wf AS (
+             |  SELECT w, COUNT(*) AS wf FROM t WHERE length(w) >= 2 GROUP BY w),
+             |p AS (
+             |  SELECT unnest(list_transform(range(1, length(w)),
+             |    i -> substring(w, CAST(i AS INTEGER), 2))) AS pair, wf
+             |  FROM wf)
+             |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
+             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin))
   )
 }

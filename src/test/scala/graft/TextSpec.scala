@@ -135,4 +135,18 @@ class TextSpec extends SparkSpec {
       .as[(Long, Long, String, Long)].collect().toSeq
     assert(got == want)
   }
+
+  test("q_bpe_pairs matches a driver-side weighted pair-count fold (r5)") {
+    val wf = docs.flatMap(_._2.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- wf; i <- 0 until w.length - 1)
+      counts.updateWith(w.substring(i, i + 2))(c => Some(c.getOrElse(0L) + f))
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    val got = SparkEntry.queries("q_bpe_pairs")(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+    // live: a full top-50 with a real frequency gradient
+    assert(got.size == 50 && got.head._2 > got.last._2)
+  }
 }
