@@ -215,6 +215,74 @@ object MultimodalQueries {
              |  CAST(COALESCE(list_sum(es), 0) AS BIGINT) AS sum_e,
              |  CAST(COALESCE(list_max(es), 0) AS BIGINT) AS max_e,
              |  CAST(COALESCE(list_min(es), 0) AS BIGINT) AS min_e
-             |FROM e ORDER BY doc_id""".stripMargin))
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_mm_ahash ★ (new r5) — perceptual near-duplicate detection over
+    // binary payloads: 64-bit average hash (codegen'd [[AHash64]];
+    // exact integer mean compare, bit i = b(i)·n > Σb), banded into
+    // 4×16 bits, candidate pairs from the band equi-join (pigeonhole:
+    // Hamming ≤ 3 over 4 bands forces ≥1 identical band — lossless,
+    // the q_simhash_dup argument), verified by full 64-bit Hamming.
+    // This is image dedup without decoding: the codec seam feeds
+    // decoded pixel heads to the same expression at no plan change.
+    // Map-only hash + one selective equi-join — never all-pairs; the
+    // oracle (free to be quadratic at 500 docs) brute-forces all pairs
+    // band-wise in pure integer SQL, which also re-proves the banding
+    // lossless on this corpus. 25 pairs at sf0.01, one at distance 3 —
+    // the beyond-equality verify branch is live.
+    QueryDef(
+      "q_mm_ahash",
+      (s: SparkSession, dir: String) => {
+        val h = payloads(s, dir)
+          .filter(length(col("payload")) > 0) // empty → all-zero hash joins everything
+          .select(col("doc_id"),
+            graft.functions.AHash64.aHash64(col("payload")).as("h"))
+        val bands = h.select(col("doc_id"), col("h"),
+          posexplode(array((0 until 4).map(k =>
+            shiftright(col("h"), 16 * k).bitwiseAND(lit(0xffffL))): _*))
+            .as(Seq("bi", "bv")))
+        bands.as("a").join(bands.as("b"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.h").bitwiseXOR(col("b.h")).as("x"))
+          .select(col("d1"), col("d2"), expr("bit_count(x)").as("hamming"))
+          .distinct() // a pair may share several bands
+          .filter(col("hamming") <= 3)
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, encode(text) AS p FROM documents
+             |  WHERE octet_length(encode(text)) > 0),
+             |b AS (
+             |  SELECT doc_id, LEAST(octet_length(p), 64) AS n,
+             |    list_transform(range(1, LEAST(octet_length(p), 64) + 1),
+             |      i -> ('0x' || substring(hex(p), CAST(2*i-1 AS INTEGER), 2))::INT) AS bs
+             |  FROM d),
+             |h AS (
+             |  SELECT doc_id,
+             |    COALESCE(list_sum(list_transform(range(1, n + 1), j ->
+             |      CASE WHEN (j-1)//16 = 0 AND bs[j]*n > list_sum(bs)
+             |           THEN (1 << CAST((j-1)%16 AS INTEGER)) ELSE 0 END)), 0) AS b0,
+             |    COALESCE(list_sum(list_transform(range(1, n + 1), j ->
+             |      CASE WHEN (j-1)//16 = 1 AND bs[j]*n > list_sum(bs)
+             |           THEN (1 << CAST((j-1)%16 AS INTEGER)) ELSE 0 END)), 0) AS b1,
+             |    COALESCE(list_sum(list_transform(range(1, n + 1), j ->
+             |      CASE WHEN (j-1)//16 = 2 AND bs[j]*n > list_sum(bs)
+             |           THEN (1 << CAST((j-1)%16 AS INTEGER)) ELSE 0 END)), 0) AS b2,
+             |    COALESCE(list_sum(list_transform(range(1, n + 1), j ->
+             |      CASE WHEN (j-1)//16 = 3 AND bs[j]*n > list_sum(bs)
+             |           THEN (1 << CAST((j-1)%16 AS INTEGER)) ELSE 0 END)), 0) AS b3
+             |  FROM b),
+             |pairs AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |    bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT))) +
+             |    bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT))) +
+             |    bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT))) +
+             |    bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) AS hamming
+             |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+             |SELECT d1, d2, CAST(hamming AS INTEGER) AS hamming
+             |FROM pairs WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin))
   )
 }

@@ -84,7 +84,16 @@ object LakeOps {
     * Contract: `updates` has the table's schema with partition columns
     * materialized as strings rendered exactly as the write path renders
     * the directory (the [[LakeWriter.append]] contract); `keyCols` are
-    * unique within `updates`. The touched-partition list is collected
+    * unique within `updates`; and the key → partition mapping is STABLE
+    * — an update must carry the key's existing partition value (true by
+    * construction when the partition is a transform of the key, the
+    * reference's own layout, Q2-Q4). A partition-moving update would
+    * leave the old row alive in the untouched partition — matching keys
+    * GLOBALLY would mean scanning every partition per merge, which is
+    * exactly what partition-scoped rewrite exists to avoid; Iceberg's
+    * copy-on-write MERGE leans on the same pruning when the match
+    * predicate covers the partition key. The touched-partition list is
+    * collected
     * to the driver — it is bounded by the partitions the update batch
     * touches (a point-update workload touches few), never by table
     * size. A delete composes as: upsert the survivors of the touched

@@ -157,4 +157,41 @@ class MultimodalSpec extends SparkSpec {
       .map { case (id, t) => id -> ref(t.getBytes("UTF-8")) }.toMap
     assert(got == want)
   }
+
+  test("q_mm_ahash matches a driver-side brute-force fold; AHash64 matches its reference (r5)") {
+    def ahash(bytes: Array[Byte]): Long = {
+      val n = math.min(64, bytes.length)
+      if (n == 0) return 0L
+      val s = bytes.take(n).map(b => (b & 0xff).toLong).sum
+      bytes.take(n).zipWithIndex
+        .foldLeft(0L) { case (h, (b, i)) =>
+          if ((b & 0xffL) * n > s) h | (1L << i) else h
+        }
+    }
+    // expression vs reference on edge payloads (empty, 1-byte, 63/64/65,
+    // all-equal bytes → mean never exceeded → hash 0)
+    for (bytes <- Seq(Array.empty[Byte], Array[Byte](7), Array.fill(63)(1.toByte),
+        (0 until 64).map(_.toByte).toArray, (0 until 65).map(_.toByte).toArray,
+        Array.fill(64)(42.toByte))) {
+      val got = Seq(Tuple1(bytes)).toDF("p")
+        .select(graft.functions.AHash64.aHash64(col("p"))).as[Long].head()
+      assert(got == ahash(bytes), s"len ${bytes.length}")
+    }
+    // declared query vs a driver-side all-pairs fold
+    val hs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2.nonEmpty)
+      .map { case (id, t) => id -> ahash(t.getBytes("UTF-8")) }
+    val want = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      (d1, h1) = if (hs(i)._1 < hs(j)._1) hs(i) else hs(j)
+      (d2, h2) = if (hs(i)._1 < hs(j)._1) hs(j) else hs(i)
+      ham = java.lang.Long.bitCount(h1 ^ h2)
+      if ham <= 3
+    } yield (d1, d2, ham)).sorted.toSeq
+    val got = SparkEntry.queries("q_mm_ahash")(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }

@@ -36,13 +36,15 @@ class SqlFunctionsSpec extends SparkSpec {
     val sql = spark.sql(
       """SELECT graft_simhash64(split(text, ' ')),
         |  graft_java_hash(text),
-        |  graft_shingles(split(text, ' '), 2)
+        |  graft_shingles(split(text, ' '), 2),
+        |  graft_ahash64(encode(text, 'UTF-8'))
         |FROM d_sql""".stripMargin)
-      .as[(Long, Int, Seq[String])].collect().toSeq
+      .as[(Long, Int, Seq[String], Long)].collect().toSeq
     val want = docs.map { t =>
       (SimHash64.hashTokens(t.split(" ").toSeq), t.hashCode,
         t.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
-          .map(_.mkString(" ")).toSeq.distinct)
+          .map(_.mkString(" ")).toSeq.distinct,
+        graft.functions.AHash64.hash(t.getBytes("UTF-8")))
     }
     assert(sql == want)
   }
