@@ -29,7 +29,10 @@ object PlanAudit {
     // rank window over ≤20 rows AFTER TakeOrderedAndProject
     ("q_embed_dedup_lsh", "globalWindow"),
     // windows over the KEY HISTOGRAM (vocabulary-sized), not the corpus
-    ("q_skew_stats", "globalWindow"))
+    ("q_skew_stats", "globalWindow"),
+    // window over the DAYS table (time-span-sized, ≤36525 rows for a
+    // century), not the corpus — see the q_rate_anomaly scaladoc
+    ("q_rate_anomaly", "globalWindow"))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -204,6 +204,61 @@ object ProfileQueries {
              |ORDER BY f.event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_rate_anomaly ★ (new r5) — metric-drift detection: per day, the
+    // error-event share vs its trailing-7-day baseline, flagged when
+    // the deviation exceeds 3% — the data-quality tripwire that pages
+    // before a bad drop poisons a training run. The FLAG is division-
+    // free exact integer cross-multiplication (|n_err·T_n − T_err·n|·
+    // 100 > 3·n·T_n — no rounding can sit on the decision boundary;
+    // exact in longs while n·T_n ≤ 9.2e16, i.e. ~1.1e8 rows/day — at
+    // larger daily volumes lift the flag arithmetic to decimal(38,0),
+    // the reported rates are unaffected); the reported rate columns are
+    // floor-div e4 (deterministic in both engines). Plan: ONE hash agg
+    // corpus → days (map-side combined), then a window over the
+    // days-sized frame — the global window runs on ≤ time-span rows
+    // (30 here, 36525 for a century of days), never the corpus; flags
+    // at 300 e4: 6 of 29 days anomalous at sf0.01, nearest deviations
+    // 288/336 — both branches live with a 12+ e4 margin.
+    QueryDef(
+      "q_rate_anomaly",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+        val w = Window.orderBy("day").rowsBetween(-7, -1)
+        d.withColumn("tn", sum("n").over(w))
+          .withColumn("te", sum("n_err").over(w))
+          .filter(col("tn").isNotNull) // first day: no baseline yet
+          .select(col("day"), col("n"), col("n_err"),
+            ExactMath.divTrunc(col("n_err") * 10000L, col("n")).as("rate_e4"),
+            ExactMath.divTrunc(col("te") * 10000L, col("tn")).as("trail_e4"),
+            col("tn"), col("te"))
+          .select(col("day"), col("n"), col("n_err"), col("rate_e4"), col("trail_e4"),
+            abs(col("rate_e4") - col("trail_e4")).as("dev_e4"),
+            (abs(col("n_err") * col("tn") - col("te") * col("n")) * 100L >
+              col("n") * col("tn") * 3L).cast("int").as("anomaly"))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n,
+             |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ne
+             |  FROM events GROUP BY 1),
+             |w AS (
+             |  SELECT day, n, ne,
+             |    SUM(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tn,
+             |    SUM(ne) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS te
+             |  FROM d)
+             |SELECT day, CAST(n AS BIGINT) AS n, CAST(ne AS BIGINT) AS n_err,
+             |  CAST(ne*10000//n AS BIGINT) AS rate_e4,
+             |  CAST(te*10000//tn AS BIGINT) AS trail_e4,
+             |  CAST(abs(ne*10000//n - te*10000//tn) AS BIGINT) AS dev_e4,
+             |  CAST(CASE WHEN abs(ne*tn - te*n)*100 > 3*n*tn THEN 1 ELSE 0 END
+             |    AS INTEGER) AS anomaly
+             |FROM w WHERE tn IS NOT NULL ORDER BY day""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_skew_stats ★ (new r5) — join/agg-key skew measurement: the
     // numbers that DECIDE whether q_join_salted's salting (or AQE's
     // skew split) is needed for a key. Per candidate key column

@@ -103,6 +103,26 @@ class ProfileSpec extends SparkSpec {
     assert(got.map(_._2).sum == want.map(_._2).sum)
   }
 
+  test("q_rate_anomaly matches a driver-side trailing-baseline fold; both flag branches live (r5)") {
+    val byDay = Tables(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .as[(java.sql.Date, String)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1.getTime)
+      .map { case (d, xs) => (d, xs.length.toLong, xs.count(_._2 == "error").toLong) }
+    val want = byDay.indices.drop(1).map { i =>
+      val (d, n, ne) = byDay(i)
+      val trail = byDay.slice(math.max(0, i - 7), i)
+      val (tn, te) = (trail.map(_._2).sum, trail.map(_._3).sum)
+      val (rate, tr) = (ne * 10000L / n, te * 10000L / tn)
+      (d, n, ne, rate, tr, math.abs(rate - tr),
+        if (math.abs(ne * tn - te * n) * 100L > 3L * n * tn) 1 else 0)
+    }
+    val got = SparkEntry.queries("q_rate_anomaly")(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(got == want)
+    assert(got.exists(_._7 == 1) && got.exists(_._7 == 0), "both flag branches must be live")
+  }
+
   test("q_outlier_fences matches a driver-side reference; low fence proven live on synthetic data (r5)") {
     def fences(rows: Seq[(String, Long)]) =
       rows.groupBy(_._1).toSeq.map { case (g, xs) =>
