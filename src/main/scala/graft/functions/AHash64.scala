@@ -14,12 +14,16 @@ import org.apache.spark.sql.types._
   * [[graft.multimodal.Multimodal.StubCodec]]'s seam, would feed decoded
   * pixels to the same expression).
   *
-  * The mean compare is EXACT integer arithmetic — bit i = b(i)·n >
-  * Σb (never a double mean) — so any engine reproduces the hash
-  * bit-for-bit from the bytes. Head = first min(64, length) bytes;
-  * empty payload → 0L (callers filter empties before pairing — an
-  * all-zero hash would band-join every empty payload against every
-  * other).
+  * The mean compare is EXACT integer arithmetic — bit i = b(i mod n)·n
+  * > Σb (never a double mean) — so any engine reproduces the hash
+  * bit-for-bit from the bytes. Head = first n = min(64, length) bytes;
+  * payloads shorter than 64 bytes are extended CYCLICALLY so all 64
+  * bits are live for any non-empty payload — without this, every
+  * payload under 49 bytes has a structurally zero top band and the
+  * downstream band join degrades to all-pairs among short payloads
+  * (review finding; real aHash has the same shape: a fixed 8×8
+  * downsample means the bit count never depends on input size). Empty
+  * payload → 0L (callers filter empties before pairing).
   *
   * Catalyst expression with codegen for the same reason as
   * [[SimHash64]]: the hash runs inside WholeStageCodegen as a map-only
@@ -60,8 +64,8 @@ object AHash64 {
     while (i < n) { s += (bytes(i) & 0xffL); i += 1 }
     var out = 0L
     i = 0
-    while (i < n) {
-      if ((bytes(i) & 0xffL) * n > s) out |= (1L << i)
+    while (i < 64) {
+      if ((bytes(i % n) & 0xffL) * n > s) out |= (1L << i)
       i += 1
     }
     out

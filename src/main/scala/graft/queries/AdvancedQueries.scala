@@ -385,9 +385,12 @@ object AdvancedQueries {
     // k-th type inside (t_{k−1}, t_{k−1} + 24 h], so each user follows
     // one deterministic path and the result is engine-exact.
     // Plan: one filtered agg per stage + equi-joins on user_id whose
-    // RIGHT side shrinks monotonically (stage-k survivors) — each join
-    // is broadcast-able at any scale where the funnel narrows, and
-    // every filter pushes to the scan. Conversions in exact e4.
+    // RIGHT side shrinks monotonically (stage-k survivors). The joins
+    // are plain key shuffles — NOT forced broadcasts: s1 is the full
+    // viewer dimension (user-scale, a forced broadcast would OOM at
+    // 100 TB — review finding), and AQE already broadcasts any
+    // narrowed survivor stage that actually fits. Every event_type
+    // filter pushes to the scan. Conversions in exact e4.
     QueryDef(
       "q_funnel",
       (s: SparkSession, dir: String) => {
@@ -399,10 +402,10 @@ object AdvancedQueries {
         val s1 = ev.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("ts").as("t1"))
         val s2 = ev.filter(col("event_type") === "click")
-          .join(broadcast(s1), "user_id").filter(within24h("t1"))
+          .join(s1, "user_id").filter(within24h("t1"))
           .groupBy("user_id").agg(min("ts").as("t2"))
         val s3 = ev.filter(col("event_type") === "purchase")
-          .join(broadcast(s2), "user_id").filter(within24h("t2"))
+          .join(s2, "user_id").filter(within24h("t2"))
           .groupBy("user_id").agg(min("ts").as("t3"))
         def e4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
           graft.functions.ExactMath.divTrunc(num * 10000L, greatest(den, lit(1L)))

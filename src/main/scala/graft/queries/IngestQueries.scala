@@ -81,6 +81,19 @@ object IngestQueries {
       """{"id":999,"event_date":"2020-01-01","user_id":1,"category":"other"}""")
   }
 
+
+  /** Recursive temp-tree delete shared by the e2e queries (each builds
+    * a throwaway lake per run and must not fill /tmp across repeated
+    * Bench/Time/Verify runs).
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(root)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: Exception => () })
+  }
+
   def run(spark: SparkSession): DataFrame = {
     val rootPath = Files.createTempDirectory("graft_ingest_")
     val root = rootPath.toString
@@ -106,13 +119,7 @@ object IngestQueries {
     val rows = result.collect()
     val out = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), result.schema)
-    locally {
-      import scala.jdk.CollectionConverters._
-      Files.walk(rootPath)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(p =>
-          try Files.deleteIfExists(p) catch { case _: Exception => () })
-    }
+    deleteTree(rootPath)
     out
   }
 
@@ -189,13 +196,7 @@ object IngestQueries {
         GraftLog.liveFiles(tableDir, None).size.toLong, fin.getLong(1), expired)
       // every observation is a collected scalar by now — delete the
       // temp lake so repeated Bench/Time runs don't fill /tmp
-      locally {
-        import scala.jdk.CollectionConverters._
-        Files.walk(tmpRoot)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(p =>
-            try Files.deleteIfExists(p) catch { case _: Exception => () })
-      }
+      deleteTree(tmpRoot)
       Seq(r1, r2, r3, r4, r5)
         .toDF("step", "op", "n_rows", "n_files", "sum_v", "n_expired")
         .orderBy("step")
@@ -249,13 +250,7 @@ object IngestQueries {
         .intersect(GraftLog.liveFiles(tableDir, Some(s2))).size.toLong
       val r2 = obs(2, "overwrite", s2, shared)
       val r3 = obs(3, "time_travel", s1, shared)
-      locally {
-        import scala.jdk.CollectionConverters._
-        Files.walk(tmpRoot)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(p =>
-            try Files.deleteIfExists(p) catch { case _: Exception => () })
-      }
+      deleteTree(tmpRoot)
       Seq(r1, r2, r3)
         .toDF("step", "op", "n_rows", "n_files", "sum_v", "n_shared")
         .orderBy("step")

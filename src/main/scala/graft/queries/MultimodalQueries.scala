@@ -226,6 +226,9 @@ object MultimodalQueries {
     // the q_simhash_dup argument), verified by full 64-bit Hamming.
     // This is image dedup without decoding: the codec seam feeds
     // decoded pixel heads to the same expression at no plan change.
+    // Short payloads are cyclically extended inside AHash64 so every
+    // band is live for any non-empty payload (no structurally-zero
+    // band to all-pairs on — see the expression's scaladoc).
     // Map-only hash + one selective equi-join — never all-pairs; the
     // oracle (free to be quadratic at 500 docs) brute-forces all pairs
     // band-wise in pure integer SQL, which also re-proves the banding
@@ -262,17 +265,17 @@ object MultimodalQueries {
              |  FROM d),
              |h AS (
              |  SELECT doc_id,
-             |    COALESCE(list_sum(list_transform(range(1, n + 1), j ->
-             |      CASE WHEN (j-1)//16 = 0 AND bs[j]*n > list_sum(bs)
+             |    COALESCE(list_sum(list_transform(range(1, 65), j ->
+             |      CASE WHEN (j-1)//16 = 0 AND bs[CAST((j-1)%n AS INTEGER)+1]*n > list_sum(bs)
              |           THEN (1 << CAST((j-1)%16 AS INTEGER)) ELSE 0 END)), 0) AS b0,
-             |    COALESCE(list_sum(list_transform(range(1, n + 1), j ->
-             |      CASE WHEN (j-1)//16 = 1 AND bs[j]*n > list_sum(bs)
+             |    COALESCE(list_sum(list_transform(range(1, 65), j ->
+             |      CASE WHEN (j-1)//16 = 1 AND bs[CAST((j-1)%n AS INTEGER)+1]*n > list_sum(bs)
              |           THEN (1 << CAST((j-1)%16 AS INTEGER)) ELSE 0 END)), 0) AS b1,
-             |    COALESCE(list_sum(list_transform(range(1, n + 1), j ->
-             |      CASE WHEN (j-1)//16 = 2 AND bs[j]*n > list_sum(bs)
+             |    COALESCE(list_sum(list_transform(range(1, 65), j ->
+             |      CASE WHEN (j-1)//16 = 2 AND bs[CAST((j-1)%n AS INTEGER)+1]*n > list_sum(bs)
              |           THEN (1 << CAST((j-1)%16 AS INTEGER)) ELSE 0 END)), 0) AS b2,
-             |    COALESCE(list_sum(list_transform(range(1, n + 1), j ->
-             |      CASE WHEN (j-1)//16 = 3 AND bs[j]*n > list_sum(bs)
+             |    COALESCE(list_sum(list_transform(range(1, 65), j ->
+             |      CASE WHEN (j-1)//16 = 3 AND bs[CAST((j-1)%n AS INTEGER)+1]*n > list_sum(bs)
              |           THEN (1 << CAST((j-1)%16 AS INTEGER)) ELSE 0 END)), 0) AS b3
              |  FROM b),
              |pairs AS (

@@ -54,6 +54,30 @@ object ProfileQueries {
       .orderBy("event_type")
   }
 
+  /** The windowed half of q_rate_anomaly over rows of (day, n, n_err):
+    * trailing CALENDAR-day baseline (RANGE over the epoch-day index)
+    * and the division-free anomaly flag. Public so ProfileSpec can
+    * prove the gap semantics on a synthetic day series — the fixture
+    * has no missing days, where ROWS and RANGE coincide.
+    */
+  def rateAnomaly(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day_idx").rangeBetween(-7, -1)
+    d.withColumn("day_idx", datediff(col("day"), lit("1970-01-01")))
+      .withColumn("tn", sum("n").over(w))
+      .withColumn("te", sum("n_err").over(w))
+      .filter(col("tn").isNotNull) // first day: no baseline yet
+      .select(col("day"), col("n"), col("n_err"),
+        ExactMath.divTrunc(col("n_err") * 10000L, col("n")).as("rate_e4"),
+        ExactMath.divTrunc(col("te") * 10000L, col("tn")).as("trail_e4"),
+        col("tn"), col("te"))
+      .select(col("day"), col("n"), col("n_err"), col("rate_e4"), col("trail_e4"),
+        abs(col("rate_e4") - col("trail_e4")).as("dev_e4"),
+        (abs(col("n_err") * col("tn") - col("te") * col("n")) * 100L >
+          col("n") * col("tn") * 3L).cast("int").as("anomaly"))
+      .orderBy("day")
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -213,43 +237,33 @@ object ProfileQueries {
     // exact in longs while n·T_n ≤ 9.2e16, i.e. ~1.1e8 rows/day — at
     // larger daily volumes lift the flag arithmetic to decimal(38,0),
     // the reported rates are unaffected); the reported rate columns are
-    // floor-div e4 (deterministic in both engines). Plan: ONE hash agg
-    // corpus → days (map-side combined), then a window over the
-    // days-sized frame — the global window runs on ≤ time-span rows
-    // (30 here, 36525 for a century of days), never the corpus; flags
-    // at 300 e4: 6 of 29 days anomalous at sf0.01, nearest deviations
-    // 288/336 — both branches live with a 12+ e4 margin.
+    // floor-div e4 (deterministic in both engines). The baseline frame
+    // is a RANGE over the epoch-day index, not ROWS — a calendar day
+    // with zero events must NOT stretch the baseline onto older days
+    // (ROWS would reach back 8+ calendar days across a gap — review
+    // finding; the silent-feed outage is exactly when the tripwire
+    // matters). Plan: ONE hash agg corpus → days (map-side combined),
+    // then a window over the days-sized frame — the global window runs
+    // on ≤ time-span rows (30 here, 36525 for a century), never the
+    // corpus; flags at 300 e4: 6 of 29 days anomalous at sf0.01,
+    // nearest deviations 288/336 — both branches live, 12+ e4 margin.
     QueryDef(
       "q_rate_anomaly",
-      (s: SparkSession, dir: String) => {
-        import org.apache.spark.sql.expressions.Window
-        val d = Tables(s, dir, "events")
+      (s: SparkSession, dir: String) =>
+        rateAnomaly(Tables(s, dir, "events")
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"),
-            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
-        val w = Window.orderBy("day").rowsBetween(-7, -1)
-        d.withColumn("tn", sum("n").over(w))
-          .withColumn("te", sum("n_err").over(w))
-          .filter(col("tn").isNotNull) // first day: no baseline yet
-          .select(col("day"), col("n"), col("n_err"),
-            ExactMath.divTrunc(col("n_err") * 10000L, col("n")).as("rate_e4"),
-            ExactMath.divTrunc(col("te") * 10000L, col("tn")).as("trail_e4"),
-            col("tn"), col("te"))
-          .select(col("day"), col("n"), col("n_err"), col("rate_e4"), col("trail_e4"),
-            abs(col("rate_e4") - col("trail_e4")).as("dev_e4"),
-            (abs(col("n_err") * col("tn") - col("te") * col("n")) * 100L >
-              col("n") * col("tn") * 3L).cast("int").as("anomaly"))
-          .orderBy("day")
-      },
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))),
       Some("""WITH d AS (
              |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n,
              |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ne
              |  FROM events GROUP BY 1),
+             |i AS (SELECT day, n, ne, day - DATE '1970-01-01' AS day_idx FROM d),
              |w AS (
              |  SELECT day, n, ne,
-             |    SUM(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tn,
-             |    SUM(ne) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS te
-             |  FROM d)
+             |    SUM(n) OVER (ORDER BY day_idx RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tn,
+             |    SUM(ne) OVER (ORDER BY day_idx RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS te
+             |  FROM i)
              |SELECT day, CAST(n AS BIGINT) AS n, CAST(ne AS BIGINT) AS n_err,
              |  CAST(ne*10000//n AS BIGINT) AS rate_e4,
              |  CAST(te*10000//tn AS BIGINT) AS trail_e4,

@@ -105,10 +105,18 @@ object LakeOps {
       keyCols: Seq[String], partitionCols: Seq[String]): CommitInfo = {
     import org.apache.spark.sql.functions.col
     val up = partitionCols.foldLeft(updates)((d, c) => d.withColumn(c, d(c).cast("string")))
+    // Directory-name rendering must match the WRITE path exactly:
+    // Spark's partitionBy escapes special characters (/, =, %, …) via
+    // escapePathName, and writeFiles renames the null dir to `=null` —
+    // a raw-value prefix would never match an escaped directory and the
+    // stale row would silently survive the merge (review finding).
+    def renderDir(colName: String, v: Any): String =
+      if (v == null) s"$colName=null"
+      else s"$colName=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(v.toString)
     val touched: Set[String] = up.select(partitionCols.map(col): _*).distinct()
       .collect().map { r =>
-        partitionCols.indices
-          .map(i => s"${partitionCols(i)}=${String.valueOf(r.get(i))}")
+        partitionCols.indices.map(i => renderDir(partitionCols(i), r.get(i)))
           .mkString("/")
       }.toSet
     if (touched.isEmpty) return CommitInfo(0, Seq.empty, 0)
@@ -118,14 +126,21 @@ object LakeOps {
     val merged =
       if (touchedFiles.isEmpty) up
       else {
+        // mergeSchema: a touched partition may hold files from before an
+        // ADD-COLUMN evolution — a single-footer schema would silently
+        // drop (or crash the union on) the added column
         val cur0 = spark.read.option("basePath", tableDir)
+          .option("mergeSchema", "true")
           .parquet(touchedFiles.map(f => s"$tableDir/$f"): _*)
         // partition inference may re-type the directory values; string
         // them back so the anti-join/union/write see one schema (same
         // normalization as compact)
         val cur = partitionCols.foldLeft(cur0)((d, c) => d.withColumn(c, d(c).cast("string")))
+        // whole-row replacement semantics: an update row that omits an
+        // evolved column writes null there (allowMissingColumns), the
+        // same null a fresh insert would carry
         cur.join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-          .unionByName(up)
+          .unionByName(up, allowMissingColumns = true)
       }
     val written = HiveParquetWriter.writeFiles(merged, partitionCols, tableDir)
     // Record.rows = rows written in the rewrite scope (same convention

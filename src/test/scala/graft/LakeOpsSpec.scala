@@ -309,5 +309,37 @@ class LakeOpsSpec extends SparkSpec {
       .select(col("id"), col("w")).as[(Long, Option[String])]
       .collect().sortBy(_._1).toSeq
       == Seq((1L, None), (2L, Some("x")), (3L, Some("y"))))
+
+    // upsert INTO a partition holding both pre- and post-evolution
+    // files must see the union schema (mergeSchema on its internal
+    // read), and an update batch omitting the evolved column
+    // null-fills it (whole-row replacement)
+    val w2 = new graft.sink.HiveParquetWriter
+    val tdir2 = s"$root/w/t2"
+    w2.append(Seq((1L, "c1", 10L)).toDF("id", "category", "v"), Seq("category"), tdir2)
+    w2.append(Seq((2L, "c1", 20L, "x")).toDF("id", "category", "v", "w"),
+      Seq("category"), tdir2)
+    LakeOps.upsert(spark, tdir2, Seq((1L, "c1", 11L)).toDF("id", "category", "v"),
+      keyCols = Seq("id"), partitionCols = Seq("category"))
+    assert(LakeOps.readTable(spark, tdir2)
+      .select(col("id"), col("v"), col("w")).as[(Long, Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+      == Seq((1L, 11L, None), (2L, 20L, Some("x"))))
+  }
+
+  test("upsert matches escaped partition directories (special characters in values) (r5)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_esc_").toString
+    val tdir = s"$root/w/t"
+    val w = new graft.sink.HiveParquetWriter
+    // values Spark's write path escapes in directory names
+    w.append(Seq((1L, "a/b", 10L), (2L, "x y", 20L), (3L, "plain", 30L))
+      .toDF("id", "category", "v"), Seq("category"), tdir)
+    LakeOps.upsert(spark, tdir, Seq((1L, "a/b", 11L)).toDF("id", "category", "v"),
+      keyCols = Seq("id"), partitionCols = Seq("category"))
+    // the stale row must be gone (prefix matched the ESCAPED dir name)
+    assert(LakeOps.readTable(spark, tdir)
+      .select(col("id"), col("v")).as[(Long, Long)].collect().sortBy(_._1).toSeq
+      == Seq((1L, 11L), (2L, 20L), (3L, 30L)))
   }
 }

@@ -159,18 +159,22 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("q_mm_ahash matches a driver-side brute-force fold; AHash64 matches its reference (r5)") {
+    // cyclic-extension semantics: bit i tests byte (i mod n) against
+    // the exact integer mean of the n-byte head (AHash64 scaladoc)
     def ahash(bytes: Array[Byte]): Long = {
       val n = math.min(64, bytes.length)
       if (n == 0) return 0L
-      val s = bytes.take(n).map(b => (b & 0xff).toLong).sum
-      bytes.take(n).zipWithIndex
-        .foldLeft(0L) { case (h, (b, i)) =>
-          if ((b & 0xffL) * n > s) h | (1L << i) else h
-        }
+      val s = (0 until n).map(i => (bytes(i) & 0xff).toLong).sum
+      (0 until 64).foldLeft(0L) { (h, i) =>
+        if ((bytes(i % n) & 0xffL) * n > s) h | (1L << i) else h
+      }
     }
-    // expression vs reference on edge payloads (empty, 1-byte, 63/64/65,
-    // all-equal bytes → mean never exceeded → hash 0)
-    for (bytes <- Seq(Array.empty[Byte], Array[Byte](7), Array.fill(63)(1.toByte),
+    // expression vs reference on edge payloads (empty, 1-byte, a 2-byte
+    // payload where the cyclic wraparound sets alternating bits across
+    // all four bands, 63/64/65, all-equal bytes → mean never exceeded
+    // → hash 0)
+    for (bytes <- Seq(Array.empty[Byte], Array[Byte](7), Array[Byte](1, 2),
+        Array.fill(63)(1.toByte),
         (0 until 64).map(_.toByte).toArray, (0 until 65).map(_.toByte).toArray,
         Array.fill(64)(42.toByte))) {
       val got = Seq(Tuple1(bytes)).toDF("p")

@@ -104,23 +104,41 @@ class ProfileSpec extends SparkSpec {
   }
 
   test("q_rate_anomaly matches a driver-side trailing-baseline fold; both flag branches live (r5)") {
+    def fold(byDay: Seq[(java.sql.Date, Long, Long)]) = byDay.flatMap { case (d, n, ne) =>
+      val di = d.toLocalDate.toEpochDay
+      val trail = byDay.filter { t =>
+        val ti = t._1.toLocalDate.toEpochDay; ti >= di - 7 && ti <= di - 1
+      }
+      if (trail.isEmpty) None
+      else {
+        val (tn, te) = (trail.map(_._2).sum, trail.map(_._3).sum)
+        val (rate, tr) = (ne * 10000L / n, te * 10000L / tn)
+        Some((d, n, ne, rate, tr, math.abs(rate - tr),
+          if (math.abs(ne * tn - te * n) * 100L > 3L * n * tn) 1 else 0))
+      }
+    }.sortBy(_._1.getTime)
     val byDay = Tables(spark, sfDir, "events")
       .select(to_date(col("ts")).as("day"), col("event_type"))
       .as[(java.sql.Date, String)].collect()
-      .groupBy(_._1).toSeq.sortBy(_._1.getTime)
+      .groupBy(_._1).toSeq
       .map { case (d, xs) => (d, xs.length.toLong, xs.count(_._2 == "error").toLong) }
-    val want = byDay.indices.drop(1).map { i =>
-      val (d, n, ne) = byDay(i)
-      val trail = byDay.slice(math.max(0, i - 7), i)
-      val (tn, te) = (trail.map(_._2).sum, trail.map(_._3).sum)
-      val (rate, tr) = (ne * 10000L / n, te * 10000L / tn)
-      (d, n, ne, rate, tr, math.abs(rate - tr),
-        if (math.abs(ne * tn - te * n) * 100L > 3L * n * tn) 1 else 0)
-    }
     val got = SparkEntry.queries("q_rate_anomaly")(spark, sfDir)
       .as[(java.sql.Date, Long, Long, Long, Long, Long, Int)].collect().toSeq
-    assert(got == want)
+    assert(got == fold(byDay))
     assert(got.exists(_._7 == 1) && got.exists(_._7 == 0), "both flag branches must be live")
+    // gap semantics: a 10-day outage must EMPTY the baseline (RANGE),
+    // not stretch it onto stale days (ROWS would) — the post-gap day
+    // has no trailing row and is absent from the output
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val syn = Seq(
+      (day("2024-01-01"), 100L, 20L), (day("2024-01-02"), 100L, 30L),
+      (day("2024-01-12"), 100L, 25L), (day("2024-01-13"), 100L, 25L))
+    val gotSyn = graft.queries.ProfileQueries
+      .rateAnomaly(syn.toDF("day", "n", "n_err"))
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(gotSyn == fold(syn))
+    assert(gotSyn.map(_._1) == Seq(day("2024-01-02"), day("2024-01-13")),
+      "2024-01-12 must have NO baseline after the gap")
   }
 
   test("q_outlier_fences matches a driver-side reference; low fence proven live on synthetic data (r5)") {
