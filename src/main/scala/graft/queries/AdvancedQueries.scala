@@ -15,7 +15,73 @@ import graft.Tables
   */
 object AdvancedQueries {
 
+  /** 32-bit Morton/Z-order interleave of two 16-bit values: bit i of
+    * `x` lands at position 2i, bit i of `y` at 2i+1. Built as a STATIC
+    * 32-term bitwise expression tree (shift/and/or of built-ins), so it
+    * compiles into one WholeStageCodegen projection — no UDF, no loop
+    * at eval time. The pure-Scala twin [[zorder16Ref]] pins the bit
+    * layout in AdvancedSpec.
+    */
+  private[graft] def zorder16(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Reference implementation of [[zorder16]] for specs. */
+  private[graft] def zorder16Ref(x: Long, y: Long): Long =
+    (0 until 16).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  /** The identical 32-term formula as DuckDB SQL over columns x, y. */
+  private val ZExprSql: String =
+    (0 until 16).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
   val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q_zorder ★ — Z-order (Morton-curve) clustering assignment over
+    // two join/filter dimensions of `lineitem`, the multi-column
+    // data-skipping primitive behind Delta/Iceberg `OPTIMIZE ZORDER`:
+    // sort-by-z bounds EVERY interleaved dimension's min/max within
+    // each file, so a scan with a predicate on EITHER column can prune
+    // files (a plain sort bounds only its leading column). The declared
+    // query computes the z-value (map-only, one codegen'd projection —
+    // the cost at 100 TB is the write-side sort it would feed), splits
+    // the curve into 16 equal z-ranges standing in for output files,
+    // and emits each range's per-dimension min/max — exactly the
+    // file-footer stats a pruning scan would read. By construction
+    // bucket = top-4 z bits = (top-2 bits of x) ⊗ (top-2 bits of y), so
+    // each "file" spans ≤ 1/4 of each dimension — the locality the
+    // spec asserts. Keys are folded into the 16-bit curve domain with
+    // an explicit mod (a production writer rescales by range/quantile
+    // instead; the curve math is unchanged).
+    QueryDef(
+      "q_zorder",
+      (s: SparkSession, dir: String) => {
+        val xy = Tables(s, dir, "lineitem")
+          .select(pmod(col("l_partkey"), lit(65536L)).as("x"),
+            pmod(col("l_suppkey"), lit(65536L)).as("y"))
+        xy.withColumn("bucket", shiftright(zorder16(col("x"), col("y")), 28))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("x").as("x_min"), max("x").as("x_max"),
+            min("y").as("y_min"), max("y").as("y_max"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+              |  FROM lineitem),
+              |z AS (SELECT x, y, ($ZExprSql) AS z FROM b)
+              |SELECT z >> 28 AS bucket, COUNT(*) AS n,
+              |  MIN(x) AS x_min, MAX(x) AS x_max,
+              |  MIN(y) AS y_min, MAX(y) AS y_max
+              |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
 
     // ------------------------------------------------------------------
     // q_sample_hash ★ — deterministic hash-based 10% sample of the

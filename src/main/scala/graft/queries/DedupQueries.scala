@@ -529,6 +529,75 @@ object DedupQueries {
              |  FROM bands a JOIN bands b2
              |  ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
              |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
-             |ORDER BY d1, d2""".stripMargin))
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_substring_dedup ★ — per-document duplicated-SUBSTRING fraction:
+    // for each document, the share of its distinct 5-token shingles
+    // that occur in the corpus more than once (i.e. also appear in
+    // another document, or twice in this one). This is the exact-
+    // substring contamination signal of training-data dedup (cf. Lee
+    // et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better": duplicated spans are removed even when whole documents
+    // are not near-dups) — a per-DOC diagnostic, distinct from
+    // q_dedup_ngram's per-PAIR Jaccard.
+    //
+    // Plan (corpus-linear, no pair stream): one codegen'd Shingles
+    // explode into distinct-per-doc (doc, shingle-hash60) rows
+    // (persisted — two consumers), ONE corpus-wide hash count keyed on
+    // the 8-byte hash (map-side combine; since shingles are distinct
+    // per doc, the count IS the number of containing docs + within-doc
+    // repeats of the span), one equi-join of the pair stream back to
+    // the (vocabulary-sized) count table, one per-doc agg. At 100 TB
+    // every shuffle is keyed on a long or doc_id; nothing is quadratic.
+    //
+    // Oracle parity: BOTH engines count by the md5-60 shingle identity
+    // (long vs 15-hex prefix — order/equality-isomorphic), and DuckDB
+    // dedups on the raw shingle string BEFORE hashing exactly as the
+    // codegen'd Shingles(distinct=true) does, so even a hash collision
+    // produces identical counts in both engines.
+    QueryDef(
+      "q_substring_dedup",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shingles
+        val docs = Tables(s, dir, "documents")
+        val p = docs
+          .select(col("doc_id"),
+            explode(shingles(split(col("text"), " "), 5)).as("shs"))
+          .select(col("doc_id"), hash60(col("shs")).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: the count table + the rejoin both reuse it
+        val c = p.groupBy("sh").agg(count(lit(1)).as("nd"))
+        val d = p.join(c, "sh").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("nd") >= 2L, 1L).otherwise(0L)).as("n_dup"))
+        docs.select("doc_id").join(d, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            floorDiv(coalesce(col("n_dup"), lit(0L)) * 10000L,
+              greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)))
+              .as("dup_frac_e4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |p AS (
+             |  SELECT doc_id, substring(md5(shs), 1, 15) AS sh FROM (
+             |    SELECT DISTINCT doc_id, shs FROM (
+             |      SELECT doc_id, unnest(list_transform(range(1, len(ts)-3),
+             |        i -> array_to_string(ts[i:i+4], ' '))) AS shs
+             |      FROM t))),
+             |c AS (SELECT sh, COUNT(*) AS nd FROM p GROUP BY 1),
+             |d AS (
+             |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+             |  FROM p JOIN c ON p.sh = c.sh GROUP BY 1)
+             |SELECT t.doc_id AS doc_id, COALESCE(n_shingles, 0) AS n_shingles,
+             |  COALESCE(n_dup, 0) AS n_dup,
+             |  (COALESCE(n_dup, 0) * 10000) //
+             |    GREATEST(COALESCE(n_shingles, 0), 1) AS dup_frac_e4
+             |FROM t LEFT JOIN d ON t.doc_id = d.doc_id
+             |ORDER BY 1""".stripMargin))
   )
 }

@@ -263,5 +263,72 @@ object IngestQueries {
              |  (2, 'overwrite',   4, 3, 135, 1),
              |  (3, 'time_travel', 3, 2, 60,  1))
              | t(step, op, n_rows, n_files, sum_v, n_shared)
+             |ORDER BY step""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // lake_delete_e2e (new r5) — copy-on-write DELETE as a declared
+    // query (the GDPR/forget primitive): append 5 rows across
+    // partitions c1/c2/c3 (one with a NULL metric), then
+    // `DELETE WHERE v >= 45 OR id = 2` — which must (a) remove exactly
+    // the two TRUE-predicate rows, (b) keep the NULL-predicate row
+    // (SQL DELETE semantics: NULL is not TRUE), (c) rewrite ONLY the
+    // partitions containing a match — c2 holds survivors only and must
+    // carry over byte-identical (n_shared = 1 proves it), and (d) drop
+    // partition c3 entirely when its last row dies (its file count
+    // reaches 0 without a tombstone). Step 3 time-travels to the
+    // pre-delete snapshot — the erased rows are still THERE until
+    // expiry, which is exactly Iceberg's documented compliance story
+    // (COW delete + expire_snapshots = the true erasure point). Step 4
+    // is a predicate matching nothing: the Q10 no-empty-snapshot rule
+    // must make it a no-op (snapshot count unchanged, live set shared
+    // 2/2 with the delete snapshot). Golden VALUES oracle; every
+    // number is computed from the lake state, not restated.
+    QueryDef("lake_delete_e2e", (s: SparkSession, _: String) => {
+      import s.implicits._
+      import graft.sink.{GraftLog, HiveParquetWriter, LakeOps}
+      val tmpRoot = Files.createTempDirectory("graft_delete_")
+      val tableDir = tmpRoot.toString + "/warehouse/t"
+      val w = new HiveParquetWriter
+      def obs(step: Long, op: String, id: Long, del: Long, shared: Long)
+          : (Long, String, Long, Long, Long, Long, Long) = {
+        val a = LakeOps.readSnapshot(s, tableDir, id)
+          .agg(count(lit(1)).cast("long"),
+            coalesce(sum(col("v")), lit(0L)).cast("long")).head()
+        (step, op, a.getLong(0),
+          GraftLog.liveFiles(tableDir, Some(id)).size.toLong, a.getLong(1),
+          del, shared)
+      }
+      val s1 = w.append(
+        Seq((1L, "c1", Some(10L)), (2L, "c1", Some(20L)), (3L, "c2", Some(30L)),
+          (4L, "c2", None: Option[Long]), (5L, "c3", Some(50L)))
+          .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val r1 = obs(1, "append", s1, 0L, 0L)
+      val d = LakeOps.delete(s, tableDir,
+        col("v") >= 45L || col("id") === 2L, partitionCols = Seq("category"))
+      val shared = GraftLog.liveFiles(tableDir, Some(s1))
+        .intersect(GraftLog.liveFiles(tableDir, Some(d.snapshotId))).size.toLong
+      val r2 = obs(2, "delete", d.snapshotId, d.rows, shared)
+      val r3 = obs(3, "time_travel", s1, 0L, shared)
+      val noop = LakeOps.delete(s, tableDir, col("id") === 999L,
+        partitionCols = Seq("category"))
+      val nSnaps = GraftLog.records(tableDir).size.toLong
+      val sharedNoop = GraftLog.liveFiles(tableDir, Some(d.snapshotId))
+        .intersect(GraftLog.liveFiles(tableDir, None)).size.toLong
+      val r4 = obs(4, s"noop_snaps_$nSnaps", d.snapshotId, noop.rows, sharedNoop)
+      deleteTree(tmpRoot)
+      Seq(r1, r2, r3, r4)
+        .toDF("step", "op", "n_rows", "n_files", "sum_v", "n_deleted", "n_shared")
+        .orderBy("step")
+    },
+      Some("""SELECT CAST(step AS BIGINT) AS step, op,
+             |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_files AS BIGINT) AS n_files,
+             |  CAST(sum_v AS BIGINT) AS sum_v, CAST(n_deleted AS BIGINT) AS n_deleted,
+             |  CAST(n_shared AS BIGINT) AS n_shared
+             |FROM (VALUES
+             |  (1, 'append',       5, 3, 110, 0, 0),
+             |  (2, 'delete',       3, 2, 40,  2, 1),
+             |  (3, 'time_travel',  5, 3, 110, 0, 1),
+             |  (4, 'noop_snaps_2', 3, 2, 40,  0, 2))
+             | t(step, op, n_rows, n_files, sum_v, n_deleted, n_shared)
              |ORDER BY step""".stripMargin)))
 }

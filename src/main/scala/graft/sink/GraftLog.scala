@@ -93,8 +93,10 @@ object GraftLog {
       .filter(r => snapshotId.forall(r.snapshotId <= _))
     upTo.foldLeft(Vector.empty[String]) { (live, r) =>
       r.op match {
-        case "rewrite" | "overwrite" => r.files.toVector
-        case _                       => live ++ r.files
+        // these ops commit the FULL live set (their record replaces the
+        // fold); appends and unknown ops commit a delta
+        case "rewrite" | "overwrite" | "delete" => r.files.toVector
+        case _                                  => live ++ r.files
       }
     }
   }

@@ -41,6 +41,11 @@ object LakeOps {
   def readSnapshot(spark: SparkSession, tableDir: String, snapshotId: Long): DataFrame = {
     val files = GraftLog.liveFiles(tableDir, Some(snapshotId))
       .map(f => s"$tableDir/$f")
+    // a full-table DELETE legitimately leaves a live set of zero files;
+    // parquet() with no paths cannot infer a schema, so surface the
+    // empty table as a 0-column empty frame (count/isEmpty work; a
+    // schema-carrying log — real Iceberg — would keep the columns)
+    if (files.isEmpty) return spark.emptyDataFrame
     // basePath keeps Hive partition columns when reading explicit files
     spark.read.option("basePath", tableDir).option("mergeSchema", "true")
       .parquet(files: _*)
@@ -105,15 +110,6 @@ object LakeOps {
       keyCols: Seq[String], partitionCols: Seq[String]): CommitInfo = {
     import org.apache.spark.sql.functions.col
     val up = partitionCols.foldLeft(updates)((d, c) => d.withColumn(c, d(c).cast("string")))
-    // Directory-name rendering must match the WRITE path exactly:
-    // Spark's partitionBy escapes special characters (/, =, %, …) via
-    // escapePathName, and writeFiles renames the null dir to `=null` —
-    // a raw-value prefix would never match an escaped directory and the
-    // stale row would silently survive the merge (review finding).
-    def renderDir(colName: String, v: Any): String =
-      if (v == null) s"$colName=null"
-      else s"$colName=" + org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(v.toString)
     val touched: Set[String] = up.select(partitionCols.map(col): _*).distinct()
       .collect().map { r =>
         partitionCols.indices.map(i => renderDir(partitionCols(i), r.get(i)))
@@ -149,6 +145,73 @@ object LakeOps {
     val rec = GraftLog.commit(tableDir, "overwrite", written.map(_._2).sum,
       (carried ++ written.map(_._1)).sorted, Seq.empty)
     CommitInfo(rec.snapshotId, rec.files, written.map(_._2).sum)
+  }
+
+  /** Directory-name rendering matching the WRITE path exactly:
+    * Spark's partitionBy escapes special characters (/, =, %, …) via
+    * escapePathName, and writeFiles renames the null dir to `=null` —
+    * a raw-value prefix would never match an escaped directory and the
+    * stale row would silently survive a merge (review finding).
+    */
+  private def renderDir(colName: String, v: Any): String =
+    if (v == null) s"$colName=null"
+    else s"$colName=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(v.toString)
+
+  /** Copy-on-write DELETE (the observable semantics of Iceberg's
+    * `DELETE FROM t WHERE p` in copy-on-write mode — the GDPR/forget
+    * primitive of a lake table): rows where `predicate` evaluates TRUE
+    * are removed; NULL predicate rows survive (SQL DELETE semantics).
+    *
+    * The rewrite scope is the partitions that actually CONTAIN a
+    * matching row: one predicate-filtered scan finds them (an Iceberg
+    * catalog prunes the same scan with file stats before reading), the
+    * touched-partition list collected to the driver is bounded by the
+    * matched partitions (a point-delete touches one), and every file of
+    * an untouched partition carries into the new snapshot
+    * byte-identical — a targeted delete on a 100 TB table rewrites only
+    * the partitions it hits. Committed as a `delete` snapshot; readers
+    * at older snapshots still see the pre-delete rows, which is what
+    * makes expireSnapshots the actual point of erasure for compliance
+    * (documented Iceberg behavior: COW delete + snapshot expiry).
+    *
+    * Returns `CommitInfo(snapshotId, files, rowsDeleted)`; a predicate
+    * matching nothing is a no-op `CommitInfo(0, Seq.empty, 0)` (the Q10
+    * rule: no empty snapshots).
+    */
+  def delete(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionCols: Seq[String]): CommitInfo = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val live = GraftLog.liveFiles(tableDir, None)
+    if (live.isEmpty) return CommitInfo(0, Seq.empty, 0)
+    val hit = coalesce(predicate, lit(false))
+    def readNorm(files: Seq[String]): DataFrame = {
+      val raw = spark.read.option("basePath", tableDir)
+        .option("mergeSchema", "true")
+        .parquet(files.map(f => s"$tableDir/$f"): _*)
+      partitionCols.foldLeft(raw)((d, c) => d.withColumn(c, d(c).cast("string")))
+    }
+    val touched: Set[String] = readNorm(live).filter(hit)
+      .select(partitionCols.map(col): _*).distinct()
+      .collect().map { r =>
+        partitionCols.indices.map(i => renderDir(partitionCols(i), r.get(i)))
+          .mkString("/")
+      }.toSet
+    if (touched.isEmpty) return CommitInfo(0, Seq.empty, 0)
+    val (touchedFiles, carried) =
+      live.partition(f => touched.exists(p => f.startsWith(p + "/")))
+    val cur = readNorm(touchedFiles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val before = cur.count()
+      val survivors = cur.filter(not(hit))
+      val written = HiveParquetWriter.writeFiles(survivors, partitionCols, tableDir)
+      val kept = written.map(_._2).sum
+      val rec = GraftLog.commit(tableDir, "delete", kept,
+        (carried ++ written.map(_._1)).sorted, Seq.empty)
+      CommitInfo(rec.snapshotId, rec.files, before - kept)
+    } finally cur.unpersist()
   }
 
   /** Delete data files unreachable from the newest `keepLast`

@@ -303,6 +303,34 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q_zorder: expression == pure-Scala Morton reference; buckets bound BOTH dims") {
+    // the Column expression and the reference bit-interleave agree
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (19999L, 999L), (255L, 65280L))
+    val got = pts.toDF("x", "y")
+      .select(graft.queries.AdvancedQueries.zorder16(col("x"), col("y")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pts.map { case (x, y) =>
+      graft.queries.AdvancedQueries.zorder16Ref(x, y) })
+    // known anchors pin the bit layout (x at even bits, y at odd)
+    assert(graft.queries.AdvancedQueries.zorder16Ref(1L, 0L) == 1L)
+    assert(graft.queries.AdvancedQueries.zorder16Ref(0L, 1L) == 2L)
+    assert(graft.queries.AdvancedQueries.zorder16Ref(65535L, 65535L) == 0xFFFFFFFFL)
+    // locality invariant on testdata: a z-range "file" spans <= 1/4 of
+    // EACH dimension (top-2 bits of x and of y are fixed per bucket)
+    val rows = SparkEntry.queries("q_zorder")(spark, sfDir)
+      .select("bucket", "x_min", "x_max", "y_min", "y_max")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, xmn, xmx, ymn, ymx) =>
+      assert(xmn >> 14 == xmx >> 14, s"bucket $b x top bits")
+      assert(ymn >> 14 == ymx >> 14, s"bucket $b y top bits")
+      // and the bucket id IS those four bits interleaved
+      assert(b == graft.queries.AdvancedQueries.zorder16Ref(xmn, ymn) >> 28,
+        s"bucket $b id")
+    }
+  }
+
   test("q_approx_distinct within 5% of exact per group; self-check column agrees") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users", "exact_users", "within_5pct")

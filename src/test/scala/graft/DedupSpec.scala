@@ -116,6 +116,32 @@ class DedupSpec extends SparkSpec {
     assert(groups.map(_._3).max >= 2)
   }
 
+  test("q_substring_dedup == brute-force shingle containment on testdata") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // plain-Scala reference: distinct 5-token shingles per doc, corpus
+    // occurrence counts over the per-doc-distinct stream
+    val perDoc = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(5).filter(_.length == 5)
+        .map(_.mkString(" ")).toSet
+    }
+    val counts = perDoc.values.flatten.toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val got = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == docs.keys.toSeq.sorted)
+    got.foreach { case (id, nSh, nDup, fracE4) =>
+      val s = perDoc(id)
+      val dup = s.count(counts(_) >= 2).toLong
+      assert(nSh == s.size.toLong, s"doc $id n_shingles")
+      assert(nDup == dup, s"doc $id n_dup")
+      assert(fracE4 == (if (s.isEmpty) 0L else dup * 10000L / s.size),
+        s"doc $id dup_frac_e4")
+    }
+    // the planted near-dup fixture must actually exercise the signal
+    if (counts.exists(_._2 >= 2)) assert(got.exists(_._3 > 0))
+  }
+
   test("connectedComponents: distributed label propagation == driver union-find") {
     // force the distributed path (driverMaxEdges = 0) on a graph with a
     // 5-node chain (multi-round propagation), a triangle, and a pair

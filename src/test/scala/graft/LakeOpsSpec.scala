@@ -342,4 +342,37 @@ class LakeOpsSpec extends SparkSpec {
       .select(col("id"), col("v")).as[(Long, Long)].collect().sortBy(_._1).toSeq
       == Seq((1L, 11L), (2L, 20L), (3L, 30L)))
   }
+
+  test("delete: COW scope on escaped dirs, null predicate survives, noop, full wipe (r5)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_del_").toString
+    val tdir = s"$root/w/t"
+    val w = new graft.sink.HiveParquetWriter
+    w.append(Seq((1L, "a/b", Some(10L)), (2L, "a/b", Some(20L)),
+      (3L, "x y", None: Option[Long]), (4L, "plain", Some(40L)))
+      .toDF("id", "category", "v"), Seq("category"), tdir)
+    val s1 = GraftLog.records(tdir).map(_.snapshotId).max
+    // predicate TRUE on id 2 (escaped dir a/b) and on v>=35 (plain);
+    // NULL on id 3's v — which must SURVIVE (SQL DELETE semantics)
+    val d1 = LakeOps.delete(spark, tdir, col("id") === 2L || col("v") >= 35L,
+      partitionCols = Seq("category"))
+    assert(d1.rows == 2)
+    assert(LakeOps.readTable(spark, tdir).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // untouched partition "x y" carried byte-identical; old snapshot intact
+    val sharedXy = GraftLog.liveFiles(tdir, Some(s1))
+      .intersect(GraftLog.liveFiles(tdir, Some(d1.snapshotId)))
+    assert(sharedXy.size == 1 && sharedXy.head.startsWith("category=x y/"))
+    assert(LakeOps.readSnapshot(spark, tdir, s1).count() == 4)
+    // no-match predicate → no snapshot at all (Q10 rule)
+    val records = GraftLog.records(tdir).size
+    val noop = LakeOps.delete(spark, tdir, col("id") === 99L, Seq("category"))
+    assert(noop.snapshotId == 0 && noop.rows == 0)
+    assert(GraftLog.records(tdir).size == records)
+    // full wipe: live set reaches zero files and the table reads empty
+    val wipe = LakeOps.delete(spark, tdir, lit(true), Seq("category"))
+    assert(wipe.rows == 2)
+    assert(GraftLog.liveFiles(tdir, None).isEmpty)
+    assert(LakeOps.readTable(spark, tdir).count() == 0)
+  }
 }
