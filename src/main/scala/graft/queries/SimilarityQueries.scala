@@ -759,6 +759,86 @@ object SimilarityQueries {
              |  FROM scored)
              |SELECT CAST(rank AS INTEGER) AS rank, v1, v2,
              |  CAST(round(cos*1000000) AS BIGINT) AS cos_e6
-             |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin))
+             |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_pq_codes ★ — product quantization: the memory-compression half
+    // of an IVF-PQ ANN index (Jégou et al. 2011, "Product quantization
+    // for nearest neighbor search"). The 64-dim embedding splits into
+    // m = 4 subspaces of 16 dims; each subspace has its own 16-entry
+    // codebook (the 16 lowest-vec_id vectors' subvectors — the same
+    // data-derived reproducible-model convention as q_sim_ivf/q_kmeans
+    // _iter), and a vector's code is the concatenation of its 4
+    // nearest-sub-centroid indices: 64 × 4 B of floats become 4 × 4
+    // bits = 2 B (128×), which is what lets a 10⁹-vector index live in
+    // executor memory for re-rank. Scale shape: the codebooks are a
+    // bounded 16-row model collect (like the IVF quantizer); assignment
+    // is MAP-ONLY — 4 codegen'd NearestCentroids loops per row (16
+    // cents × 16 dims each, exactly the one-pass 64×16 FMA budget of
+    // the full-width assign), no shuffle, no explode, no pair stream.
+    // Oracle parity: both engines rank sub-centroids by dot(v_sub,
+    // ĉ_sub) with ties → smaller index (Spark normalizes the centroid
+    // then dots; DuckDB divides the dot by |c_sub| — same ranking,
+    // measured sub-assign decision margins ≥ 2e-5 at both SFs, 7
+    // decimal orders above the ~1e-12 double-rounding difference of
+    // the two forms; SimilaritySpec measures the margin on testdata).
+    // The exported code digit is the codebook INDEX (codes are index
+    // lists by definition); index ↔ cid is the order-preserving
+    // bijection of the sorted collect, reproduced in SQL by
+    // row_number() OVER (ORDER BY cid).
+    QueryDef(
+      "q_pq_codes",
+      (s: SparkSession, dir: String) => {
+        val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
+        val cents: Seq[Seq[Float]] = e.filter(col("vec_id") < 16)
+          .orderBy("vec_id").collect().map(_.getSeq[Float](1).toSeq).toSeq
+        val sub = Dim / 4
+        val codeCols = (0 until 4).map { j =>
+          val subCents = cents.map(_.slice(j * sub, (j + 1) * sub))
+          nearestCentroids(slice(col("embedding"), j * sub + 1, sub), subCents, 1)(0)
+            .as(s"c${j + 1}")
+        }
+        e.select(col("vec_id") +: codeCols: _*)
+          .withColumn("code",
+            col("c1").cast("long") * 4096L + col("c2").cast("long") * 256L +
+              col("c3").cast("long") * 16L + col("c4").cast("long"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val subs = (1 to 4).map { j =>
+          val off = (j - 1) * 16
+          s"""s$j AS (
+             |  SELECT e.vec_id, ci.idx,
+             |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |      list_sum(list_transform(range(1, 17),
+             |        i -> e.v[$off + i] * ci.cv[$off + i])) /
+             |      sqrt(list_sum(list_transform(range(1, 17),
+             |        i -> ci.cv[$off + i] * ci.cv[$off + i]))) DESC,
+             |      ci.idx) AS rk
+             |  FROM e CROSS JOIN cidx ci),
+             |p$j AS (SELECT vec_id, idx AS code$j FROM s$j WHERE rk = 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings
+           |  WHERE list_sum(list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           |cidx AS (
+           |  SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS idx,
+           |    cv FROM c),
+           |$subs
+           |SELECT e.vec_id, p1.code1 AS c1, p2.code2 AS c2,
+           |  p3.code3 AS c3, p4.code4 AS c4,
+           |  CAST(p1.code1 * 4096 + p2.code2 * 256 + p3.code3 * 16 + p4.code4
+           |    AS BIGINT) AS code
+           |FROM e
+           |JOIN p1 ON e.vec_id = p1.vec_id
+           |JOIN p2 ON e.vec_id = p2.vec_id
+           |JOIN p3 ON e.vec_id = p3.vec_id
+           |JOIN p4 ON e.vec_id = p4.vec_id
+           |ORDER BY e.vec_id""".stripMargin
+      })
   )
 }

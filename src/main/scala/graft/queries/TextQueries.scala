@@ -570,6 +570,73 @@ object TextQueries {
              |    i -> substring(w, CAST(i AS INTEGER), 2))) AS pair, wf
              |  FROM wf)
              |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
-             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin))
+             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_collocation_pmi ★ — top-50 two-word collocations ranked by
+    // pointwise mutual information: phrases whose words co-occur far
+    // more than their individual frequencies predict (the phrase-mining
+    // signal behind tokenizer merges and stop-phrase lists — raw
+    // frequency ranks "of the" first; PMI ranks actual collocations).
+    // ENGINE-EXACT ranking: PMI = log(c_ab·N / (c_a·c_b)) is replaced
+    // by the raw ratio in e6 units — log is monotone, so the ORDER is
+    // identical and the score stays in exact integer arithmetic:
+    //   score_e6 = (c_ab · N · 1e6) div (c_a · c_b),
+    // with c_a,c_b = corpus token counts, N = corpus bigram count, and
+    // a classic min-support c_ab ≥ 5 (PMI is noise-dominated on rare
+    // pairs). Headroom: c_ab·N·1e6 needs c_ab·N < 9.2e12 — fine per
+    // shard; a 1e13-token corpus ranks with the two-step
+    // divTrunc(divTrunc(c_ab·1e6, c_a)·N, c_b) instead (same order
+    // per-pair only approximately, so at that scale the exact form
+    // runs on HUGEINT-capable engines or per-shard).
+    // Plan: two corpus-linear explodes (tokens, codegen'd 2-shingles),
+    // two hash aggs (map-side combine), then joins keyed on the token
+    // — vocabulary-sized inputs, Zipf-concentrated but the ≥5 filter
+    // runs BEFORE the joins so the joined stream is the collocation
+    // candidates only; N rides in as a 1-row broadcast. Top-50 is
+    // TakeOrderedAndProject (per-partition heaps, no global sort).
+    QueryDef(
+      "q_collocation_pmi",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shinglesAll
+        val docs = Tables(s, dir, "documents")
+        val uc = docs.select(explode(toks).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val bgc = docs.select(explode(shinglesAll(toks, 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("cab"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .withColumn("w2", substring_index(col("bg"), " ", -1))
+        val nb = bgc.agg(sum("cab").as("nb"))
+        bgc.filter(col("cab") >= 5L)
+          .join(uc.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+          .join(uc.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+          .crossJoin(broadcast(nb))
+          .select(col("w1"), col("w2"), col("cab"),
+            floorDivL(col("cab") * col("nb") * 1000000L,
+              col("c1") * col("c2")).as("score_e6"))
+          .orderBy(col("score_e6").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |uc AS (
+             |  SELECT w, COUNT(*) AS cw FROM (
+             |    SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+             |bgc AS (
+             |  SELECT bg, COUNT(*) AS cab FROM (
+             |    SELECT unnest(list_transform(range(1, len(ts)),
+             |      i -> array_to_string(ts[i:i+1], ' '))) AS bg
+             |    FROM t) GROUP BY 1),
+             |n AS (SELECT CAST(SUM(cab) AS BIGINT) AS nb FROM bgc),
+             |sc AS (
+             |  SELECT string_split(bg, ' ')[1] AS w1,
+             |    string_split(bg, ' ')[2] AS w2, cab,
+             |    (cab * nb * 1000000) // (u1.cw * u2.cw) AS score_e6
+             |  FROM bgc CROSS JOIN n
+             |  JOIN uc u1 ON string_split(bg, ' ')[1] = u1.w
+             |  JOIN uc u2 ON string_split(bg, ' ')[2] = u2.w
+             |  WHERE cab >= 5)
+             |SELECT w1, w2, cab, score_e6 FROM sc
+             |ORDER BY score_e6 DESC, w1, w2 LIMIT 50""".stripMargin))
   )
 }

@@ -284,4 +284,43 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._5).sum == qtot(2))
     assert(got.map(_._6).sum == qtot(3))
   }
+
+  test("q_pq_codes == driver-side PQ reference; sub-assign margins clear rounding (r5)") {
+    val all = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0f) }.sortBy(_._1)
+    val cents = all.filter(_._1 < 16).map(_._2)
+    assert(cents.length == 16)
+    // reference: per subspace, argmax over dot(v_sub, normalized c_sub)
+    def assign(v: Seq[Float], j: Int): (Int, Double) = {
+      def sub(x: Seq[Float]) = x.slice(j * 16, (j + 1) * 16).map(_.toDouble)
+      val vs = sub(v)
+      val scored = cents.map { c =>
+        val cs = sub(c)
+        val n = math.sqrt(cs.map(x => x * x).sum)
+        (vs, cs.map(_ / n)).zipped.map(_ * _).sum
+      }
+      val best = scored.zipWithIndex.maxBy { case (s, i) => (s, -i) }
+      val top2 = scored.sorted.takeRight(2)
+      val margin =
+        if (top2.length == 2) top2(1) - top2(0) else Double.MaxValue
+      (best._2, margin)
+    }
+    val want = all.map { case (id, v) =>
+      val picks = (0 until 4).map(j => assign(v, j)._1)
+      (id, picks(0), picks(1), picks(2), picks(3),
+        picks(0).toLong * 4096 + picks(1) * 256 + picks(2) * 16 + picks(3))
+    }
+    val got = SparkEntry.queries("q_pq_codes")(spark, sfDir)
+      .as[(Long, Int, Int, Int, Int, Long)].collect().toSeq
+    assert(got == want.toSeq)
+    // the decision margin the cross-engine parity claim rests on: the
+    // winner must clear the runner-up by far more than the ~1e-12
+    // double-rounding gap between normalize-then-dot and dot-then-divide
+    val minMargin = all.iterator
+      .flatMap { case (_, v) => (0 until 4).map(j => assign(v, j)._2) }.min
+    assert(minMargin > 1e-7, s"PQ sub-assign margin too thin: $minMargin")
+    // codes genuinely use the codebook space (not all vectors in one cell)
+    assert(got.map(_._6).distinct.length > 16)
+  }
 }

@@ -149,4 +149,23 @@ class TextSpec extends SparkSpec {
     // live: a full top-50 with a real frequency gradient
     assert(got.size == 50 && got.head._2 > got.last._2)
   }
+
+  test("q_collocation_pmi matches a driver-side exact-integer PMI fold (r5)") {
+    val texts = Tables(spark, sfDir, "documents")
+      .select("text").as[String].collect()
+    val toks = texts.map(_.split(" ").toSeq)
+    val uc = toks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val bgc = toks.flatMap(_.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val nb = bgc.values.sum
+    val want = bgc.toSeq.filter(_._2 >= 5L).map { case (bg, cab) =>
+      val Array(w1, w2) = bg.split(" ", 2)
+      (w1, w2, cab, cab * nb * 1000000L / (uc(w1) * uc(w2)))
+    }.sortBy { case (w1, w2, _, s) => (-s, w1, w2) }.take(50)
+    val got = SparkEntry.queries("q_collocation_pmi")(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == want)
+    // live: the fixture yields ranked collocations, not an empty head
+    assert(got.nonEmpty && got.head._4 >= got.last._4)
+  }
 }
