@@ -839,6 +839,123 @@ object SimilarityQueries {
            |JOIN p3 ON e.vec_id = p3.vec_id
            |JOIN p4 ON e.vec_id = p4.vec_id
            |ORDER BY e.vec_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q_pq_adc ★ — asymmetric distance computation, the SEARCH half of
+    // IVF-PQ (Jégou et al. 2011 §III): queries stay full-precision,
+    // the corpus is its 2-byte PQ code, and a candidate's score is 4
+    // table lookups + 3 adds instead of 64 FMAs — the trick that lets
+    // a single executor core scan 10⁹ codes. Scale shape: the
+    // query×sub-centroid lookup table (5 queries × 4 subspaces × 16
+    // centroids = 320 rows) is computed ON THE DRIVER from the two
+    // bounded models (query set + codebooks) and BROADCAST; the corpus
+    // side is the map-only code assignment (shared with q_pq_codes), a
+    // posexplode to (vec, subspace, code) — corpus×4, still linear — a
+    // broadcast-hash join to the table, and ONE (q, vec) hash agg.
+    // No corpus×corpus or corpus×centroid pair stream ever exists.
+    // ENGINE-EXACT scoring: each table entry is pre-rounded to e6 long
+    // — floor(1e6·dot(q_sub, c_sub/|c_sub|) + 0.5), with the driver
+    // computing bit-for-bit DuckDB's arithmetic (Σ q·c, then ÷ by
+    // √Σc², left-to-right doubles) — so the summed score is a
+    // commutative long sum and ranking ties break on vec_id in both
+    // engines. Recall vs exact top-10 is measured in SimilaritySpec
+    // (ADC is an approximation BY DESIGN; the declared result is the
+    // ADC ranking itself, exactly reproduced).
+    QueryDef(
+      "q_pq_adc",
+      (s: SparkSession, dir: String) => {
+        val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
+        val crows = e.filter(col("vec_id") < 16).orderBy("vec_id").collect()
+        val cents: Seq[Seq[Float]] = crows.map(_.getSeq[Float](1).toSeq).toSeq
+        val qrows = e.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+        val sub = Dim / 4
+        // driver-side lookup table, DuckDB-identical arithmetic
+        def dotE6(q: Seq[Float], c: Seq[Float], j: Int): Long = {
+          var dot = 0.0; var nc = 0.0
+          var i = j * sub
+          while (i < (j + 1) * sub) {
+            dot += q(i).toDouble * c(i).toDouble
+            nc += c(i).toDouble * c(i).toDouble
+            i += 1
+          }
+          math.floor(dot / math.sqrt(nc) * 1000000d + 0.5d).toLong
+        }
+        import s.implicits._
+        val table = (for {
+          qr <- qrows; j <- 0 until 4; ci <- cents.indices
+        } yield (qr.getLong(0), j, ci,
+          dotE6(qr.getSeq[Float](1), cents(ci), j))).toSeq
+          .toDF("q_id", "j", "code", "dot_e6")
+        val codeCols = (0 until 4).map { j =>
+          val subCents = cents.map(_.slice(j * sub, (j + 1) * sub))
+          nearestCentroids(slice(col("embedding"), j * sub + 1, sub), subCents, 1)(0)
+            .as(s"c${j + 1}")
+        }
+        val codes = e.select(col("vec_id") +: codeCols: _*)
+          .select(col("vec_id"),
+            posexplode(array(col("c1"), col("c2"), col("c3"), col("c4"))))
+          .withColumnRenamed("pos", "j").withColumnRenamed("col", "code")
+        val scored = codes.join(broadcast(table), Seq("j", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id").agg(sum("dot_e6").as("score_e6"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("score_e6").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("score_e6"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val codeCtes = (1 to 4).map { j =>
+          val off = (j - 1) * 16
+          s"""s$j AS (
+             |  SELECT e.vec_id, ci.idx,
+             |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |      list_sum(list_transform(range(1, 17),
+             |        i -> e.v[$off + i] * ci.cv[$off + i])) /
+             |      sqrt(list_sum(list_transform(range(1, 17),
+             |        i -> ci.cv[$off + i] * ci.cv[$off + i]))) DESC,
+             |      ci.idx) AS rk
+             |  FROM e CROSS JOIN cidx ci),
+             |t$j AS (
+             |  SELECT q.vec_id AS q_id, ci.idx AS code,
+             |    CAST(floor(
+             |      list_sum(list_transform(range(1, 17),
+             |        i -> q.v[$off + i] * ci.cv[$off + i])) /
+             |      sqrt(list_sum(list_transform(range(1, 17),
+             |        i -> ci.cv[$off + i] * ci.cv[$off + i]))) * 1000000 + 0.5)
+             |      AS BIGINT) AS dot_e6
+             |  FROM qv q CROSS JOIN cidx ci),
+             |sc$j AS (
+             |  SELECT s$j.vec_id, t$j.q_id, t$j.dot_e6
+             |  FROM s$j JOIN t$j ON s$j.idx = t$j.code WHERE s$j.rk = 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings
+           |  WHERE list_sum(list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+           |cidx AS (
+           |  SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS idx,
+           |    cv FROM c),
+           |qv AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+           |$codeCtes,
+           |alls AS (
+           |  SELECT * FROM sc1 UNION ALL SELECT * FROM sc2
+           |  UNION ALL SELECT * FROM sc3 UNION ALL SELECT * FROM sc4),
+           |agg AS (
+           |  SELECT q_id, vec_id, CAST(SUM(dot_e6) AS BIGINT) AS score_e6
+           |  FROM alls WHERE vec_id != q_id GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT q_id, vec_id, score_e6,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY score_e6 DESC, vec_id) AS rank
+           |  FROM agg)
+           |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score_e6
+           |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
       })
   )
 }

@@ -323,4 +323,53 @@ class SimilaritySpec extends SparkSpec {
     // codes genuinely use the codebook space (not all vectors in one cell)
     assert(got.map(_._6).distinct.length > 16)
   }
+
+  test("q_pq_adc == driver-side table-lookup reference; recall vs exact measured (r5)") {
+    val all = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0f) }.sortBy(_._1)
+    val byId = all.toMap
+    val cents = all.filter(_._1 < 16).map(_._2)
+    val queries = all.filter(_._1 < 5)
+    def dotE6(q: Seq[Float], c: Seq[Float], j: Int): Long = {
+      var dot = 0.0; var nc = 0.0
+      var i = j * 16
+      while (i < (j + 1) * 16) {
+        dot += q(i).toDouble * c(i).toDouble
+        nc += c(i).toDouble * c(i).toDouble; i += 1
+      }
+      math.floor(dot / math.sqrt(nc) * 1000000d + 0.5d).toLong
+    }
+    // codes from the already-verified q_pq_codes row
+    val codes = SparkEntry.queries("q_pq_codes")(spark, sfDir)
+      .select("vec_id", "c1", "c2", "c3", "c4")
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    val want = queries.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (vid, _) =>
+        val s = (0 until 4).map(j => dotE6(qv, cents(codes(vid)(j)), j)).sum
+        (qid, vid, s)
+      }.sortBy { case (_, vid, s) => (-s, vid) }.take(10).zipWithIndex
+        .map { case ((q, v, s), i) => (q, i + 1, v, s) }
+    }.toSeq
+    val got = SparkEntry.queries("q_pq_adc")(spark, sfDir)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == want)
+    // recall@10 vs exact cosine top-10: ADC is approximate BY DESIGN —
+    // record the floor the synthetic corpus clears (coarse 4×16 codes)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = (a, b).zipped.map(_.toDouble * _.toDouble).sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val recalls = queries.map { case (qid, qv) =>
+      val exact = all.filter(_._1 != qid)
+        .map { case (v, e) => (v, cos(qv, e)) }
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+      val adc = got.filter(_._1 == qid).map(_._3).toSet
+      exact.intersect(adc).size / 10.0
+    }
+    assert(recalls.sum / recalls.length >= 0.2,
+      s"mean ADC recall@10 ${recalls.sum / recalls.length}")
+  }
 }
