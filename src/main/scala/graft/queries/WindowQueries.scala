@@ -232,6 +232,57 @@ object WindowQueries {
              |  FROM hu JOIN hours
              |    ON hu.h BETWEEN hours.h - INTERVAL 23 HOUR AND hours.h)
              |SELECT h, COUNT(*) AS n_users_24h
-             |FROM w GROUP BY h ORDER BY h""".stripMargin))
+             |FROM w GROUP BY h ORDER BY h""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_scd2 ★ (new r5) — SCD Type-2 history build: the events stream
+    // read as an attribute changelog (each user's current state =
+    // event_type), materialized as VERSIONED VALIDITY INTERVALS — one
+    // row per state RUN with [valid_from, valid_to) bounds, version
+    // number, and an is_current flag (open interval). This is the other
+    // half of the MERGE family: q_cdc_state compacts the log to the
+    // current snapshot; SCD2 keeps the full history a point-in-time
+    // join ("what was the user's state when this order shipped?") needs.
+    // Kernel: change detection (lag over the per-key total order — a
+    // run OPENS where the state differs from its predecessor) + interval
+    // assembly (lead over the surviving change rows closes each run with
+    // its successor's start). Plan: ONE shuffle on user_id; both windows
+    // and the change filter share that partitioning, so the second
+    // window re-sorts a strictly smaller per-key slice without another
+    // exchange. Output is run-count-sized (≤ corpus, typically ≪ after
+    // compression); at 100 TB this is the standard dimension-history
+    // build and replays are idempotent on the (ts, event_id) total order.
+    QueryDef(
+      "q_scd2",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("version"),
+            col("event_type").as("state"), col("ts").as("valid_from"),
+            col("valid_to"),
+            col("valid_to").isNull.cast("int").as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             |    LAG(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+             |  FROM events),
+             |chg AS (
+             |  SELECT user_id, event_id, event_type, ts FROM ordered
+             |  WHERE prev_type IS NULL OR prev_type != event_type)
+             |SELECT user_id,
+             |  CAST(row_number() OVER w AS INTEGER) AS version,
+             |  event_type AS state, ts AS valid_from,
+             |  LEAD(ts) OVER w AS valid_to,
+             |  CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END
+             |    AS INTEGER) AS is_current
+             |FROM chg
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, version""".stripMargin))
   )
 }

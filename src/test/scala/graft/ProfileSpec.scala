@@ -87,6 +87,38 @@ class ProfileSpec extends SparkSpec {
     assert(got.size < allUsers, "expected at least one tombstoned user")
   }
 
+  test("q_scd2: versioned validity intervals match a driver-side run-length fold (r5)") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsm"))
+      .as[(Long, Long, String, Long)].collect()
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._4, e._2))
+      val runs = ordered.foldLeft(Vector.empty[(String, Long)]) { (acc, e) =>
+        if (acc.nonEmpty && acc.last._1 == e._3) acc else acc :+ ((e._3, e._4))
+      }
+      runs.zipWithIndex.map { case ((st, from), i) =>
+        val to = if (i + 1 < runs.size) Some(runs(i + 1)._2) else None
+        (uid, i + 1, st, from, to, if (to.isEmpty) 1 else 0)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_scd2")(spark, sfDir)
+      .select(col("user_id"), col("version"), col("state"),
+        unix_micros(col("valid_from")).as("f"),
+        unix_micros(col("valid_to")).as("t"), col("is_current"))
+      .as[(Long, Int, String, Long, Option[Long], Int)].collect().toSeq
+    assert(got == want)
+    // exactly one open (current) interval per user — the tiling invariant
+    assert(got.count(_._6 == 1) == rows.map(_._1).distinct.size)
+    // and versions within a user strictly alternate states
+    got.groupBy(_._1).foreach { case (_, vs) =>
+      vs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 != b._3, s"adjacent versions share state: $a $b")
+        case _ =>
+      }
+    }
+  }
+
   test("q_join_salted == the plain unsalted join (salting must not change the answer)") {
     val want = Tables(spark, sfDir, "events")
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
