@@ -637,6 +637,51 @@ object TextQueries {
              |  JOIN uc u2 ON string_split(bg, ' ')[2] = u2.w
              |  WHERE cab >= 5)
              |SELECT w1, w2, cab, score_e6 FROM sc
-             |ORDER BY score_e6 DESC, w1, w2 LIMIT 50""".stripMargin))
+             |ORDER BY score_e6 DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_chunk_overlap ★ (new r5) — retrieval/RAG chunking: split every
+    // document into fixed 16-token chunks on a 12-token stride (4-token
+    // overlap so no boundary sentence is lost to a chunk edge), each
+    // chunk carrying its doc, position, token count, and an md5
+    // fingerprint of its joined text — the chunk table an embedding or
+    // retrieval index is built FROM, and the op that turns a document
+    // corpus into training-window units. Map-only per doc: starts =
+    // sequence(0, n−1, stride) explode (≤ ⌈n/stride⌉ rows per doc, so
+    // the dilation is bounded by chunk geometry, not corpus size), then
+    // codegen'd slice + concat — no shuffle anywhere except the final
+    // oracle sort; at 100 TB this runs as a pure scan→project→write.
+    // The trailing chunks are allowed to be short (start < n always
+    // yields ≥1 token); chunk_id = start/stride is dense per doc.
+    QueryDef(
+      "q_chunk_overlap",
+      (s: SparkSession, dir: String) => {
+        val chunk = 16
+        val stride = 12
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .withColumn("start",
+            explode(sequence(lit(0), size(col("ts")) - 1, lit(stride))))
+          .select(col("doc_id"),
+            (col("start") / stride).cast("int").as("chunk_id"),
+            col("start"),
+            size(slice(col("ts"), col("start") + 1, lit(chunk)))
+              .as("n_toks"),
+            md5(concat_ws(" ", slice(col("ts"), col("start") + 1, lit(chunk))))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |s AS (
+             |  SELECT doc_id, ts,
+             |    unnest(range(0, len(ts), 12)) AS start
+             |  FROM t)
+             |SELECT doc_id,
+             |  CAST(start // 12 AS INTEGER) AS chunk_id,
+             |  CAST(start AS INTEGER) AS start,
+             |  CAST(len(ts[start+1:start+16]) AS INTEGER) AS n_toks,
+             |  md5(array_to_string(ts[start+1:start+16], ' ')) AS chunk_md5
+             |FROM s ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

@@ -150,6 +150,36 @@ class TextSpec extends SparkSpec {
     assert(got.size == 50 && got.head._2 > got.last._2)
   }
 
+  test("q_chunk_overlap matches a driver-side chunker and tiles each doc (r5)") {
+    val want = docs.flatMap { case (id, text) =>
+      val ts = text.split(" ", -1).toSeq
+      (0 until ts.size by 12).map { start =>
+        val c = ts.slice(start, start + 16)
+        (id, start / 12, start, c.size,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(c.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_chunk_overlap")(spark, sfDir)
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got == want)
+    // coverage: chunks tile every token of every doc (stride ≤ chunk)
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ", -1).length
+      val covered = got.filter(_._1 == id)
+        .flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (0 until n).toSet, s"doc $id not fully covered")
+    }
+    // overlap: consecutive full chunks share exactly 4 tokens of span
+    got.groupBy(_._1).foreach { case (_, cs) =>
+      cs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 == a._3 + 12)
+        case _ =>
+      }
+    }
+  }
+
   test("q_collocation_pmi matches a driver-side exact-integer PMI fold (r5)") {
     val texts = Tables(spark, sfDir, "documents")
       .select("text").as[String].collect()
