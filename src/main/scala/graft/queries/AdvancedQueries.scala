@@ -741,6 +741,56 @@ object AdvancedQueries {
             abs(col("approx_users") - col("exact_users")) * 100L
               <= col("exact_users") * 5L)
           .orderBy("event_type"),
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // q_compaction_bins ★ (new r5) — small-file compaction planning,
+    // the OTHER half of table maintenance next to q_zorder's clustering:
+    // given the per-file size ledger a lake table accumulates (modelled
+    // here as the (source, doc_id/20) parquet files a naive ingest
+    // would emit, sized by n_chars), assign files to target-sized
+    // compaction groups WITHOUT breaking their order — the planner
+    // behind OPTIMIZE / bin-packing rewrite jobs (order-preserving so
+    // the table's clustering survives the rewrite). Bin rule: a file
+    // joins bin ⌊cum_before/target⌋ — prefix-sum packing, the same
+    // alignment Spark's own maxPartitionBytes file coalescing uses; a
+    // straddling file joins the bin it starts in, so a bin overshoots
+    // by at most one file and no bin but the last runs under target.
+    // Plan: one hash agg corpus → file ledger (map-side combined), one
+    // per-source window prefix-sum over the LEDGER (file-count-sized,
+    // ≪ corpus), one bin agg. At 100 TB the ledger is table metadata —
+    // this query never touches data bytes at all.
+    QueryDef(
+      "q_compaction_bins",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val target = 2000L
+        val files = Tables(s, dir, "documents")
+          .groupBy(col("source"),
+            ExactMath.divTrunc(col("doc_id"), lit(20L)).as("file_id"))
+          .agg(sum("n_chars").as("bytes"))
+        val w = Window.partitionBy("source").orderBy("file_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        files
+          .withColumn("cum", coalesce(sum("bytes").over(w), lit(0L)))
+          .withColumn("bin", ExactMath.divTrunc(col("cum"), lit(target)).cast("int"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
+            min("file_id").as("first_file"), max("file_id").as("last_file"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH f AS (
+             |  SELECT source, doc_id // 20 AS file_id,
+             |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+             |  FROM documents GROUP BY 1, 2),
+             |c AS (
+             |  SELECT source, file_id, bytes,
+             |    COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM f)
+             |SELECT source, CAST(cum // 2000 AS INTEGER) AS bin,
+             |  COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+             |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
+             |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin))
   )
 }

@@ -331,6 +331,36 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q_compaction_bins matches a driver-side prefix-sum packer (r5)") {
+    val ledger = Tables(spark, sfDir, "documents")
+      .select(col("source"), (col("doc_id") / 20).cast("long").as("file_id"),
+        col("n_chars"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case ((src, fid), rs) => (src, fid, rs.map(_._3).sum) }
+      .toSeq
+    val want = ledger.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
+      val ordered = fs.sortBy(_._2)
+      val cums = ordered.scanLeft(0L)(_ + _._3).init
+      ordered.zip(cums).map { case ((_, fid, bytes), cum) =>
+        (src, (cum / 2000L).toInt, fid, bytes)
+      }.groupBy(_._2).map { case (bin, rows) =>
+        (src, bin, rows.size.toLong, rows.map(_._4).sum,
+          rows.map(_._3).min, rows.map(_._3).max)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_compaction_bins")(spark, sfDir)
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // bins are contiguous, order-preserving file ranges within a source
+    got.groupBy(_._1).foreach { case (_, bins) =>
+      bins.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 < b._5, s"bin ranges overlap: $a $b")
+        case _ =>
+      }
+    }
+  }
+
   test("q_approx_distinct within 5% of exact per group; self-check column agrees") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users", "exact_users", "within_5pct")
