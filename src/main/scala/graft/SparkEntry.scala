@@ -14,7 +14,7 @@ object SparkEntry {
     CoreQueries.entries ++ RelationalQueries.entries ++ WindowQueries.entries ++
       TypesQueries.entries ++ TextQueries.entries ++ DedupQueries.entries ++
       SimilarityQueries.entries ++ IngestQueries.entries ++ MultimodalQueries.entries ++
-      AdvancedQueries.entries ++ ProfileQueries.entries
+      AdvancedQueries.entries ++ ProfileQueries.entries ++ GraphQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *
