@@ -332,6 +332,45 @@ object ProfileQueries {
              |  CAST((SELECT user_id FROM kc ORDER BY n DESC, user_id LIMIT 1) AS BIGINT)
              |    AS top_key,
              |  CAST(MAX(n) * 10000 * MAX(n_keys) // SUM(n) AS BIGINT) AS skew_ratio_e4
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_equi_depth ★ (new r5) — equi-DEPTH histogram per event type
+    // (10 deciles of equal row count), the companion of q_histogram's
+    // equi-WIDTH bins: width bins expose the SHAPE of a distribution,
+    // depth bins expose its QUANTILE BOUNDARIES — the statistics a
+    // cost-based optimizer stores and a drift monitor compares (equal-
+    // count bins can't go empty, so tail drift always moves a boundary,
+    // never vanishes into a zero-count bucket). ntile(10) over the
+    // per-type (cents, event_id) TOTAL order — the unique-key tiebreak
+    // makes bucket membership engine-deterministic even through runs of
+    // equal values (both engines give the first n%10 buckets the extra
+    // row). Plan: one per-group window sort (the honest cost of exact
+    // boundaries, same as q_percentile), one 10×types hash agg; at
+    // 100 TB swap the exact sort for approx_percentile's sketch
+    // boundaries + one map-only bin assign — the declared output
+    // (bounds + counts) is unchanged.
+    QueryDef(
+      "q_equi_depth",
+      (s: SparkSession, dir: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("c"), col("event_id"))
+        Tables(s, dir, "events")
+          .select(col("event_type"), cents.as("c"), col("event_id"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("event_type", "decile")
+          .agg(count(lit(1)).as("n"),
+            min("c").as("lo_cents"), max("c").as("hi_cents"))
+          .orderBy("event_type", "decile")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c,
+             |    event_id,
+             |    ntile(10) OVER (PARTITION BY event_type
+             |      ORDER BY CAST(round(value*100) AS BIGINT), event_id) AS decile
+             |  FROM events)
+             |SELECT event_type, CAST(decile AS INTEGER) AS decile,
+             |  COUNT(*) AS n, MIN(c) AS lo_cents, MAX(c) AS hi_cents
+             |FROM b GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin))
   )
 }

@@ -119,6 +119,36 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("q_equi_depth: decile bins match a driver-side ntile fold (r5)") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"),
+        col("event_id"))
+      .as[(String, Long, Long)].collect()
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (t, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      val n = ordered.size
+      // ntile semantics: first n%10 buckets carry the extra row
+      val sizes = (0 until 10).map(i => n / 10 + (if (i < n % 10) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      (0 until 10).filter(sizes(_) > 0).map { i =>
+        val slice = ordered.slice(bounds(i), bounds(i + 1))
+        (t, i + 1, slice.size.toLong, slice.map(_._2).min, slice.map(_._2).max)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_equi_depth")(spark, sfDir)
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // depth property: within a type, bucket sizes differ by at most 1
+    // and boundaries are monotone
+    got.groupBy(_._1).foreach { case (_, bs) =>
+      assert(bs.map(_._3).max - bs.map(_._3).min <= 1)
+      bs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 <= b._4, s"boundaries cross: $a $b")
+        case _ =>
+      }
+    }
+  }
+
   test("q_join_salted == the plain unsalted join (salting must not change the answer)") {
     val want = Tables(spark, sfDir, "events")
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
