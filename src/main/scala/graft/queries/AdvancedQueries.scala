@@ -791,6 +791,66 @@ object AdvancedQueries {
              |SELECT source, CAST(cum // 2000 AS INTEGER) AS bin,
              |  COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
              |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
-             |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin))
+             |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_interval_join ★ (new r5) — interval-OVERLAP join, the shape
+    // q_range_join (point-in-band) doesn't cover: BOTH sides are
+    // intervals and the predicate is symmetric overlap
+    // (a.lo ≤ b.hi ∧ a.hi ≥ b.lo). Business form: per error event's
+    // ±5-minute incident window, how many users' daily activity spans
+    // overlap it — the "blast radius per incident" query. A raw
+    // overlap condition nested-loops in Spark's planner; the scalable
+    // layout explodes EACH side into the hour buckets its interval
+    // covers (dilation = span/bucket + 1: ≤ 25 for a day span, 2 for a
+    // 10-minute window), equi-joins on the bucket, dedups the pair
+    // (an overlap spanning k shared buckets must count once), and
+    // applies the exact predicate inside the equi-join. Candidate
+    // generation is complete by construction: any overlap point lies
+    // in an hour bucket both lists contain. All-integer micros
+    // arithmetic; oracle = the naive inequality join (two algorithms,
+    // same rows). At 100 TB: two bucket-keyed shuffles, per-task work
+    // bounded by activity-per-hour; hot hours split by AQE.
+    QueryDef(
+      "q_interval_join",
+      (s: SparkSession, dir: String) => {
+        val HourUs = 3600000000L
+        val DayUs = 86400000000L
+        val FiveMinUs = 300000000L
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val spans = ev
+          .groupBy(col("user_id"), expr(s"us div $DayUs").as("d"))
+          .agg(min("us").as("lo"), max("us").as("hi"))
+        val bursts = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), (col("us") - FiveMinUs).as("blo"),
+            (col("us") + FiveMinUs).as("bhi"))
+        val aB = spans.select(col("user_id"), col("lo"), col("hi"),
+          explode(sequence(expr(s"lo div $HourUs"), expr(s"hi div $HourUs")))
+            .as("bk"))
+        val bB = bursts.select(col("event_id"), col("blo"), col("bhi"),
+          explode(sequence(expr(s"blo div $HourUs"), expr(s"bhi div $HourUs")))
+            .as("bk"))
+        bB.join(aB, "bk")
+          .filter(col("lo") <= col("bhi") && col("hi") >= col("blo"))
+          .select(col("event_id"), col("user_id")).distinct()
+          .groupBy("event_id").agg(count(lit(1)).as("n_users_active"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |a AS (
+             |  SELECT user_id, us // 86400000000 AS d,
+             |    MIN(us) AS lo, MAX(us) AS hi
+             |  FROM ev GROUP BY 1, 2),
+             |b AS (SELECT event_id, us FROM ev WHERE event_type = 'error')
+             |SELECT b.event_id,
+             |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users_active
+             |FROM b JOIN a ON a.lo <= b.us + 300000000
+             |  AND a.hi >= b.us - 300000000
+             |GROUP BY 1 ORDER BY event_id""".stripMargin))
   )
 }

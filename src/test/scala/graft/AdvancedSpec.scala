@@ -361,6 +361,27 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q_interval_join matches a driver-side naive overlap join (r5)") {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val spans = ev.groupBy(e => (e._2, e._4 / 86400000000L))
+      .map { case ((uid, _), es) => (uid, es.map(_._4).min, es.map(_._4).max) }
+      .toSeq
+    val want = ev.toSeq.filter(_._3 == "error").map { e =>
+      val blo = e._4 - 300000000L
+      val bhi = e._4 + 300000000L
+      (e._1, spans.filter(s => s._2 <= bhi && s._3 >= blo)
+        .map(_._1).distinct.size.toLong)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_interval_join")(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    // every error matches at least its own user's span
+    assert(got.forall(_._2 >= 1))
+  }
+
   test("q_approx_distinct within 5% of exact per group; self-check column agrees") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users", "exact_users", "within_5pct")
