@@ -598,6 +598,58 @@ object DedupQueries {
              |  (COALESCE(n_dup, 0) * 10000) //
              |    GREATEST(COALESCE(n_shingles, 0), 1) AS dup_frac_e4
              |FROM t LEFT JOIN d ON t.doc_id = d.doc_id
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_fuzzy_match ★ (new r5) — approximate-string record linkage over
+    // the corpus vocabulary: every token pair within edit distance ≤ 2,
+    // with corpus frequencies and the frequency-canonical form — the
+    // spell-variant / near-key matching kernel of entity resolution
+    // ("Acme Corp" vs "Acme Corp.") and of OCR/typo normalization in a
+    // training-data pipeline. The all-pairs levenshtein is made
+    // sub-quadratic by LENGTH-BAND BLOCKING, complete by construction:
+    // ed ≤ 2 forces |len(a) − len(b)| ≤ 2, so the probe side explodes
+    // each word to its 5 admissible length keys and the build side
+    // keys on its own length — every qualifying pair meets on exactly
+    // one key (build length is unique), no dedup needed, and only
+    // near-length candidates ever reach the (codegen'd built-in)
+    // levenshtein. Plan: one corpus→vocabulary agg (map-side combined),
+    // then a vocabulary-sized blocked self-join — never corpus²; at
+    // 100 TB vocabulary ≪ corpus and the band join is a few hash
+    // partitions. The canonical column implements the merge direction
+    // (variant → most frequent form) a normalization pass applies.
+    QueryDef(
+      "q_fuzzy_match",
+      (s: SparkSession, dir: String) => {
+        val v = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val probe = v.select(col("w").as("w1"), col("c").as("c1"),
+          explode(sequence(length(col("w")) - 2, length(col("w")) + 2))
+            .as("bk"))
+        val build = v.select(col("w").as("w2"), col("c").as("c2"),
+          length(col("w")).as("bk"))
+        probe.join(build, "bk")
+          .filter(col("w1") < col("w2") &&
+            levenshtein(col("w1"), col("w2")) <= 2)
+          .select(col("w1"), col("w2"),
+            levenshtein(col("w1"), col("w2")).as("dist"),
+            col("c1"), col("c2"),
+            when(col("c1") >= col("c2"), col("w1")).otherwise(col("w2"))
+              .as("canonical"))
+          .orderBy("dist", "w1", "w2")
+      },
+      Some("""WITH v AS (
+             |  SELECT w, COUNT(*) AS c FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY 1)
+             |SELECT a.w AS w1, b.w AS w2,
+             |  CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist,
+             |  a.c AS c1, b.c AS c2,
+             |  CASE WHEN a.c >= b.c THEN a.w ELSE b.w END AS canonical
+             |FROM v a JOIN v b ON a.w < b.w
+             |WHERE abs(length(a.w) - length(b.w)) <= 2
+             |  AND levenshtein(a.w, b.w) <= 2
+             |ORDER BY dist, w1, w2""".stripMargin))
   )
 }

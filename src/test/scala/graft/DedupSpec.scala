@@ -142,6 +142,32 @@ class DedupSpec extends SparkSpec {
     if (counts.exists(_._2 >= 2)) assert(got.exists(_._3 > 0))
   }
 
+  test("q_fuzzy_match == brute-force all-pairs levenshtein (blocking loses nothing, r5)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toSeq
+    val want = (for {
+      (w1, c1) <- vocab; (w2, c2) <- vocab
+      if w1 < w2
+      d = lev(w1, w2) if d <= 2
+    } yield (w1, w2, d, c1, c2, if (c1 >= c2) w1 else w2))
+      .sortBy(r => (r._3, r._1, r._2))
+    val got = SparkEntry.queries("q_fuzzy_match")(spark, sfDir)
+      .as[(String, String, Int, Long, Long, String)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain at least one fuzzy pair")
+  }
+
   test("connectedComponents: distributed label propagation == driver union-find") {
     // force the distributed path (driverMaxEdges = 0) on a graph with a
     // 5-node chain (multi-round propagation), a triangle, and a pair
