@@ -851,6 +851,55 @@ object AdvancedQueries {
              |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users_active
              |FROM b JOIN a ON a.lo <= b.us + 300000000
              |  AND a.hi >= b.us - 300000000
-             |GROUP BY 1 ORDER BY event_id""".stripMargin))
+             |GROUP BY 1 ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_incr_agg ★ (new r5) — incremental view maintenance: a daily
+    // aggregate "materialized view" maintained as MERGEABLE partial
+    // state — (n, sum, min, max) per (day, event_type) — refreshed by
+    // aggregating only a DELTA batch and algebraically merging it into
+    // the stored state (Σn, Σsum, min-of-min, max-of-max), never
+    // rescanning history. The query computes state over a base batch
+    // and a delta batch SEPARATELY (split by event_id parity, so every
+    // group genuinely spans both batches and the merge does real work),
+    // merges, and derives the non-mergeable average from merged state
+    // (the classic IVM lesson: store sums, derive ratios) in the
+    // engine-exact half-up-cents form. The oracle computes the DIRECT
+    // aggregate over everything — merge(agg(base), agg(delta)) ==
+    // agg(base ∪ delta) is the correctness property, checked
+    // cross-engine. Plan: two filtered scans each reduced map-side to
+    // group-sized partials, one group-keyed merge agg; at 100 TB the
+    // base partials are the stored view (days × types rows — tiny) and
+    // only the delta batch is ever scanned.
+    QueryDef(
+      "q_incr_agg",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        def cents = round(col("value") * 100).cast("long")
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"),
+              min(cents).as("min_cents"), max(cents).as("max_cents"))
+        val ev = Tables(s, dir, "events")
+        val base = partial(ev.filter(col("event_id") % 2 === 0))
+        val delta = partial(ev.filter(col("event_id") % 2 === 1))
+        base.unionByName(delta)
+          .groupBy("day", "event_type")
+          .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+            min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+          .select(col("day"), col("event_type"), col("n"), col("sum_cents"),
+            col("min_cents"), col("max_cents"),
+            ExactMath.divTrunc(col("sum_cents") * 200L + col("n"),
+              col("n") * 2L).as("avg_cents"))
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  MIN(CAST(ROUND(value*100,0) AS BIGINT)) AS min_cents,
+             |  MAX(CAST(ROUND(value*100,0) AS BIGINT)) AS max_cents,
+             |  CAST((SUM(CAST(ROUND(value*100,0) AS BIGINT)) * 200 + COUNT(*))
+             |    // (COUNT(*) * 2) AS BIGINT) AS avg_cents
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
   )
 }

@@ -382,6 +382,32 @@ class AdvancedSpec extends SparkSpec {
     assert(got.forall(_._2 >= 1))
   }
 
+  test("q_incr_agg: merged partials == the direct aggregate; merge is non-trivial (r5)") {
+    val direct = Tables(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        min(round(col("value") * 100).cast("long")).as("min_cents"),
+        max(round(col("value") * 100).cast("long")).as("max_cents"))
+      .select(col("day").cast("string"), col("event_type"), col("n"),
+        col("sum_cents"), col("min_cents"), col("max_cents"),
+        graft.functions.ExactMath.divTrunc(col("sum_cents") * 200L + col("n"),
+          col("n") * 2L).as("avg_cents"))
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_incr_agg")(spark, sfDir)
+      .select(col("day").cast("string"), col("event_type"), col("n"),
+        col("sum_cents"), col("min_cents"), col("max_cents"), col("avg_cents"))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == direct)
+    // the merge must do real work: both parity batches hit every day
+    val spanning = Tables(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("event_id") % 2).as("parities"))
+      .as[(java.sql.Date, Long)].collect()
+    assert(spanning.forall(_._2 == 2), "every group should span base and delta")
+  }
+
   test("q_approx_distinct within 5% of exact per group; self-check column agrees") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users", "exact_users", "within_5pct")
