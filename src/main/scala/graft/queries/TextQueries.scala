@@ -682,6 +682,62 @@ object TextQueries {
              |  CAST(start AS INTEGER) AS start,
              |  CAST(len(ts[start+1:start+16]) AS INTEGER) AS n_toks,
              |  md5(array_to_string(ts[start+1:start+16], ' ')) AS chunk_md5
-             |FROM s ORDER BY doc_id, chunk_id""".stripMargin))
+             |FROM s ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_vocab_growth ★ (new r5) — vocabulary-growth (Heaps-law) curve:
+    // how many DISTINCT bigrams the corpus has accumulated by each
+    // tenth of the ingest order — the statistic that says whether a
+    // corpus is still contributing novelty or has gone repetitive
+    // (rising curve → keep ingesting; flat → more data buys no new
+    // vocabulary), and the empirical input to tokenizer-vocab sizing.
+    // The unit is the 2-gram (the unigram vocabulary here saturates in
+    // the first segment — a flat 1-row curve; bigrams decay 851 → 2
+    // across segments at sf0.01, a live Heaps tail). Scalable form: a
+    // prefix-distinct is NOT computed per prefix (that's 10 corpus
+    // scans) and needs NO corpus-wide window — each bigram's
+    // FIRST-occurrence doc (one vocabulary-sized min agg) fully
+    // determines every prefix count, so the curve is a ≤10-row
+    // cumulative sum over per-segment first-occurrence counts.
+    // Segments are equal-width doc_id ranges (≡ equal-count when ids
+    // are dense, as here; an id-sparse corpus would swap in the
+    // q_percentile index formula). Plan: one corpus-linear codegen'd
+    // shingle explode → vocab-sized agg, one 1-row max broadcast, a
+    // ≤10-row window.
+    QueryDef(
+      "q_vocab_growth",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        import graft.functions.Shingles.shinglesAll
+        val docs = Tables(s, dir, "documents")
+        val mx = docs.agg(max("doc_id").as("mx"))
+        val firstDoc = docs
+          .select(col("doc_id"), explode(shinglesAll(toks, 2)).as("w"))
+          .groupBy("w").agg(min("doc_id").as("fd"))
+        firstDoc.crossJoin(broadcast(mx))
+          .select(ExactMath.divTrunc(col("fd") * 10L, col("mx") + 1L).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("new_tokens"))
+          .withColumn("vocab_size",
+            sum("new_tokens").over(
+              org.apache.spark.sql.expressions.Window.orderBy("k")
+                .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .orderBy("k")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |fd AS (
+             |  SELECT w, MIN(doc_id) AS fd FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+             |      i -> array_to_string(ts[i:i+1], ' '))) AS w
+             |    FROM t) GROUP BY 1),
+             |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |g AS (
+             |  SELECT (fd * 10) // (mx + 1) AS k, COUNT(*) AS new_tokens
+             |  FROM fd, mx GROUP BY 1)
+             |SELECT CAST(k AS BIGINT) AS k, new_tokens,
+             |  CAST(SUM(new_tokens) OVER (ORDER BY k
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS vocab_size
+             |FROM g ORDER BY k""".stripMargin))
   )
 }

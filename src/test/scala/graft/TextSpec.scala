@@ -180,6 +180,26 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q_vocab_growth matches a driver-side first-occurrence fold (r5)") {
+    val ds = docs
+    val mx = ds.map(_._1).max
+    val firstDoc = ds.flatMap { case (id, text) =>
+      val ts = text.split(" ", -1).toSeq
+      ts.sliding(2).filter(_.size == 2).map(b => (b.mkString(" "), id))
+    }.groupBy(_._1).map { case (_, occ) => occ.map(_._2).min }
+    val byK = firstDoc.groupBy(fd => fd * 10 / (mx + 1))
+      .map { case (k, fds) => (k, fds.size.toLong) }.toSeq.sortBy(_._1)
+    val want = byK.zip(byK.scanLeft(0L)(_ + _._2).tail)
+      .map { case ((k, nw), cum) => (k, nw, cum) }
+    val got = SparkEntry.queries("q_vocab_growth")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the curve is a genuine growth curve: cumulative strictly
+    // increasing, and the final point is the full bigram vocabulary
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    assert(got.last._3 == firstDoc.size.toLong)
+  }
+
   test("q_collocation_pmi matches a driver-side exact-integer PMI fold (r5)") {
     val texts = Tables(spark, sfDir, "documents")
       .select("text").as[String].collect()
