@@ -371,6 +371,75 @@ object ProfileQueries {
              |  FROM events)
              |SELECT event_type, CAST(decile AS INTEGER) AS decile,
              |  COUNT(*) AS n, MIN(c) AS lo_cents, MAX(c) AS hi_cents
-             |FROM b GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin))
+             |FROM b GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_rfm ★ (new r5) — RFM (recency / frequency / monetary) quintile
+    // scoring per user: the classic behavioral feature-engineering op
+    // (churn features, segment labels for a training set). Each user's
+    // three raw metrics come from ONE corpus→users hash agg (map-side
+    // combined); the quintile scores are ntile(5) over the USERS frame
+    // — per-metric total orders with the user_id tiebreak, so bucket
+    // membership is engine-deterministic (same guarantee as
+    // q_equi_depth). Scores are oriented the standard way (5 = most
+    // recent / most frequent / highest spend) via 6 − bucket on the
+    // ascending-goodness orders. The three global windows run over the
+    // USER table (≪ corpus; the key-histogram size argument of
+    // q_skew_stats); at 1e8+ users swap ntile for approx_percentile
+    // boundary lookup + map-only binning, scores unchanged except at
+    // boundaries. recency is measured against the corpus max day so
+    // the query is reproducible (no wall clock).
+    QueryDef(
+      "q_rfm",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = Tables(s, dir, "events")
+          .groupBy("user_id")
+          .agg(max(to_date(col("ts"))).as("last_day"),
+            count(lit(1)).as("frequency"), sum(cents).as("monetary_cents"))
+        val mx = u.agg(max("last_day").as("mxd"))
+        val base = u.crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            datediff(col("mxd"), col("last_day")).as("recency_days"),
+            col("frequency"), col("monetary_cents"))
+        base
+          .withColumn("r_score", lit(6) - ntile(5).over(
+            Window.orderBy(col("recency_days"), col("user_id"))))
+          .withColumn("f_score", lit(6) - ntile(5).over(
+            Window.orderBy(col("frequency").desc, col("user_id"))))
+          .withColumn("m_score", lit(6) - ntile(5).over(
+            Window.orderBy(col("monetary_cents").desc, col("user_id"))))
+          .select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary_cents"), col("r_score"), col("f_score"),
+            col("m_score"),
+            (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+              .as("rfm"))
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day,
+             |    COUNT(*) AS frequency,
+             |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             |      AS monetary_cents
+             |  FROM events GROUP BY 1),
+             |mx AS (SELECT MAX(last_day) AS mxd FROM u),
+             |b AS (
+             |  SELECT user_id,
+             |    CAST(mxd - last_day AS INTEGER) AS recency_days,
+             |    frequency, monetary_cents
+             |  FROM u, mx),
+             |sc AS (
+             |  SELECT user_id, recency_days, frequency, monetary_cents,
+             |    6 - ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+             |    6 - ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             |    6 - ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score
+             |  FROM b)
+             |SELECT user_id, recency_days, frequency, monetary_cents,
+             |  CAST(r_score AS INTEGER) AS r_score,
+             |  CAST(f_score AS INTEGER) AS f_score,
+             |  CAST(m_score AS INTEGER) AS m_score,
+             |  CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm
+             |FROM sc ORDER BY user_id""".stripMargin))
   )
 }

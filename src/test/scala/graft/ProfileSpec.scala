@@ -149,6 +149,42 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("q_rfm matches a driver-side quintile fold (r5)") {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("c"))
+      .as[(Long, java.sql.Date, Long)].collect().toSeq
+    val users = ev.groupBy(_._1).toSeq.map { case (uid, es) =>
+      (uid, es.map(_._2.toLocalDate.toEpochDay).max, es.size.toLong,
+        es.map(_._3).sum)
+    }
+    val mxd = users.map(_._2).max
+    val base = users.map(u => (u._1, (mxd - u._2).toInt, u._3, u._4))
+    def quintile[K](keyed: Seq[(Long, K)])(implicit ord: Ordering[K]): Map[Long, Int] = {
+      val sorted = keyed.sortBy(_._2)
+      val n = sorted.size
+      val sizes = (0 until 5).map(i => n / 5 + (if (i < n % 5) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      (for (b <- 0 until 5; i <- bounds(b) until bounds(b + 1))
+        yield sorted(i)._1 -> (6 - (b + 1))).toMap
+    }
+    val r = quintile(base.map(u => (u._1, (u._2, u._1))))
+    val f = quintile(base.map(u => (u._1, (-u._3, u._1))))
+    val m = quintile(base.map(u => (u._1, (-u._4, u._1))))
+    val want = base.map { u =>
+      (u._1, u._2, u._3, u._4, r(u._1), f(u._1), m(u._1),
+        r(u._1) * 100 + f(u._1) * 10 + m(u._1))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_rfm")(spark, sfDir)
+      .as[(Long, Int, Long, Long, Int, Int, Int, Int)].collect().toSeq
+    assert(got == want)
+    // each score uses the full 1..5 range on this fixture
+    for (i <- Seq(5, 6, 7)) {
+      val vals = got.map(t => t.productElement(i - 1).asInstanceOf[Int]).toSet
+      assert(vals == Set(1, 2, 3, 4, 5), s"score column $i range: $vals")
+    }
+  }
+
   test("q_join_salted == the plain unsalted join (salting must not change the answer)") {
     val want = Tables(spark, sfDir, "events")
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
