@@ -900,6 +900,52 @@ object AdvancedQueries {
              |  MAX(CAST(ROUND(value*100,0) AS BIGINT)) AS max_cents,
              |  CAST((SUM(CAST(ROUND(value*100,0) AS BIGINT)) * 200 + COUNT(*))
              |    // (COUNT(*) * 2) AS BIGINT) AS avg_cents
-             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_sample_weighted ★ (new r5) — deterministic WEIGHTED sampling:
+    // per-language inclusion probability p = min(1, K/n_lang) (K = 20),
+    // so rare languages are kept whole and common ones are downsampled
+    // toward ~K docs — the mixture-rebalancing sampler that turns
+    // q_mix_weights' share table into an actual corpus (up-weighting
+    // low-resource languages is exactly this op at pretraining scale).
+    // Membership stays hash-deterministic (q_sample_hash's guarantee —
+    // identical across runs/engines/cluster sizes/corpus growth):
+    // keep iff md5₆₀(doc_id) mod 1e6 < p_e6, with p_e6 exact integer
+    // ⌊min(1e6, 20e6/n_lang)⌋. Plan: one corpus→lang count agg, its
+    // ≤|langs|-row result broadcast back onto a second scan, map-only
+    // filter, one final lang agg — no corpus shuffle at any step.
+    // n_kept is binomial around n·p, NOT exact-K (that's
+    // q_sample_strat's job); the spec bounds the deviation.
+    QueryDef(
+      "q_sample_weighted",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000L))
+        val docs = Tables(s, dir, "documents")
+        val langN = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("p_e6",
+            least(lit(1000000L), ExactMath.divTrunc(lit(20000000L), col("n_docs"))))
+        docs.join(broadcast(langN), "lang")
+          .filter(h < col("p_e6"))
+          .groupBy("lang")
+          .agg(max("n_docs").as("n_docs"), max("p_e6").as("p_e6"),
+            count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH ln AS (
+             |  SELECT lang, COUNT(*) AS n_docs,
+             |    LEAST(1000000, 20000000 // COUNT(*)) AS p_e6
+             |  FROM documents GROUP BY 1),
+             |k AS (
+             |  SELECT d.lang, d.doc_id FROM documents d JOIN ln USING (lang)
+             |  WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |    % 1000000 < ln.p_e6)
+             |SELECT ln.lang AS lang, ln.n_docs, CAST(ln.p_e6 AS BIGINT) AS p_e6,
+             |  COUNT(*) AS n_kept, MIN(k.doc_id) AS first_kept
+             |FROM k JOIN ln USING (lang)
+             |GROUP BY ln.lang, ln.n_docs, ln.p_e6
+             |ORDER BY ln.lang""".stripMargin))
   )
 }

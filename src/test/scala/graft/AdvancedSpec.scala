@@ -408,6 +408,28 @@ class AdvancedSpec extends SparkSpec {
     assert(spanning.forall(_._2 == 2), "every group should span base and delta")
   }
 
+  test("q_sample_weighted matches a driver-side weighted-hash fold (r5)") {
+    def h60mod(id: Long, m: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    val ds = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    val want = ds.groupBy(_._2).toSeq.map { case (lang, rows) =>
+      val n = rows.size.toLong
+      val p = math.min(1000000L, 20000000L / n)
+      val kept = rows.map(_._1).filter(id => h60mod(id, 1000000L) < p)
+      (lang, n, p, kept.size.toLong, kept.min)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_sample_weighted")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // rare-language full retention: p_e6 == 1e6 implies keep everything
+    got.filter(_._3 == 1000000L).foreach(r => assert(r._4 == r._2))
+  }
+
   test("q_approx_distinct within 5% of exact per group; self-check column agrees") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users", "exact_users", "within_5pct")
