@@ -26,6 +26,14 @@ object PlanAudit {
     // 1-row broadcast total joined with no key — nested-loop over 1 row
     ("q_mix_weights", "BroadcastNestedLoopJoin"),
     ("q_tfidf", "BroadcastNestedLoopJoin"),
+    ("q_collocation_pmi", "BroadcastNestedLoopJoin"), // 1-row bigram total
+    ("q_pagerank_iter", "BroadcastNestedLoopJoin"),   // 1-row node count
+    ("q_rfm", "BroadcastNestedLoopJoin"),             // 1-row corpus max day
+    ("q_vocab_growth", "BroadcastNestedLoopJoin"),    // 1-row max doc_id
+    // windows over the USER table / the ≤10-row growth-curve frame,
+    // not the corpus (see each query's scaladoc)
+    ("q_rfm", "globalWindow"),
+    ("q_vocab_growth", "globalWindow"),
     // rank window over ≤20 rows AFTER TakeOrderedAndProject
     ("q_embed_dedup_lsh", "globalWindow"),
     // windows over the KEY HISTOGRAM (vocabulary-sized), not the corpus

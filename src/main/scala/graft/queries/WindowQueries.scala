@@ -283,6 +283,52 @@ object WindowQueries {
              |    AS INTEGER) AS is_current
              |FROM chg
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-             |ORDER BY user_id, version""".stripMargin))
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_streaks ★ (new r5) — gaps-and-islands: each user's LONGEST run
+    // of consecutive active days (and how many distinct islands their
+    // activity splits into) — the engagement-streak feature and the
+    // canonical island-detection kernel (the same rewrite finds
+    // contiguous id ranges for file-manifest compaction). Islands via
+    // the classic constant-difference trick: on the per-user DISTINCT
+    // day grid, epoch_day − row_number is CONSTANT exactly within a
+    // consecutive run, so grouping on that anchor materializes islands
+    // without any self-join or iteration. Plan: corpus → distinct
+    // (user, day) compression first (one shuffle, grid-sized output ≪
+    // corpus), then a per-user window and two grid-sized aggs — at
+    // 100 TB everything after the compression runs on the activity
+    // grid, bounded by users × span-days.
+    QueryDef(
+      "q_streaks",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy("d")
+        val days = Tables(s, dir, "events")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+          .distinct()
+        days
+          .withColumn("anchor", col("d") - row_number().over(w))
+          .groupBy("user_id", "anchor")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").as("longest_streak"),
+            count(lit(1)).as("n_islands"), sum("len").as("active_days"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS d
+             |  FROM events),
+             |isl AS (
+             |  SELECT user_id,
+             |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+             |  FROM days),
+             |runs AS (
+             |  SELECT user_id, anchor, COUNT(*) AS len
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+             |  COUNT(*) AS n_islands, CAST(SUM(len) AS BIGINT) AS active_days
+             |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 }

@@ -185,6 +185,29 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("q_streaks matches a driver-side island fold (r5)") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .distinct().as[(Long, Int)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.map { case (uid, ds) =>
+      val days = ds.map(_._2).distinct.sorted
+      val islands = days.foldLeft(List.empty[List[Int]]) { (acc, d) =>
+        acc match {
+          case (h :: hs) :: t if d == h + 1 => (d :: h :: hs) :: t
+          case _ => List(d) :: acc
+        }
+      }
+      (uid, islands.map(_.size).max.toLong, islands.size.toLong,
+        days.size.toLong)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_streaks")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // islands partition the active days
+    got.foreach(r => assert(r._2 <= r._4 && r._3 <= r._4))
+  }
+
   test("q_join_salted == the plain unsalted join (salting must not change the answer)") {
     val want = Tables(spark, sfDir, "events")
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
