@@ -29,6 +29,7 @@ object PlanAudit {
     ("q_collocation_pmi", "BroadcastNestedLoopJoin"), // 1-row bigram total
     ("q_pagerank_iter", "BroadcastNestedLoopJoin"),   // 1-row node count
     ("q_rfm", "BroadcastNestedLoopJoin"),             // 1-row corpus max day
+    ("q_trend_ols", "BroadcastNestedLoopJoin"),       // 1-row corpus min day
     ("q_vocab_growth", "BroadcastNestedLoopJoin"),    // 1-row max doc_id
     // windows over the USER table / the ≤10-row growth-curve frame,
     // not the corpus (see each query's scaladoc)

@@ -440,6 +440,193 @@ object ProfileQueries {
              |  CAST(f_score AS INTEGER) AS f_score,
              |  CAST(m_score AS INTEGER) AS m_score,
              |  CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm
-             |FROM sc ORDER BY user_id""".stripMargin))
+             |FROM sc ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_trend_ols ★ (new r5) — per-type OLS trend of daily event volume:
+    // the closed-form regression slope from the five sufficient
+    // statistics (n, Σx, Σy, Σxy, Σx²) — slope = (nΣxy − ΣxΣy) /
+    // (nΣx² − (Σx)²) — which is the whole point at scale: a trend fit
+    // over any corpus reduces to ONE map-side-combined aggregation, no
+    // iterative optimizer, no per-row residual pass. x is the epoch-day
+    // index re-based to the corpus min day (slope is shift-invariant;
+    // re-basing keeps every intermediate small — x ≤ span-days, so
+    // n·Σxy ≤ days³·max_daily and the e6-scaled numerator stays ~1e13
+    // at sf0.1, ~2^53-safe through 1e9-row days). Both engines emit the
+    // exact integer numerator/denominator AND the truncating-division
+    // e6 slope (divTrunc ≡ DuckDB `//`, verified truncation parity on
+    // mixed signs — slopes go negative). Plan: corpus → (type, day)
+    // hash agg (map-side combined), a 1-row min-day broadcast, then a
+    // types-sized agg; the dashboard-query shape at 100 TB.
+    QueryDef(
+      "q_trend_ols",
+      (s: SparkSession, dir: String) => {
+        val d = Tables(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val mn = d.agg(min("day").as("mnd"))
+        d.join(broadcast(mn))
+          .select(col("event_type"), col("y"),
+            datediff(col("day"), col("mnd")).cast("long").as("x"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum("y").as("sum_y"),
+            sum("x").as("sx"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n_days"), col("sum_y"),
+            (col("n_days") * col("sxy") - col("sx") * col("sum_y")).as("slope_num"),
+            (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+            ExactMath.divTrunc(
+              (col("n_days") * col("sxy") - col("sx") * col("sum_y")) * 1000000L,
+              col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_e6"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    COUNT(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |mn AS (SELECT MIN(day) AS mnd FROM d),
+             |b AS (SELECT event_type, y, CAST(day - mnd AS BIGINT) AS x FROM d, mn),
+             |s AS (
+             |  SELECT event_type, COUNT(*) AS n_days, SUM(y) AS sum_y,
+             |    SUM(x) AS sx, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+             |  FROM b GROUP BY 1)
+             |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(sum_y AS BIGINT) AS sum_y,
+             |  CAST(n_days * sxy - sx * sum_y AS BIGINT) AS slope_num,
+             |  CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+             |  CAST((n_days * sxy - sx * sum_y) * 1000000
+             |    // (n_days * sxx - sx * sx) AS BIGINT) AS slope_e6
+             |FROM s ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_winsorize ★ (new r5) — percentile clipping (winsorization) per
+    // event type: clamp values to the [p5, p95] order statistics and
+    // report the mean before/after plus how many rows each tail clipped
+    // — the robust-feature-scaling op that keeps a handful of extreme
+    // values from dominating a normalized training feature. Boundaries
+    // are the same explicit lower-disc index formula as q_percentile
+    // (engine-deterministic, no interpolation); clamping and both means
+    // are exact long cents with floor-div e2 rendering. Plan: one
+    // per-group window sort for the exact boundaries (the q_percentile
+    // cost), a 5-row broadcast back onto a second scan, one map-side-
+    // combined agg. At 100 TB the boundaries come from
+    // approx_percentile's sketch and the clamp pass is unchanged.
+    QueryDef(
+      "q_winsorize",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = Tables(s, dir, "events").select(col("event_type"), cents.as("c"))
+        val w = Window.partitionBy("event_type").orderBy("c")
+        val wn = Window.partitionBy("event_type")
+        def qAt(p: Int, nm: String) =
+          max(when(col("rn") ===
+            ExactMath.divTrunc((col("n") - 1L) * p, lit(100L)) + 1L, col("c"))).as(nm)
+        val f = b.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("event_type")
+          .agg(qAt(5, "p5_c"), qAt(95, "p95_c"))
+        val clamped = greatest(col("p5_c"), least(col("p95_c"), col("c")))
+        b.join(broadcast(f), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max("p5_c").as("p5_c"),
+            max("p95_c").as("p95_c"), sum("c").as("sum_cents"),
+            sum(clamped).as("sum_wins_cents"),
+            sum(when(col("c") < col("p5_c"), 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when(col("c") > col("p95_c"), 1L).otherwise(0L)).as("n_clip_hi"))
+          .select(col("event_type"), col("n"), col("p5_c"), col("p95_c"),
+            col("sum_cents"), col("sum_wins_cents"), col("n_clip_lo"),
+            col("n_clip_hi"),
+            ExactMath.divTrunc(col("sum_cents"), col("n")).as("mean_c"),
+            ExactMath.divTrunc(col("sum_wins_cents"), col("n")).as("mean_wins_c"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, c,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM b),
+             |f AS (
+             |  SELECT event_type,
+             |    MAX(CASE WHEN rn = ((n-1)*5)//100 + 1 THEN c END) AS p5_c,
+             |    MAX(CASE WHEN rn = ((n-1)*95)//100 + 1 THEN c END) AS p95_c
+             |  FROM r GROUP BY event_type)
+             |SELECT b.event_type, COUNT(*) AS n, MAX(f.p5_c) AS p5_c,
+             |  MAX(f.p95_c) AS p95_c,
+             |  CAST(SUM(b.c) AS BIGINT) AS sum_cents,
+             |  CAST(SUM(GREATEST(f.p5_c, LEAST(f.p95_c, b.c))) AS BIGINT)
+             |    AS sum_wins_cents,
+             |  CAST(SUM(CASE WHEN b.c < f.p5_c THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clip_lo,
+             |  CAST(SUM(CASE WHEN b.c > f.p95_c THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clip_hi,
+             |  CAST(SUM(b.c) // COUNT(*) AS BIGINT) AS mean_c,
+             |  CAST(SUM(GREATEST(f.p5_c, LEAST(f.p95_c, b.c))) // COUNT(*) AS BIGINT)
+             |    AS mean_wins_c
+             |FROM b JOIN f ON b.event_type = f.event_type
+             |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_benford ★ (new r5) — Benford first-significant-digit test per
+    // event type: the distribution of leading digits of the cent
+    // amounts vs Benford's law, with per-digit deviation in exact e6 —
+    // the classic fabricated/synthetic-data tripwire of a data-quality
+    // pass (organic heavy-tailed amounts follow Benford; uniform or
+    // hand-seeded generators don't — this fixture's uniform `value` is
+    // itself a live demonstration, deviating hard on every digit).
+    // The Benford shares log10(1+1/d) are irrational, so both engines
+    // use the same 9 precomputed e6-floor constants — no libm call in
+    // either plan (the q_mm_entropy lesson); observed shares are
+    // floor-div e6. Leading digit via the decimal string — exact, no
+    // float log. Plan: one (type, digit) hash agg (map-side combined)
+    // + a ≤9-row-per-type window for the type totals; constant-size
+    // output at any corpus scale.
+    QueryDef(
+      "q_benford",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val benford = typedLit(Map(
+          1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+          5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L))
+        Tables(s, dir, "events")
+          .select(col("event_type"), cents.as("c"))
+          .filter(col("c") > 0L)
+          .select(col("event_type"),
+            substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("event_type", "digit")
+          .agg(count(lit(1)).as("n_d"))
+          .withColumn("n", sum("n_d").over(Window.partitionBy("event_type")))
+          .select(col("event_type"), col("digit"), col("n_d"), col("n"),
+            ExactMath.divTrunc(col("n_d") * 1000000L, col("n")).as("share_e6"),
+            element_at(benford, col("digit")).as("benford_e6"))
+          .withColumn("dev_e6", abs(col("share_e6") - col("benford_e6")))
+          .orderBy("event_type", "digit")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    CAST(substr(CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR), 1, 1)
+             |      AS INTEGER) AS digit
+             |  FROM events WHERE CAST(round(value*100) AS BIGINT) > 0),
+             |g AS (
+             |  SELECT event_type, digit, COUNT(*) AS n_d
+             |  FROM b GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, digit, n_d,
+             |    SUM(n_d) OVER (PARTITION BY event_type) AS n
+             |  FROM g)
+             |SELECT event_type, digit, CAST(n_d AS BIGINT) AS n_d,
+             |  CAST(n AS BIGINT) AS n,
+             |  CAST(n_d * 1000000 // n AS BIGINT) AS share_e6,
+             |  CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+             |    WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+             |    WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+             |    WHEN 9 THEN 45757 END AS BIGINT) AS benford_e6,
+             |  CAST(abs(n_d * 1000000 // n - CASE digit WHEN 1 THEN 301029
+             |    WHEN 2 THEN 176091 WHEN 3 THEN 124938 WHEN 4 THEN 96910
+             |    WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
+             |    WHEN 8 THEN 51152 WHEN 9 THEN 45757 END) AS BIGINT) AS dev_e6
+             |FROM t ORDER BY event_type, digit""".stripMargin))
   )
 }

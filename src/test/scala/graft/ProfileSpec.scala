@@ -291,4 +291,80 @@ class ProfileSpec extends SparkSpec {
     assert(gotSyn == fences(syn))
     assert(gotSyn.head._6 == 1L && gotSyn.head._7 == 1L)
   }
+
+  test("q_trend_ols matches the driver-side closed-form slope (r5)") {
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"), datediff(col("day"), lit("1970-01-01")).as("di"),
+        col("y"))
+      .as[(String, Int, Long)].collect()
+    val mn = daily.map(_._2).min
+    val want = daily.groupBy(_._1).map { case (t, ds) =>
+      val xs = ds.map(d => (d._2 - mn).toLong)
+      val ys = ds.map(_._3)
+      val n = ds.length.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      (t, n, sy, num, den, num * 1000000L / den)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_trend_ols")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // slopes must not all share a sign on this fixture (trend detection
+    // has to be able to say "flat-ish" per type, not just echo volume)
+    assert(got.map(r => math.signum(r._4.toDouble)).distinct.size >= 2)
+  }
+
+  test("q_winsorize: clipping bounds, counts and means match a driver fold (r5)") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val want = rows.groupBy(_._1).map { case (t, vs) =>
+      val cs = vs.map(_._2).sorted
+      val n = cs.length.toLong
+      def at(p: Int) = cs((((n - 1) * p) / 100).toInt)
+      val (p5, p95) = (at(5), at(95))
+      val w = cs.map(c => math.max(p5, math.min(p95, c)))
+      (t, n, p5, p95, cs.sum, w.sum,
+        cs.count(_ < p5).toLong, cs.count(_ > p95).toLong,
+        cs.sum / n, w.sum / n)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_winsorize")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == want)
+    // both tails clip on every type (p5/p95 are interior order stats)
+    got.foreach { r => assert(r._7 > 0L && r._8 > 0L) }
+  }
+
+  test("q_benford: shares sum to ~1e6 and the uniform fixture deviates (r5)") {
+    val got = SparkEntry.queries("q_benford")(spark, sfDir)
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // driver-side reference
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect().filter(_._2 > 0L)
+    val benford = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+    val want = rows.map { case (t, c) => (t, c.toString.head.asDigit) }
+      .groupBy(identity).map { case ((t, d), o) => ((t, d), o.size.toLong) }
+    val byType = rows.groupBy(_._1).map { case (t, o) => (t, o.size.toLong) }
+    got.foreach { case (t, d, nd, n, share, bf, dev) =>
+      assert(nd == want((t, d)) && n == byType(t))
+      assert(share == nd * 1000000L / n && bf == benford(d))
+      assert(dev == math.abs(share - bf))
+    }
+    // per type: 9 digits present, shares sum to 1e6 − (rounding loss < 9)
+    got.groupBy(_._1).foreach { case (_, ds) =>
+      assert(ds.map(_._2).sorted == (1 to 9))
+      val s = ds.map(_._5).sum
+      assert(s > 1000000L - 9 && s <= 1000000L)
+    }
+    // a uniform generator is exactly what Benford flags: big deviation
+    assert(got.map(_._7).max > 50000L)
+  }
 }
