@@ -738,6 +738,86 @@ object TextQueries {
              |  CAST(SUM(new_tokens) OVER (ORDER BY k
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |    AS vocab_size
-             |FROM g ORDER BY k""".stripMargin))
+             |FROM g ORDER BY k""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_doc_sim_sparse ★ (new r5) — SPARSE document similarity: top-20
+    // document pairs by exact-integer tf-idf dot product through an
+    // inverted-index join — the sparse complement of the dense
+    // q_embed_dedup_lsh path (near-dup by shared salient VOCABULARY
+    // rather than by embedding geometry; the two catch different
+    // duplicate classes and production pipelines run both). Pairs are
+    // generated ONLY through shared terms, and a DF-CUT (df ≤
+    // max(2, N/10) — the size-pruning insight of Bayardo et al.'s
+    // all-pairs similarity: ubiquitous terms create quadratic fan-out
+    // but contribute no discrimination) bounds every term's pair
+    // fan-out at cut², keeping candidates ≤ cut · |postings| —
+    // corpus-LINEAR, never corpus². Weights are exact integers
+    // (w = tf · (100N // df), floor-div idf — rank-equivalent rarity,
+    // the q_tfidf log-free move), so dot products and norms are
+    // engine-exact longs: w ≤ tf·100N/df ~ 1e6 here, norms ≤ doc_len·w²
+    // ~ 2e14 — 64-bit-safe while tf·100·N < 9.2e14 per shard (the
+    // q_tfidf headroom rule; a larger corpus drops the 100× idf scale).
+    // Norms ride along so a consumer can normalize to cosine; ranking
+    // by raw dot is the un-normalized retrieval score (the BM25 family
+    // convention). Plan: one (doc, term) tf agg, one vocab-sized df
+    // agg, df-cut postings persisted once and reused by both join
+    // sides + norms, per-term equi-join, one (a, b) hash agg,
+    // TakeOrderedAndProject top-20 under a total order.
+    QueryDef(
+      "q_doc_sim_sparse",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables(s, dir, "documents")
+        val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val wgt = tf.join(df_, "term").crossJoin(broadcast(n))
+          .filter(col("df") <= greatest(lit(2L),
+            graft.functions.ExactMath.divTrunc(col("n_docs"), lit(10L))))
+          .select(col("doc_id"), col("term"),
+            (col("tf") * graft.functions.ExactMath.divTrunc(
+              col("n_docs") * 100L, col("df"))).as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        wgt.count() // eager: three consumers below (PERF_NOTES race rule)
+        val norms = wgt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm"))
+        wgt.as("a")
+          .join(wgt.as("b"),
+            col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"),
+            sum(col("a.w") * col("b.w")).as("dot"))
+          .join(norms.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("nrm", "norm_a"), "doc_a")
+          .join(norms.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("nrm", "norm_b"), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_shared"), col("dot"),
+            col("norm_a"), col("norm_b"))
+          .orderBy(col("dot").desc, col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM p GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |w AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    tf.tf * ((n.n_docs * 100) // df.df) AS w
+             |  FROM tf JOIN df USING (term) CROSS JOIN n
+             |  WHERE df.df <= GREATEST(2, n.n_docs // 10)),
+             |nrm AS (SELECT doc_id, SUM(w * w) AS nrm FROM w GROUP BY 1),
+             |d AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    COUNT(*) AS n_shared, SUM(a.w * b.w) AS dot
+             |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d.doc_a, d.doc_b, CAST(d.n_shared AS BIGINT) AS n_shared,
+             |  CAST(d.dot AS BIGINT) AS dot,
+             |  CAST(na.nrm AS BIGINT) AS norm_a, CAST(nb.nrm AS BIGINT) AS norm_b
+             |FROM d JOIN nrm na ON d.doc_a = na.doc_id
+             |       JOIN nrm nb ON d.doc_b = nb.doc_id
+             |ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin))
   )
 }

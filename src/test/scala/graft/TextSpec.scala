@@ -218,4 +218,32 @@ class TextSpec extends SparkSpec {
     // live: the fixture yields ranked collocations, not an empty head
     assert(got.nonEmpty && got.head._4 >= got.last._4)
   }
+
+  test("q_doc_sim_sparse matches a driver-side inverted-index fold (r5)") {
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val tf = rows.toSeq.flatMap { case (d, t) =>
+      t.split(" ").groupBy(identity).map { case (w, xs) => (d, w, xs.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val nDocs = rows.length.toLong
+    val cut = math.max(2L, nDocs / 10L)
+    val wgt = tf.filter(r => df(r._2) <= cut)
+      .map { case (d, w, f) => (d, w, f * (nDocs * 100L / df(w))) }
+    val nrm = wgt.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map(x => x._3 * x._3).sum }
+    val byTerm = wgt.groupBy(_._2)
+    val want = byTerm.values.flatMap { ps =>
+      for (a <- ps; b <- ps if a._1 < b._1) yield ((a._1, b._1), a._3 * b._3)
+    }.groupBy(_._1).map { case ((a, b), xs) =>
+      (a, b, xs.size.toLong, xs.map(_._2).sum, nrm(a), nrm(b))
+    }.toSeq.sortBy { case (a, b, _, dot, _, _) => (-dot, a, b) }.take(20)
+    val got = SparkEntry.queries("q_doc_sim_sparse")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the df-cut actually prunes: some term must exceed the cut
+    assert(df.values.max > cut, "fixture has no ubiquitous term; cut untested")
+    // and similarity is discriminative: top pair strictly above the 20th
+    assert(got.head._4 > got.last._4)
+  }
 }
