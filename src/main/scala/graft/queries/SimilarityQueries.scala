@@ -956,6 +956,148 @@ object SimilarityQueries {
            |  FROM agg)
            |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score_e6
            |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q_hybrid_rrf ★ (new r5) — HYBRID retrieval fusion: each query
+    // entity (vec_id ≡ doc_id, the fixture's aligned id space) retrieves
+    // through BOTH modalities — dense cosine over `embeddings` and
+    // sparse df-cut tf-idf over `documents` — and the two rankings are
+    // fused by reciprocal-rank fusion, RRF(d) = Σ_r 1/(60 + rank_r(d))
+    // over each ranker's top-50 (Cormack et al.'s k = 60; rank-only
+    // fusion needs NO score calibration between a float cosine and an
+    // integer term score — which is exactly why RAG stacks use it).
+    // Contributions are exact integers (1e6 // (60 + rank)), so fusion
+    // and final ranking are engine-exact given the two input rankings;
+    // the dense ranking's determinism is the measured q_sim_topk
+    // adjacent-gap argument extended to depth 52: min nonzero adjacent
+    // cosine gap over all 5 queries' ranks ≤ 52 is 7.8e-6 / 5.4e-6 /
+    // 4.6e-6 at sf0.001/0.01/0.1 — ~10⁷ × the ~1e-13 cross-engine
+    // double-summation noise (exact ties break on id in both engines)
+    // — and the sparse ranking is exact integer with doc_id tie-break. Plan: the dense
+    // half is the q_sim_topk kernel verbatim (broadcast queries, per-
+    // partition constant-size heap at k = 50, no corpus shuffle); the
+    // sparse half joins a BROADCAST 5-query weight set against the
+    // df-cut postings — map-side, candidate-sized output (docs sharing
+    // ≥1 surviving term); fusion is a full outer join of two ≤ 50-row-
+    // per-query rank lists. Every piece stays corpus-linear at 100 TB.
+    QueryDef(
+      "q_hybrid_rrf",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        import graft.functions.ExactMath
+        val K = 50
+        // dense ranks: q_sim_topk's heap pre-reduce at k = 50
+        val q = broadcast(queriesDf(s, dir))
+        val scored = guarded(s, dir).join(q, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("q_emb"), col("embedding")).as("cos"))
+          .filter(col("cos").isNotNull)
+        val pre = scored.as[(Long, Long, Double)].mapPartitions { it =>
+          val worstFirst = new Ordering[(Long, Double)] {
+            def compare(x: (Long, Double), y: (Long, Double)): Int = {
+              val c = java.lang.Double.compare(y._2, x._2)
+              if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+            }
+          }
+          val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[(Long, Double)]]
+          it.foreach { case (qid, vid, cos) =>
+            val h = heaps.getOrElseUpdate(qid, mutable.PriorityQueue.empty(worstFirst))
+            h.enqueue((vid, cos))
+            if (h.size > K) h.dequeue()
+          }
+          heaps.iterator.flatMap { case (qid, h) => h.iterator.map(t => (qid, t._1, t._2)) }
+        }.toDF("q_id", "id", "cos")
+        val wc = Window.partitionBy("q_id").orderBy(col("cos").desc, col("id"))
+        val dense = pre.withColumn("rc", row_number().over(wc))
+          .filter(col("rc") <= K).select(col("q_id"), col("id"), col("rc"))
+        // sparse ranks: df-cut tf-idf weights (the q_doc_sim_sparse
+        // scheme), query side broadcast
+        val docs = Tables(s, dir, "documents")
+        val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val wgt = tf.join(df_, "term").crossJoin(broadcast(nd))
+          .filter(col("df") <= greatest(lit(2L),
+            ExactMath.divTrunc(col("n_docs"), lit(10L))))
+          .select(col("doc_id"), col("term"),
+            (col("tf") * ExactMath.divTrunc(col("n_docs") * 100L, col("df"))).as("w"))
+        val wq = broadcast(wgt.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), col("term"), col("w").as("wq")))
+        val ss = wgt.join(wq, "term").filter(col("doc_id") =!= col("q_id"))
+          .groupBy("q_id", "doc_id").agg(sum(col("w") * col("wq")).as("score"))
+        val wsw = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+        val sparse = ss.withColumn("rd", row_number().over(wsw))
+          .filter(col("rd") <= K)
+          .select(col("q_id"), col("doc_id").as("id"), col("rd"))
+        // fuse
+        val fused = dense.join(sparse, Seq("q_id", "id"), "full_outer")
+          .select(col("q_id"), col("id"),
+            coalesce(col("rc"), lit(0)).as("dense_rank"),
+            coalesce(col("rd"), lit(0)).as("sparse_rank"),
+            (coalesce(ExactMath.divTrunc(lit(1000000L), col("rc") + 60L), lit(0L)) +
+              coalesce(ExactMath.divTrunc(lit(1000000L), col("rd") + 60L), lit(0L)))
+              .as("rrf_e6"))
+        val wf = Window.partitionBy("q_id").orderBy(col("rrf_e6").desc, col("id"))
+        fused.withColumn("rank", row_number().over(wf)).filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("id"), col("rrf_e6"),
+            col("dense_rank"), col("sparse_rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.q_id, e.vec_id AS id,
+             |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.qv[i])) /
+             |      (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             |       sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
+             |  FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+             |d50 AS (
+             |  SELECT q_id, id, rc FROM (
+             |    SELECT q_id, id,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS rc
+             |    FROM scored) WHERE rc <= 50),
+             |p AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM p GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |w AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    tf.tf * ((n.n_docs * 100) // df.df) AS w
+             |  FROM tf JOIN df USING (term) CROSS JOIN n
+             |  WHERE df.df <= GREATEST(2, n.n_docs // 10)),
+             |wq AS (SELECT doc_id AS q_id, term, w AS wq FROM w WHERE doc_id < 5),
+             |ss AS (
+             |  SELECT wq.q_id, w.doc_id AS id, SUM(w.w * wq.wq) AS score
+             |  FROM w JOIN wq USING (term) WHERE w.doc_id != wq.q_id
+             |  GROUP BY 1, 2),
+             |s50 AS (
+             |  SELECT q_id, id, rd FROM (
+             |    SELECT q_id, id,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS rd
+             |    FROM ss) WHERE rd <= 50),
+             |f AS (
+             |  SELECT COALESCE(d.q_id, s.q_id) AS q_id, COALESCE(d.id, s.id) AS id,
+             |    COALESCE(d.rc, 0) AS dense_rank, COALESCE(s.rd, 0) AS sparse_rank,
+             |    COALESCE(1000000 // (60 + d.rc), 0)
+             |      + COALESCE(1000000 // (60 + s.rd), 0) AS rrf_e6
+             |  FROM d50 d FULL OUTER JOIN s50 s
+             |    ON d.q_id = s.q_id AND d.id = s.id),
+             |r AS (
+             |  SELECT q_id, id, rrf_e6, dense_rank, sparse_rank,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY rrf_e6 DESC, id) AS rank
+             |  FROM f)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, id,
+             |  CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+             |  CAST(dense_rank AS INTEGER) AS dense_rank,
+             |  CAST(sparse_rank AS INTEGER) AS sparse_rank
+             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -372,4 +372,61 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum / recalls.length >= 0.2,
       s"mean ADC recall@10 ${recalls.sum / recalls.length}")
   }
+
+  test("q_hybrid_rrf matches a driver-side dense+sparse RRF fold (r5)") {
+    val K = 50
+    val all = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .filter(_._2.exists(_ != 0f)).toSeq
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = (a, b).zipped.map(_.toDouble * _.toDouble).sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val queries = all.filter(_._1 < 5)
+    val denseTop = queries.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (v, e) => (v, cos(qv, e)) }
+        .sortBy { case (v, c) => (-c, v) }.take(K).zipWithIndex
+        .map { case ((v, _), i) => ((qid, v), i + 1) }
+    }.toMap
+    // sparse: df-cut tf-idf (the q_doc_sim_sparse scheme)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val tf = docs.flatMap { case (d, t) =>
+      t.split(" ").groupBy(identity).map { case (w, xs) => (d, w, xs.size.toLong) } }
+    val dfm = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val nDocs = docs.size.toLong
+    val cut = math.max(2L, nDocs / 10L)
+    val wgt = tf.filter(r => dfm(r._2) <= cut)
+      .map { case (d, w, f) => (d, w, f * (nDocs * 100L / dfm(w))) }
+    val byDoc = wgt.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map(x => x._2 -> x._3).toMap }
+    val sparseTop = byDoc.keys.filter(_ < 5).flatMap { qid =>
+      val qw = byDoc(qid)
+      byDoc.toSeq.filter(_._1 != qid).flatMap { case (d, ws) =>
+        val s = ws.collect { case (t, w) if qw.contains(t) => w * qw(t) }.sum
+        if (s > 0) Some((d, s)) else None
+      }.sortBy { case (d, s) => (-s, d) }.take(K).zipWithIndex
+        .map { case ((d, _), i) => ((qid, d), i + 1) }
+    }.toMap
+    val want = (0L until 5L).flatMap { qid =>
+      val ids = (denseTop.keySet ++ sparseTop.keySet).collect { case (q, d) if q == qid => d }
+      ids.toSeq.map { d =>
+        val rc = denseTop.getOrElse((qid, d), 0)
+        val rd = sparseTop.getOrElse((qid, d), 0)
+        val rrf = (if (rc > 0) 1000000L / (60 + rc) else 0L) +
+          (if (rd > 0) 1000000L / (60 + rd) else 0L)
+        (qid, d, rrf, rc, rd)
+      }.sortBy { case (_, d, rrf, _, _) => (-rrf, d) }.take(10).zipWithIndex
+        .map { case ((q, d, rrf, rc, rd), i) => (q, i + 1, d, rrf, rc, rd) }
+    }
+    val got = SparkEntry.queries("q_hybrid_rrf")(spark, sfDir)
+      .as[(Long, Int, Long, Long, Int, Int)].collect().toSeq
+    assert(got == want)
+    // fusion is live: the winners draw on BOTH rankers, and each
+    // modality places ranker-exclusive rows in some top-10
+    assert(got.exists(r => r._5 > 0 && r._6 > 0))
+    assert(got.exists(r => r._5 == 0 && r._6 > 0))
+    assert(got.exists(r => r._6 == 0 && r._5 > 0))
+  }
 }
