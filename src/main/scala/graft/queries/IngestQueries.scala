@@ -330,5 +330,66 @@ object IngestQueries {
              |  (3, 'time_travel',  5, 3, 110, 0, 1),
              |  (4, 'noop_snaps_2', 3, 2, 40,  0, 2))
              | t(step, op, n_rows, n_files, sum_v, n_deleted, n_shared)
+             |ORDER BY step""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // lake_incremental_e2e (new r5) — the incremental APPEND SCAN as a
+    // declared query (Iceberg's incremental-from-snapshot read; the
+    // consumer side of a CDC pipeline — downstream jobs read only the
+    // delta between the snapshot they last processed and now, never
+    // rescanning history; at 100 TB this is the difference between a
+    // minutes-long delta job and a full-table pass). Scenario: three
+    // appends A/B/C, then (1) the (s1, s3] delta must be exactly B∪C
+    // and (2) the (s2, s3] delta exactly C — rows, file counts, and
+    // content sums all computed from the lake state. Step 3: COMPACT
+    // the table, then ask for a delta across the rewrite — the read
+    // must REFUSE (a rewrite re-binds rows to files, so a file-set
+    // delta over it would re-emit every row as if new; Iceberg's
+    // incremental scan raises the same error), observed as flag = 1.
+    // Step 4: an append AFTER the rewrite is incrementally readable
+    // again — the refusal is range-scoped, not table-permanent.
+    // Golden VALUES oracle (constant fixture ⇒ fixed ledger), same
+    // trust argument as the other lake rows.
+    QueryDef("lake_incremental_e2e", (s: SparkSession, _: String) => {
+      import s.implicits._
+      import graft.sink.{HiveParquetWriter, LakeOps}
+      val tmpRoot = Files.createTempDirectory("graft_incr_")
+      val tableDir = tmpRoot.toString + "/warehouse/t"
+      val w = new HiveParquetWriter
+      def inc(step: Long, op: String, from: Long, to: Long): (Long, String, Long, Long, Long, Long) = {
+        val d = LakeOps.readIncremental(s, tableDir, from, to)
+        val a = d.agg(count(lit(1)).cast("long"), sum(col("v")).cast("long")).head()
+        (step, op, a.getLong(0), d.inputFiles.length.toLong, a.getLong(1), 0L)
+      }
+      val s1 = w.append(Seq((1L, "c1", 10L), (2L, "c1", 20L), (3L, "c2", 30L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val s2 = w.append(Seq((4L, "c2", 40L), (5L, "c3", 50L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val s3 = w.append(Seq((6L, "c1", 60L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val r1 = inc(1, "inc_s1_s3", s1, s3)
+      val r2 = inc(2, "inc_s2_s3", s2, s3)
+      val s4 = LakeOps.compact(s, tableDir).snapshotId
+      val r3 =
+        try { inc(3, "must_refuse", s1, s4) }
+        catch { case _: IllegalArgumentException =>
+          (3L, "refused_rewrite", 0L, 0L, 0L, 1L) }
+      val s5 = w.append(Seq((7L, "c2", 70L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val r4 = inc(4, "inc_post_compact", s4, s5)
+      deleteTree(tmpRoot)
+      Seq(r1, r2, r3, r4)
+        .toDF("step", "op", "n_rows", "n_files", "sum_v", "refused")
+        .orderBy("step")
+    },
+      Some("""SELECT CAST(step AS BIGINT) AS step, op,
+             |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_files AS BIGINT) AS n_files,
+             |  CAST(sum_v AS BIGINT) AS sum_v, CAST(refused AS BIGINT) AS refused
+             |FROM (VALUES
+             |  (1, 'inc_s1_s3',        3, 3, 150, 0),
+             |  (2, 'inc_s2_s3',        1, 1, 60,  0),
+             |  (3, 'refused_rewrite',  0, 0, 0,   1),
+             |  (4, 'inc_post_compact', 1, 1, 70,  0))
+             | t(step, op, n_rows, n_files, sum_v, refused)
              |ORDER BY step""".stripMargin)))
 }

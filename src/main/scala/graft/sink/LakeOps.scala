@@ -51,6 +51,31 @@ object LakeOps {
       .parquet(files: _*)
   }
 
+  /** Incremental append scan: rows committed AFTER snapshot
+    * `fromExclusive` up to and including `toInclusive` — Iceberg's
+    * incremental-from-snapshot read, the consumer side of a CDC
+    * pipeline (downstream jobs process only the delta, never rescan
+    * history — the read-side twin of q_incr_agg's mergeable-state
+    * refresh). Defined over APPEND-ONLY ranges exactly as Iceberg
+    * defines it: a rewrite/overwrite/delete inside the range re-binds
+    * rows to files, so "files added in range" stops meaning "rows added
+    * in range" — refuse loudly rather than emit wrong deltas. Ranges
+    * that start at or after the rewrite work again (its appends are
+    * deltas as usual).
+    */
+  def readIncremental(spark: SparkSession, tableDir: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val recs = GraftLog.records(tableDir)
+      .filter(r => r.snapshotId > fromExclusive && r.snapshotId <= toInclusive)
+    require(recs.nonEmpty, s"no snapshots in ($fromExclusive, $toInclusive]")
+    val bad = recs.filter(_.op != "append")
+    require(bad.isEmpty, "incremental read is append-only; range contains " +
+      bad.map(r => s"${r.snapshotId}:${r.op}").mkString(", "))
+    val files = recs.flatMap(_.files).map(f => s"$tableDir/$f")
+    spark.read.option("basePath", tableDir).option("mergeSchema", "true")
+      .parquet(files: _*)
+  }
+
   /** Bin-pack the live set: one file per partition directory, committed
     * as a `rewrite` snapshot. Same rows, fewer files; old snapshots
     * remain readable until expiry.

@@ -375,4 +375,35 @@ class LakeOpsSpec extends SparkSpec {
     assert(GraftLog.liveFiles(tdir, None).isEmpty)
     assert(LakeOps.readTable(spark, tdir).count() == 0)
   }
+
+  test("incremental read: exact deltas, empty-range and rewrite-range refusal (r5)") {
+    import spark.implicits._
+    import graft.sink.HiveParquetWriter
+    val tdir = Files.createTempDirectory("graft_incr_spec_").toString + "/t"
+    val w = new HiveParquetWriter
+    val s1 = w.append(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "category", "v"),
+      Seq("category"), tdir).snapshotId
+    val s2 = w.append(Seq((3L, "a", 3L)).toDF("id", "category", "v"),
+      Seq("category"), tdir).snapshotId
+    // from-the-beginning delta (from = 0, before the first snapshot)
+    assert(LakeOps.readIncremental(spark, tdir, 0L, s1)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // single-snapshot delta
+    assert(LakeOps.readIncremental(spark, tdir, s1, s2)
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    // empty range refuses (nothing to read is a caller bug, not an
+    // empty frame — Iceberg raises too)
+    intercept[IllegalArgumentException] {
+      LakeOps.readIncremental(spark, tdir, s2, s2)
+    }
+    // a rewrite inside the range refuses; after it, deltas work again
+    val s3 = LakeOps.compact(spark, tdir).snapshotId
+    intercept[IllegalArgumentException] {
+      LakeOps.readIncremental(spark, tdir, s1, s3)
+    }
+    val s4 = w.append(Seq((4L, "b", 4L)).toDF("id", "category", "v"),
+      Seq("category"), tdir).snapshotId
+    assert(LakeOps.readIncremental(spark, tdir, s3, s4)
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+  }
 }
