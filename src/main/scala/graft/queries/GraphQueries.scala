@@ -86,6 +86,97 @@ object GraphQueries {
              |  CAST(15000000000 // (n_nodes * 100) + (m * 85) // 100 AS BIGINT)
              |    AS pr_e9
              |FROM acc JOIN deg ON acc.dst = deg.src, n
-             |ORDER BY pr_e9 DESC, token""".stripMargin))
+             |ORDER BY pr_e9 DESC, token""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_triangles ★ (new r5) — per-node triangle count + local
+    // clustering coefficient over the token co-occurrence graph: the
+    // community-structure probe (a node whose neighbors interconnect is
+    // inside a cluster; one whose neighbors don't is a bridge/hub) and
+    // the canonical "join explosion" stress-test of graph analytics.
+    // Algorithm: DEGREE-ORDERED edge direction — every undirected edge
+    // points from its lower-(deg, node) endpoint to the higher — then
+    // wedges are a self-join of directed edges on src and a triangle
+    // closes when the wedge's far pair is itself a directed edge. Each
+    // triangle is counted exactly ONCE (its minimum-rank vertex owns
+    // it), and the wedge fan-out per node is bounded by OUT-degree,
+    // which degree-ordering caps at O(√m) whatever the skew — the hub
+    // that breaks the naive neighbor self-join (deg² wedges on the hub)
+    // generates almost none here, because a hub out-points only to
+    // higher-degree nodes. Everything is equi-joins + hash aggs; local
+    // clustering = 2·tri/(deg·(deg−1)) in floor-div e4 (0 for deg 1).
+    QueryDef(
+      "q_triangles",
+      (s: SparkSession, dir: String) => {
+        val dt = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(toks)).as("w"))
+        val und = dt.as("a").join(dt.as("b"), "doc_id")
+          .filter(col("a.w") < col("b.w"))
+          .select(col("a.w").as("w1"), col("b.w").as("w2"))
+          .distinct()
+        val deg = und.select(explode(array(col("w1"), col("w2"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("deg"))
+        val withDeg = und
+          .join(deg.select(col("w").as("w1"), col("deg").as("d1")), "w1")
+          .join(deg.select(col("w").as("w2"), col("deg").as("d2")), "w2")
+        val dirE = withDeg.select(
+          when(col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("w1") < col("w2")),
+            struct(col("w1").as("src"), col("w2").as("dst"), col("d2").as("dd")))
+            .otherwise(
+              struct(col("w2").as("src"), col("w1").as("dst"), col("d1").as("dd")))
+            .as("e"))
+          .select(col("e.src"), col("e.dst"), col("e.dd"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dirE.count() // eager: wedge join reuses it twice + close join
+        val tris = dirE.as("x").join(dirE.as("y"), "src")
+          .filter(col("x.dd") < col("y.dd") ||
+            (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst")))
+          .select(col("src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+          .join(dirE.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+        val triPerNode = tris
+          .select(explode(array(col("a"), col("b"), col("c"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n_tri"))
+        deg.join(triPerNode, Seq("w"), "left")
+          .select(col("w").as("token"), col("deg"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+          .select(col("token"), col("deg"), col("n_tri"),
+            when(col("deg") >= 2L,
+              ExactMath.divTrunc(col("n_tri") * 20000L,
+                col("deg") * (col("deg") - 1L))).otherwise(0L).as("clust_e4"))
+          .orderBy("token")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM t),
+             |und AS (
+             |  SELECT DISTINCT a.w AS w1, b.w AS w2
+             |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w),
+             |deg AS (
+             |  SELECT w, COUNT(*) AS deg FROM (
+             |    SELECT w1 AS w FROM und UNION ALL SELECT w2 FROM und)
+             |  GROUP BY 1),
+             |dir AS (
+             |  SELECT CASE WHEN (d1.deg, w1) < (d2.deg, w2) THEN w1 ELSE w2 END AS src,
+             |         CASE WHEN (d1.deg, w1) < (d2.deg, w2) THEN w2 ELSE w1 END AS dst,
+             |         CASE WHEN (d1.deg, w1) < (d2.deg, w2) THEN d2.deg ELSE d1.deg END AS dd
+             |  FROM und JOIN deg d1 ON und.w1 = d1.w JOIN deg d2 ON und.w2 = d2.w),
+             |tri AS (
+             |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+             |  FROM dir x JOIN dir y ON x.src = y.src
+             |    AND (x.dd, x.dst) < (y.dd, y.dst)
+             |  WHERE EXISTS (SELECT 1 FROM dir z WHERE z.src = x.dst AND z.dst = y.dst)),
+             |tpn AS (
+             |  SELECT w, COUNT(*) AS n_tri FROM (
+             |    SELECT a AS w FROM tri UNION ALL SELECT b FROM tri
+             |    UNION ALL SELECT c FROM tri)
+             |  GROUP BY 1)
+             |SELECT deg.w AS token, CAST(deg.deg AS BIGINT) AS deg,
+             |  CAST(COALESCE(tpn.n_tri, 0) AS BIGINT) AS n_tri,
+             |  CAST(CASE WHEN deg.deg >= 2
+             |    THEN (COALESCE(tpn.n_tri, 0) * 20000) // (deg.deg * (deg.deg - 1))
+             |    ELSE 0 END AS BIGINT) AS clust_e4
+             |FROM deg LEFT JOIN tpn ON deg.w = tpn.w
+             |ORDER BY token""".stripMargin))
   )
 }

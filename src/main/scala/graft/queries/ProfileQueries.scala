@@ -627,6 +627,80 @@ object ProfileQueries {
              |    WHEN 2 THEN 176091 WHEN 3 THEN 124938 WHEN 4 THEN 96910
              |    WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
              |    WHEN 8 THEN 51152 WHEN 9 THEN 45757 END) AS BIGINT) AS dev_e6
-             |FROM t ORDER BY event_type, digit""".stripMargin))
+             |FROM t ORDER BY event_type, digit""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_autocorr ★ (new r5) — lag-1 autocorrelation of the daily volume
+    // series per event type: does today's volume predict tomorrow's
+    // (regular load / weekly rhythm) or is the series white noise — the
+    // seasonality probe next to q_trend_ols's level trend and
+    // q_rate_anomaly's deviation tripwire. Same sufficient-statistics
+    // discipline as q_trend_ols: ONE corpus→days agg, a days-sized lag
+    // window, a types-sized stats agg — Pearson r over the (y_t, y_t+1)
+    // pairs reduces to (n, Σx, Σy, Σxy, Σx², Σy²), no second pass. The
+    // square root in r is dodged by exporting the exact integer
+    // numerator/denominators plus SIGNED r² in e6 — r² = num²/(d1·d2)
+    // computed in DECIMAL(38,0) (num² reaches ~1.3e29 at sf0.1 daily
+    // volumes, past 2^63; decimal keeps it exact in both engines —
+    // headroom to |den| < ~1.3e16, i.e. ~10¹² rows/day before the 38-
+    // digit ceiling) with truncating `div` ≡ DuckDB HUGEINT `//`; the
+    // sign rides separately (sign(num) = sign(r), den > 0).
+    QueryDef(
+      "q_autocorr",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val pairs = d.withColumn("x", lag("y", 1).over(w))
+          .filter(col("x").isNotNull)
+        pairs.groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("n_pairs"),
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den1"),
+            (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("den2"))
+          .select(col("event_type"), col("n_pairs"), col("num"), col("den1"),
+            col("den2"),
+            (signum(col("num")).cast("long") *
+              expr("""(CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
+                      | * 1000000) div
+                      |(CAST(den1 AS DECIMAL(38,0)) * CAST(den2 AS DECIMAL(38,0)))"""
+                .stripMargin)).as("r2_signed_e6"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    COUNT(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |l AS (
+             |  SELECT event_type, y,
+             |    lag(y) OVER (PARTITION BY event_type ORDER BY day) AS x
+             |  FROM d),
+             |st AS (
+             |  SELECT event_type, COUNT(*) AS n_pairs,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+             |  FROM l WHERE x IS NOT NULL GROUP BY 1),
+             |c AS (
+             |  SELECT event_type, n_pairs,
+             |    n_pairs * sxy - sx * sy AS num,
+             |    n_pairs * sxx - sx * sx AS den1,
+             |    n_pairs * syy - sy * sy AS den2
+             |  FROM st)
+             |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+             |  CAST(num AS BIGINT) AS num, CAST(den1 AS BIGINT) AS den1,
+             |  CAST(den2 AS BIGINT) AS den2,
+             |  CAST(CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END
+             |      AS HUGEINT) *
+             |    ((CAST(num AS HUGEINT) * CAST(num AS HUGEINT) * 1000000)
+             |      // (CAST(den1 AS HUGEINT) * CAST(den2 AS HUGEINT)))
+             |    AS BIGINT) AS r2_signed_e6
+             |FROM c ORDER BY event_type""".stripMargin))
   )
 }

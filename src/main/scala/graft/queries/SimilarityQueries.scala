@@ -959,6 +959,69 @@ object SimilarityQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q_pca_power ★ (new r5) — one COVARIANCE-FREE PCA power-iteration
+    // step over the embedding matrix X (n × 64): v₁ = Xᵀ(X s) with s a
+    // hash-derived ±1 start vector (hashPlanes plane 0 — the q_sim_ann
+    // trick, so the oracle rebuilds s from indices alone). This is the
+    // dimensionality-reduction kernel at scale: TWO corpus-linear
+    // matvec aggregations — y = X s (one per-vector agg) then v₁ = Xᵀy
+    // (one per-dimension agg) — never materializing the 64×64 Gram
+    // matrix; at dim 4096 (where the Gram is 16M entries × a corpus
+    // pass to build) the two-pass matvec is the only shape that
+    // survives, and further iterations are driver-orchestrated re-runs
+    // on the previous v (the q_pagerank_iter superstep argument).
+    // EXACT integer arithmetic end-to-end: coordinates are e6-quantized
+    // longs (floor(x·1e6 + 0.5) in double — bit-identical in both
+    // engines, the q_kmeans_iter quantizer), s is ±1, so y and v₁ are
+    // exact long sums that COMMUTE (map-side partial agg; a float sum
+    // would be partition-order-dependent). Headroom: |q| ≤ 5.8e5 on
+    // this corpus (max|x| = 0.578), |y| ≤ 64·|q| ≈ 3.7e7, |q·y| ≤
+    // 2.2e13 — the v₁ sum stays in signed 64-bit through ~4e5 vectors;
+    // beyond that lift the second agg to decimal(38,0) (same move as
+    // q_autocorr). The posexplode stream is (n·64) rows — narrow,
+    // codegen'd, no interpreted HOF in either agg.
+    QueryDef(
+      "q_pca_power",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val signs = broadcast(hashPlanes(1, Dim).head.zipWithIndex
+          .map { case (sg, j) => (j, sg.toLong) }.toDF("pos", "sgn"))
+        val ex = corpus(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("pos"),
+            floor(col("x").cast("double") * 1000000d + 0.5d).cast("long").as("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ex.count() // eager: y and v1 below both consume it (PERF_NOTES rule)
+        val y = ex.join(signs, "pos")
+          .groupBy("vec_id").agg(sum(col("q") * col("sgn")).as("y"))
+        ex.join(y, "vec_id")
+          .groupBy("pos").agg(sum(col("q") * col("y")).as("v1"))
+          .join(signs, "pos")
+          .select(col("pos"), col("sgn"), col("v1"))
+          .orderBy("pos")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |ex AS (
+             |  SELECT vec_id, CAST(i.range AS INTEGER) AS pos,
+             |    CAST(floor(v[i.range + 1] * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM e, range(0, $Dim) i),
+             |sg AS (
+             |  SELECT CAST(d.range AS INTEGER) AS pos,
+             |    CAST(CASE WHEN ('0x' || substring(md5(0 || '_' || d.range), 1, 1))::INT < 8
+             |      THEN 1 ELSE -1 END AS BIGINT) AS sgn
+             |  FROM range(0, $Dim) d),
+             |y AS (
+             |  SELECT ex.vec_id, CAST(SUM(ex.q * sg.sgn) AS BIGINT) AS y
+             |  FROM ex JOIN sg USING (pos) GROUP BY 1),
+             |v1 AS (
+             |  SELECT ex.pos, CAST(SUM(ex.q * y.y) AS BIGINT) AS v1
+             |  FROM ex JOIN y USING (vec_id) GROUP BY 1)
+             |SELECT v1.pos, sg.sgn, v1.v1
+             |FROM v1 JOIN sg USING (pos) ORDER BY pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_hybrid_rrf ★ (new r5) — HYBRID retrieval fusion: each query
     // entity (vec_id ≡ doc_id, the fixture's aligned id space) retrieves
     // through BOTH modalities — dense cosine over `embeddings` and

@@ -367,4 +367,32 @@ class ProfileSpec extends SparkSpec {
     // a uniform generator is exactly what Benford flags: big deviation
     assert(got.map(_._7).max > 50000L)
   }
+
+  test("q_autocorr matches a driver-side BigInt sufficient-statistics fold (r5)") {
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"), col("day").cast("string"), col("y"))
+      .as[(String, String, Long)].collect()
+    val want = daily.groupBy(_._1).map { case (t, ds) =>
+      val ys = ds.sortBy(_._2).map(_._3).toSeq
+      val (xs, yy) = (ys.init, ys.tail)
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.sum, yy.sum)
+      val sxy = xs.zip(yy).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (xs.map(a => a * a).sum, yy.map(a => a * a).sum)
+      val num = n * sxy - sx * sy
+      val den1 = n * sxx - sx * sx
+      val den2 = n * syy - sy * sy
+      val r2 = (BigInt(num) * BigInt(num) * 1000000) / (BigInt(den1) * BigInt(den2))
+      (t, n, num, den1, den2, num.sign * r2.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_autocorr")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // r² stays a correlation: |r²| ≤ 1e6, and dens are positive
+    got.foreach { r =>
+      assert(math.abs(r._6) <= 1000000L && r._4 > 0L && r._5 > 0L)
+    }
+  }
 }

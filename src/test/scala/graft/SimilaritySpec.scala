@@ -373,6 +373,34 @@ class SimilaritySpec extends SparkSpec {
       s"mean ADC recall@10 ${recalls.sum / recalls.length}")
   }
 
+  test("q_pca_power: exact integer matvec matches; Rayleigh quotient non-decreasing (r5)") {
+    import graft.functions.VectorOps
+    val all = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val qm = all.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000000d + 0.5d).toLong).toArray }
+    val s = VectorOps.hashPlanes(1, 64).head.toArray
+    val ys = qm.map { case (id, q) =>
+      id -> q.zip(s).map { case (a, b) => a * b }.sum }
+    val yMap = ys.toMap
+    val want = (0 until 64).map { j =>
+      (j, s(j).toLong, qm.map { case (id, q) => q(j) * yMap(id) }.sum)
+    }
+    val got = SparkEntry.queries("q_pca_power")(spark, sfDir)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == want)
+    // power-step property in the quantized metric: R(v1) ≥ R(s) where
+    // R(v) = vᵀ(QᵀQ)v / vᵀv — cross-multiplied in BigInt (no floats)
+    val v1 = got.map(r => BigInt(r._3)).toArray
+    val z = qm.map { case (_, q) =>
+      q.zipWithIndex.map { case (a, j) => BigInt(a) * v1(j) }.sum }
+    val sumZ2 = z.map(x => x * x).sum
+    val sumY2 = ys.map { case (_, y) => BigInt(y) * BigInt(y) }.sum
+    val sumV2 = v1.map(x => x * x).sum
+    assert(sumZ2 * 64 >= sumY2 * sumV2,
+      "Rayleigh quotient decreased across the power step")
+  }
+
   test("q_hybrid_rrf matches a driver-side dense+sparse RRF fold (r5)") {
     val K = 50
     val all = Tables(spark, sfDir, "embeddings")
