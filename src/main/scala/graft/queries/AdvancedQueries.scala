@@ -395,6 +395,68 @@ object AdvancedQueries {
              |FROM per, t ORDER BY source""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_mix_temperature ★ (new r5) — TEMPERATURE-scaled mixture weights,
+    // the rebalancing sibling of q_mix_weights' natural shares: sampling
+    // weight ∝ n_tokens^α with α = 1/2, so small sources are up-weighted
+    // (boost > 1) and dominant ones damped — the low-resource-upsampling
+    // convention of multilingual/multi-source pretraining (α ∈ [0.3,
+    // 0.7] in the mT5/XLM-R family; α = 1/2 is the one exactly
+    // expressible in integer arithmetic). n^(1/2) = floor(sqrt(n)) is
+    // ENGINE-EXACT: n < 2^46 is exactly representable in double, IEEE
+    // sqrt is correctly rounded in both engines, and a correctly-
+    // rounded sqrt can only mis-floor when the true root sits within
+    // half an ulp of an integer — impossible below ~2^46 (nearest
+    // candidate n = m²−1 has its root 1/(2m) below the integer, > ½ulp
+    // until m ≈ 2^26); beyond that swap in a Newton integer isqrt.
+    // boost_e4 = temperature_weight / natural_weight in floor-div e4 —
+    // the factor each source's sampling rate actually changes by.
+    // Plan: identical to q_mix_weights — one map-side-combined source
+    // agg + a 1-row broadcast of the two totals; dashboard-sized output.
+    QueryDef(
+      "q_mix_temperature",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val per = Tables(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+          .withColumn("isq",
+            floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+        val tot = per.agg(sum("n_tokens").as("tot_n"), sum("isq").as("tot_isq"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("isq"),
+            ExactMath.floorDiv(col("n_tokens") * 1000000L, col("tot_n"))
+              .as("natural_e6"),
+            ExactMath.floorDiv(col("isq") * 1000000L, col("tot_isq"))
+              .as("temp_e6"))
+          .withColumn("boost_e4",
+            when(col("natural_e6") > 0L,
+              ExactMath.divTrunc(col("temp_e6") * 10000L, col("natural_e6")))
+              .otherwise(0L))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents),
+             |per AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             |    CAST(floor(sqrt(CAST(SUM(toks) AS DOUBLE))) AS BIGINT) AS isq
+             |  FROM d GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_n,
+             |        CAST(SUM(isq) AS BIGINT) AS tot_isq FROM per)
+             |SELECT source, n_docs, n_tokens, isq,
+             |  CAST((n_tokens * 1000000) // tot_n AS BIGINT) AS natural_e6,
+             |  CAST((isq * 1000000) // tot_isq AS BIGINT) AS temp_e6,
+             |  CAST(CASE WHEN (n_tokens * 1000000) // tot_n > 0
+             |    THEN (((isq * 1000000) // tot_isq) * 10000)
+             |      // ((n_tokens * 1000000) // tot_n)
+             |    ELSE 0 END AS BIGINT) AS boost_e4
+             |FROM per, t ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_percentile — EXACT p50/p90/p99 of event value per type, in
     // integer cents (value is 2-decimal: |round(v*100) − v*100| ≤
     // 3.6e-12 measured, so the cents cast is engine-exact). The

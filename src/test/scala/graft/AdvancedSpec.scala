@@ -447,4 +447,33 @@ class AdvancedSpec extends SparkSpec {
       assert(ok, s"$k: within_5pct false (approx=$a exact=$e)")
     }
   }
+
+  test("q_mix_temperature matches a driver fold; rebalancing is monotone (r5)") {
+    val per = Tables(spark, sfDir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long"))
+      .as[(String, Long)].collect().toSeq
+      .groupBy(_._1).map { case (s, xs) => (s, xs.size.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val isq = per.map { case (_, _, n) => math.floor(math.sqrt(n.toDouble)).toLong }
+    val (totN, totI) = (per.map(_._3).sum, isq.sum)
+    val want = per.zip(isq).map { case ((s, d, n), i) =>
+      val nat = n * 1000000L / totN
+      val tmp = i * 1000000L / totI
+      (s, d, n, i, nat, tmp, if (nat > 0) tmp * 10000L / nat else 0L)
+    }
+    val got = SparkEntry.queries("q_mix_temperature")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // temperature sampling rebalances toward uniform: the smallest
+    // source is boosted above parity, the largest damped below it
+    val byTokens = got.sortBy(_._3)
+    assert(byTokens.head._7 > 10000L, s"small source not boosted: ${byTokens.head}")
+    assert(byTokens.last._7 < 10000L, s"large source not damped: ${byTokens.last}")
+    // boost trends anti-monotone in size; exact ordering can flip by
+    // the isqrt quantum (isq ~ 54 here → ~1/54 ≈ 185 e4-units), so
+    // compare half-means, not neighbors
+    val (small, large) = byTokens.map(_._7).splitAt(byTokens.size / 2)
+    assert(small.sum * large.size > large.sum * small.size,
+      "small-source mean boost not above large-source mean")
+  }
 }
