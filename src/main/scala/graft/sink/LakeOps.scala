@@ -132,7 +132,8 @@ object LakeOps {
     * update batch (the Q10 rule: no empty snapshots).
     */
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
-      keyCols: Seq[String], partitionCols: Seq[String]): CommitInfo = {
+      keyCols: Seq[String], partitionCols: Seq[String],
+      sources: Seq[String] = Seq.empty): CommitInfo = {
     import org.apache.spark.sql.functions.col
     val up = partitionCols.foldLeft(updates)((d, c) => d.withColumn(c, d(c).cast("string")))
     val touched: Set[String] = up.select(partitionCols.map(col): _*).distinct()
@@ -168,7 +169,7 @@ object LakeOps {
     // as compact: the rows this snapshot's own files hold is what the
     // 0-th staged file reports; carried files keep their original rows)
     val rec = GraftLog.commit(tableDir, "overwrite", written.map(_._2).sum,
-      (carried ++ written.map(_._1)).sorted, Seq.empty)
+      (carried ++ written.map(_._1)).sorted, sources)
     CommitInfo(rec.snapshotId, rec.files, written.map(_._2).sum)
   }
 

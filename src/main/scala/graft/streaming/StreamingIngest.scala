@@ -64,6 +64,43 @@ object StreamingIngest {
         sources = Seq(key)): Unit
   }
 
+  /** Idempotent micro-batch MERGE: the streaming-upsert integration
+    * (readStream → foreachBatch(MERGE) — how Iceberg/Delta CDC sinks
+    * are actually written). Each micro-batch is one copy-on-write
+    * [[graft.sink.LakeOps.upsert]] commit — last-writer-wins per key
+    * WITHIN the stream order, partition-scoped rewrite per batch — and
+    * replay idempotence uses the same `stream:<checkpoint>:<batchId>`
+    * source-key fencing as [[appendBatch]]: foreachBatch is
+    * at-least-once, and replaying a MERGE that already committed would
+    * not even be content-idempotent (a second upsert of batch N after
+    * batch N+1 committed would resurrect N's values), so the ledger
+    * check is correctness-critical here, not just dedup hygiene.
+    */
+  private[graft] def upsertBatch(
+      batch: DataFrame, tableDir: String, keyCols: Seq[String],
+      partitionCols: Seq[String], checkpointDir: String, batchId: Long): Unit = {
+    val key = s"stream:$checkpointDir:$batchId"
+    if (!GraftLog.committedSources(tableDir).contains(key) && !batch.isEmpty)
+      graft.sink.LakeOps.upsert(batch.sparkSession, tableDir, batch,
+        keyCols, partitionCols, sources = Seq(key)): Unit
+  }
+
+  /** Drain a changelog stream into the lake as per-batch MERGE commits
+    * and stop (AvailableNow) — the streaming twin of the batch
+    * `LakeOps.upsert` path, replay-idempotent via [[upsertBatch]].
+    */
+  def upsertAvailableNow(
+      events: DataFrame, tableDir: String, keyCols: Seq[String],
+      partitionCols: Seq[String], checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, tableDir, keyCols, partitionCols, checkpointDir, batchId)
+      }
+      .start()
+
   /** Drain pending files into the lake sink and stop (AvailableNow).
     * Each micro-batch appends through the shared LakeWriter — one
     * commit-log snapshot per micro-batch, replay-idempotent via

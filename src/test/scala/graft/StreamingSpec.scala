@@ -63,4 +63,43 @@ class StreamingSpec extends SparkSpec {
       table, tableDir, ckpt, batchId = 1L)
     assert(spark.read.parquet(tableDir).count() == 2 * rows)
   }
+
+  test("streaming MERGE: per-batch upsert, last-writer-wins, replay fenced (r5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sink.{GraftLog, LakeOps}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_merge_")
+    val tableDir = root.toString + "/t"
+    val ckpt = root.toString + "/ckpt"
+    def state: Map[Long, Long] =
+      LakeOps.readTable(spark, tableDir).select(col("id"), col("v").cast("long"))
+        .as[(Long, Long)].collect().toMap
+    // batch 1: initial keys; batch 2: updates key 2, inserts key 3
+    val in = MemoryStream[(Long, String, Long)]
+    in.addData((1L, "a", 10L), (2L, "b", 20L))
+    val q1 = StreamingIngest.upsertAvailableNow(
+      in.toDF().toDF("id", "category", "v"), tableDir,
+      keyCols = Seq("id"), partitionCols = Seq("category"), ckpt)
+    q1.awaitTermination()
+    assert(state == Map(1L -> 10L, 2L -> 20L))
+    in.addData((2L, "b", 25L), (3L, "a", 30L))
+    val q2 = StreamingIngest.upsertAvailableNow(
+      in.toDF().toDF("id", "category", "v"), tableDir,
+      keyCols = Seq("id"), partitionCols = Seq("category"), ckpt)
+    q2.awaitTermination()
+    assert(state == Map(1L -> 10L, 2L -> 25L, 3L -> 30L))
+    // one overwrite snapshot per micro-batch, each carrying its fence key
+    val recs = GraftLog.records(tableDir)
+    assert(recs.map(_.op) == Seq("overwrite", "overwrite"))
+    assert(recs.flatMap(_.sources) ==
+      Seq(s"stream:$ckpt:0", s"stream:$ckpt:1"))
+    // replay fencing: re-running batch 0's MERGE after batch 1 committed
+    // must NOT resurrect the old value of key 2
+    val replay = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "category", "v")
+    StreamingIngest.upsertBatch(replay, tableDir, Seq("id"), Seq("category"),
+      ckpt, batchId = 0L)
+    assert(state(2L) == 25L, "replayed batch resurrected a stale value")
+    assert(GraftLog.records(tableDir).size == 2)
+  }
 }
