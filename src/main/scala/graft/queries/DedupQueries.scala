@@ -650,6 +650,69 @@ object DedupQueries {
              |FROM v a JOIN v b ON a.w < b.w
              |WHERE abs(length(a.w) - length(b.w)) <= 2
              |  AND levenshtein(a.w, b.w) <= 2
-             |ORDER BY dist, w1, w2""".stripMargin))
+             |ORDER BY dist, w1, w2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_contamination_matrix ★ (new r5) — cross-SOURCE contamination:
+    // for every source pair, how many distinct 13-gram shingles they
+    // share and the containment of the smaller side, in exact e6 —
+    // q_decontaminate generalized from "is my eval set in the training
+    // corpus" to "which of my N datasets copy from each other", the
+    // inter-dataset hygiene matrix a mixture pipeline consults before
+    // weighting sources (a source that is 30% contained in another is
+    // double-counting its tokens). Plan: corpus → DISTINCT (source,
+    // shingle) compression FIRST (the corpus-linear move — per-source
+    // shingle vocabularies, duplicates inside a source collapse before
+    // any join), then a shingle-keyed self-join whose per-key fan-out
+    // is bounded by #sources-containing-it ≤ |sources| (never corpus),
+    // one pair agg (≤ |sources|² rows), per-source totals broadcast
+    // back. Only pairs sharing ≥ 1 shingle appear (inner-join
+    // semantics; absent pair ⇒ containment 0). Same md5-60 shingle
+    // keys as the whole dedup family — one hash function everywhere.
+    QueryDef(
+      "q_contamination_matrix",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shingles
+        val sh = Tables(s, dir, "documents")
+          .select(col("source"),
+            explode(shingles(split(col("text"), " "), 13)).as("sg"))
+          .select(col("source"), hash60(col("sg")).as("h"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sh.count() // eager: totals + both join sides reuse it
+        val per = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(per.select(col("source").as("src_a"), col("n").as("n_a"))),
+            "src_a")
+          .join(broadcast(per.select(col("source").as("src_b"), col("n").as("n_b"))),
+            "src_b")
+          .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+            col("n_b"),
+            floorDiv(col("n_shared") * 1000000L, least(col("n_a"), col("n_b")))
+              .as("containment_e6"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH t13 AS (
+             |  SELECT source, unnest(list_distinct(list_transform(
+             |    range(1, len(string_split(text,' ')) - 11),
+             |    i -> array_to_string(string_split(text,' ')[i:i+12], ' ')))) AS s0
+             |  FROM documents WHERE len(string_split(text,' ')) >= 13),
+             |h AS (SELECT DISTINCT source, substring(md5(s0),1,15) AS h FROM t13),
+             |per AS (SELECT source, COUNT(*) AS n FROM h GROUP BY 1),
+             |p AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+             |  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+             |  CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+             |  CAST((p.n_shared * 1000000) // LEAST(pa.n, pb.n) AS BIGINT)
+             |    AS containment_e6
+             |FROM p JOIN per pa ON p.src_a = pa.source
+             |       JOIN per pb ON p.src_b = pb.source
+             |ORDER BY src_a, src_b""".stripMargin))
   )
 }

@@ -185,4 +185,33 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
       (20L, 20L, 2L), (21L, 20L, 2L)))
   }
+
+  test("q_contamination_matrix matches a driver-side shingle fold (r5)") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("source", "text").as[(String, String)].collect().toSeq
+    val bySource = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, t) =>
+        val w = t.split(" ", -1)
+        if (w.length < 13) Seq.empty
+        else w.sliding(13).map(_.mkString(" ")).toSeq
+      }.distinct.toSet
+    }
+    val want = bySource.keys.toSeq.sorted.combinations(2).toSeq.flatMap {
+      case Seq(a, b) =>
+        val shared = bySource(a).intersect(bySource(b)).size.toLong
+        if (shared == 0) None
+        else {
+          val (na, nb) = (bySource(a).size.toLong, bySource(b).size.toLong)
+          Some((a, b, shared, na, nb, shared * 1000000L / math.min(na, nb)))
+        }
+      case _ => None
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_contamination_matrix")(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // live fixture: planted duplicates span sources
+    assert(got.nonEmpty && got.map(_._3).max > 0L)
+    // containment is a fraction of the smaller side: ≤ 1e6
+    got.foreach(r => assert(r._6 <= 1000000L))
+  }
 }
