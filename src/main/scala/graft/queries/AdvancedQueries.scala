@@ -395,6 +395,143 @@ object AdvancedQueries {
              |FROM per, t ORDER BY source""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_join_estimate (new r5) — histogram-based JOIN-SIZE ESTIMATION,
+    // the cost-based-optimizer calculation made a declared query: for
+    // the user-keyed join of two event subsets (error events ⋈ purchase
+    // events per user — a fan-out join, BOTH sides multi-valued), a
+    // 20-bucket equi-width key histogram per side, the CBO's
+    // uniform-within-bucket estimate est = nₐ·n_b / max(dₐ, d_b)
+    // (containment assumption), the EXACT per-bucket join size
+    // Σ_k nₐ(k)·n_b(k), and the estimation error in e4. On an FK join
+    // (orders ⋈ customer) the estimate is EXACT by construction (the
+    // unique side has nₖ = 1 — tried first, every err was 0, a dead
+    // column); a many-to-many join is where uniformity genuinely errs
+    // — per-user correlation of error and purchase volume shows up as
+    // est < exact (Σ nₐ(k)·n_b(k) > nₐ·n_b/d when the two multiplicities
+    // correlate) — the number that explains why a CBO mis-plans skewed
+    // joins and what q_skew_stats' histogram buys it. All integer
+    // arithmetic (floor-div est; err over max(1, exact)). Plan: two
+    // key-level hash aggs (map-side combined, key-histogram-sized),
+    // per-bucket rollups, and the exact term joins the two KEY
+    // HISTOGRAMS — never the fact tables; a 1-row max-key broadcast
+    // defines the bucket function. ≤ 20 output rows at any corpus size.
+    QueryDef(
+      "q_join_estimate",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val ev = Tables(s, dir, "events")
+        val o = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("k"))
+        val c = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("k"))
+        val mx = o.union(c).agg(max("k").as("mxk"))
+        def keyed(df: DataFrame) = df.crossJoin(broadcast(mx))
+          .select(ExactMath.divTrunc(col("k") * 20L, col("mxk") + 1L).as("b"),
+            col("k"))
+          .groupBy("b", "k").agg(count(lit(1)).as("nk"))
+        val ka = keyed(o).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kb = keyed(c).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ka.count(); kb.count() // eager: stats + exact both reuse them
+        val sa = ka.groupBy("b").agg(sum("nk").as("na"), count(lit(1)).as("da"))
+        val sb = kb.groupBy("b").agg(sum("nk").as("nb"), count(lit(1)).as("db"))
+        val exact = ka.join(kb, Seq("b", "k"))
+          .select(col("b"), (ka("nk") * kb("nk")).as("prod"))
+          .groupBy("b").agg(sum("prod").as("exact"))
+        sa.join(sb, Seq("b"), "full_outer")
+          .join(exact, Seq("b"), "left")
+          .select(col("b"),
+            coalesce(col("na"), lit(0L)).as("na"),
+            coalesce(col("da"), lit(0L)).as("da"),
+            coalesce(col("nb"), lit(0L)).as("nb"),
+            coalesce(col("db"), lit(0L)).as("db"),
+            coalesce(col("exact"), lit(0L)).as("exact"))
+          .withColumn("est", ExactMath.divTrunc(col("na") * col("nb"),
+            greatest(col("da"), col("db"), lit(1L))))
+          .withColumn("err_e4", ExactMath.divTrunc(
+            abs(col("est") - col("exact")) * 10000L,
+            greatest(col("exact"), lit(1L))))
+          .select(col("b"), col("na"), col("da"), col("nb"), col("db"),
+            col("est"), col("exact"), col("err_e4"))
+          .orderBy("b")
+      },
+      Some("""WITH o AS (SELECT user_id AS k FROM events WHERE event_type = 'error'),
+             |c AS (SELECT user_id AS k FROM events WHERE event_type = 'purchase'),
+             |mx AS (SELECT MAX(k) AS mxk FROM (SELECT k FROM o UNION ALL SELECT k FROM c)),
+             |ka AS (
+             |  SELECT (k * 20) // (mxk + 1) AS b, k, COUNT(*) AS nk
+             |  FROM o, mx GROUP BY 1, 2),
+             |kb AS (
+             |  SELECT (k * 20) // (mxk + 1) AS b, k, COUNT(*) AS nk
+             |  FROM c, mx GROUP BY 1, 2),
+             |sa AS (SELECT b, SUM(nk) AS na, COUNT(*) AS da FROM ka GROUP BY 1),
+             |sb AS (SELECT b, SUM(nk) AS nb, COUNT(*) AS db FROM kb GROUP BY 1),
+             |ex AS (
+             |  SELECT ka.b, SUM(ka.nk * kb.nk) AS exact
+             |  FROM ka JOIN kb ON ka.b = kb.b AND ka.k = kb.k GROUP BY 1),
+             |j AS (
+             |  SELECT COALESCE(sa.b, sb.b) AS b,
+             |    COALESCE(sa.na, 0) AS na, COALESCE(sa.da, 0) AS da,
+             |    COALESCE(sb.nb, 0) AS nb, COALESCE(sb.db, 0) AS db,
+             |    COALESCE(ex.exact, 0) AS exact
+             |  FROM sa FULL OUTER JOIN sb ON sa.b = sb.b
+             |    LEFT JOIN ex ON COALESCE(sa.b, sb.b) = ex.b)
+             |SELECT CAST(b AS BIGINT) AS b, CAST(na AS BIGINT) AS na,
+             |  CAST(da AS BIGINT) AS da, CAST(nb AS BIGINT) AS nb,
+             |  CAST(db AS BIGINT) AS db,
+             |  CAST((na * nb) // GREATEST(da, db, 1) AS BIGINT) AS est,
+             |  CAST(exact AS BIGINT) AS exact,
+             |  CAST((abs((na * nb) // GREATEST(da, db, 1) - exact) * 10000)
+             |    // GREATEST(exact, 1) AS BIGINT) AS err_e4
+             |FROM j ORDER BY b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_length_buckets ★ (new r5) — PADDING-EFFICIENCY table for
+    // dynamic batching: bucket every document by the next power of two
+    // of its token count (the standard length-bucketing scheme — batch
+    // within a bucket, pad to the bucket cap) and report per bucket the
+    // doc count, real tokens, padded tokens, and the padding waste in
+    // e4 — the table that decides whether bucketed batching is worth it
+    // vs q_pack_sequences' exact packing (waste here ≈ 18% vs packing's
+    // ~0%; global single-max padding would be far worse). The bucket
+    // cap is INTEGER-exact in both engines via the binary-string-length
+    // trick (cap = 1 << len(bin(n−1)); the float-log₂ ceil trap of
+    // annPlanes, dodged the same way — DuckDB computes the identical
+    // expression). Plan: map-only bucket assign, ONE hash agg, ≤
+    // log₂(max_len) output rows at any corpus size.
+    QueryDef(
+      "q_length_buckets",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val n = size(split(col("text"), " ")).cast("long")
+        Tables(s, dir, "documents")
+          .select(n.as("toks"))
+          .select(when(col("toks") <= 1L, 1L)
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(toks - 1)) AS INT))"))
+            .as("bucket_cap"), col("toks"))
+          .groupBy("bucket_cap")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"))
+          .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"),
+            (col("bucket_cap") * col("n_docs")).as("padded_tokens"),
+            ExactMath.floorDiv(
+              (col("bucket_cap") * col("n_docs") - col("sum_tokens")) * 10000L,
+              col("bucket_cap") * col("n_docs")).as("waste_e4"))
+          .orderBy("bucket_cap")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |b AS (
+             |  SELECT CASE WHEN n <= 1 THEN 1
+             |    ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS bucket_cap, n
+             |  FROM d)
+             |SELECT bucket_cap, COUNT(*) AS n_docs,
+             |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+             |  CAST(bucket_cap * COUNT(*) AS BIGINT) AS padded_tokens,
+             |  CAST(((bucket_cap * COUNT(*) - SUM(n)) * 10000)
+             |    // (bucket_cap * COUNT(*)) AS BIGINT) AS waste_e4
+             |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_mix_temperature ★ (new r5) — TEMPERATURE-scaled mixture weights,
     // the rebalancing sibling of q_mix_weights' natural shares: sampling
     // weight ∝ n_tokens^α with α = 1/2, so small sources are up-weighted

@@ -476,4 +476,63 @@ class AdvancedSpec extends SparkSpec {
     assert(small.sum * large.size > large.sum * small.size,
       "small-source mean boost not above large-source mean")
   }
+
+  test("q_length_buckets: tiling, cap bounds, and a driver fold (r5)") {
+    val lens = Tables(spark, sfDir, "documents")
+      .select(size(split(col("text"), " ")).cast("long")).as[Long].collect().toSeq
+    def cap(n: Long): Long =
+      if (n <= 1) 1L else 1L << (64 - java.lang.Long.numberOfLeadingZeros(n - 1))
+    val want = lens.groupBy(cap).toSeq.map { case (c, xs) =>
+      val (n, s) = (xs.size.toLong, xs.sum)
+      (c, n, s, c * n, (c * n - s) * 10000L / (c * n))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_length_buckets")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // tiling: every document lands in exactly one bucket
+    assert(got.map(_._2).sum == lens.size.toLong)
+    // bucket caps are powers of two and every doc fits: cap/2 < len ≤ cap
+    got.foreach { case (c, _, _, _, _) =>
+      assert(c == java.lang.Long.highestOneBit(c), s"cap $c not a power of two")
+    }
+    lens.foreach(n => assert(n <= cap(n) && (cap(n) == 1 || n > cap(n) / 2)))
+  }
+
+  test("q_join_estimate: exact column sums to the true join size; error is live (r5)") {
+    val ev = Tables(spark, sfDir, "events")
+    val trueSize = ev.filter(col("event_type") === "error").select(col("user_id"))
+      .join(ev.filter(col("event_type") === "purchase").select(col("user_id")),
+        "user_id").count()
+    val got = SparkEntry.queries("q_join_estimate")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._7).sum == trueSize,
+      "per-bucket exact terms must sum to the actual join cardinality")
+    // full driver fold of the bucketed histograms
+    def keyCounts(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id")).as[Long].collect().toSeq
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val (ka, kb) = (keyCounts("error"), keyCounts("purchase"))
+    val mxk = (ka.keys ++ kb.keys).max
+    def bucketed(kc: Map[Long, Long]) =
+      kc.toSeq.groupBy { case (k, _) => k * 20L / (mxk + 1L) }
+    val (ba, bb) = (bucketed(ka), bucketed(kb))
+    val want = (ba.keySet ++ bb.keySet).toSeq.sorted.map { b =>
+      val a = ba.getOrElse(b, Seq.empty)
+      val c = bb.getOrElse(b, Seq.empty)
+      val (na, da) = (a.map(_._2).sum, a.size.toLong)
+      val (nb, db) = (c.map(_._2).sum, c.size.toLong)
+      val cm = c.toMap
+      val exact = a.map { case (k, n) => n * cm.getOrElse(k, 0L) }.sum
+      val est = na * nb / math.max(1L, math.max(da, db))
+      (b, na, da, nb, db, est, exact,
+        math.abs(est - exact) * 10000L / math.max(1L, exact))
+    }
+    assert(got == want)
+    // liveness of the error column is data-dependent: zero at sf0.001's
+    // near-uniform multiplicities, nonzero in all 20 buckets at sf0.01
+    // (driver-verified in the oracle run) — here assert formula parity
+    got.foreach { case (_, na, da, nb, db, est, _, _) =>
+      assert(est == na * nb / math.max(1L, math.max(da, db)))
+    }
+  }
 }
