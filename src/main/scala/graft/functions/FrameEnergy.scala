@@ -77,7 +77,56 @@ object FrameEnergy {
       copy(child = newChild)
   }
 
+  /** Per-frame energies as an array — the run-analysis form ([[q_mm
+    * _silence]]-style gaps-and-islands needs frame ROWS, which the
+    * fused stats fold deliberately never materializes). Same frame
+    * bounds discipline as [[frameStats]]; empty payload → empty array.
+    */
+  def frameEnergiesArr(bytes: Array[Byte], frameSize: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = bytes.length
+    val frames = if (n == 0) 0 else (n - 1) / frameSize + 1
+    val out = new Array[Long](frames)
+    var f = 0
+    var start = 0
+    while (start < n) {
+      val end = start + math.min(frameSize, n - start)
+      var e = 0L
+      var i = start
+      while (i < end) { e += (bytes(i) & 0xff).toLong; i += 1 }
+      out(f) = e
+      f += 1
+      start = end
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  case class FrameEnergiesExpr(child: Expression, frameSize: Int) extends UnaryExpression {
+    require(frameSize > 0, "frameSize must be positive")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"frame_energies expects binary, got $t")
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      frameEnergiesArr(v.asInstanceOf[Array[Byte]], frameSize)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.FrameEnergy.frameEnergiesArr($c, $frameSize);")
+
+    override protected def withNewChildInternal(newChild: Expression): FrameEnergiesExpr =
+      copy(child = newChild)
+  }
+
   /** (n_frames, sum_e, max_e, min_e) struct over `frameSize`-byte frames. */
   def frameEnergy(bin: Column, frameSize: Int): Column =
     GraftBridge.column(FrameEnergyExpr(GraftBridge.expression(bin), frameSize))
+
+  /** array<long> of per-frame energies over `frameSize`-byte frames. */
+  def frameEnergies(bin: Column, frameSize: Int): Column =
+    GraftBridge.column(FrameEnergiesExpr(GraftBridge.expression(bin), frameSize))
 }

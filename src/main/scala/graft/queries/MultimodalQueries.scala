@@ -21,6 +21,37 @@ object MultimodalQueries {
     Tables(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
+  /** Silence-run profile over (doc_id, payload) rows — the q_mm_silence
+    * kernel, public so the spec can drive it on synthetic payloads with
+    * genuine multi-frame silence (the ASCII corpus only ever yields the
+    * trailing-partial-frame artifact; see the query's scaladoc).
+    */
+  def silenceProfile(p: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = p.select(col("doc_id"),
+      posexplode(graft.functions.FrameEnergy.frameEnergies(col("payload"), 32))
+        .as(Seq("f", "e")))
+    val wd = Window.partitionBy("doc_id")
+    val flagged = fr
+      .withColumn("n_frames", count(lit(1)).over(wd))
+      .withColumn("sum_e", sum("e").over(wd))
+      .withColumn("silent", col("e") * col("n_frames") * 2L < col("sum_e"))
+    val ws = Window.partitionBy("doc_id").orderBy("f")
+    val runs = flagged.filter(col("silent"))
+      .withColumn("anchor", col("f") - row_number().over(ws))
+      .groupBy("doc_id", "anchor").agg(count(lit(1)).as("run_len"))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(sum("run_len").as("n_silent"), count(lit(1)).as("n_runs"),
+        max("run_len").as("max_run"))
+    flagged.groupBy("doc_id").agg(max("n_frames").as("n_frames"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -216,6 +247,67 @@ object MultimodalQueries {
              |  CAST(COALESCE(list_max(es), 0) AS BIGINT) AS max_e,
              |  CAST(COALESCE(list_min(es), 0) AS BIGINT) AS min_e
              |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_mm_silence ★ (new r5) — silence-RUN detection over per-frame
+    // energies: per payload, how many frames fall below half the
+    // payload's mean frame energy, how many contiguous runs they form,
+    // and the longest run — the voice-activity-detection / dead-air
+    // triage shape (a real VAD thresholds decoded sample energy; the
+    // codec seam swaps that in without changing this query). This is
+    // q_streaks' gaps-and-islands kernel applied WITHIN a binary
+    // payload: frame rows come from the codegen'd `frameEnergies`
+    // array (the fused stats fold can't do runs — run structure needs
+    // frame ROWS), silence is the exact integer predicate
+    // e·n_frames·2 < sum_e (no division), and islands anchor on
+    // f − row_number over the silent frames per doc. On this ASCII
+    // corpus the only low-energy frame is the trailing partial one —
+    // max_run is 1 wherever silence exists (asserted live in the
+    // spec on synthetic payloads with REAL multi-frame silence). All
+    // windows are frame-grid-sized per doc — bounded by payload
+    // length/32, never corpus-wide.
+    QueryDef(
+      "q_mm_silence",
+      (s: SparkSession, dir: String) => silenceProfile(payloads(s, dir)),
+      Some("""WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+             |h AS (
+             |  SELECT doc_id, hex(payload) AS hx,
+             |    CAST(octet_length(payload) AS BIGINT) AS n
+             |  FROM p),
+             |e AS (
+             |  SELECT doc_id,
+             |    list_transform(range((n + 31) // 32),
+             |      f -> list_sum(list_transform(
+             |        range(32*f + 1, LEAST(32*f + 32, n) + 1),
+             |        i -> CAST(('0x' || substring(hx, CAST(2*i-1 AS INTEGER), 2))::INT AS BIGINT)))) AS es
+             |  FROM h),
+             |fr AS (
+             |  SELECT doc_id, u.fe.f AS f, u.fe.e AS e FROM (
+             |    SELECT doc_id, unnest(list_transform(range(len(es)),
+             |      i -> {'f': i, 'e': es[CAST(i+1 AS INTEGER)]})) AS fe FROM e) u),
+             |fl AS (
+             |  SELECT doc_id, f, e,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS n_frames,
+             |    SUM(e) OVER (PARTITION BY doc_id) AS sum_e
+             |  FROM fr),
+             |si AS (
+             |  SELECT doc_id, f,
+             |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS anchor
+             |  FROM fl WHERE e * n_frames * 2 < sum_e),
+             |ru AS (
+             |  SELECT doc_id, anchor, COUNT(*) AS run_len
+             |  FROM si GROUP BY 1, 2),
+             |pd AS (
+             |  SELECT doc_id, SUM(run_len) AS n_silent, COUNT(*) AS n_runs,
+             |    MAX(run_len) AS max_run
+             |  FROM ru GROUP BY 1),
+             |nf AS (SELECT doc_id, MAX(n_frames) AS n_frames FROM fl GROUP BY 1)
+             |SELECT nf.doc_id, CAST(nf.n_frames AS BIGINT) AS n_frames,
+             |  CAST(COALESCE(pd.n_silent, 0) AS BIGINT) AS n_silent,
+             |  CAST(COALESCE(pd.n_runs, 0) AS BIGINT) AS n_runs,
+             |  CAST(COALESCE(pd.max_run, 0) AS BIGINT) AS max_run
+             |FROM nf LEFT JOIN pd ON nf.doc_id = pd.doc_id
+             |ORDER BY nf.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_mm_ahash ★ (new r5) — perceptual near-duplicate detection over

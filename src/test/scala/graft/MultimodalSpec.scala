@@ -198,4 +198,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("q_mm_silence: multi-frame runs detected on synthetic payloads (r5)") {
+    import graft.queries.MultimodalQueries
+    // payload 1: loud(2) silence(3) loud(2) silence(1) — two runs, max 3
+    // payload 2: all loud — no silence
+    // payload 3: single partial quiet frame among loud ones — run of 1
+    def frames(spec: (Int, Int)*): Array[Byte] =
+      spec.flatMap { case (v, k) => Array.fill(32 * k)(v.toByte) }.toArray
+    val p1 = frames((200, 2), (0, 3), (200, 2), (0, 1))
+    val p2 = frames((100, 4))
+    val p3 = frames((200, 3)) ++ Array.fill(4)(1.toByte)
+    val df = Seq((1L, p1), (2L, p2), (3L, p3)).toDF("doc_id", "payload")
+    val got = MultimodalQueries.silenceProfile(df)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 4L, 2L, 3L),   // 4 silent frames in runs of 3 + 1
+      (2L, 4L, 0L, 0L, 0L),   // uniform energy: nothing below half-mean
+      (3L, 4L, 1L, 1L, 1L)))  // the quiet partial tail frame
+    // and the declared query agrees with the kernel on the real corpus
+    val viaQuery = SparkEntry.queries("q_mm_silence")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(viaQuery.nonEmpty && viaQuery.forall(r => r._3 <= r._2))
+  }
 }
