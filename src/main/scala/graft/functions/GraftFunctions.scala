@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.IntegerType
   * SELECT graft_shingles(split(text, ' '), 3)         -- distinct 3-grams
   * SELECT graft_quant_i8(embedding)                   -- int8 quant stats
   * SELECT graft_frame_energy(payload, 32)             -- frame byte energy
+  * SELECT graft_frame_energies(payload, 32)           -- per-frame energy array
   * }}}
   *
   * Two registration paths sharing ONE builder list:
@@ -49,6 +50,8 @@ object GraftFunctions {
       Shingles(es.head, intLit(es(1), "shingle width"))),
     "graft_frame_energy" -> (es =>
       FrameEnergy.FrameEnergyExpr(es.head, intLit(es(1), "frame size"))),
+    "graft_frame_energies" -> (es =>
+      FrameEnergy.FrameEnergiesExpr(es.head, intLit(es(1), "frame size"))),
     "graft_lsh_code" -> (es =>
       VectorOps.LshCode(es.head,
         VectorOps.hashPlanes(intLit(es(1), "plane count"), intLit(es(2), "dim")))))

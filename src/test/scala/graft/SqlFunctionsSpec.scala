@@ -69,6 +69,11 @@ class SqlFunctionsSpec extends SparkSpec {
         |  graft_quant_i8(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))).nnz
         |""".stripMargin).as[(Long, Long, Long)].head()
     assert(row == ((2L, 97L + 98L + 99L, 2L)))
+    // the array form tiles the same payload: energies sum to sum_e
+    val es = spark.sql(
+      "SELECT graft_frame_energies(encode('abc', 'UTF-8'), 2)")
+      .as[Seq[Long]].head()
+    assert(es == Seq(97L + 98L, 99L))
   }
 
   test("a non-literal static argument fails loudly") {
