@@ -28,6 +28,7 @@ object PlanAudit {
     ("q_tfidf", "BroadcastNestedLoopJoin"),
     ("q_collocation_pmi", "BroadcastNestedLoopJoin"), // 1-row bigram total
     ("q_pagerank_iter", "BroadcastNestedLoopJoin"),   // 1-row node count
+    ("q_pagerank3", "BroadcastNestedLoopJoin"),       // 1-row node count ×3 steps
     ("q_doc_sim_sparse", "BroadcastNestedLoopJoin"),  // 1-row n_docs for idf
     ("q_hybrid_rrf", "BroadcastNestedLoopJoin"),      // 1-row n_docs + 5-query broadcast
     ("q_join_estimate", "BroadcastNestedLoopJoin"),   // 1-row max-key broadcast

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,6 +26,38 @@ import graft.functions.ExactMath
 object GraphQueries {
 
   private def toks: Column = split(col("text"), " ")
+
+  /** `steps` PageRank supersteps over an edge frame (src, dst) in exact
+    * integer e9 arithmetic from the uniform start — the q_pagerank_iter
+    * kernel in a driver-orchestrated loop (public so the spec can drive
+    * it on an asymmetric synthetic graph where successive steps
+    * genuinely differ; see q_pagerank3's fixed-point note).
+    */
+  def pagerankSteps(e: DataFrame, steps: Int): DataFrame = {
+    import graft.functions.ExactMath.divTrunc
+    val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count() // the immutable graph: cached once, reused every step
+    val deg = cached.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+    val nDf = deg.agg(count(lit(1)).as("n_nodes"))
+    var rank = deg.crossJoin(broadcast(nDf))
+      .select(col("src").as("node"),
+        divTrunc(lit(1000000000L), col("n_nodes")).as("r"))
+    for (_ <- 1 to steps) {
+      val contrib = rank
+        .join(deg.withColumnRenamed("src", "node"), "node")
+        .select(col("node").as("src"),
+          divTrunc(col("r"), col("outdeg")).as("c"))
+      rank = cached.join(contrib, "src")
+        .groupBy(col("dst").as("node")).agg(sum("c").as("m"))
+        .crossJoin(broadcast(nDf))
+        .select(col("node"),
+          (divTrunc(lit(15000000000L), col("n_nodes") * 100L) +
+            divTrunc(col("m") * 85L, lit(100L))).as("r"))
+    }
+    rank
+  }
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -87,6 +119,65 @@ object GraphQueries {
              |    AS pr_e9
              |FROM acc JOIN deg ON acc.dst = deg.src, n
              |ORDER BY pr_e9 DESC, token""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_pagerank3 ★ (new r5) — THREE PageRank supersteps, declared:
+    // q_pagerank_iter proves the kernel; this proves the ITERATION —
+    // the driver-orchestrated loop every Pregel-style computation runs
+    // ([[pagerankSteps]]: the rank frame feeds the next contribution
+    // join; edges + degrees are computed once and persisted, exactly
+    // how a real run caches the immutable graph and re-shuffles only
+    // the rank vector). Same exact integer e9 arithmetic as the single
+    // step, so both engines agree bit-for-bit after all three steps —
+    // the oracle unrolls the identical three (contribution ⋈ edges →
+    // agg) rounds as chained CTEs. Per superstep: one dst-keyed
+    // shuffle of the rank-sized frame, map-side combined; the graph
+    // never re-shuffles. FIXED-POINT NOTE: this near-regular
+    // co-occurrence graph reaches its integer fixed point in ONE step
+    // (verified: 3-step output ≡ q_pagerank_iter at sf0.001 AND
+    // sf0.01), so the cross-engine check here proves the loop
+    // preserves exactness through chained truncation; the spec drives
+    // [[pagerankSteps]] on an asymmetric synthetic graph where steps
+    // 1/2/3 genuinely differ. Truncation loss compounds per step and
+    // the spec asserts the 3-step mass bound.
+    QueryDef(
+      "q_pagerank3",
+      (s: SparkSession, dir: String) => {
+        val dt = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(toks)).as("w"))
+        val e = dt.as("a").join(dt.as("b"), "doc_id")
+          .filter(col("a.w") =!= col("b.w"))
+          .select(col("a.w").as("src"), col("b.w").as("dst"))
+          .distinct()
+        pagerankSteps(e, 3)
+          .select(col("node").as("token"), col("r").as("pr3_e9"))
+          .orderBy(col("pr3_e9").desc, col("token"))
+      },
+      Some {
+        val steps = (1 to 3).map { i =>
+          val prev = if (i == 1) "r0" else s"r${i - 1}"
+          s"""c$i AS (
+             |  SELECT p.node AS src, p.r // deg.outdeg AS c
+             |  FROM $prev p JOIN deg ON p.node = deg.src),
+             |r$i AS (
+             |  SELECT e.dst AS node,
+             |    15000000000 // (n.n_nodes * 100) + (SUM(c.c) * 85) // 100 AS r
+             |  FROM e JOIN c$i c ON e.src = c.src, n
+             |  GROUP BY e.dst, n.n_nodes)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM t),
+           |e AS (
+           |  SELECT DISTINCT a.w AS src, b.w AS dst
+           |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w != b.w),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+           |r0 AS (SELECT src AS node, 1000000000 // n_nodes AS r FROM deg, n),
+           |$steps
+           |SELECT node AS token, CAST(r AS BIGINT) AS pr3_e9
+           |FROM r3 ORDER BY pr3_e9 DESC, token""".stripMargin
+      }),
 
     // ------------------------------------------------------------------
     // q_triangles ★ (new r5) — per-node triangle count + local

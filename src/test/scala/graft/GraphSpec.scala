@@ -30,6 +30,62 @@ class GraphSpec extends SparkSpec {
     assert(mass <= 1000000000L && mass > 990000000L, s"mass=$mass")
   }
 
+  test("q_pagerank3: three driver-folded supersteps match; mass bound holds (r5)") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val edges = docs.flatMap { case (_, text) =>
+      val ws = text.split(" ", -1).distinct.toSeq
+      for (a <- ws; b <- ws if a != b) yield (a, b)
+    }.distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
+    val n = deg.size.toLong
+    var rank: Map[String, Long] = deg.map { case (s, _) => s -> 1000000000L / n }
+    for (_ <- 1 to 3) {
+      val contrib = rank.map { case (s, r) => s -> r / deg(s) }
+      rank = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> (15000000000L / (n * 100L) +
+          es.map(e => contrib(e._1)).sum * 85L / 100L)
+      }
+    }
+    val want = rank.toSeq.map { case (t, r) => (t, r) }.sortBy(r => (-r._2, r._1))
+    val got = SparkEntry.queries("q_pagerank3")(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+    // mass conserved up to 3 compounded truncation-loss rounds
+    val mass = got.map(_._2).sum
+    assert(mass <= 1000000000L && mass > 970000000L, s"mass=$mass")
+    // fixed-point note (see scaladoc): on this near-regular graph the
+    // 3-step ranks COINCIDE with the 1-step ranks — assert that, so a
+    // fixture change that breaks the premise is caught loudly
+    val oneStep = SparkEntry.queries("q_pagerank_iter")(spark, sfDir)
+      .select("token", "pr_e9").as[(String, Long)].collect().toMap
+    assert(got.forall { case (t, r) => oneStep(t) == r })
+  }
+
+  test("pagerankSteps: successive steps differ on an asymmetric graph (r5)") {
+    import graft.queries.GraphQueries
+    // 1→2, 1→3, 2→3, 3→1: degrees 2/1/1 — rank mass concentrates on 3
+    // then flows to 1; uniform start is NOT stationary here
+    val e = Seq(("1", "2"), ("1", "3"), ("2", "3"), ("3", "1"))
+      .toDF("src", "dst")
+    def ranks(k: Int): Map[String, Long] =
+      GraphQueries.pagerankSteps(e, k).as[(String, Long)].collect().toMap
+    val (r1, r2, r3) = (ranks(1), ranks(2), ranks(3))
+    assert(r1 != r2 && r2 != r3, "steps did not evolve the rank vector")
+    // driver fold of the same integer arithmetic, 3 steps
+    val deg = Map("1" -> 2L, "2" -> 1L, "3" -> 1L)
+    val in = Map("1" -> Seq("3"), "2" -> Seq("1"), "3" -> Seq("1", "2"))
+    var r: Map[String, Long] = deg.map { case (k, _) => k -> (1000000000L / 3L) }
+    for (_ <- 1 to 3) {
+      val c = r.collect { case (k, v) if deg.contains(k) => k -> v / deg(k) }
+      r = in.map { case (dst, srcs) =>
+        dst -> (15000000000L / 300L +
+          srcs.flatMap(c.get).sum * 85L / 100L)
+      }
+    }
+    assert(r3 == r)
+  }
+
   test("q_triangles matches a brute-force driver count; each triangle counted once (r5)") {
     val docs = Tables(spark, sfDir, "documents")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
