@@ -630,6 +630,91 @@ object ProfileQueries {
              |FROM t ORDER BY event_type, digit""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_rle_profile ★ (new r5) — run-length ENCODING advisor: per
+    // column, how many value-runs the data forms in its natural
+    // within-partition order (day partitions, (ts, event_id) order —
+    // the write order of a time-partitioned ingest) vs the best case
+    // after sorting by the column (runs = per-day distincts), and the
+    // sort gain — the statistic that decides which sort key makes
+    // parquet RLE/dictionary encoding collapse a column (the row-level
+    // companion of q_zorder's file-level clustering: zorder optimizes
+    // SKIPPING, this optimizes ENCODING; both are OPTIMIZE decisions).
+    // Runs are partition-local by construction — exactly how parquet
+    // encodes pages — so the window is day-bounded, never corpus-wide.
+    // ONE window pass computes all three columns' lags; the sorted-
+    // order run count needs no sort at all (runs after sorting = the
+    // distinct count — counted, not simulated). All exact integers.
+    QueryDef(
+      "q_rle_profile",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+            col("event_type"), col("user_id"), cents.as("cents"))
+        val w = Window.partitionBy("day").orderBy("ts", "event_id")
+        def runCol(c: String) =
+          sum(when(col(s"l_$c").isNull || col(c) =!= col(s"l_$c"), 1L)
+            .otherwise(0L)).as(s"runs_$c")
+        val nat = e
+          .withColumn("l_event_type", lag("event_type", 1).over(w))
+          .withColumn("l_user_id", lag("user_id", 1).over(w))
+          .withColumn("l_cents", lag("cents", 1).over(w))
+          .agg(count(lit(1)).as("n"), runCol("event_type"),
+            runCol("user_id"), runCol("cents"))
+        val srt = e.groupBy("day")
+          .agg(countDistinct("event_type").as("dt"),
+            countDistinct("user_id").as("du"),
+            countDistinct("cents").as("dc"))
+          .agg(sum("dt").as("sorted_event_type"), sum("du").as("sorted_user_id"),
+            sum("dc").as("sorted_cents"))
+        nat.crossJoin(srt)
+          .selectExpr(
+            """stack(3,
+              |  'cents',      n, runs_cents,      sorted_cents,
+              |  'event_type', n, runs_event_type, sorted_event_type,
+              |  'user_id',    n, runs_user_id,    sorted_user_id
+              |) as (col_name, n, runs_natural, runs_sorted)""".stripMargin)
+          .select(col("col_name"), col("n"), col("runs_natural"),
+            col("runs_sorted"),
+            ExactMath.divTrunc(col("runs_natural") * 100L, col("runs_sorted"))
+              .as("sort_gain_e2"))
+          .orderBy("col_name")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, ts, event_id,
+             |    event_type, user_id, CAST(round(value*100) AS BIGINT) AS cents
+             |  FROM events),
+             |l AS (
+             |  SELECT *,
+             |    lag(event_type) OVER w AS l_t,
+             |    lag(user_id) OVER w AS l_u,
+             |    lag(cents) OVER w AS l_c
+             |  FROM e WINDOW w AS (PARTITION BY day ORDER BY ts, event_id)),
+             |nat AS (
+             |  SELECT COUNT(*) AS n,
+             |    SUM(CASE WHEN l_t IS NULL OR event_type != l_t THEN 1 ELSE 0 END) AS rt,
+             |    SUM(CASE WHEN l_u IS NULL OR user_id != l_u THEN 1 ELSE 0 END) AS ru,
+             |    SUM(CASE WHEN l_c IS NULL OR cents != l_c THEN 1 ELSE 0 END) AS rc
+             |  FROM l),
+             |srt AS (
+             |  SELECT SUM(dt) AS st, SUM(du) AS su, SUM(dc) AS sc FROM (
+             |    SELECT COUNT(DISTINCT event_type) AS dt,
+             |      COUNT(DISTINCT user_id) AS du, COUNT(DISTINCT cents) AS dc
+             |    FROM e GROUP BY day))
+             |SELECT col_name, CAST(n AS BIGINT) AS n,
+             |  CAST(runs_natural AS BIGINT) AS runs_natural,
+             |  CAST(runs_sorted AS BIGINT) AS runs_sorted,
+             |  CAST((runs_natural * 100) // runs_sorted AS BIGINT) AS sort_gain_e2
+             |FROM (
+             |  SELECT 'cents' AS col_name, n, rc AS runs_natural, sc AS runs_sorted
+             |  FROM nat, srt
+             |  UNION ALL
+             |  SELECT 'event_type', n, rt, st FROM nat, srt
+             |  UNION ALL
+             |  SELECT 'user_id', n, ru, su FROM nat, srt)
+             |ORDER BY col_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_autocorr ★ (new r5) — lag-1 autocorrelation of the daily volume
     // series per event type: does today's volume predict tomorrow's
     // (regular load / weekly rhythm) or is the series white noise — the

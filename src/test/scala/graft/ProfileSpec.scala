@@ -368,6 +368,37 @@ class ProfileSpec extends SparkSpec {
     assert(got.map(_._7).max > 50000L)
   }
 
+  test("q_rle_profile matches a driver-side run fold; sorting always helps (r5)") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(to_date(col("ts")).cast("string"), col("ts").cast("string"),
+        col("event_id"), col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long"))
+      .as[(String, String, Long, String, Long, Long)].collect().toSeq
+    val byDay = rows.groupBy(_._1).values.map(_.sortBy(r => (r._2, r._3)))
+    def runs[T](xs: Seq[T]): Long =
+      if (xs.isEmpty) 0L else 1L + xs.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+    val n = rows.size.toLong
+    def profile[T](f: ((String, String, Long, String, Long, Long)) => T) = {
+      val nat = byDay.map(d => runs(d.map(f))).sum
+      val srt = byDay.map(d => d.map(f).distinct.size.toLong).sum
+      (nat, srt)
+    }
+    val (ct, cs) = profile(_._6)
+    val (tt, ts2) = profile(_._4)
+    val (ut, us) = profile(_._5)
+    val want = Seq(
+      ("cents", n, ct, cs, ct * 100L / cs),
+      ("event_type", n, tt, ts2, tt * 100L / ts2),
+      ("user_id", n, ut, us, ut * 100L / us))
+    val got = SparkEntry.queries("q_rle_profile")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // sorting can only merge runs: natural ≥ sorted, and on this
+    // random-order fixture strictly better for every column
+    got.foreach { r => assert(r._3 >= r._4 && r._5 >= 100L) }
+    assert(got.exists(_._5 > 150L), "no column shows a real sort gain")
+  }
+
   test("q_autocorr matches a driver-side BigInt sufficient-statistics fold (r5)") {
     val daily = Tables(spark, sfDir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
