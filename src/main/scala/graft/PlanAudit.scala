@@ -34,6 +34,7 @@ object PlanAudit {
     ("q_join_estimate", "BroadcastNestedLoopJoin"),   // 1-row max-key broadcast
     ("q_mix_temperature", "BroadcastNestedLoopJoin"), // 1-row totals broadcast
     ("q_rfm", "BroadcastNestedLoopJoin"),             // 1-row corpus max day
+    ("q_rle_profile", "BroadcastNestedLoopJoin"),     // 1-row × 1-row stats cross
     ("q_trend_ols", "BroadcastNestedLoopJoin"),       // 1-row corpus min day
     ("q_vocab_growth", "BroadcastNestedLoopJoin"),    // 1-row max doc_id
     // windows over the USER table / the ≤10-row growth-curve frame,
