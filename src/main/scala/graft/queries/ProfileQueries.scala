@@ -630,6 +630,76 @@ object ProfileQueries {
              |FROM t ORDER BY event_type, digit""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_drift_tvd ★ (new r5) — VALUE-DISTRIBUTION drift between the
+    // first and second calendar halves of the corpus, per event type:
+    // the batch-over-batch distribution monitor (does the new data
+    // drop look like the old?) as TOTAL VARIATION DISTANCE over the
+    // q_histogram bins — TVD = ½·Σ|pₐ − p_b| is the PSI/KL alternative
+    // that needs NO logarithm, so the whole metric is exact integer e6
+    // in both engines (PSI's ln(pa/pb) would reintroduce the libm
+    // problem q_mm_entropy documents; TVD is also bounded [0,1] and
+    // defined when a bin is empty on one side — PSI diverges there).
+    // Halves split on the calendar midpoint (1-row min/max broadcast),
+    // TIME-ordered — drift means "new vs old", not an arbitrary
+    // partition (q_incr_agg's parity split is deliberately the
+    // opposite: interleaved halves that should NOT drift). Plan: one
+    // (type, half, bin) hash agg — map-side combined — then bins-sized
+    // windows; constant-size output.
+    QueryDef(
+      "q_drift_tvd",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir, "events")
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("di"),
+            ExactMath.divTrunc(cents, lit(500L)).as("bin"))
+        val mm = e.agg(min("di").as("mn"), max("di").as("mx"))
+        val binned = e.crossJoin(broadcast(mm))
+          .select(col("event_type"), col("bin"),
+            (col("di") * 2L < (col("mn") + col("mx") + 1L)).cast("int").as("old_half"))
+          .groupBy("event_type", "bin")
+          .agg(sum(col("old_half")).as("na"),
+            sum(lit(1L) - col("old_half")).as("nb"))
+        val wt = Window.partitionBy("event_type")
+        binned
+          .withColumn("tot_a", sum("na").over(wt))
+          .withColumn("tot_b", sum("nb").over(wt))
+          .select(col("event_type"),
+            ExactMath.divTrunc(col("na") * 1000000L, col("tot_a")).as("pa_e6"),
+            ExactMath.divTrunc(col("nb") * 1000000L, col("tot_b")).as("pb_e6"),
+            col("tot_a"), col("tot_b"))
+          .groupBy("event_type")
+          .agg(max("tot_a").as("n_old"), max("tot_b").as("n_new"),
+            count(lit(1)).as("n_bins"),
+            ExactMath.divTrunc(sum(abs(col("pa_e6") - col("pb_e6"))), lit(2L))
+              .as("tvd_e6"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+             |      AS BIGINT) AS di,
+             |    CAST(round(value*100) AS BIGINT) // 500 AS bin
+             |  FROM events),
+             |mm AS (SELECT MIN(di) AS mn, MAX(di) AS mx FROM e),
+             |b AS (
+             |  SELECT event_type, bin,
+             |    SUM(CASE WHEN di * 2 < mn + mx + 1 THEN 1 ELSE 0 END) AS na,
+             |    SUM(CASE WHEN di * 2 < mn + mx + 1 THEN 0 ELSE 1 END) AS nb
+             |  FROM e, mm GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, bin, na, nb,
+             |    SUM(na) OVER (PARTITION BY event_type) AS tot_a,
+             |    SUM(nb) OVER (PARTITION BY event_type) AS tot_b
+             |  FROM b)
+             |SELECT event_type, CAST(MAX(tot_a) AS BIGINT) AS n_old,
+             |  CAST(MAX(tot_b) AS BIGINT) AS n_new,
+             |  COUNT(*) AS n_bins,
+             |  CAST(SUM(abs(na * 1000000 // tot_a - nb * 1000000 // tot_b)) // 2
+             |    AS BIGINT) AS tvd_e6
+             |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_rle_profile ★ (new r5) — run-length ENCODING advisor: per
     // column, how many value-runs the data forms in its natural
     // within-partition order (day partitions, (ts, event_id) order —

@@ -368,6 +368,38 @@ class ProfileSpec extends SparkSpec {
     assert(got.map(_._7).max > 50000L)
   }
 
+  test("q_drift_tvd matches a driver fold; stationary fixture stays low-drift (r5)") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long"),
+        round(col("value") * 100).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val (mn, mx) = (rows.map(_._2).min, rows.map(_._2).max)
+    val want = rows.groupBy(_._1).map { case (t, xs) =>
+      val binned = xs.map { case (_, di, c) => (c / 500L, di * 2 < mn + mx + 1) }
+      val na = binned.count(_._2).toLong
+      val nb = binned.size - na
+      val byBin = binned.groupBy(_._1).map { case (b, o) =>
+        (b, o.count(_._2).toLong, o.count(!_._2).toLong) }
+      val tvd = byBin.map { case (_, a, b) =>
+        math.abs(a * 1000000L / na - b * 1000000L / nb) }.sum / 2L
+      (t, na, nb, byBin.size.toLong, tvd)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_drift_tvd")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // a stationary uniform generator must NOT look drifted BEYOND
+    // sampling noise: with halves of n rows over k bins the expected
+    // noise TVD is ~sqrt(k·(1/na + 1/nb)) (binomial per bin, summed) —
+    // at sf0.001's ~200-row halves that's ~0.45, so a FIXED alarm line
+    // would misfire; the bound must scale with the sample
+    got.foreach { case (t, na, nb, k, tvd) =>
+      assert(na > 0L && nb > 0L)
+      val noise = math.sqrt(k.toDouble * (1.0 / na + 1.0 / nb)) * 1e6
+      assert(tvd < noise, s"$t: tvd=$tvd noise-bound=${noise.toLong}")
+    }
+  }
+
   test("q_rle_profile matches a driver-side run fold; sorting always helps (r5)") {
     val rows = Tables(spark, sfDir, "events")
       .select(to_date(col("ts")).cast("string"), col("ts").cast("string"),
