@@ -741,6 +741,55 @@ object TextQueries {
              |FROM g ORDER BY k""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_doc_novelty ★ (new r5) — per-document NOVELTY in ingest order:
+    // what fraction of a doc's distinct bigrams appear here for the
+    // FIRST time (no earlier doc_id contains them) — the doc-level form
+    // of q_vocab_growth's corpus curve, and the curation signal that
+    // ranks an incoming drop by marginal contribution (a doc with 2%
+    // novel n-grams is a near-duplicate of the corpus even when no
+    // single pair-dedup fires; conversely early docs score high by
+    // construction). Same scalable trick as the curve: each bigram's
+    // first-occurrence doc comes from ONE vocabulary-sized min agg —
+    // never a per-doc prefix scan — joined back to the per-doc distinct
+    // bigram stream; novelty is exact integer e4. Plan: one codegen'd
+    // shingle explode → distinct, one vocab agg, one vocab-keyed join,
+    // one doc agg. Docs shorter than 2 tokens have no bigrams and are
+    // absent (documented; the fixture has none).
+    QueryDef(
+      "q_doc_novelty",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shingles
+        val bg = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(shingles(toks, 2)).as("bg"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bg.count() // eager: first-occurrence agg + join-back reuse it
+        val first = bg.groupBy("bg").agg(min("doc_id").as("first_doc"))
+        bg.join(first, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+            floorDivL(col("n_novel") * 10000L, col("n_bigrams")).as("novelty_e4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bg AS (
+             |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(string_split(text,' '))),
+             |    i -> array_to_string(string_split(text,' ')[i:i+1], ' ')))) AS bg
+             |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+             |f AS (SELECT bg, MIN(doc_id) AS first_doc FROM bg GROUP BY 1)
+             |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_novel,
+             |  CAST((SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+             |    * 10000) // COUNT(*) AS BIGINT) AS novelty_e4
+             |FROM bg JOIN f ON bg.bg = f.bg
+             |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_doc_sim_sparse ★ (new r5) — SPARSE document similarity: top-20
     // document pairs by exact-integer tf-idf dot product through an
     // inverted-index join — the sparse complement of the dense

@@ -219,6 +219,31 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._4 >= got.last._4)
   }
 
+  test("q_doc_novelty matches a driver-side first-occurrence fold (r5)") {
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val docBgs = rows.map { case (d, t) =>
+      d -> t.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq.distinct
+    }
+    val first = docBgs.flatMap { case (d, bgs) => bgs.map(_ -> d) }
+      .groupBy(_._1).map { case (bg, xs) => bg -> xs.map(_._2).min }
+    val want = docBgs.map { case (d, bgs) =>
+      val novel = bgs.count(bg => first(bg) == d).toLong
+      (d, bgs.size.toLong, novel, novel * 10000L / bgs.size)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_doc_novelty")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // ingest-order structure: doc 0 is fully novel, and novelty decays —
+    // the last decile's mean is below the first decile's
+    assert(got.head._4 == 10000L)
+    val dec = got.size / 10
+    val firstDec = got.take(dec).map(_._4)
+    val lastDec = got.takeRight(dec).map(_._4)
+    assert(firstDec.sum / dec > lastDec.sum / dec)
+  }
+
   test("q_doc_sim_sparse matches a driver-side inverted-index fold (r5)") {
     val rows = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
