@@ -31,6 +31,7 @@ object PlanAudit {
     ("q_pagerank3", "BroadcastNestedLoopJoin"),       // 1-row node count ×3 steps
     ("q_doc_sim_sparse", "BroadcastNestedLoopJoin"),  // 1-row n_docs for idf
     ("q_drift_tvd", "BroadcastNestedLoopJoin"),       // 1-row min/max day broadcast
+    ("q_fk_orphans", "BroadcastNestedLoopJoin"),      // 1-row × 1-row count cross per edge
     ("q_hybrid_rrf", "BroadcastNestedLoopJoin"),      // 1-row n_docs + 5-query broadcast
     ("q_join_estimate", "BroadcastNestedLoopJoin"),   // 1-row max-key broadcast
     ("q_mix_temperature", "BroadcastNestedLoopJoin"), // 1-row totals broadcast

@@ -17,6 +17,21 @@ object ProfileQueries {
 
   private def cents: Column = round(col("value") * 100).cast("long")
 
+  /** One FK-edge audit row — the q_fk_orphans kernel, public so the
+    * spec can plant a corrupted child batch and prove the counter
+    * fires (the fixture's all-zero orphans exercise only the ok path).
+    */
+  def fkEdge(name: String, child: DataFrame, key: String,
+      parent: DataFrame, pkey: String): DataFrame = {
+    val orphans = child.select(col(key).as("k"))
+      .join(broadcast(parent.select(col(pkey).as("k")).distinct()),
+        Seq("k"), "left_anti")
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+        (col("n_orphans") === 0L).cast("int").as("ok"))
+  }
+
   /** Tukey-fence outlier profile over rows of (event_type, c): per
     * group, the lower-discrete q1/q3 (same explicit index formula as
     * q_percentile), the 1.5×IQR fences, and how many rows fall outside
@@ -628,6 +643,70 @@ object ProfileQueries {
              |    WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
              |    WHEN 8 THEN 51152 WHEN 9 THEN 45757 END) AS BIGINT) AS dev_e6
              |FROM t ORDER BY event_type, digit""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_fk_orphans ★ (new r5) — referential-integrity audit across the
+    // star schema: for every foreign-key edge (lineitem→orders,
+    // lineitem→part, lineitem→supplier, orders→customer,
+    // customer→nation), how many child rows reference a parent that
+    // does not exist — the relationship test a data contract runs
+    // before a join-heavy pipeline trusts a drop (an orphaned FK
+    // silently DROPS rows from every inner join downstream; the count
+    // here is the rows q_join_star would lose). Plan per edge: one
+    // LEFT ANTI join — parent sides are dimension-sized and broadcast
+    // where small, the fact side streams map-only; a distinct-parent
+    // count rides along as the audit context. 5 output rows at any
+    // corpus size. All-zero orphans on this fixture IS the check — the
+    // spec plants a corrupted child batch to prove the counter fires.
+    QueryDef(
+      "q_fk_orphans",
+      (s: SparkSession, dir: String) => {
+        def edge(name: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String): DataFrame =
+          fkEdge(name, child, key, parent, pkey)
+        val li = Tables(s, dir, "lineitem")
+        val or = Tables(s, dir, "orders")
+        val cu = Tables(s, dir, "customer")
+        edge("customer.c_nationkey->nation", cu, "c_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey")
+          .unionAll(edge("lineitem.l_orderkey->orders", li, "l_orderkey", or, "o_orderkey"))
+          .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+            Tables(s, dir, "part"), "p_partkey"))
+          .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            Tables(s, dir, "supplier"), "s_suppkey"))
+          .unionAll(edge("orders.o_custkey->customer", or, "o_custkey", cu, "c_custkey"))
+          .orderBy("fk_edge")
+      },
+      Some("""SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+             |  CAST(n_orphans AS BIGINT) AS n_orphans,
+             |  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS INTEGER) AS ok
+             |FROM (
+             |  SELECT 'customer.c_nationkey->nation' AS fk_edge,
+             |    (SELECT COUNT(*) FROM customer) AS n_child,
+             |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+             |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+             |      AS n_orphans
+             |  UNION ALL
+             |  SELECT 'lineitem.l_orderkey->orders',
+             |    (SELECT COUNT(*) FROM lineitem),
+             |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey->part',
+             |    (SELECT COUNT(*) FROM lineitem),
+             |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+             |  UNION ALL
+             |  SELECT 'lineitem.l_suppkey->supplier',
+             |    (SELECT COUNT(*) FROM lineitem),
+             |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->customer',
+             |    (SELECT COUNT(*) FROM orders),
+             |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             |) t ORDER BY fk_edge""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_drift_tvd ★ (new r5) — VALUE-DISTRIBUTION drift between the

@@ -368,6 +368,31 @@ class ProfileSpec extends SparkSpec {
     assert(got.map(_._7).max > 50000L)
   }
 
+  test("q_fk_orphans: clean star audits green; a corrupted batch fires the counter (r5)") {
+    import graft.queries.ProfileQueries
+    val got = SparkEntry.queries("q_fk_orphans")(spark, sfDir)
+      .as[(String, Long, Long, Int)].collect().toSeq
+    // driver-side reference over the two heaviest edges
+    def keys(t: String, c: String) =
+      Tables(spark, sfDir, t).select(col(c).cast("long")).as[Long].collect()
+    val orders = keys("orders", "o_orderkey").toSet
+    val liOrphans = keys("lineitem", "l_orderkey").count(!orders.contains(_)).toLong
+    val custs = keys("customer", "c_custkey").toSet
+    val orOrphans = keys("orders", "o_custkey").count(!custs.contains(_)).toLong
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("lineitem.l_orderkey->orders")._3 == liOrphans)
+    assert(m("orders.o_custkey->customer")._3 == orOrphans)
+    assert(got.size == 5 && got.forall(r => (r._3 == 0L) == (r._4 == 1)))
+    // the fixture star is referentially intact — that IS the audit
+    assert(got.forall(_._4 == 1))
+    // and the counter genuinely fires: plant two orphaned child rows
+    val child = Seq((1L, 10L), (2L, 99L), (3L, 98L)).toDF("id", "fk")
+    val parent = Seq(Tuple1(10L)).toDF("pk")
+    val bad = ProfileQueries.fkEdge("child.fk->parent", child, "fk", parent, "pk")
+      .as[(String, Long, Long, Int)].head()
+    assert(bad == (("child.fk->parent", 3L, 2L, 0)))
+  }
+
   test("q_drift_tvd matches a driver fold; stationary fixture stays low-drift (r5)") {
     val rows = Tables(spark, sfDir, "events")
       .select(col("event_type"),
