@@ -17,6 +17,31 @@ object ProfileQueries {
 
   private def cents: Column = round(col("value") * 100).cast("long")
 
+  /** Closed-form OLS slope over rows of (event_type, day, y) — the
+    * q_trend_ols kernel, public so the spec can prove the degenerate-
+    * group guard (slope_den = 0 on a single-day type: Spark's
+    * IntegralDivide yields null where DuckDB's `//` raises, so such
+    * rows must never reach the divide in either engine).
+    */
+  def olsTrend(d: DataFrame): DataFrame = {
+    val mn = d.agg(min("day").as("mnd"))
+    d.join(broadcast(mn))
+      .select(col("event_type"), col("y"),
+        datediff(col("day"), col("mnd")).cast("long").as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("y").as("sum_y"),
+        sum("x").as("sx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("sum_y"),
+        (col("n_days") * col("sxy") - col("sx") * col("sum_y")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        ExactMath.divTrunc(
+          (col("n_days") * col("sxy") - col("sx") * col("sum_y")) * 1000000L,
+          col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_e6"))
+      .filter(col("slope_den") > 0L)
+      .orderBy("event_type")
+  }
+
   /** One FK-edge audit row — the q_fk_orphans kernel, public so the
     * spec can plant a corrupted child batch and prove the counter
     * fires (the fixture's all-zero orphans exercise only the ok path).
@@ -475,26 +500,10 @@ object ProfileQueries {
     // types-sized agg; the dashboard-query shape at 100 TB.
     QueryDef(
       "q_trend_ols",
-      (s: SparkSession, dir: String) => {
-        val d = Tables(s, dir, "events")
+      (s: SparkSession, dir: String) =>
+        olsTrend(Tables(s, dir, "events")
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("y"))
-        val mn = d.agg(min("day").as("mnd"))
-        d.join(broadcast(mn))
-          .select(col("event_type"), col("y"),
-            datediff(col("day"), col("mnd")).cast("long").as("x"))
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_days"), sum("y").as("sum_y"),
-            sum("x").as("sx"), sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"))
-          .select(col("event_type"), col("n_days"), col("sum_y"),
-            (col("n_days") * col("sxy") - col("sx") * col("sum_y")).as("slope_num"),
-            (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
-            ExactMath.divTrunc(
-              (col("n_days") * col("sxy") - col("sx") * col("sum_y")) * 1000000L,
-              col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_e6"))
-          .orderBy("event_type")
-      },
+          .agg(count(lit(1)).as("y"))),
       Some("""WITH d AS (
              |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              |    COUNT(*) AS y
@@ -511,7 +520,8 @@ object ProfileQueries {
              |  CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
              |  CAST((n_days * sxy - sx * sum_y) * 1000000
              |    // (n_days * sxx - sx * sx) AS BIGINT) AS slope_e6
-             |FROM s ORDER BY event_type""".stripMargin)),
+             |FROM s WHERE n_days * sxx - sx * sx > 0
+             |ORDER BY event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_winsorize ★ (new r5) — percentile clipping (winsorization) per
@@ -743,6 +753,10 @@ object ProfileQueries {
         binned
           .withColumn("tot_a", sum("na").over(wt))
           .withColumn("tot_b", sum("nb").over(wt))
+          // one-sided-type guard: a type absent from one calendar half
+          // has an undefined share there (0-denominator; Spark null vs
+          // DuckDB error) — drift is only defined with both halves
+          .filter(col("tot_a") > 0L && col("tot_b") > 0L)
           .select(col("event_type"),
             ExactMath.divTrunc(col("na") * 1000000L, col("tot_a")).as("pa_e6"),
             ExactMath.divTrunc(col("nb") * 1000000L, col("tot_b")).as("pb_e6"),
@@ -776,7 +790,8 @@ object ProfileQueries {
              |  COUNT(*) AS n_bins,
              |  CAST(SUM(abs(na * 1000000 // tot_a - nb * 1000000 // tot_b)) // 2
              |    AS BIGINT) AS tvd_e6
-             |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+             |FROM t WHERE tot_a > 0 AND tot_b > 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_rle_profile ★ (new r5) — run-length ENCODING advisor: per
@@ -899,6 +914,9 @@ object ProfileQueries {
             (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
             (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den1"),
             (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("den2"))
+          // degenerate-series guard (same discipline as q_trend_ols):
+          // a constant half of the pair series zeroes den1/den2
+          .filter(col("den1") > 0L && col("den2") > 0L)
           .select(col("event_type"), col("n_pairs"), col("num"), col("den1"),
             col("den2"),
             (signum(col("num")).cast("long") *
@@ -935,6 +953,7 @@ object ProfileQueries {
              |    ((CAST(num AS HUGEINT) * CAST(num AS HUGEINT) * 1000000)
              |      // (CAST(den1 AS HUGEINT) * CAST(den2 AS HUGEINT)))
              |    AS BIGINT) AS r2_signed_e6
-             |FROM c ORDER BY event_type""".stripMargin))
+             |FROM c WHERE den1 > 0 AND den2 > 0
+             |ORDER BY event_type""".stripMargin))
   )
 }

@@ -317,6 +317,17 @@ class ProfileSpec extends SparkSpec {
     // slopes must not all share a sign on this fixture (trend detection
     // has to be able to say "flat-ish" per type, not just echo volume)
     assert(got.map(r => math.signum(r._4.toDouble)).distinct.size >= 2)
+    // degenerate-group guard fires: a single-day type never reaches the
+    // divide (it would null in Spark and raise in DuckDB)
+    val withDegenerate = Seq(
+      ("multi", "2024-01-01", 10L), ("multi", "2024-01-02", 20L),
+      ("oneday", "2024-01-01", 5L))
+      .toDF("event_type", "day", "y")
+      .select(col("event_type"), to_date(col("day")).as("day"), col("y"))
+    val guarded = graft.queries.ProfileQueries.olsTrend(withDegenerate)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(guarded.map(_._1) == Seq("multi"))
+    assert(guarded.head._6 == 10000000L) // slope exactly +10/day in e6
   }
 
   test("q_winsorize: clipping bounds, counts and means match a driver fold (r5)") {
