@@ -32,6 +32,15 @@ object GraphQueries {
     * kernel in a driver-orchestrated loop (public so the spec can drive
     * it on an asymmetric synthetic graph where successive steps
     * genuinely differ; see q_pagerank3's fixed-point note).
+    *
+    * Rank domain: the N nodes with ≥ 1 out-edge (the family's N
+    * definition) — carried through EVERY step by a left join from the
+    * degree table, so a source-only node (out-edges, no in-edges)
+    * keeps its teleport-term rank and keeps contributing. (Review
+    * finding: the earlier dst-agg-only rank frame silently dropped
+    * such a node after step 1, losing its rank row AND its downstream
+    * contributions from step 2 on; the symmetric declared graph never
+    * exercised it.)
     */
   def pagerankSteps(e: DataFrame, steps: Int): DataFrame = {
     import graft.functions.ExactMath.divTrunc
@@ -49,12 +58,14 @@ object GraphQueries {
         .join(deg.withColumnRenamed("src", "node"), "node")
         .select(col("node").as("src"),
           divTrunc(col("r"), col("outdeg")).as("c"))
-      rank = cached.join(contrib, "src")
+      val inMass = cached.join(contrib, "src")
         .groupBy(col("dst").as("node")).agg(sum("c").as("m"))
+      rank = deg.select(col("src").as("node"))
+        .join(inMass, Seq("node"), "left")
         .crossJoin(broadcast(nDf))
         .select(col("node"),
           (divTrunc(lit(15000000000L), col("n_nodes") * 100L) +
-            divTrunc(col("m") * 85L, lit(100L))).as("r"))
+            divTrunc(coalesce(col("m"), lit(0L)) * 85L, lit(100L))).as("r"))
     }
     rank
   }
@@ -156,14 +167,19 @@ object GraphQueries {
       Some {
         val steps = (1 to 3).map { i =>
           val prev = if (i == 1) "r0" else s"r${i - 1}"
+          // rank domain carried by deg each step (kernel scaladoc):
+          // a source-only node keeps its teleport rank
           s"""c$i AS (
              |  SELECT p.node AS src, p.r // deg.outdeg AS c
              |  FROM $prev p JOIN deg ON p.node = deg.src),
+             |m$i AS (
+             |  SELECT e.dst AS node, SUM(c.c) AS m
+             |  FROM e JOIN c$i c ON e.src = c.src GROUP BY e.dst),
              |r$i AS (
-             |  SELECT e.dst AS node,
-             |    15000000000 // (n.n_nodes * 100) + (SUM(c.c) * 85) // 100 AS r
-             |  FROM e JOIN c$i c ON e.src = c.src, n
-             |  GROUP BY e.dst, n.n_nodes)""".stripMargin
+             |  SELECT deg.src AS node,
+             |    15000000000 // (n.n_nodes * 100) + (COALESCE(m$i.m, 0) * 85) // 100 AS r
+             |  FROM deg CROSS JOIN n LEFT JOIN m$i ON m$i.node = deg.src)"""
+            .stripMargin
         }.mkString(",\n")
         s"""WITH t AS (
            |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -36,6 +36,8 @@ object MultimodalQueries {
       .withColumn("n_frames", count(lit(1)).over(wd))
       .withColumn("sum_e", sum("e").over(wd))
       .withColumn("silent", col("e") * col("n_frames") * 2L < col("sum_e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flagged.count() // eager: the runs pipeline + the n_frames agg reuse it
     val ws = Window.partitionBy("doc_id").orderBy("f")
     val runs = flagged.filter(col("silent"))
       .withColumn("anchor", col("f") - row_number().over(ws))

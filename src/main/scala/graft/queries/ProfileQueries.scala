@@ -671,20 +671,17 @@ object ProfileQueries {
     QueryDef(
       "q_fk_orphans",
       (s: SparkSession, dir: String) => {
-        def edge(name: String, child: DataFrame, key: String,
-            parent: DataFrame, pkey: String): DataFrame =
-          fkEdge(name, child, key, parent, pkey)
         val li = Tables(s, dir, "lineitem")
         val or = Tables(s, dir, "orders")
         val cu = Tables(s, dir, "customer")
-        edge("customer.c_nationkey->nation", cu, "c_nationkey",
+        fkEdge("customer.c_nationkey->nation", cu, "c_nationkey",
           Tables(s, dir, "nation"), "n_nationkey")
-          .unionAll(edge("lineitem.l_orderkey->orders", li, "l_orderkey", or, "o_orderkey"))
-          .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+          .unionAll(fkEdge("lineitem.l_orderkey->orders", li, "l_orderkey", or, "o_orderkey"))
+          .unionAll(fkEdge("lineitem.l_partkey->part", li, "l_partkey",
             Tables(s, dir, "part"), "p_partkey"))
-          .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          .unionAll(fkEdge("lineitem.l_suppkey->supplier", li, "l_suppkey",
             Tables(s, dir, "supplier"), "s_suppkey"))
-          .unionAll(edge("orders.o_custkey->customer", or, "o_custkey", cu, "c_custkey"))
+          .unionAll(fkEdge("orders.o_custkey->customer", or, "o_custkey", cu, "c_custkey"))
           .orderBy("fk_edge")
       },
       Some("""SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,

@@ -78,6 +78,34 @@ object SimilarityQueries {
     guarded(s, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
+  /** Per-partition constant-size-heap top-k pre-reduce over (q_id, id,
+    * score) rows — the q_sim_topk kernel, shared with q_hybrid_rrf so
+    * the eviction tie-break (which MUST mirror the global rank order —
+    * score desc, id asc — or the local survivors stop being a superset
+    * of the global top-k) lives in exactly one place. A narrow
+    * mapPartitions: per-partition state with no Catalyst equivalent,
+    * zero shuffle of the corpus.
+    */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored.as[(Long, Long, Double)].mapPartitions { it =>
+      val worstFirst = new Ordering[(Long, Double)] {
+        def compare(x: (Long, Double), y: (Long, Double)): Int = {
+          val c = java.lang.Double.compare(y._2, x._2) // lower score = worse = greater
+          if (c != 0) c else java.lang.Long.compare(x._1, y._1) // higher id = worse
+        }
+      }
+      val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[(Long, Double)]]
+      it.foreach { case (qid, vid, score) =>
+        val h = heaps.getOrElseUpdate(qid, mutable.PriorityQueue.empty(worstFirst))
+        h.enqueue((vid, score))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map(t => (qid, t._1, t._2)) }
+    }.toDF("q_id", "id", "score")
+  }
+
   /** Default number of sign-LSH planes for a corpus of `n` vectors:
     * bucket count (2^planes) tracks corpus size so per-bucket occupancy
     * — and with it the candidate-pair count, Σ n_b²/2 ≈ n²/2^planes —
@@ -218,32 +246,16 @@ object SimilarityQueries {
     QueryDef(
       "q_sim_topk",
       (s: SparkSession, dir: String) => {
-        import s.implicits._
         val q = broadcast(queriesDf(s, dir))
         val scored = guarded(s, dir).join(q, col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             cosine(col("q_emb"), col("embedding")).as("cos"))
           .filter(col("cos").isNotNull)
-        // Local top-k: one constant-size heap per (partition, query) —
-        // a narrow mapPartitions, zero shuffle of the corpus. Eviction
-        // order mirrors the global rank order (cos desc, vec_id asc) so
-        // the local survivors are a superset of the global top-k.
+        // Local top-k pre-reduce: [[heapTopK]] — zero shuffle of the
+        // corpus; local survivors are a superset of the global top-k.
         val k = 10
-        val pre = scored.as[(Long, Long, Double)].mapPartitions { it =>
-          val worstFirst = new Ordering[(Long, Double)] {
-            def compare(x: (Long, Double), y: (Long, Double)): Int = {
-              val c = java.lang.Double.compare(y._2, x._2) // lower cos = worse = greater
-              if (c != 0) c else java.lang.Long.compare(x._1, y._1) // higher id = worse
-            }
-          }
-          val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[(Long, Double)]]
-          it.foreach { case (qid, vid, cos) =>
-            val h = heaps.getOrElseUpdate(qid, mutable.PriorityQueue.empty(worstFirst))
-            h.enqueue((vid, cos))
-            if (h.size > k) h.dequeue()
-          }
-          heaps.iterator.flatMap { case (qid, h) => h.iterator.map(t => (qid, t._1, t._2)) }
-        }.toDF("q_id", "vec_id", "cos")
+        val pre = heapTopK(scored, k)
+          .select(col("q_id"), col("id").as("vec_id"), col("score").as("cos"))
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
         pre.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
@@ -1047,45 +1059,22 @@ object SimilarityQueries {
     QueryDef(
       "q_hybrid_rrf",
       (s: SparkSession, dir: String) => {
-        import s.implicits._
         import graft.functions.ExactMath
         val K = 50
-        // dense ranks: q_sim_topk's heap pre-reduce at k = 50
+        // dense ranks: the shared q_sim_topk heap kernel at k = 50
         val q = broadcast(queriesDf(s, dir))
         val scored = guarded(s, dir).join(q, col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             cosine(col("q_emb"), col("embedding")).as("cos"))
           .filter(col("cos").isNotNull)
-        val pre = scored.as[(Long, Long, Double)].mapPartitions { it =>
-          val worstFirst = new Ordering[(Long, Double)] {
-            def compare(x: (Long, Double), y: (Long, Double)): Int = {
-              val c = java.lang.Double.compare(y._2, x._2)
-              if (c != 0) c else java.lang.Long.compare(x._1, y._1)
-            }
-          }
-          val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[(Long, Double)]]
-          it.foreach { case (qid, vid, cos) =>
-            val h = heaps.getOrElseUpdate(qid, mutable.PriorityQueue.empty(worstFirst))
-            h.enqueue((vid, cos))
-            if (h.size > K) h.dequeue()
-          }
-          heaps.iterator.flatMap { case (qid, h) => h.iterator.map(t => (qid, t._1, t._2)) }
-        }.toDF("q_id", "id", "cos")
+        val pre = heapTopK(scored, K).withColumnRenamed("score", "cos")
         val wc = Window.partitionBy("q_id").orderBy(col("cos").desc, col("id"))
         val dense = pre.withColumn("rc", row_number().over(wc))
           .filter(col("rc") <= K).select(col("q_id"), col("id"), col("rc"))
-        // sparse ranks: df-cut tf-idf weights (the q_doc_sim_sparse
-        // scheme), query side broadcast
-        val docs = Tables(s, dir, "documents")
-        val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val nd = docs.agg(count(lit(1)).as("n_docs"))
-        val wgt = tf.join(df_, "term").crossJoin(broadcast(nd))
-          .filter(col("df") <= greatest(lit(2L),
-            ExactMath.divTrunc(col("n_docs"), lit(10L))))
-          .select(col("doc_id"), col("term"),
-            (col("tf") * ExactMath.divTrunc(col("n_docs") * 100L, col("df"))).as("w"))
+        // sparse ranks: the SHARED df-cut tf-idf weights
+        // (TextQueries.dfCutWeights — persisted there; two consumers
+        // here), query side broadcast
+        val wgt = TextQueries.dfCutWeights(Tables(s, dir, "documents"))
         val wq = broadcast(wgt.filter(col("doc_id") < 5)
           .select(col("doc_id").as("q_id"), col("term"), col("w").as("wq")))
         val ss = wgt.join(wq, "term").filter(col("doc_id") =!= col("q_id"))
@@ -1108,7 +1097,7 @@ object SimilarityQueries {
             col("dense_rank"), col("sparse_rank"))
           .orderBy("q_id", "rank")
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings
              |  WHERE list_sum(list_transform(embedding,
@@ -1125,17 +1114,7 @@ object SimilarityQueries {
              |    SELECT q_id, id,
              |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS rc
              |    FROM scored) WHERE rc <= 50),
-             |p AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM p GROUP BY 1, 2),
-             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-             |w AS (
-             |  SELECT tf.doc_id, tf.term,
-             |    tf.tf * ((n.n_docs * 100) // df.df) AS w
-             |  FROM tf JOIN df USING (term) CROSS JOIN n
-             |  WHERE df.df <= GREATEST(2, n.n_docs // 10)),
+             |${TextQueries.DfCutWeightsSql},
              |wq AS (SELECT doc_id AS q_id, term, w AS wq FROM w WHERE doc_id < 5),
              |ss AS (
              |  SELECT wq.q_id, w.doc_id AS id, SUM(w.w * wq.wq) AS score

@@ -25,6 +25,47 @@ object TextQueries {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** df-cut tf-idf postings (doc_id, term, w) over a documents frame —
+    * the shared weight scheme of q_doc_sim_sparse and q_hybrid_rrf
+    * (one implementation so the cut and idf scale can never drift
+    * apart): w = tf · (100·N // df), terms with df > max(2, N/10)
+    * dropped (Bayardo-style size pruning; headroom argued on
+    * q_doc_sim_sparse). Persisted + eagerly materialized — every
+    * caller has multiple consumers (the PERF_NOTES race rule).
+    */
+  def dfCutWeights(docs: DataFrame): DataFrame = {
+    import graft.functions.ExactMath
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val wgt = tf.join(df_, "term").crossJoin(broadcast(n))
+      .filter(col("df") <= greatest(lit(2L),
+        ExactMath.divTrunc(col("n_docs"), lit(10L))))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * ExactMath.divTrunc(col("n_docs") * 100L, col("df"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wgt.count()
+    wgt
+  }
+
+  /** The oracle-side twin of [[dfCutWeights]]: CTEs p/tf/df/n/w over
+    * `documents` — interpolated into both consumers' oracle SQL so the
+    * two engines' shared scheme is also SHARED TEXT, not a copy.
+    */
+  val DfCutWeightsSql: String =
+    """p AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM p GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |w AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    tf.tf * ((n.n_docs * 100) // df.df) AS w
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE df.df <= GREATEST(2, n.n_docs // 10))""".stripMargin
+
   /** Half-up integer ratio in e4 units: round(1e4 * num/den) — exact
     * long division (ExactMath), never double (per-doc numerators can't
     * reach 2^53 today, but the exact form costs nothing). */
@@ -816,19 +857,7 @@ object TextQueries {
     QueryDef(
       "q_doc_sim_sparse",
       (s: SparkSession, dir: String) => {
-        val docs = Tables(s, dir, "documents")
-        val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val wgt = tf.join(df_, "term").crossJoin(broadcast(n))
-          .filter(col("df") <= greatest(lit(2L),
-            graft.functions.ExactMath.divTrunc(col("n_docs"), lit(10L))))
-          .select(col("doc_id"), col("term"),
-            (col("tf") * graft.functions.ExactMath.divTrunc(
-              col("n_docs") * 100L, col("df"))).as("w"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        wgt.count() // eager: three consumers below (PERF_NOTES race rule)
+        val wgt = dfCutWeights(Tables(s, dir, "documents"))
         val norms = wgt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm"))
         wgt.as("a")
           .join(wgt.as("b"),
@@ -845,17 +874,7 @@ object TextQueries {
           .orderBy(col("dot").desc, col("doc_a"), col("doc_b"))
           .limit(20)
       },
-      Some("""WITH p AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM p GROUP BY 1, 2),
-             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-             |w AS (
-             |  SELECT tf.doc_id, tf.term,
-             |    tf.tf * ((n.n_docs * 100) // df.df) AS w
-             |  FROM tf JOIN df USING (term) CROSS JOIN n
-             |  WHERE df.df <= GREATEST(2, n.n_docs // 10)),
+      Some(s"""WITH $DfCutWeightsSql,
              |nrm AS (SELECT doc_id, SUM(w * w) AS nrm FROM w GROUP BY 1),
              |d AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -39,12 +39,14 @@ class GraphSpec extends SparkSpec {
     }.distinct
     val deg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
     val n = deg.size.toLong
+    val inEdges = edges.groupBy(_._2)
     var rank: Map[String, Long] = deg.map { case (s, _) => s -> 1000000000L / n }
     for (_ <- 1 to 3) {
       val contrib = rank.map { case (s, r) => s -> r / deg(s) }
-      rank = edges.groupBy(_._2).map { case (dst, es) =>
-        dst -> (15000000000L / (n * 100L) +
-          es.map(e => contrib(e._1)).sum * 85L / 100L)
+      // domain = deg nodes every step (the kernel's carried rank frame)
+      rank = deg.map { case (node, _) =>
+        val m = inEdges.getOrElse(node, Seq.empty).flatMap(e => contrib.get(e._1)).sum
+        node -> (15000000000L / (n * 100L) + m * 85L / 100L)
       }
     }
     val want = rank.toSeq.map { case (t, r) => (t, r) }.sortBy(r => (-r._2, r._1))
@@ -84,6 +86,29 @@ class GraphSpec extends SparkSpec {
       }
     }
     assert(r3 == r)
+  }
+
+  test("pagerankSteps: a source-only node survives steps and keeps contributing (r5)") {
+    import graft.queries.GraphQueries
+    // A→B, B→C, C→B: A has out-edges but NO in-edges — the review
+    // scenario where the dst-agg-only rank frame dropped A after step 1
+    val e = Seq(("A", "B"), ("B", "C"), ("C", "B")).toDF("src", "dst")
+    val r2 = GraphQueries.pagerankSteps(e, 2).as[(String, Long)].collect().toMap
+    // A persists with the pure teleport rank (no in-mass)
+    val teleport = 15000000000L / 300L
+    assert(r2.keySet == Set("A", "B", "C"))
+    assert(r2("A") == teleport)
+    // and A's step-2 contribution reached B: driver fold
+    val r0 = 1000000000L / 3L
+    val r1 = Map(
+      "A" -> teleport,
+      "B" -> (teleport + (r0 + r0) * 85L / 100L), // from A and C
+      "C" -> (teleport + r0 * 85L / 100L))
+    val want2 = Map(
+      "A" -> teleport,
+      "B" -> (teleport + (r1("A") + r1("C")) * 85L / 100L),
+      "C" -> (teleport + r1("B") * 85L / 100L))
+    assert(r2 == want2)
   }
 
   test("q_triangles matches a brute-force driver count; each triangle counted once (r5)") {
