@@ -86,7 +86,7 @@ object SimilarityQueries {
     * mapPartitions: per-partition state with no Catalyst equivalent,
     * zero shuffle of the corpus.
     */
-  private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def heapTopK(scored: DataFrame, k: Int): DataFrame = {
     val s = scored.sparkSession
     import s.implicits._
     scored.as[(Long, Long, Double)].mapPartitions { it =>

@@ -373,6 +373,35 @@ class SimilaritySpec extends SparkSpec {
       s"mean ADC recall@10 ${recalls.sum / recalls.length}")
   }
 
+  test("heapTopK property: pre-reduce preserves the exact global top-k (seeded, r5)") {
+    // the kernel's contract: window-ranking the per-partition survivors
+    // equals window-ranking the full data, for any partitioning, any k,
+    // and data containing EXACT score ties (the id tie-break must agree
+    // between heap eviction and global rank or boundary rows flip)
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 200 + rng.nextInt(300)
+      val rows = Seq.fill(n)(
+        (rng.nextInt(3).toLong,          // q_id
+          rng.nextInt(10000).toLong,     // id (collisions possible)
+          rng.nextInt(40) / 10.0))       // score: heavy exact ties
+        .distinct
+      val parts = 1 + rng.nextInt(7)
+      val k = 1 + rng.nextInt(12)
+      val df = rows.toDF("q_id", "id", "score").repartition(parts)
+      def topk(d: org.apache.spark.sql.DataFrame) = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
+        d.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+          .select("q_id", "rk", "id", "score")
+          .as[(Long, Int, Long, Double)].collect().toSet
+      }
+      val direct = topk(df)
+      val reduced = topk(graft.queries.SimilarityQueries.heapTopK(df, k))
+      assert(reduced == direct, s"trial $trial (n=$n parts=$parts k=$k)")
+    }
+  }
+
   test("q_pca_power: exact integer matvec matches; Rayleigh quotient non-decreasing (r5)") {
     import graft.functions.VectorOps
     val all = Tables(spark, sfDir, "embeddings")
