@@ -655,6 +655,56 @@ object ProfileQueries {
              |FROM t ORDER BY event_type, digit""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_seasonality ★ (new r5) — hour-of-day activity profile per event
+    // type: the circadian baseline behind staffing, rate-limit sizing,
+    // and "is this burst abnormal FOR 3 AM" anomaly context (a raw
+    // volume tripwire like q_rate_anomaly fires on every diurnal swing
+    // unless it knows this profile). Per type: the peak hour (ties →
+    // smallest hour, the q_skew_stats min-struct idiom), its share of
+    // traffic, and the Simpson concentration Σ(n_h/N)² in exact e6 —
+    // 41666 (=1e6/24) is a perfectly flat profile, 1e6 a single-hour
+    // spike; the same rational-concentration move as q_mm_byte_stats
+    // (entropy would need libm). Σn_h²·1e6 stays in signed 64-bit while
+    // per-type volume < ~3e6 rows/hour — beyond that, decimal(38,0)
+    // (the q_autocorr move). Plan: ONE (type, hour) hash agg — map-side
+    // combined, ≤ 24×types rows — then a types-sized agg; dashboard
+    // shape at any corpus size.
+    QueryDef(
+      "q_seasonality",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"), hour(col("ts")).as("h"))
+          .agg(count(lit(1)).as("n_h"))
+          .groupBy("event_type")
+          .agg(sum("n_h").as("n"),
+            min(struct((-col("n_h")).as("nn"), col("h")))
+              .getField("h").as("peak_hour"),
+            max("n_h").as("peak_n"),
+            sum(col("n_h") * col("n_h")).as("sum_sq"))
+          .select(col("event_type"), col("n"), col("peak_hour"),
+            col("peak_n"),
+            ExactMath.divTrunc(col("peak_n") * 1000000L, col("n"))
+              .as("peak_share_e6"),
+            ExactMath.divTrunc(col("sum_sq") * 1000000L, col("n") * col("n"))
+              .as("simpson_e6"))
+          .orderBy("event_type"),
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS h,
+             |    COUNT(*) AS n_h
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT *, MAX(n_h) OVER (PARTITION BY event_type) AS mx
+             |  FROM b)
+             |SELECT event_type, CAST(SUM(n_h) AS BIGINT) AS n,
+             |  CAST(MIN(CASE WHEN n_h = mx THEN h END) AS INTEGER) AS peak_hour,
+             |  CAST(MAX(n_h) AS BIGINT) AS peak_n,
+             |  CAST(MAX(n_h) * 1000000 // SUM(n_h) AS BIGINT) AS peak_share_e6,
+             |  CAST(SUM(n_h * n_h) * 1000000 // (SUM(n_h) * SUM(n_h)) AS BIGINT)
+             |    AS simpson_e6
+             |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_fk_orphans ★ (new r5) — referential-integrity audit across the
     // star schema: for every foreign-key edge (lineitem→orders,
     // lineitem→part, lineitem→supplier, orders→customer,

@@ -379,6 +379,28 @@ class ProfileSpec extends SparkSpec {
     assert(got.map(_._7).max > 50000L)
   }
 
+  test("q_seasonality matches a driver fold; concentration bounded by [flat, spike] (r5)") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("event_type"), hour(col("ts"))).as[(String, Int)].collect().toSeq
+    val want = rows.groupBy(_._1).map { case (t, xs) =>
+      val byH = xs.groupBy(_._2).map { case (h, o) => (h, o.size.toLong) }
+      val n = xs.size.toLong
+      val mx = byH.values.max
+      val peak = byH.filter(_._2 == mx).keys.min
+      val sq = byH.values.map(v => v * v).sum
+      (t, n, peak, mx, mx * 1000000L / n, sq * 1000000L / (n * n))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_seasonality")(spark, sfDir)
+      .as[(String, Long, Int, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // Simpson bounds: ≥ flat 1e6/24 (41666), ≤ 1e6; uniform fixture
+    // sits near flat
+    got.foreach { r =>
+      assert(r._6 >= 41666L && r._6 <= 1000000L)
+      assert(r._6 < 100000L, s"${r._1} unexpectedly concentrated: ${r._6}")
+    }
+  }
+
   test("q_fk_orphans: clean star audits green; a corrupted batch fires the counter (r5)") {
     import graft.queries.ProfileQueries
     val got = SparkEntry.queries("q_fk_orphans")(spark, sfDir)
