@@ -655,6 +655,61 @@ object ProfileQueries {
              |FROM t ORDER BY event_type, digit""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_user_overlap ★ (new r5) — audience overlap between event types:
+    // for every type pair, the shared-user count and Jaccard in exact
+    // e6 — the behavioral-cohort matrix (feature redundancy: two event
+    // types whose audiences coincide carry one signal, not two; also
+    // the funnel-adjacency sanity check). Same scalable shape as
+    // q_contamination_matrix on a different domain: distinct (type,
+    // user) compression FIRST (corpus → ≤ types·users rows), then a
+    // user-keyed self-join whose per-key fan-out is bounded by the
+    // TYPE COUNT (≤ C(5,2) pairs per user here), one pair agg,
+    // per-type totals broadcast back. Jaccard denominator n_a + n_b −
+    // shared is exact; pairs with zero shared users are absent
+    // (inner-join semantics, containment 0).
+    QueryDef(
+      "q_user_overlap",
+      (s: SparkSession, dir: String) => {
+        val tu = Tables(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tu.count() // eager: totals + both join sides
+        val per = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+        tu.as("a")
+          .join(tu.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(per.select(col("event_type").as("type_a"),
+            col("n").as("n_a"))), "type_a")
+          .join(broadcast(per.select(col("event_type").as("type_b"),
+            col("n").as("n_b"))), "type_b")
+          .select(col("type_a"), col("type_b"), col("n_shared"), col("n_a"),
+            col("n_b"),
+            ExactMath.floorDiv(col("n_shared") * 1000000L,
+              col("n_a") + col("n_b") - col("n_shared")).as("jaccard_e6"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH tu AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |per AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+             |p AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    COUNT(*) AS n_shared
+             |  FROM tu a JOIN tu b
+             |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT p.type_a, p.type_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+             |  CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+             |  CAST((p.n_shared * 1000000) // (pa.n + pb.n - p.n_shared)
+             |    AS BIGINT) AS jaccard_e6
+             |FROM p JOIN per pa ON p.type_a = pa.event_type
+             |       JOIN per pb ON p.type_b = pb.event_type
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_seasonality ★ (new r5) — hour-of-day activity profile per event
     // type: the circadian baseline behind staffing, rate-limit sizing,
     // and "is this burst abnormal FOR 3 AM" anomaly context (a raw

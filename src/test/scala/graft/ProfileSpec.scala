@@ -379,6 +379,28 @@ class ProfileSpec extends SparkSpec {
     assert(got.map(_._7).max > 50000L)
   }
 
+  test("q_user_overlap matches a driver-side set fold (r5)") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+      .collect().toSeq.distinct
+    val byType = rows.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val want = byType.keys.toSeq.sorted.combinations(2).toSeq.flatMap {
+      case Seq(a, b) =>
+        val sh = byType(a).intersect(byType(b)).size.toLong
+        if (sh == 0) None
+        else {
+          val (na, nb) = (byType(a).size.toLong, byType(b).size.toLong)
+          Some((a, b, sh, na, nb, sh * 1000000L / (na + nb - sh)))
+        }
+      case _ => None
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_user_overlap")(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // all C(5,2) pairs overlap on this dense fixture, jaccard ≤ 1e6
+    assert(got.size == 10 && got.forall(_._6 <= 1000000L))
+  }
+
   test("q_seasonality matches a driver fold; concentration bounded by [flat, spike] (r5)") {
     val rows = Tables(spark, sfDir, "events")
       .select(col("event_type"), hour(col("ts"))).as[(String, Int)].collect().toSeq
