@@ -782,6 +782,55 @@ object TextQueries {
              |FROM g ORDER BY k""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_skipgram ★ (new r5) — WINDOWED co-occurrence counts (skip-gram
+    // context window ±2), the table word2vec/GloVe-style embedding
+    // training actually consumes: q_text_cooccur counts "both tokens
+    // somewhere in the same document" (topical affinity); this counts
+    // "within 2 positions of each other" (syntactic/phrase affinity) —
+    // the two matrices answer different questions and a pipeline
+    // building embeddings needs the positional one. Pairs are
+    // canonicalized (t1 < t2, both directions folded) and weighted by
+    // occurrence count, not document count. Plan: posexplode keeps the
+    // token POSITION (order matters here — the distinct pair stream of
+    // cooccur deliberately destroys it), the self-join is keyed on
+    // doc_id with |Δpos| ≤ 2 — per-doc-bounded work ∝ doc_len·window,
+    // LINEAR in doc length (cooccur's within-doc quadratic is bounded
+    // by vocabulary; this is bounded by the window — strictly
+    // cheaper), one (t1, t2) hash agg, deterministic top-50.
+    QueryDef(
+      "q_skipgram",
+      (s: SparkSession, dir: String) => {
+        val pos = Tables(s, dir, "documents")
+          .select(col("doc_id"), posexplode(toks).as(Seq("p", "t")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pos.count() // eager: both self-join sides
+        pos.as("a")
+          .join(pos.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.p") > col("a.p") && col("b.p") <= col("a.p") + 2)
+          .select(least(col("a.t"), col("b.t")).as("t1"),
+            greatest(col("a.t"), col("b.t")).as("t2"))
+          .filter(col("t1") =!= col("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2"))
+          .limit(50)
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, u.t AS t, u.p AS p FROM (
+             |    SELECT doc_id, unnest(list_transform(range(len(ts)),
+             |      i -> {'p': i, 't': ts[CAST(i + 1 AS INTEGER)]})) AS u
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ts
+             |          FROM documents))),
+             |pairs AS (
+             |  SELECT LEAST(a.t, b.t) AS t1, GREATEST(a.t, b.t) AS t2
+             |  FROM p a JOIN p b
+             |    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2
+             |  WHERE a.t != b.t)
+             |SELECT t1, t2, COUNT(*) AS n
+             |FROM pairs GROUP BY 1, 2
+             |ORDER BY n DESC, t1, t2 LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_doc_novelty ★ (new r5) — per-document NOVELTY in ingest order:
     // what fraction of a doc's distinct bigrams appear here for the
     // FIRST time (no earlier doc_id contains them) — the doc-level form

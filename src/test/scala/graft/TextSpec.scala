@@ -219,6 +219,27 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._4 >= got.last._4)
   }
 
+  test("q_skipgram matches a driver-side windowed fold (r5)") {
+    val texts = Tables(spark, sfDir, "documents")
+      .select("text").as[String].collect().toSeq
+    val counts = texts.flatMap { t =>
+      val ws = t.split(" ", -1)
+      for {
+        i <- ws.indices; j <- (i + 1) to math.min(i + 2, ws.length - 1)
+        if ws(i) != ws(j)
+      } yield if (ws(i) < ws(j)) (ws(i), ws(j)) else (ws(j), ws(i))
+    }.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+    val want = counts.toSeq.sortBy { case (a, b, n) => (-n, a, b) }.take(50)
+    val got = SparkEntry.queries("q_skipgram")(spark, sfDir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == want)
+    // positional counts differ from doc-level co-occurrence: the two
+    // matrices are genuinely different operators
+    val cooccur = SparkEntry.queries("q_text_cooccur")(spark, sfDir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)).toSet != cooccur.map(r => (r._1, r._2)).toSet)
+  }
+
   test("q_doc_novelty matches a driver-side first-occurrence fold (r5)") {
     val rows = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
