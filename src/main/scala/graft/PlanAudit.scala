@@ -29,6 +29,7 @@ object PlanAudit {
     ("q_collocation_pmi", "BroadcastNestedLoopJoin"), // 1-row bigram total
     ("q_pagerank_iter", "BroadcastNestedLoopJoin"),   // 1-row node count
     ("q_pagerank3", "BroadcastNestedLoopJoin"),       // 1-row node count ×3 steps
+    ("q_abtest", "BroadcastNestedLoopJoin"),          // 1-row × 1-row arm cross
     ("q_doc_sim_sparse", "BroadcastNestedLoopJoin"),  // 1-row n_docs for idf
     ("q_drift_tvd", "BroadcastNestedLoopJoin"),       // 1-row min/max day broadcast
     ("q_fk_orphans", "BroadcastNestedLoopJoin"),      // 1-row × 1-row count cross per edge

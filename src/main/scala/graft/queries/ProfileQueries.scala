@@ -42,6 +42,34 @@ object ProfileQueries {
       .orderBy("event_type")
   }
 
+  /** Two-proportion readout over a (arm, n, x) frame — the q_abtest
+    * kernel, public so the spec can drive genuinely-different synthetic
+    * cohorts and prove the significance flag fires (the fixture's A/A
+    * split should — and does — stay at 0). The chi-square compare runs
+    * in decimal(38,0): the squared term overflows 2^63 at realistic
+    * cohort sizes.
+    */
+  def abTest(arms: DataFrame): DataFrame = {
+    val a = arms.filter(col("arm") === 0L)
+      .select(col("n").as("n1"), col("x").as("x1"))
+    val b = arms.filter(col("arm") === 1L)
+      .select(col("n").as("n2"), col("x").as("x2"))
+    a.crossJoin(b)
+      .select(col("n1"), col("x1"),
+        ExactMath.divTrunc(col("x1") * 10000L, col("n1")).as("rate1_e4"),
+        col("n2"), col("x2"),
+        ExactMath.divTrunc(col("x2") * 10000L, col("n2")).as("rate2_e4"),
+        (ExactMath.divTrunc(col("x2") * 10000L, col("n2")) -
+          ExactMath.divTrunc(col("x1") * 10000L, col("n1"))).as("uplift_e4"),
+        expr("""CAST(CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 AND
+                |  100 * CAST(n1 + n2 AS DECIMAL(38,0))
+                |    * CAST(x1 * (n2 - x2) - x2 * (n1 - x1) AS DECIMAL(38,0))
+                |    * CAST(x1 * (n2 - x2) - x2 * (n1 - x1) AS DECIMAL(38,0))
+                |  >= 384 * CAST(n1 AS DECIMAL(38,0)) * n2 * (x1 + x2)
+                |    * (n1 + n2 - x1 - x2)
+                |  THEN 1 ELSE 0 END AS INT)""".stripMargin).as("significant"))
+  }
+
   /** One FK-edge audit row — the q_fk_orphans kernel, public so the
     * spec can plant a corrupted child batch and prove the counter
     * fires (the fixture's all-zero orphans exercise only the ok path).
@@ -653,6 +681,73 @@ object ProfileQueries {
              |    WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
              |    WHEN 8 THEN 51152 WHEN 9 THEN 45757 END) AS BIGINT) AS dev_e6
              |FROM t ORDER BY event_type, digit""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_abtest ★ (new r5) — two-proportion experiment readout: users
+    // split into arms by the hash rule of q_split_assign (md5(user_id)
+    // mod 2 — deterministic, reproducible, the assignment an actual
+    // experiment framework uses; parity would correlate with id-
+    // assignment order), per-arm user-level conversion (converted =
+    // ≥ 1 purchase event), uplift in e4, and a DIVISION-FREE
+    // significance flag: the 1-df chi-square test χ² ≥ 3.84 (95%)
+    // cross-multiplied to 100·N·(x₁(n₂−x₂) − x₂(n₁−x₁))² ≥
+    // 384·n₁·n₂·x·(N−x) — no square root, no float; the squared term
+    // reaches ~1e21 at sf0.1 cohort sizes, past 2^63, so the compare
+    // runs in DECIMAL(38,0) vs HUGEINT (the q_autocorr move; headroom
+    // to ~1e9 users/arm). On this fixture assignment is independent of
+    // behavior, so the flag SHOULD be 0 — a significant readout here
+    // would mean the hash assignment is biased (the A/A-test
+    // discipline); the spec drives a synthetic genuinely-different
+    // cohort pair to prove the flag fires. Plan: one corpus → users
+    // agg, one 2-row arm agg, a 1-row cross of the two arms.
+    QueryDef(
+      "q_abtest",
+      (s: SparkSession, dir: String) => {
+        // conversion = the user purchased more often than they errored —
+        // scale-free (≥-one-purchase saturates at 100% on this dense
+        // fixture: every user has every type, x = N zeroes the χ²
+        // denominator and the flag degenerates)
+        val users = Tables(s, dir, "events")
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)))
+            .cast("long").as("converted"))
+          .select(
+            pmod(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+              .cast("long"), lit(2L)).as("arm"),
+            col("converted"))
+        abTest(users.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum("converted").as("x")))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |            > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |         THEN 1 ELSE 0 END AS converted
+             |  FROM events GROUP BY 1),
+             |armed AS (
+             |  SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             |    % 2 AS arm, converted
+             |  FROM u),
+             |arms AS (
+             |  SELECT arm, COUNT(*) AS n, SUM(converted) AS x
+             |  FROM armed GROUP BY 1),
+             |c AS (
+             |  SELECT a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2
+             |  FROM arms a JOIN arms b ON a.arm = 0 AND b.arm = 1)
+             |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+             |  CAST(x1 * 10000 // n1 AS BIGINT) AS rate1_e4,
+             |  CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+             |  CAST(x2 * 10000 // n2 AS BIGINT) AS rate2_e4,
+             |  CAST(x2 * 10000 // n2 - x1 * 10000 // n1 AS BIGINT) AS uplift_e4,
+             |  CAST(CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 AND
+             |    100 * CAST(n1 + n2 AS HUGEINT)
+             |      * CAST(x1 * (n2 - x2) - x2 * (n1 - x1) AS HUGEINT)
+             |      * CAST(x1 * (n2 - x2) - x2 * (n1 - x1) AS HUGEINT)
+             |    >= 384 * CAST(n1 AS HUGEINT) * n2 * (x1 + x2)
+             |      * (n1 + n2 - x1 - x2)
+             |    THEN 1 ELSE 0 END AS INTEGER) AS significant
+             |FROM c""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_user_overlap ★ (new r5) — audience overlap between event types:

@@ -379,6 +379,51 @@ class ProfileSpec extends SparkSpec {
     assert(got.map(_._7).max > 50000L)
   }
 
+  test("q_abtest: A/A split stays flat; flag fires on a real difference (r5)") {
+    import graft.queries.ProfileQueries
+    // driver fold of the declared query
+    val users = Tables(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)))
+        .cast("long").as("converted"))
+      .as[(Long, Long)].collect().toSeq
+    def arm(uid: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      ((h % 2) + 2) % 2
+    }
+    val byArm = users.groupBy(u => arm(u._1))
+      .map { case (a, xs) => (a, xs.size.toLong, xs.map(_._2).sum) }
+    val Seq((_, n1, x1), (_, n2, x2)) = byArm.toSeq.sortBy(_._1)
+    def chi(n1: Long, x1: Long, n2: Long, x2: Long): Int = {
+      val d = BigInt(x1 * (n2 - x2) - x2 * (n1 - x1))
+      val x = x1 + x2; val nn = n1 + n2
+      if (x > 0 && x < nn &&
+        100 * BigInt(nn) * d * d >= 384 * BigInt(n1) * n2 * x * (nn - x)) 1 else 0
+    }
+    val want = (n1, x1, x1 * 10000L / n1, n2, x2, x2 * 10000L / n2,
+      x2 * 10000L / n2 - x1 * 10000L / n1, chi(n1, x1, n2, x2))
+    val got = SparkEntry.queries("q_abtest")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Int)].head()
+    assert(got == want)
+    // the A/A discipline: hash assignment independent of behavior must
+    // NOT read significant
+    assert(got._8 == 0, s"A/A split read significant: $got")
+    // the flag fires on a genuine difference (40% vs 60%, n=1000/arm)…
+    def run(rows: Seq[(Long, Long, Long)]) =
+      ProfileQueries.abTest(rows.toDF("arm", "n", "x"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Int)].head()
+    assert(run(Seq((0L, 1000L, 400L), (1L, 1000L, 600L)))._8 == 1)
+    // …stays quiet on a within-noise difference…
+    assert(run(Seq((0L, 1000L, 500L), (1L, 1000L, 510L)))._8 == 0)
+    // …and the zero-variance boundaries never divide by zero
+    assert(run(Seq((0L, 100L, 0L), (1L, 100L, 0L)))._8 == 0)
+    assert(run(Seq((0L, 100L, 100L), (1L, 100L, 100L)))._8 == 0)
+  }
+
   test("q_user_overlap matches a driver-side set fold (r5)") {
     val rows = Tables(spark, sfDir, "events")
       .select(col("event_type"), col("user_id")).as[(String, Long)]
