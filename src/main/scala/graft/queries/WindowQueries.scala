@@ -286,6 +286,54 @@ object WindowQueries {
              |ORDER BY user_id, version""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_lag_features ★ (new r5) — per-event TRAILING features: time
+    // since the user's previous event (micros; −1 for their first) and
+    // how many events they fired in the trailing hour EXCLUDING now —
+    // the online-feature materialization every real-time model consumes
+    // (rate limiting, fraud velocity, session features) computed the
+    // batch way: one user_id shuffle, then a lag window and an
+    // event-time RANGE frame sharing that partitioning (the q_scd2
+    // one-shuffle argument; per-user frames bounded by per-user
+    // activity, never corpus-wide). Event-time micros are exact longs
+    // end-to-end — no float time arithmetic — and the RANGE frame is
+    // [-3600s, -1µs] so "now" never counts itself (the off-by-one that
+    // silently leaks the label into a feature). Output is corpus-sized
+    // BY DESIGN: this query materializes a feature column, not a
+    // summary (same class as q_scan_project / q_string_date_math);
+    // declared output keeps the 3 feature columns + keys.
+    QueryDef(
+      "q_lag_features",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+        val wr = Window.partitionBy("user_id").orderBy(col("tsm"))
+          .rangeBetween(-3600L * 1000000L, -1L)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tsm"))
+          .withColumn("prev", lag("tsm", 1).over(w))
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("tsm") - col("prev"), lit(-1L)).as("since_prev_us"),
+            count(lit(1)).over(wr).as("n_prev_1h"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsm
+             |  FROM events),
+             |f AS (
+             |  SELECT event_id, user_id,
+             |    COALESCE(tsm - lag(tsm) OVER
+             |      (PARTITION BY user_id ORDER BY tsm, event_id), -1)
+             |      AS since_prev_us,
+             |    COUNT(*) OVER (PARTITION BY user_id ORDER BY tsm
+             |      RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+             |      AS n_prev_1h
+             |  FROM e)
+             |SELECT event_id, user_id, CAST(since_prev_us AS BIGINT) AS since_prev_us,
+             |  CAST(n_prev_1h AS BIGINT) AS n_prev_1h
+             |FROM f ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_streaks ★ (new r5) — gaps-and-islands: each user's LONGEST run
     // of consecutive active days (and how many distinct islands their
     // activity splits into) — the engagement-streak feature and the

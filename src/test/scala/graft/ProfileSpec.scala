@@ -379,6 +379,27 @@ class ProfileSpec extends SparkSpec {
     assert(got.map(_._7).max > 50000L)
   }
 
+  test("q_lag_features matches a driver fold; no self-leak into the trailing count (r5)") {
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1))
+      sorted.zipWithIndex.map { case ((eid, _, tsm), i) =>
+        val since = if (i == 0) -1L else tsm - sorted(i - 1)._3
+        val n1h = es.count(o => o._3 >= tsm - 3600000000L && o._3 <= tsm - 1L)
+        (eid, uid, since, n1h.toLong)
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_lag_features")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // a first event per user exists and is marked -1; the trailing
+    // count never includes the event itself (self-leak guard)
+    assert(got.count(_._3 == -1L) == rows.map(_._2).distinct.size)
+    assert(got.exists(_._4 > 0L))
+  }
+
   test("q_abtest: A/A split stays flat; flag fires on a real difference (r5)") {
     import graft.queries.ProfileQueries
     // driver fold of the declared query
