@@ -76,6 +76,24 @@ object LakeOps {
       .parquet(files: _*)
   }
 
+  /** Roll the table back to snapshot `toSnapshotId` — Iceberg's
+    * `rollback_to_snapshot`: committed as a NEW `rewrite` snapshot
+    * whose live set is the target snapshot's (history is append-only;
+    * a rollback is a forward commit that restores old content, so the
+    * rolled-back-over snapshots stay readable until expiry and the
+    * operation is itself roll-back-able). Requires the target snapshot
+    * to exist; returns the new snapshot's commit info.
+    */
+  def rollback(tableDir: String, toSnapshotId: Long): CommitInfo = {
+    require(GraftLog.records(tableDir).exists(_.snapshotId == toSnapshotId),
+      s"no snapshot $toSnapshotId in $tableDir")
+    val files = GraftLog.liveFiles(tableDir, Some(toSnapshotId))
+    val rows = GraftLog.records(tableDir)
+      .filter(_.snapshotId == toSnapshotId).map(_.rows).sum
+    val rec = GraftLog.commit(tableDir, "rewrite", rows, files, Seq.empty)
+    CommitInfo(rec.snapshotId, rec.files, rows)
+  }
+
   /** Bin-pack the live set: one file per partition directory, committed
     * as a `rewrite` snapshot. Same rows, fewer files; old snapshots
     * remain readable until expiry.

@@ -376,6 +376,34 @@ class LakeOpsSpec extends SparkSpec {
     assert(LakeOps.readTable(spark, tdir).count() == 0)
   }
 
+  test("rollback: restores old content as a forward commit; itself roll-back-able (r5)") {
+    import spark.implicits._
+    import graft.sink.HiveParquetWriter
+    val tdir = Files.createTempDirectory("graft_rb_spec_").toString + "/t"
+    val w = new HiveParquetWriter
+    val s1 = w.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "category", "v"),
+      Seq("category"), tdir).snapshotId
+    val s2 = LakeOps.upsert(spark, tdir,
+      Seq((2L, "b", 99L)).toDF("id", "category", "v"),
+      keyCols = Seq("id"), partitionCols = Seq("category")).snapshotId
+    assert(LakeOps.readTable(spark, tdir)
+      .agg(sum(col("v"))).head().getLong(0) == 109L)
+    // rollback to pre-upsert content: a NEW snapshot, not history erasure
+    val rb = LakeOps.rollback(tdir, s1)
+    assert(rb.snapshotId > s2)
+    assert(LakeOps.readTable(spark, tdir)
+      .agg(sum(col("v"))).head().getLong(0) == 30L)
+    // the rolled-back-over snapshot remains time-travel-readable
+    assert(LakeOps.readSnapshot(spark, tdir, s2)
+      .agg(sum(col("v"))).head().getLong(0) == 109L)
+    // and the rollback is itself roll-back-able (roll forward again)
+    LakeOps.rollback(tdir, s2)
+    assert(LakeOps.readTable(spark, tdir)
+      .agg(sum(col("v"))).head().getLong(0) == 109L)
+    // unknown snapshot refused
+    intercept[IllegalArgumentException] { LakeOps.rollback(tdir, 999L) }
+  }
+
   test("incremental read: exact deltas, empty-range and rewrite-range refusal (r5)") {
     import spark.implicits._
     import graft.sink.HiveParquetWriter
