@@ -14,7 +14,8 @@ object SparkEntry {
     CoreQueries.entries ++ RelationalQueries.entries ++ WindowQueries.entries ++
       TypesQueries.entries ++ TextQueries.entries ++ DedupQueries.entries ++
       SimilarityQueries.entries ++ IngestQueries.entries ++ MultimodalQueries.entries ++
-      AdvancedQueries.entries ++ ProfileQueries.entries ++ GraphQueries.entries
+      AdvancedQueries.entries ++ ProfileQueries.entries ++ GraphQueries.entries ++
+      StreamingQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

@@ -50,6 +50,35 @@ object ScaleOps {
   def joinBroadcastDim(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     fact.join(broadcast(dim), keys)
 
+  /** Runtime bloom-filter pruning of a fact table against a dimension
+    * key set — the explicit form of the planner's injected runtime
+    * filters (Spark's `InjectRuntimeFilter` plants the same
+    * BloomFilter-build + might-contain probe around shuffle joins, but
+    * only when its own heuristics fire; this one survives any plan
+    * shape). The dim keys fold into a driver-side bloom (~9.6 bits/key
+    * at fpp 0.01 — 1.2 MiB per million keys, a broadcastable MODEL, not
+    * data), and the probe is a map-side filter: at 100 TB the fact rows
+    * that would die in the join never reach the shuffle at all —
+    * selectivity × fact bytes of network traffic saved, at the cost of
+    * fpp false positives that the exact join downstream removes anyway.
+    * NO false negatives (bloom guarantee), so correctness is
+    * unconditional; ScaleOpsSpec asserts the superset property.
+    *
+    * The build is `df.stat.bloomFilter` — one aggregation over the dim
+    * side (mergeable sketch: per-partition blooms OR together), sized
+    * by an exact count of the build side first (the "build-side stats"
+    * step every runtime-filter implementation pays).
+    */
+  def bloomPrune(
+      fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val n = math.max(dim.count(), 1L)
+    val bf = dim.sparkSession.sparkContext.broadcast(
+      dim.stat.bloomFilter(dimKey, n, fpp))
+    val might = udf((k: Long) => bf.value.mightContainLong(k))
+    fact.filter(might(col(factKey)))
+  }
+
   /** Write `df` as a hash-bucketed, per-bucket-sorted table: ONE
     * up-front shuffle on `key`, after which every equi-join or
     * aggregation between tables bucketed on the same key with the same

@@ -373,6 +373,39 @@ object RelationalQueries {
       Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
              |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_bloom_join ★ (new r5) — RUNTIME-FILTERED fact⋈dim join: urgent
+    // orders' keys fold into a driver-built bloom filter
+    // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),
+    // the fact scan is pre-filtered map-side by the broadcast bloom
+    // (~80% of lineitem never reaches the shuffle; at 100 TB that IS
+    // the query cost), and the exact broadcast join afterwards removes
+    // the fpp false positives — so the RESULT is byte-identical to the
+    // plain join the oracle runs, which is the point: the bloom is pure
+    // physical optimization, invisible in the answer. Aggregates in
+    // exact e2 ints as always.
+    QueryDef(
+      "q_bloom_join",
+      (s: SparkSession, dir: String) => {
+        import graft.operators.ScaleOps
+        val dim = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val pruned = ScaleOps.bloomPrune(
+          Tables(s, dir, "lineitem"), "l_orderkey", dim, "o_orderkey")
+        pruned.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("sum_price_e2"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_e2
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

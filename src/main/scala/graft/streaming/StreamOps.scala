@@ -60,10 +60,22 @@ object StreamOps {
       events: Long, totalValue: Double)
 
   /** Open-session state (public: the state encoder's generated code
-    * must construct it).
+    * must construct it). Times are epoch MICROS — `Timestamp.getTime`
+    * is millis and silently drops the sub-millisecond part of a
+    * parquet micros timestamp (caught by StreamingQueriesSpec when the
+    * emitted session bounds hash-diverged from the oracle's).
     */
   final case class SessionState(
       start: Long, last: Long, events: Long, totalValue: Double)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: per-user
     * state holds the open session; a processing-time timeout closes and
@@ -90,23 +102,24 @@ object StreamOps {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val closed = state.getOption.map(s =>
-              Session(userId, new java.sql.Timestamp(s.start),
-                new java.sql.Timestamp(s.last), s.events, s.totalValue))
+              Session(userId, fromMicros(s.start),
+                fromMicros(s.last), s.events, s.totalValue))
             state.remove()
             closed.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            val gapUs = gapMs * 1000L
+            val sorted = rows.toSeq.sortBy(r => micros(r._2))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { case (_, ts, v) =>
-              val t = ts.getTime
+              val t = micros(ts)
               cur match {
-                case Some(s) if t - s.last < gapMs =>
+                case Some(s) if t - s.last < gapUs =>
                   cur = Some(s.copy(last = t, events = s.events + 1,
                     totalValue = s.totalValue + v))
                 case Some(s) =>
-                  closed += Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.last), s.events, s.totalValue)
+                  closed += Session(userId, fromMicros(s.start),
+                    fromMicros(s.last), s.events, s.totalValue)
                   cur = Some(SessionState(t, t, 1, v))
                 case None =>
                   cur = Some(SessionState(t, t, 1, v))

@@ -67,6 +67,26 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrune: superset of true matches, prunes most non-matches") {
+    val dim = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val fact = Tables(spark, sfDir, "lineitem")
+    val pruned = ScaleOps.bloomPrune(fact, "l_orderkey", dim, "o_orderkey")
+
+    // no false negatives: every true match survives the bloom
+    val trueMatches = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber")
+    val lost = trueMatches.except(
+      pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber"))
+    assert(lost.count() == 0L)
+
+    // and it actually prunes: ~20% selectivity + fpp 1% → well under half
+    val (total, kept) = (fact.count(), pruned.count())
+    assert(kept >= trueMatches.count())
+    assert(kept < total / 2, s"bloom kept $kept of $total — not pruning")
+  }
+
   test("joinBroadcastDim plans a BroadcastHashJoin") {
     val j = ScaleOps.joinBroadcastDim(
       Tables(spark, sfDir, "customer"),

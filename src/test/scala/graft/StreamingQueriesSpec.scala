@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.StreamingQueries
+
+/** The declared streaming rows (`stream_tumbling_e2e` /
+  * `stream_session_e2e`) checked against an independent BATCH
+  * re-derivation of the same semantics on the same sf0.001 data — the
+  * Spark-side mirror of what the DuckDB oracle asserts: append mode
+  * emits exactly the windows closed by the final watermark, and the
+  * sessionizer emits exactly the gap-closed (non-tail) sessions.
+  */
+class StreamingQueriesSpec extends SparkSpec {
+
+  private def run(name: String) =
+    StreamingQueries.entries.find(_.name == name).get.query(spark, sfDir)
+
+  test("stream_tumbling_e2e: emitted set == batch windows closed by final watermark") {
+    val got = run("stream_tumbling_e2e").collect().toSeq
+    assert(got.nonEmpty, "streaming drain emitted nothing — watermark flush batch missing")
+
+    val e = Tables(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val wm = e.agg(max("ts")).head().getTimestamp(0).getTime - 600000L
+    val expected = e
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .filter((unix_millis(col("ws")) + 3600000L) <= wm)
+      .orderBy("ws", "event_type")
+      .collect().toSeq
+    assert(got == expected)
+
+    // and the restriction is REAL: at least one tail window was withheld
+    val all = e.groupBy(date_trunc("hour", col("ts")), col("event_type")).count().count()
+    assert(got.size < all, "no window was withheld — watermark restriction untested")
+  }
+
+  test("stream_session_e2e: emitted set == batch islands minus each user's open tail") {
+    val got = run("stream_session_e2e").collect().toSeq
+    assert(got.nonEmpty)
+
+    val e = Tables(spark, sfDir, "events")
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val sess = e
+      .withColumn("new_s",
+        when(lag("ts", 1).over(w).isNull ||
+          (unix_millis(col("ts")) - unix_millis(lag("ts", 1).over(w))) >= 600000L,
+          1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("sess_start"), max("ts").as("sess_end"),
+        count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val maxSid = sess.groupBy("user_id").agg(max("sid").as("max_sid"))
+    val expected = sess.join(maxSid, "user_id")
+      .filter(col("sid") < col("max_sid"))
+      .select("user_id", "sess_start", "sess_end", "n", "sum_cents")
+      .orderBy("user_id", "sess_start")
+      .collect().toSeq
+    assert(got == expected)
+
+    // every user with ≥1 emitted session must have exactly one withheld
+    // (open) tail session — the append-mode contract
+    val emittedUsers = got.map(_.getLong(0)).toSet
+    val allSessByUser = sess.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    emittedUsers.foreach { u =>
+      val emitted = got.count(_.getLong(0) == u)
+      assert(allSessByUser(u) == emitted + 1)
+    }
+  }
+
+  test("declared streaming rows re-run cleanly in one session (Bench reps)") {
+    val a = run("stream_tumbling_e2e").collect().toSeq
+    val b = run("stream_tumbling_e2e").collect().toSeq
+    assert(a == b)
+  }
+}
