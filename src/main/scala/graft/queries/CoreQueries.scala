@@ -195,6 +195,35 @@ object CoreQueries {
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
           .limit(100),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_multi_distinct ★ (new r5) — SEVERAL count(distinct …) on
+    // different columns in one aggregation, per day: the plan shape is
+    // Catalyst's Expand — each input row fans out to one replica per
+    // distinct-column (gid-tagged, others nulled), then a single
+    // two-phase hash agg computes every distinct count in ONE pass over
+    // the fact table. The alternative a naive engine runs — one full
+    // scan + shuffle PER distinct column, then a join of the partials —
+    // is 3 scans of 100 TB instead of one 3×-expanded shuffle of the
+    // (day-key, distinct-value) pairs. The non-distinct count rides the
+    // same Expand for free.
+    QueryDef(
+      "q_multi_distinct",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("event_type")).as("n_types"),
+            countDistinct(col("user_id"), col("event_type")).as("n_user_type"),
+            count(lit(1)).as("n"))
+          .orderBy("d"),
+      Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  COUNT(DISTINCT event_type) AS n_types,
+             |  COUNT(DISTINCT (user_id, event_type)) AS n_user_type,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY 1 ORDER BY d""".stripMargin))
   )
 }

@@ -284,6 +284,49 @@ object GraphQueries {
              |    THEN (COALESCE(tpn.n_tri, 0) * 20000) // (deg.deg * (deg.deg - 1))
              |    ELSE 0 END AS BIGINT) AS clust_e4
              |FROM deg LEFT JOIN tpn ON deg.w = tpn.w
-             |ORDER BY token""".stripMargin))
+             |ORDER BY token""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_degree_dist ★ (new r5) — log₂-binned degree distribution of the
+    // token co-occurrence graph: the first question asked of any graph
+    // at scale (is it power-law? where do the hubs start?) and the
+    // input to every skew decision the other graph queries make
+    // (q_triangles' degree-ordering, salting thresholds). Undirected
+    // degree per node from the distinct edge set, then bucket =
+    // ⌊log₂(deg)⌋ computed EXACTLY as the bit length of the degree
+    // (Spark: length(bin(deg)); DuckDB: length(format('{:b}', deg)) —
+    // integer in both engines, no floating log), with node count and
+    // min/max degree per bucket. One per-doc-bounded edge build + two
+    // hash aggs; nothing here exceeds vocabulary size.
+    QueryDef(
+      "q_degree_dist",
+      (s: SparkSession, dir: String) => {
+        val dt = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(toks)).as("w"))
+        val und = dt.as("a").join(dt.as("b"), "doc_id")
+          .filter(col("a.w") < col("b.w"))
+          .select(col("a.w").as("w1"), col("b.w").as("w2"))
+          .distinct()
+        und.select(explode(array(col("w1"), col("w2"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("deg"))
+          .groupBy((length(bin(col("deg"))) - 1L).cast("long").as("log2_deg"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min("deg").as("min_deg"), max("deg").as("max_deg"))
+          .orderBy("log2_deg")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM t),
+             |und AS (
+             |  SELECT DISTINCT a.w AS w1, b.w AS w2
+             |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w),
+             |deg AS (
+             |  SELECT w, COUNT(*) AS deg FROM (
+             |    SELECT w1 AS w FROM und UNION ALL SELECT w2 FROM und)
+             |  GROUP BY 1)
+             |SELECT CAST(LENGTH(format('{:b}', deg)) - 1 AS BIGINT) AS log2_deg,
+             |  COUNT(*) AS n_nodes, CAST(MIN(deg) AS BIGINT) AS min_deg,
+             |  CAST(MAX(deg) AS BIGINT) AS max_deg
+             |FROM deg GROUP BY 1 ORDER BY log2_deg""".stripMargin))
   )
 }

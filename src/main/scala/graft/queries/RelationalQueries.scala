@@ -129,6 +129,42 @@ object RelationalQueries {
              |ORDER BY returnflag, linestatus""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_grouping_sets ★ (new r5) — ARBITRARY grouping sets, the general
+    // form cube/rollup specialize: ((status, priority), (status), ())
+    // but NOT (priority) — exactly the subtotal combinations asked for,
+    // nothing more (a cube here would compute and shuffle a 4th
+    // grouping for no caller). One Expand (3 replicas/row) + one hash
+    // agg, same single-pass plan as q_rollup; grouping_id()
+    // disambiguates real NULL keys from subtotal NULLs — the sentinel
+    // COALESCE alone can't distinguish a genuine 'ALL' value.
+    QueryDef(
+      "q_grouping_sets",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("sum_price_e2"),
+            grouping_id().as("gid"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("gid"), col("n"), col("sum_price_e2"))
+          .orderBy("gid", "status", "priority"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             |  COALESCE(o_orderpriority, 'ALL') AS priority,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_e2
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |  (o_orderstatus), ())
+             |ORDER BY gid, status, priority""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_set_ops — UNION (distinct) / INTERSECT / EXCEPT over key
     // projections, tagged. Spark plans these as aggregates/joins on the
     // key — a single shuffle each.

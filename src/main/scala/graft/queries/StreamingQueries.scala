@@ -159,6 +159,36 @@ object StreamingQueries {
              |FROM y
              |GROUP BY user_id, sid
              |QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
-             |ORDER BY user_id, sess_start""".stripMargin))
+             |ORDER BY user_id, sess_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // stream_dedup_e2e ★ (new r5) — streaming exact dedup
+    // (`dropDuplicatesWithinWatermark`) through the engine: one row
+    // survives per (user_id, event_type) key. WHICH physical row
+    // survives is stream-arrival order (non-deterministic under
+    // parallel file-split reads), so the declared output projects the
+    // KEY COLUMNS only plus the per-key duplicate count from a second,
+    // order-insensitive aggregation — everything hash-compared is a
+    // pure function of the data. The state-expiry semantics (the part
+    // a batch DISTINCT can't express: keys forgotten once the
+    // watermark passes their horizon) are spec-proven in
+    // StreamOpsSpec with controlled multi-batch arrival; a one-batch
+    // drain exercises the operator's state path but never expires.
+    QueryDef(
+      "stream_dedup_e2e",
+      (s: SparkSession, dir: String) => {
+        val deduped = StreamOps.dedupStream(
+          eventsStream(s, dir), keys = Seq("user_id", "event_type"),
+          lateness = "10 minutes")
+        val keys = drain(s, deduped.select("user_id", "event_type"),
+          "graft_stream_dedup")
+        val counts = s.read.parquet(s"$dir/events.parquet")
+          .groupBy(col("user_id").cast("long").as("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_arrivals"))
+        keys.join(counts, Seq("user_id", "event_type"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, COUNT(*) AS n_arrivals
+             |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin))
   )
 }

@@ -935,6 +935,67 @@ object TextQueries {
              |  CAST(na.nrm AS BIGINT) AS norm_a, CAST(nb.nrm AS BIGINT) AS norm_b
              |FROM d JOIN nrm na ON d.doc_a = na.doc_id
              |       JOIN nrm nb ON d.doc_b = nb.doc_id
-             |ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin))
+             |ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_pii_scrub ★ (new r5) — PII detection + redaction, the scrub
+    // pass every training-data pipeline runs before anything else:
+    // count and replace emails / IPv4s / phone-shaped numbers with
+    // typed placeholders. Pure map-side (regex per row, no shuffle
+    // until the mandated ORDER BY) — at 100 TB this runs at scan speed.
+    // The synthetic documents fixture contains no PII by construction
+    // (a detector that fires zero times proves nothing), so this row
+    // runs on a GOLDEN VALUES fixture embedded identically in both
+    // engines — what it pins cross-engine is the REGEX SEMANTICS
+    // themselves (Java regex vs RE2: \b word boundaries, class
+    // escapes, global replace, match precedence), which is exactly the
+    // part of a scrubber that silently diverges between runtimes.
+    // Patterns stay in the RE2-∩-Java-regex subset (no lookaround, no
+    // backrefs) — the portable discipline a multi-engine pipeline
+    // needs anyway.
+    QueryDef(
+      "q_pii_scrub",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val rows = Seq(
+          (1L, "contact bob.smith+spam@example.co.uk or call 555-123-4567 now"),
+          (2L, "server at 10.0.0.1 and backup 192.168.255.254 port 8080"),
+          (3L, "no pii here, just text with-dashes and dots. the end"),
+          (4L, "a@b.io x@y.z 1.2.3.4 999-999-9999 overlap@test.com 5.6.7.8"),
+          (5L, "edge: not-an-ip 1.2.3 phone 12-345-6789 mail @nope.com"))
+        rows.toDF("id", "text")
+          .select(col("id"),
+            size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_email"),
+            size(regexp_extract_all(col("text"), lit(ip), lit(0))).cast("long").as("n_ip"),
+            size(regexp_extract_all(col("text"), lit(phone), lit(0))).cast("long").as("n_phone"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("text"), email, "<EMAIL>"),
+                ip, "<IP>"),
+              phone, "<PHONE>").as("redacted"))
+          .orderBy("id")
+      },
+      Some("""WITH t(id, text) AS (VALUES
+             |  (1, 'contact bob.smith+spam@example.co.uk or call 555-123-4567 now'),
+             |  (2, 'server at 10.0.0.1 and backup 192.168.255.254 port 8080'),
+             |  (3, 'no pii here, just text with-dashes and dots. the end'),
+             |  (4, 'a@b.io x@y.z 1.2.3.4 999-999-9999 overlap@test.com 5.6.7.8'),
+             |  (5, 'edge: not-an-ip 1.2.3 phone 12-345-6789 mail @nope.com'))
+             |SELECT CAST(id AS BIGINT) AS id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |    AS n_email,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+             |FROM t ORDER BY id""".stripMargin))
   )
 }

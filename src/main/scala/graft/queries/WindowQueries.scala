@@ -377,6 +377,41 @@ object WindowQueries {
              |  FROM isl GROUP BY 1, 2)
              |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
              |  COUNT(*) AS n_islands, CAST(SUM(len) AS BIGINT) AS active_days
-             |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin))
+             |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_sliding_window ★ (new r5) — SLIDING (hopping) windows: 1-hour
+    // windows every 30 minutes (`window(ts, '1h', '30m')`), the one
+    // time-window mode the surface lacked (tumbling = q_tumbling_window,
+    // session = q_session_gap). Each event lands in exactly
+    // len/slide = 2 windows — Spark materializes that via an explode of
+    // the per-row window list BEFORE the hash agg (so shuffle volume is
+    // 2×, the honest cost of overlap; the agg itself stays map-side
+    // combined). Epoch-aligned starts, so the oracle reproduces the
+    // window set with time_bucket over both 30-minute phases and an
+    // unnest. Exact e2 sums as always.
+    QueryDef(
+      "q_sliding_window",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n"), col("sum_cents"))
+          .orderBy("win_start", "event_type"),
+      Some("""WITH e AS (
+             |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |x AS (
+             |  SELECT unnest([
+             |      CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP),
+             |      CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP)
+             |        - INTERVAL 30 MINUTE]) AS win_start,
+             |    event_type, cents
+             |  FROM e)
+             |SELECT win_start, event_type, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
   )
 }
