@@ -614,6 +614,85 @@ object TextQueries {
              |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_bpe_merge ★ (new r5) — one FULL BPE training iteration:
+    // q_bpe_pairs is the candidate-count half; this row adds the other
+    // half — select the argmax pair (count DESC, pair ASC: the 1-row
+    // MODEL, the merge-table entry) and APPLY it to the vocabulary with
+    // BPE's greedy left-to-right non-overlapping rule. The overlap rule
+    // is the subtle part ("aaaa" with pair "aa" merges twice, "aaa"
+    // once) and is computed set-wise, not sequentially: match positions
+    // → gaps-and-islands (i − row_number per word) → each island of L
+    // consecutive matches yields ⌈L/2⌉ merges (even offsets). Distinct
+    // pairs can't overlap themselves, so the islands formula is exact
+    // for both cases. Everything runs on the word-frequency table
+    // (corpus-compressed — the BPE-at-scale trick restated from
+    // q_bpe_pairs); the full tokenizer train is a driver loop of
+    // exactly this plan, model-growing like pagerankSteps.
+    QueryDef(
+      "q_bpe_merge",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = Tables(s, dir, "documents")
+          .select(explode(toks).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("wf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val top = words
+          .select(col("wf"),
+            expr("explode(sequence(1, length(w) - 1))").as("i"), col("w"))
+          .select(expr("substring(w, i, 2)").as("pair"), col("wf"))
+          .groupBy("pair").agg(sum("wf").as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(1)
+          .head().getString(0) // the 1-row model (merge-table entry)
+        val matches = words
+          .select(col("w"), col("wf"),
+            expr("explode(sequence(1, length(w) - 1))").as("i"))
+          .filter(expr("substring(w, i, 2)") === top)
+        val isl = matches.withColumn("isl",
+          col("i") - row_number().over(Window.partitionBy("w").orderBy("i")))
+        val merged = isl.groupBy(col("w"), col("wf"), col("isl"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("w"), col("wf"),
+            graft.functions.ExactMath.divTrunc(col("cnt") + 1L, lit(2L)).as("m"))
+          .groupBy("w", "wf").agg(sum("m").as("n_merges"))
+        words.unpersist()
+        merged
+          .select(lit(top).as("pair"), col("w"), col("wf"), col("n_merges"),
+            length(col("w")).cast("long").as("len_before"),
+            (length(col("w")) - col("n_merges")).cast("long").as("len_after"))
+          .orderBy(desc("wf"), asc("w")).limit(50)
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |wf AS (
+             |  SELECT w, COUNT(*) AS wf FROM t WHERE length(w) >= 2 GROUP BY w),
+             |p AS (
+             |  SELECT unnest(list_transform(range(1, length(w)),
+             |    i -> substring(w, CAST(i AS INTEGER), 2))) AS pair, wf
+             |  FROM wf),
+             |top AS (
+             |  SELECT pair FROM p GROUP BY pair
+             |  ORDER BY SUM(wf) DESC, pair LIMIT 1),
+             |pos AS (
+             |  SELECT w, wf, unnest(range(1, length(w))) AS i FROM wf),
+             |m AS (
+             |  SELECT w, wf, i,
+             |    i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS isl
+             |  FROM pos, top
+             |  WHERE substring(w, CAST(i AS INTEGER), 2) = top.pair),
+             |per_isl AS (
+             |  SELECT w, wf, isl, (COUNT(*) + 1) // 2 AS mg
+             |  FROM m GROUP BY 1, 2, 3),
+             |per_w AS (
+             |  SELECT w, wf, CAST(SUM(mg) AS BIGINT) AS n_merges
+             |  FROM per_isl GROUP BY 1, 2)
+             |SELECT (SELECT pair FROM top) AS pair, w, wf, n_merges,
+             |  CAST(length(w) AS BIGINT) AS len_before,
+             |  CAST(length(w) - n_merges AS BIGINT) AS len_after
+             |FROM per_w
+             |ORDER BY wf DESC, w LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_collocation_pmi ★ — top-50 two-word collocations ranked by
     // pointwise mutual information: phrases whose words co-occur far
     // more than their individual frequencies predict (the phrase-mining
