@@ -321,6 +321,64 @@ object DedupQueries {
               |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_dedup_canonical ★ (new r5) — SURVIVOR SELECTION, the policy
+    // step after clustering: within each near-dup cluster keep the
+    // most COMPLETE copy (max token count, doc_id tiebreak) — the
+    // policy real pipelines want over q_dedup_groups' min-id label
+    // (truncated copies and boilerplate-stripped variants of a page
+    // should lose to the full text, whatever their ids). One window
+    // (row_number per cluster over (n_tokens DESC, doc_id)) on the
+    // cluster-sized label frame — survivor choice costs nothing
+    // beyond the clustering itself. Output per cluster: survivor,
+    // its length, cluster size, and the dropped-token total (the
+    // bytes the dedup actually saves).
+    QueryDef(
+      "q_dedup_canonical",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val labels = connectedComponents(s,
+          jaccardPairs(shingleText(s, dir), minJacE4 = 6000L)
+            .select(col("d1"), col("d2")))
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val ranked = labels.join(toks, "doc_id")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("cluster_id")
+              .orderBy(desc("n_tokens"), asc("doc_id"))))
+        ranked.groupBy("cluster_id")
+          .agg(
+            max(when(col("rk") === 1, col("doc_id"))).as("survivor"),
+            max(when(col("rk") === 1, col("n_tokens"))).as("survivor_tokens"),
+            count(lit(1)).as("cluster_size"),
+            sum(when(col("rk") =!= 1, col("n_tokens")).otherwise(0L)).as("dropped_tokens"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $ShSql,
+              |$JacSql,
+              |dup AS (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
+              |edges AS (SELECT d1, d2 FROM dup UNION ALL SELECT d2, d1 FROM dup),
+              |reach(d, r) AS (
+              |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
+              |  UNION
+              |  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.d = e.d2),
+              |lbl AS (SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY d),
+              |tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+              |       FROM documents),
+              |rkd AS (
+              |  SELECT lbl.doc_id, cluster_id, tk.n_tokens,
+              |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |      ORDER BY tk.n_tokens DESC, lbl.doc_id) AS rk
+              |  FROM lbl JOIN tk ON lbl.doc_id = tk.doc_id)
+              |SELECT cluster_id,
+              |  CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS survivor,
+              |  CAST(MAX(CASE WHEN rk = 1 THEN n_tokens END) AS BIGINT)
+              |    AS survivor_tokens,
+              |  COUNT(*) AS cluster_size,
+              |  CAST(SUM(CASE WHEN rk != 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+              |    AS dropped_tokens
+              |FROM rkd GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_decontaminate ★ — train/eval contamination check, the
     // decontamination step of a training-data pipeline: for each doc of
     // the held-out set (doc_id < 20 stands in for the benchmark), the

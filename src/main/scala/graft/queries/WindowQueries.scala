@@ -380,6 +380,41 @@ object WindowQueries {
              |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_window_dist ★ (new r5) — the rank-DISTRIBUTION analytics:
+    // ntile(4) / percent_rank / cume_dist per event type over (value,
+    // event_id) — quartile assignment and within-group percentile
+    // position, the score-normalization shape (quality-score →
+    // percentile) pipelines apply before thresholding. ntile needs a
+    // TOTAL order (bucket boundaries are positional): event_id breaks
+    // value ties. The two double outputs are exact cross-engine:
+    // percent_rank = (rank−1)/(N−1) and cume_dist = peers≤/N divide
+    // the same integers in IEEE 754 in both engines — bit-identical,
+    // no tolerance needed (same argument as the e2/e4 discipline,
+    // just with exactly-representable division instead).
+    QueryDef(
+      "q_window_dist",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(cents(col("value")), col("event_id"))
+        Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            cents(col("value")).as("v_cents"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("event_type", "event_id")
+      },
+      Some("""SELECT event_type, event_id,
+             |  CAST(ROUND(value*100,0) AS BIGINT) AS v_cents,
+             |  NTILE(4) OVER w AS quartile,
+             |  PERCENT_RANK() OVER w AS pct_rank,
+             |  CUME_DIST() OVER w AS cume
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type
+             |  ORDER BY CAST(ROUND(value*100,0) AS BIGINT), event_id)
+             |ORDER BY event_type, event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_sliding_window ★ (new r5) — SLIDING (hopping) windows: 1-hour
     // windows every 30 minutes (`window(ts, '1h', '30m')`), the one
     // time-window mode the surface lacked (tumbling = q_tumbling_window,
