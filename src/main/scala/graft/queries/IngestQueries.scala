@@ -391,5 +391,50 @@ object IngestQueries {
              |  (3, 'refused_rewrite',  0, 0, 0,   1),
              |  (4, 'inc_post_compact', 1, 1, 70,  0))
              | t(step, op, n_rows, n_files, sum_v, refused)
-             |ORDER BY step""".stripMargin)))
+             |ORDER BY step""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // lake_diff_e2e (new r5) — the row-level CHANGELOG between two
+    // snapshots as a declared query (`LakeOps.diffSnapshots`, Iceberg's
+    // create_changelog_view): append 4 keys → upsert (update key 2,
+    // insert key 5) → COMPACT (a rewrite between the endpoints — the
+    // diff is content-level, so re-binding rows to files must be
+    // invisible) → delete key 3, then diff(first, last). Every change
+    // class appears exactly once alongside unchanged carriers; the
+    // golden VALUES oracle pins the full tagged ledger. What this row
+    // proves over lake_incremental_e2e: incremental is append-only by
+    // contract and refuses rewrites; the changelog is the CDC answer
+    // for ranges that CONTAIN rewrites/deletes/upserts.
+    QueryDef("lake_diff_e2e", (s: SparkSession, _: String) => {
+      import s.implicits._
+      import graft.sink.{HiveParquetWriter, LakeOps}
+      val tmpRoot = Files.createTempDirectory("graft_diff_")
+      val tableDir = tmpRoot.toString + "/warehouse/t"
+      val w = new HiveParquetWriter
+      val s1 = w.append(
+        Seq((1L, "c1", 10L), (2L, "c1", 20L), (3L, "c2", 30L), (4L, "c2", 40L))
+          .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      LakeOps.upsert(s, tableDir,
+        Seq((2L, "c1", 21L), (5L, "c3", 50L)).toDF("id", "category", "v"),
+        Seq("id"), Seq("category"))
+      LakeOps.compact(s, tableDir) // rewrite inside the range: must be invisible
+      val s4 = LakeOps.delete(s, tableDir, col("id") === 3L, Seq("category")).snapshotId
+      val out = LakeOps.diffSnapshots(s, tableDir, s1, s4, Seq("id"))
+        .select(col("id"), col("change"),
+          col("_before.v").as("v_before"), col("_after.v").as("v_after"))
+        .as[(Long, String, Option[Long], Option[Long])].collect().toSeq.sortBy(_._1)
+      deleteTree(tmpRoot)
+      out.toDF("id", "change", "v_before", "v_after").orderBy("id")
+    },
+      Some("""SELECT CAST(id AS BIGINT) AS id, change,
+             |  CAST(v_before AS BIGINT) AS v_before,
+             |  CAST(v_after AS BIGINT) AS v_after
+             |FROM (VALUES
+             |  (1, 'unchanged', 10,   10),
+             |  (2, 'updated',   20,   21),
+             |  (3, 'deleted',   30,   NULL),
+             |  (4, 'unchanged', 40,   40),
+             |  (5, 'inserted',  NULL, 50))
+             | t(id, change, v_before, v_after)
+             |ORDER BY id""".stripMargin)))
 }

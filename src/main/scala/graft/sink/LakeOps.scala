@@ -76,6 +76,41 @@ object LakeOps {
       .parquet(files: _*)
   }
 
+  /** Row-level CHANGELOG between two snapshots — the CDC view Iceberg
+    * exposes as `create_changelog_view`: a key-joined diff of the two
+    * live row sets, each row tagged `inserted` / `deleted` / `updated`
+    * / `unchanged`. Works across ANY operation mix (unlike
+    * [[readIncremental]], which is append-only by contract): rewrites
+    * re-bind rows to files but do not change row content, so a
+    * content-level diff is immune to them — compaction between the
+    * snapshots yields all-`unchanged` (spec-asserted invariant).
+    *
+    * Scale shape: one shuffle of each snapshot's live rows on the key
+    * (the join), non-key comparison via a null-safe struct equality —
+    * no per-column join conditions, no driver-side anything. `keyCols`
+    * must identify rows in both snapshots (duplicate keys would
+    * cross-product in the join, as in any MERGE).
+    */
+  def diffSnapshots(spark: SparkSession, tableDir: String,
+      fromSnapshot: Long, toSnapshot: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val a = readSnapshot(spark, tableDir, fromSnapshot)
+    val b = readSnapshot(spark, tableDir, toSnapshot)
+    val nonKey = a.columns.filterNot(keyCols.contains).toSeq
+    require(nonKey.sorted == b.columns.filterNot(keyCols.contains).toSeq.sorted,
+      "diffSnapshots across a schema change: align columns first")
+    val left = a.select(
+      keyCols.map(col) :+ struct(nonKey.map(col): _*).as("_before"): _*)
+    val right = b.select(
+      keyCols.map(col) :+ struct(nonKey.map(col): _*).as("_after"): _*)
+    left.join(right, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_before").isNull, lit("inserted"))
+          .when(col("_after").isNull, lit("deleted"))
+          .when(!(col("_before") <=> col("_after")), lit("updated"))
+          .otherwise(lit("unchanged")))
+  }
+
   /** Roll the table back to snapshot `toSnapshotId` — Iceberg's
     * `rollback_to_snapshot`: committed as a NEW `rewrite` snapshot
     * whose live set is the target snapshot's (history is append-only;

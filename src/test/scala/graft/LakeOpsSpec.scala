@@ -434,4 +434,31 @@ class LakeOpsSpec extends SparkSpec {
     assert(LakeOps.readIncremental(spark, tdir, s3, s4)
       .select("id").as[Long].collect().toSeq == Seq(4L))
   }
+
+  test("diffSnapshots: changelog tags all four classes; rewrites are invisible (r5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_df_").toString
+    val tdir = s"$root/w/t"
+    val w = new graft.sink.HiveParquetWriter
+    val s1 = w.append(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("id", "category", "v"), Seq("category"), tdir).snapshotId
+
+    // compaction-only range: content identical → every row unchanged
+    val s2 = LakeOps.compact(spark, tdir).snapshotId
+    val onlyCompact = LakeOps.diffSnapshots(spark, tdir, s1, s2, Seq("id"))
+    assert(onlyCompact.where(col("change") =!= "unchanged").count() == 0L)
+    assert(onlyCompact.count() == 3L)
+
+    // update 2, insert 4, delete 3 — with another rewrite inside the range
+    LakeOps.upsert(spark, tdir, Seq((2L, "a", 21L), (4L, "b", 40L))
+      .toDF("id", "category", "v"), Seq("id"), Seq("category"))
+    LakeOps.compact(spark, tdir)
+    val s5 = LakeOps.delete(spark, tdir, col("id") === 3L, Seq("category")).snapshotId
+    val tags = LakeOps.diffSnapshots(spark, tdir, s1, s5, Seq("id"))
+      .select(col("id"), col("change")).as[(Long, String)].collect().toMap
+    assert(tags == Map(1L -> "unchanged", 2L -> "updated",
+      3L -> "deleted", 4L -> "inserted"))
+  }
 }
