@@ -70,6 +70,39 @@ object ProfileQueries {
                 |  THEN 1 ELSE 0 END AS INT)""".stripMargin).as("significant"))
   }
 
+  /** Signed exact-integer correlation over a (d, series, x) frame — the
+    * q_corr_matrix kernel, public so the spec can drive perfectly
+    * correlated / anti-correlated synthetic series and pin the
+    * endpoints (r²_e6 = ±1000000) and the degenerate-series NULL.
+    * Signed r² instead of r: r = num/√(den1·den2) needs a square root,
+    * but sign(r)·r² = sign(num)·num²/(den1·den2) is the same ORDERING
+    * and stays rational — the no-libm move (cf. q_collocation_pmi's
+    * log elision). num² ≤ (D²·X²)² demands wide arithmetic:
+    * DECIMAL(38,0) here, HUGEINT in DuckDB — exact to ~1e38, i.e.
+    * num ≤ ~1e16, comfortably above any per-shard daily-count series
+    * (the q_abtest bound argument).
+    */
+  def corrPairs(daily: DataFrame): DataFrame = {
+    val pairs = daily.as("a").join(daily.as("b"), "d")
+      .filter(col("a.series") < col("b.series"))
+      .select(col("a.series").as("t1"), col("b.series").as("t2"),
+        col("a.x").as("x"), col("b.x").as("y"))
+    pairs.groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den1", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den2", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("t1"), col("t2"), col("n").as("n_days"),
+        expr("""CASE WHEN den1 = 0 OR den2 = 0 THEN NULL ELSE
+                |  (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+                |  CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000) div
+                |       (CAST(den1 AS DECIMAL(38,0)) * den2) AS BIGINT)
+                |END""".stripMargin).as("r2_e6"))
+  }
+
   /** One FK-edge audit row — the q_fk_orphans kernel, public so the
     * spec can plant a corrupted child batch and prove the counter
     * fires (the fixture's all-zero orphans exercise only the ok path).
@@ -1151,6 +1184,52 @@ object ProfileQueries {
              |      // (CAST(den1 AS HUGEINT) * CAST(den2 AS HUGEINT)))
              |    AS BIGINT) AS r2_signed_e6
              |FROM c WHERE den1 > 0 AND den2 > 0
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_corr_matrix ★ (new r5) — the PAIRWISE correlation matrix
+    // between event types' daily volumes: q_autocorr correlates a
+    // series with its own lag; this is the multivariate sibling —
+    // which metrics move together (the feature-redundancy /
+    // common-cause probe of a profiling pass). Day-grain inner join on
+    // the date (days where both types occur — identical predicate in
+    // both engines), sufficient statistics in one hash agg per pair,
+    // then [[corrPairs]]' signed exact r²_e6: sign(num)·num²·1e6 //
+    // (den1·den2) in DECIMAL(38,0)/HUGEINT — same ordering as Pearson
+    // r, zero libm (no sqrt), NULL on degenerate (constant) series.
+    // |types|² pairs of O(days) rows — trivially bounded at any scale.
+    QueryDef(
+      "q_corr_matrix",
+      (s: SparkSession, dir: String) => {
+        val daily = Tables(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"), col("event_type").as("series"))
+          .agg(count(lit(1)).as("x"))
+        corrPairs(daily).orderBy("t1", "t2")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |    event_type AS series, COUNT(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |p AS (
+             |  SELECT a.series AS t1, b.series AS t2, a.x AS x, b.x AS y
+             |  FROM daily a JOIN daily b ON a.d = b.d AND a.series < b.series),
+             |st AS (
+             |  SELECT t1, t2, COUNT(*) AS n,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+             |  FROM p GROUP BY 1, 2),
+             |c AS (
+             |  SELECT t1, t2, n,
+             |    n*sxy - sx*sy AS num,
+             |    n*sxx - sx*sx AS den1, n*syy - sy*sy AS den2
+             |  FROM st)
+             |SELECT t1, t2, CAST(n AS BIGINT) AS n_days,
+             |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL ELSE
+             |    CAST(CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS HUGEINT) *
+             |      ((CAST(num AS HUGEINT) * CAST(num AS HUGEINT) * 1000000)
+             |        // (CAST(den1 AS HUGEINT) * CAST(den2 AS HUGEINT)))
+             |      AS BIGINT)
+             |  END AS r2_e6
+             |FROM c ORDER BY t1, t2""".stripMargin))
   )
 }

@@ -604,4 +604,26 @@ class ProfileSpec extends SparkSpec {
       assert(math.abs(r._6) <= 1000000L && r._4 > 0L && r._5 > 0L)
     }
   }
+
+  test("corrPairs: exact ±1e6 endpoints, bounded mid, degenerate NULL (r5)") {
+    import spark.implicits._
+    import graft.queries.ProfileQueries
+    // a: 1..5; b = 2a (perfect +), c = 12 − 2a (perfect −),
+    // d: constant (degenerate), e: noisy (strictly between)
+    val daily = (1 to 5).flatMap { i =>
+      Seq(("d" + i, "a", i.toLong), ("d" + i, "b", 2L * i),
+        ("d" + i, "c", 12L - 2L * i), ("d" + i, "d", 7L),
+        ("d" + i, "e", Seq(3L, 1L, 4L, 1L, 5L)(i - 1)))
+    }.toDF("d", "series", "x")
+    val got = ProfileQueries.corrPairs(daily)
+      .select("t1", "t2", "r2_e6")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(("a", "b")) == Some(1000000L))   // perfectly correlated
+    assert(got(("a", "c")) == Some(-1000000L))  // perfectly anti-correlated
+    assert(got(("b", "c")) == Some(-1000000L))  // linearity is transitive
+    assert(got(("a", "d")) == None)             // constant series → NULL
+    val mid = got(("a", "e")).get
+    assert(math.abs(mid) < 1000000L && mid != 0L)
+  }
 }
