@@ -189,6 +189,51 @@ object StreamingQueries {
           .orderBy("user_id", "event_type")
       },
       Some("""SELECT user_id, event_type, COUNT(*) AS n_arrivals
-             |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // stream_join_e2e ★ (new r5) — STREAM-STATIC join through the
+    // engine: the event stream enriched map-side with a broadcast
+    // customer dimension (the planner keeps the static side off the
+    // streaming state entirely — no stream-stream state, no watermark
+    // interaction from the join), then the watermarked tumbling agg by
+    // market segment. This is the enrichment topology every streaming
+    // pipeline runs (fact stream ⋈ slowly-changing dim); the
+    // segment-level answer only exists THROUGH the join, so the oracle
+    // (batch join + the same append-mode finalization predicate)
+    // checks both the join plumbing and the windowing. user_id ⊆
+    // c_custkey on this fixture → the join is total and the stream's
+    // watermark is unaffected by it.
+    QueryDef(
+      "stream_join_e2e",
+      (s: SparkSession, dir: String) => {
+        val dim = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val agg = eventsStream(s, dir)
+          .join(broadcast(dim), Seq("user_id"))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .select(col("window.start").as("ws"), col("c_mktsegment"),
+            col("n"), col("sum_cents"))
+        drain(s, agg, "graft_stream_join")
+          .orderBy("ws", "c_mktsegment")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id,
+             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e),
+             |j AS (
+             |  SELECT e.ts, e.cents, c.c_mktsegment
+             |  FROM e JOIN customer c ON e.user_id = c.c_custkey)
+             |SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
+             |  c_mktsegment, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM j
+             |GROUP BY 1, 2
+             |HAVING CAST(DATE_TRUNC('hour', MIN(ts)) AS TIMESTAMP)
+             |         + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+             |ORDER BY ws, c_mktsegment""".stripMargin))
   )
 }
