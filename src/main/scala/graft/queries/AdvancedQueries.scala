@@ -108,6 +108,67 @@ object AdvancedQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_countmin ★ (new r5) — Count-Min sketch of the corpus token
+    // frequencies, built PORTABLY (4 hash rows × 1024 buckets, each
+    // row's hash = 60-bit md5 of "<row>:<token>" mod 1024 — the same
+    // cross-engine hash family as q_sample_hash, so Spark and DuckDB
+    // build the IDENTICAL sketch) and then interrogated: for the top-20
+    // exact tokens, the CMS estimate = min over rows of the hit
+    // bucket's total. Every number is exact integers, which makes the
+    // sketch's defining guarantee — estimate ≥ truth, overcount =
+    // collision mass only — an ORACLE-CHECKED equality, not a property
+    // test. Scale story: the sketch is a mergeable 4×1024 aggregate
+    // (map-side partial, one tiny shuffle) answering point frequency
+    // queries over any vocabulary size in O(1) memory — what you keep
+    // when the exact token table itself is too big to retain, with
+    // ε = e/1024 ≈ 0.3% of corpus mass error at δ = e⁻⁴.
+    QueryDef(
+      "q_countmin",
+      (s: SparkSession, dir: String) => {
+        val toks = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("t"))
+        val exact = toks.groupBy("t").agg(count(lit(1)).as("exact"))
+        def bucket(row: org.apache.spark.sql.Column,
+            tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          pmod(conv(substring(md5(concat(row.cast("string"), lit(":"), tok)), 1, 15),
+            16, 10).cast("long"), lit(1024L))
+        val hashed = toks
+          .select(explode(sequence(lit(0), lit(3))).as("r"), col("t"))
+          .select(col("r"), bucket(col("r"), col("t")).as("b"))
+        val cms = hashed.groupBy("r", "b").agg(count(lit(1)).as("m"))
+        val top = exact.orderBy(desc("exact"), asc("t")).limit(20)
+        top.select(col("t"), col("exact"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+          .withColumn("b", bucket(col("r"), col("t")))
+          .join(cms, Seq("r", "b"))
+          .groupBy("t", "exact").agg(min("m").as("est"))
+          .select(col("t"), col("exact"), col("est"),
+            (col("est") - col("exact")).as("overcount"))
+          .orderBy(desc("exact"), asc("t"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |exact AS (SELECT t, COUNT(*) AS exact FROM toks GROUP BY 1),
+             |hashed AS (
+             |  SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || t),
+             |    1, 15))::BIGINT % 1024 AS b
+             |  FROM toks, range(4) x(r)),
+             |cms AS (SELECT r, b, COUNT(*) AS m FROM hashed GROUP BY 1, 2),
+             |top AS (SELECT t, exact FROM exact
+             |        ORDER BY exact DESC, t LIMIT 20),
+             |probe AS (
+             |  SELECT top.t, top.exact, x.r,
+             |    ('0x' || substring(md5(CAST(x.r AS VARCHAR) || ':' || top.t),
+             |      1, 15))::BIGINT % 1024 AS b
+             |  FROM top, range(4) x(r))
+             |SELECT p.t, CAST(p.exact AS BIGINT) AS exact,
+             |  CAST(MIN(cms.m) AS BIGINT) AS est,
+             |  CAST(MIN(cms.m) - p.exact AS BIGINT) AS overcount
+             |FROM probe p JOIN cms ON p.r = cms.r AND p.b = cms.b
+             |GROUP BY p.t, p.exact
+             |ORDER BY exact DESC, t""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_split_assign ★ (new r5) — deterministic train/val/test split:
     // the disjoint-partition sibling of q_sample_hash's sampling. Every
     // document lands in exactly one split by 60-bit md5(doc_id) mod 100
