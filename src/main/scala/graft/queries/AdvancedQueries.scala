@@ -169,6 +169,49 @@ object AdvancedQueries {
              |ORDER BY exact DESC, t""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_feature_hash ★ (new r5) — the HASHING TRICK: each document's
+    // token multiset vectorized into a fixed 256-dim count vector by
+    // dim = 60-bit md5(token) mod 256 (the cross-engine hash family
+    // again) — the dimensionality-fixing move that lets a linear
+    // model/logreg train over an UNBOUNDED vocabulary with constant
+    // per-row memory and no global dictionary (no vocabulary shuffle,
+    // no OOV problem; collisions are the accepted noise). Declared
+    // output is the per-doc vector SUMMARY in exact integers — nnz
+    // (occupied dims), l²² norm, the peak dim load — rather than 500
+    // 256-wide rows; the full vector is the same frame pre-pivot.
+    // Map-side hash + one (doc, dim) agg + one doc agg: scan-speed at
+    // any corpus size.
+    QueryDef(
+      "q_feature_hash",
+      (s: SparkSession, dir: String) => {
+        val dims = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .select(col("doc_id"),
+            pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+              lit(256L)).as("dim"))
+          .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+        dims.groupBy("doc_id")
+          .agg(count(lit(1)).as("nnz"),
+            sum(col("c") * col("c")).as("l2sq"),
+            max("c").as("max_dim_load"),
+            sum("c").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |  FROM documents),
+             |dims AS (
+             |  SELECT doc_id,
+             |    ('0x' || substring(md5(t), 1, 15))::BIGINT % 256 AS dim,
+             |    COUNT(*) AS c
+             |  FROM toks GROUP BY 1, 2)
+             |SELECT doc_id, COUNT(*) AS nnz,
+             |  CAST(SUM(c*c) AS BIGINT) AS l2sq,
+             |  CAST(MAX(c) AS BIGINT) AS max_dim_load,
+             |  CAST(SUM(c) AS BIGINT) AS n_tokens
+             |FROM dims GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_split_assign ★ (new r5) — deterministic train/val/test split:
     // the disjoint-partition sibling of q_sample_hash's sampling. Every
     // document lands in exactly one split by 60-bit md5(doc_id) mod 100
