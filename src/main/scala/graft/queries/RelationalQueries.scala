@@ -412,6 +412,53 @@ object RelationalQueries {
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_sql_q3 ★ (new r5) — TPC-H Q3 (shipping-priority) THROUGH THE
+    // SQL FRONT-END: the one declared row built with `spark.sql` over
+    // registered views rather than the DataFrame API, so the parser →
+    // analyzer → optimizer path a SQL-first user takes is itself under
+    // the oracle (every other row proves the DataFrame path; Catalyst
+    // compiles both to the same plans — this row proves that claim on
+    // a 3-table join + agg + top-k). Adapted to this fixture's schema
+    // (o_orderpriority for the absent o_shippriority; revenue in exact
+    // e4 ints per the q_join_inner discipline). Plan: both dims
+    // broadcast at this SF, one shuffle on the group key,
+    // TakeOrderedAndProject for the top-10.
+    QueryDef(
+      "q_sql_q3",
+      (s: SparkSession, dir: String) => {
+        Seq("customer", "orders", "lineitem").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          SELECT l_orderkey, o_orderdate, o_orderpriority,
+            SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))) AS revenue_e4,
+            COUNT(*) AS n_items
+          FROM graft_customer
+          JOIN graft_orders   ON c_custkey = o_custkey
+          JOIN graft_lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+            AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue_e4 DESC, l_orderkey
+          LIMIT 10""")
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+             |    * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))) AS BIGINT)
+             |    AS revenue_e4,
+             |  COUNT(*) AS n_items
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+             |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue_e4 DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_bloom_join ★ (new r5) — RUNTIME-FILTERED fact⋈dim join: urgent
     // orders' keys fold into a driver-built bloom filter
     // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),
