@@ -72,11 +72,18 @@ object ScaleOps {
   def bloomPrune(
       fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String, fpp: Double = 0.01): DataFrame = {
+    // Key-type-generic via xxhash64 on BOTH sides: the bloom stores the
+    // 64-bit hash of the dim key and the probe hashes the fact key the
+    // same way, so any key type works and build/probe can never see
+    // different representations (a Long-typed probe UDF would silently
+    // cast-to-null non-long keys and drop EVERY row — a false-negative
+    // hole the review caught; review fix r5). Hash collisions only add
+    // to the fpp, never subtract: no false negatives, unconditionally.
     val n = math.max(dim.count(), 1L)
     val bf = dim.sparkSession.sparkContext.broadcast(
-      dim.stat.bloomFilter(dimKey, n, fpp))
+      dim.select(xxhash64(col(dimKey)).as("__k")).stat.bloomFilter("__k", n, fpp))
     val might = udf((k: Long) => bf.value.mightContainLong(k))
-    fact.filter(might(col(factKey)))
+    fact.filter(might(xxhash64(col(factKey))))
   }
 
   /** Write `df` as a hash-bucketed, per-bucket-sorted table: ONE

@@ -222,7 +222,12 @@ object CoreQueries {
       Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
              |  COUNT(DISTINCT user_id) AS n_users,
              |  COUNT(DISTINCT event_type) AS n_types,
-             |  COUNT(DISTINCT (user_id, event_type)) AS n_user_type,
+             |  -- CASE-gate pins Spark's semantics: countDistinct(a,b) skips
+             |  -- rows where ANY column is NULL; a bare DuckDB
+             |  -- COUNT(DISTINCT (a,b)) would count NULL-bearing tuples
+             |  COUNT(DISTINCT CASE WHEN user_id IS NOT NULL
+             |    AND event_type IS NOT NULL THEN (user_id, event_type) END)
+             |    AS n_user_type,
              |  COUNT(*) AS n
              |FROM events GROUP BY 1 ORDER BY d""".stripMargin))
   )

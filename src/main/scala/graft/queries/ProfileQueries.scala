@@ -78,9 +78,12 @@ object ProfileQueries {
     * but sign(r)·r² = sign(num)·num²/(den1·den2) is the same ORDERING
     * and stays rational — the no-libm move (cf. q_collocation_pmi's
     * log elision). num² ≤ (D²·X²)² demands wide arithmetic:
-    * DECIMAL(38,0) here, HUGEINT in DuckDB — exact to ~1e38, i.e.
-    * num ≤ ~1e16, comfortably above any per-shard daily-count series
-    * (the q_abtest bound argument).
+    * DECIMAL(38,0) here, HUGEINT in DuckDB — and because Spark's
+    * decimal silently NULLs on overflow ~1.7× below HUGEINT's cap,
+    * both engines carry an explicit symmetric |num| ≤ 3e15 domain
+    * guard (→ NULL beyond it, same rows both sides; review fix r5),
+    * still comfortably above any per-shard daily-count series (the
+    * q_abtest bound argument).
     */
   def corrPairs(daily: DataFrame): DataFrame = {
     val pairs = daily.as("a").join(daily.as("b"), "d")
@@ -96,7 +99,13 @@ object ProfileQueries {
       .withColumn("den1", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("den2", col("n") * col("syy") - col("sy") * col("sy"))
       .select(col("t1"), col("t2"), col("n").as("n_days"),
-        expr("""CASE WHEN den1 = 0 OR den2 = 0 THEN NULL ELSE
+        // |num| ≤ 3e15 guard: num²·1e6 must stay under DECIMAL(38,0)'s
+        // ~1e38 cap — Spark overflows to NULL silently ~1.7× EARLIER
+        // than DuckDB's HUGEINT, so an explicit symmetric domain bound
+        // keeps the engines agreeing everywhere instead of diverging in
+        // the (1e38, 1.7e38) band (review fix r5)
+        expr("""CASE WHEN den1 = 0 OR den2 = 0 OR abs(num) > 3000000000000000
+                |THEN NULL ELSE
                 |  (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
                 |  CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000) div
                 |       (CAST(den1 AS DECIMAL(38,0)) * den2) AS BIGINT)
@@ -1224,7 +1233,8 @@ object ProfileQueries {
              |    n*sxx - sx*sx AS den1, n*syy - sy*sy AS den2
              |  FROM st)
              |SELECT t1, t2, CAST(n AS BIGINT) AS n_days,
-             |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL ELSE
+             |  CASE WHEN den1 = 0 OR den2 = 0
+             |    OR abs(num) > 3000000000000000 THEN NULL ELSE
              |    CAST(CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS HUGEINT) *
              |      ((CAST(num AS HUGEINT) * CAST(num AS HUGEINT) * 1000000)
              |        // (CAST(den1 AS HUGEINT) * CAST(den2 AS HUGEINT)))

@@ -655,7 +655,10 @@ object TextQueries {
           .select(col("w"), col("wf"),
             graft.functions.ExactMath.divTrunc(col("cnt") + 1L, lit(2L)).as("m"))
           .groupBy("w", "wf").agg(sum("m").as("n_merges"))
-        words.unpersist()
+        // no unpersist here: the returned plan is lazy — releasing the
+        // cache now would force the apply phase to recompute `words`;
+        // Bench's per-query clearCache() reclaims it (file convention,
+        // review fix r5)
         merged
           .select(lit(top).as("pair"), col("w"), col("wf"), col("n_merges"),
             length(col("w")).cast("long").as("len_before"),

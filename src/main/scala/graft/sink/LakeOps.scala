@@ -94,8 +94,22 @@ object LakeOps {
   def diffSnapshots(spark: SparkSession, tableDir: String,
       fromSnapshot: Long, toSnapshot: Long, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, struct, when}
-    val a = readSnapshot(spark, tableDir, fromSnapshot)
-    val b = readSnapshot(spark, tableDir, toSnapshot)
+    val a0 = readSnapshot(spark, tableDir, fromSnapshot)
+    val b0 = readSnapshot(spark, tableDir, toSnapshot)
+    // an empty snapshot (post full-table DELETE) reads as a 0-column
+    // frame — borrow the other endpoint's schema so the changelog
+    // degenerates correctly (all-inserted / all-deleted) instead of
+    // tripping the schema-change guard (review fix r5); both empty →
+    // the empty changelog, same 0-column convention as readSnapshot
+    if (a0.columns.isEmpty && b0.columns.isEmpty) return spark.emptyDataFrame
+    val a = if (a0.columns.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        b0.schema)
+    else a0
+    val b = if (b0.columns.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        a0.schema)
+    else b0
     val nonKey = a.columns.filterNot(keyCols.contains).toSeq
     require(nonKey.sorted == b.columns.filterNot(keyCols.contains).toSeq.sorted,
       "diffSnapshots across a schema change: align columns first")

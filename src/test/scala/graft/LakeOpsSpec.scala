@@ -460,5 +460,12 @@ class LakeOpsSpec extends SparkSpec {
       .select(col("id"), col("change")).as[(Long, String)].collect().toMap
     assert(tags == Map(1L -> "unchanged", 2L -> "updated",
       3L -> "deleted", 4L -> "inserted"))
+
+    // full-table delete → empty endpoint: the changelog degenerates to
+    // all-'deleted' instead of tripping the schema-change guard
+    val s6 = LakeOps.delete(spark, tdir, lit(true), Seq("category")).snapshotId
+    val wiped = LakeOps.diffSnapshots(spark, tdir, s5, s6, Seq("id"))
+    assert(wiped.where(col("change") =!= "deleted").count() == 0L)
+    assert(wiped.count() == 3L) // ids 1, 2, 4 all deleted
   }
 }

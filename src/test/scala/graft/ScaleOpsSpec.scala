@@ -87,6 +87,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept < total / 2, s"bloom kept $kept of $total — not pruning")
   }
 
+  test("bloomPrune: string keys work (xxhash64 both sides — no cast-to-null hole)") {
+    // regression: a Long-typed probe UDF on a string key cast-to-nulls
+    // and dropped EVERY row — all true matches lost silently
+    val dim = Tables(spark, sfDir, "orders")
+      .select("o_orderpriority").distinct().limit(2)
+    val fact = Tables(spark, sfDir, "orders")
+    val pruned = ScaleOps.bloomPrune(fact, "o_orderpriority", dim, "o_orderpriority")
+    val trueMatches = fact.join(dim, Seq("o_orderpriority")).count()
+    assert(trueMatches > 0L)
+    assert(pruned.join(dim, Seq("o_orderpriority")).count() == trueMatches)
+  }
+
   test("joinBroadcastDim plans a BroadcastHashJoin") {
     val j = ScaleOps.joinBroadcastDim(
       Tables(spark, sfDir, "customer"),

@@ -50,7 +50,7 @@ class StreamingQueriesSpec extends SparkSpec {
     val sess = e
       .withColumn("new_s",
         when(lag("ts", 1).over(w).isNull ||
-          (unix_millis(col("ts")) - unix_millis(lag("ts", 1).over(w))) >= 600000L,
+          (unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))) >= 600000000L,
           1L).otherwise(0L))
       .withColumn("sid", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "sid")
