@@ -94,13 +94,12 @@ object IngestQueries {
         try Files.deleteIfExists(p) catch { case _: Exception => () })
   }
 
-  def run(spark: SparkSession): DataFrame = {
-    val rootPath = Files.createTempDirectory("graft_ingest_")
-    val root = rootPath.toString
-    val tableDir = s"$root/warehouse/events_ingest"
-    writeFixtures(root)
-    Pipeline.ingest(spark, root, "comp1", fixtureTable, tableDir)
-    val result = spark.read.parquet(tableDir)
+  /** Read-back projection shared by the batch and streaming e2e rows —
+    * same 17 scalar columns, same total order, so both pipelines are
+    * held to the IDENTICAL golden oracle.
+    */
+  private def readBack(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir)
       .select(col("id"), col("event_date"), col("event_time"), col("user_id"),
         col("category"), col("amount"), col("score"), col("ratio"), col("count"),
         col("flag"), col("payload.a").as("payload_a"), col("payload.b").as("payload_b"),
@@ -113,9 +112,13 @@ object IngestQueries {
         col("user_id_bucket").cast("int").as("user_id_bucket"),
         col("category_identity").cast("string").as("category_identity"))
       .orderBy("id")
-    // eager protocol (r5): the result is 4 fixture rows — collect it
-    // (schema preserved exactly via createDataFrame) and delete the
-    // temp lake, so repeated Bench/Time/Verify runs don't fill /tmp
+
+  /** Eager protocol (r5): collect the small fixture result (schema
+    * preserved exactly via createDataFrame), delete the temp lake, so
+    * repeated Bench/Time/Verify runs don't fill /tmp.
+    */
+  private def collectAndClean(spark: SparkSession,
+      result: DataFrame, rootPath: java.nio.file.Path): DataFrame = {
     val rows = result.collect()
     val out = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), result.schema)
@@ -123,29 +126,76 @@ object IngestQueries {
     out
   }
 
+  def run(spark: SparkSession): DataFrame = {
+    val rootPath = Files.createTempDirectory("graft_ingest_")
+    val root = rootPath.toString
+    val tableDir = s"$root/warehouse/events_ingest"
+    writeFixtures(root)
+    Pipeline.ingest(spark, root, "comp1", fixtureTable, tableDir)
+    collectAndClean(spark, readBack(spark, tableDir), rootPath)
+  }
+
+  /** The same fixture tree drained through the STREAMING ingest path
+    * (`StreamingIngest.ingestAvailableNow`: file stream → foreachBatch
+    * lake append with replay fencing) instead of the batch Pipeline.
+    */
+  def runStreaming(spark: SparkSession): DataFrame = {
+    val rootPath = Files.createTempDirectory("graft_singest_")
+    val root = rootPath.toString
+    val tableDir = s"$root/warehouse/events_ingest"
+    writeFixtures(root)
+    val q = graft.streaming.StreamingIngest.ingestAvailableNow(
+      spark, root, "comp1", fixtureTable, tableDir, s"$root/ckpt")
+    q.awaitTermination()
+    collectAndClean(spark, readBack(spark, tableDir), rootPath)
+  }
+
+  /** The golden 17-column × 4-row oracle BOTH ingest rows share (every
+    * value derived from first principles in the scaladoc above /
+    * FIXTURES.md §B) — batch and streaming pipelines are held to the
+    * identical expected output.
+    */
+  private val IngestGoldenSql =
+    """SELECT CAST(id AS BIGINT) AS id, CAST(event_date AS DATE) AS event_date,
+      |  CAST(event_time AS BIGINT) AS event_time, CAST(user_id AS BIGINT) AS user_id,
+      |  category, CAST(amount AS DECIMAL(10,2)) AS amount,
+      |  CAST(score AS DOUBLE) AS score, CAST(ratio AS REAL) AS ratio,
+      |  CAST(count AS INTEGER) AS count, CAST(flag AS BOOLEAN) AS flag,
+      |  CAST(payload_a AS INTEGER) AS payload_a, payload_b, tags_str,
+      |  CAST(n_tags AS INTEGER) AS n_tags, event_date_day,
+      |  CAST(user_id_bucket AS INTEGER) AS user_id_bucket, category_identity
+      |FROM (VALUES
+      |  (1, DATE '2024-03-15', 37425000000000, 42, 'web', 123.45, 0.9, 0.5, 7, true,
+      |   1, 'x', 't1,t2', 2, '2024-03-15', 10, 'web'),
+      |  (2, NULL, 86399000000000, 7, NULL, 0.01, 1.0, 1.5, 1, false,
+      |   2, 'y', '', 0, 'null', 7, 'null'),
+      |  (3, DATE '2023-12-31', NULL, -5, 'api', NULL, NULL, NULL, NULL, NULL,
+      |   NULL, NULL, '', NULL, '2023-12-31', 4, 'api'),
+      |  (5, DATE '2024-01-01', 0, 1000, 'batch', NULL, NULL, NULL, NULL, NULL,
+      |   -1, 'deep', 'a,b,c', 3, '2024-01-01', 8, 'batch'))
+      | t(id, event_date, event_time, user_id, category, amount, score, ratio,
+      |   count, flag, payload_a, payload_b, tags_str, n_tags, event_date_day,
+      |   user_id_bucket, category_identity)
+      |ORDER BY id""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("ingest_e2e", (s: SparkSession, _: String) => run(s),
-      Some("""SELECT CAST(id AS BIGINT) AS id, CAST(event_date AS DATE) AS event_date,
-             |  CAST(event_time AS BIGINT) AS event_time, CAST(user_id AS BIGINT) AS user_id,
-             |  category, CAST(amount AS DECIMAL(10,2)) AS amount,
-             |  CAST(score AS DOUBLE) AS score, CAST(ratio AS REAL) AS ratio,
-             |  CAST(count AS INTEGER) AS count, CAST(flag AS BOOLEAN) AS flag,
-             |  CAST(payload_a AS INTEGER) AS payload_a, payload_b, tags_str,
-             |  CAST(n_tags AS INTEGER) AS n_tags, event_date_day,
-             |  CAST(user_id_bucket AS INTEGER) AS user_id_bucket, category_identity
-             |FROM (VALUES
-             |  (1, DATE '2024-03-15', 37425000000000, 42, 'web', 123.45, 0.9, 0.5, 7, true,
-             |   1, 'x', 't1,t2', 2, '2024-03-15', 10, 'web'),
-             |  (2, NULL, 86399000000000, 7, NULL, 0.01, 1.0, 1.5, 1, false,
-             |   2, 'y', '', 0, 'null', 7, 'null'),
-             |  (3, DATE '2023-12-31', NULL, -5, 'api', NULL, NULL, NULL, NULL, NULL,
-             |   NULL, NULL, '', NULL, '2023-12-31', 4, 'api'),
-             |  (5, DATE '2024-01-01', 0, 1000, 'batch', NULL, NULL, NULL, NULL, NULL,
-             |   -1, 'deep', 'a,b,c', 3, '2024-01-01', 8, 'batch'))
-             | t(id, event_date, event_time, user_id, category, amount, score, ratio,
-             |   count, flag, payload_a, payload_b, tags_str, n_tags, event_date_day,
-             |   user_id_bucket, category_identity)
-             |ORDER BY id""".stripMargin)),
+      Some(IngestGoldenSql)),
+
+    // ------------------------------------------------------------------
+    // stream_ingest_e2e ★ (new r5) — the reference's ACTUAL JOB — drain
+    // a directory of JSON-lines files into a partitioned lake table —
+    // through the STREAMING runtime (`StreamingIngest
+    // .ingestAvailableNow`: file source → schema'd decode → partition
+    // transforms → foreachBatch lake append, replay-fenced by
+    // `stream:<ckpt>:<batchId>` source keys), held to the IDENTICAL
+    // golden oracle as the batch ingest_e2e row. One declared row
+    // proving batch and micro-batch ingest converge byte-for-byte on
+    // the same input — the property that lets a deployment switch
+    // between the two paths (backfill batch, tail streaming) without a
+    // reconciliation step.
+    QueryDef("stream_ingest_e2e", (s: SparkSession, _: String) => runStreaming(s),
+      Some(IngestGoldenSql)),
 
     // ------------------------------------------------------------------
     // lake_ops_e2e (new r5) — the TABLE-MAINTENANCE lifecycle as a

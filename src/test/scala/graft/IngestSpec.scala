@@ -130,4 +130,12 @@ class IngestSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
   }
+
+  test("stream_ingest_e2e: streaming runtime converges byte-for-byte with batch ingest") {
+    val batch = SparkEntry.queries("ingest_e2e")(spark, sfDir)
+    val stream = SparkEntry.queries("stream_ingest_e2e")(spark, sfDir)
+    assert(stream.schema == batch.schema, "schemas diverge between the two ingest paths")
+    assert(stream.collect().toSeq == batch.collect().toSeq,
+      "streaming ingest produced different rows than the batch pipeline on the same fixtures")
+  }
 }
