@@ -23,6 +23,10 @@ object PlanAudit {
     // tiny broadcast side × non-equi predicate (vec_id != q_id): BNLJ
     // over a 5-row broadcast IS the intended stream-the-corpus plan
     ("q_sim_topk", "BroadcastNestedLoopJoin"),
+    // same shape: 8-row query-token bag / 5-row query set broadcast,
+    // non-equi self-exclusion predicate, corpus streams once
+    ("q_maxsim", "BroadcastNestedLoopJoin"),
+    ("q_sim_rerank", "BroadcastNestedLoopJoin"),
     // 1-row broadcast total joined with no key — nested-loop over 1 row
     ("q_mix_weights", "BroadcastNestedLoopJoin"),
     ("q_tfidf", "BroadcastNestedLoopJoin"),

@@ -1140,6 +1140,175 @@ object SimilarityQueries {
              |  CAST(rrf_e6 AS BIGINT) AS rrf_e6,
              |  CAST(dense_rank AS INTEGER) AS dense_rank,
              |  CAST(sparse_rank AS INTEGER) AS sparse_rank
+             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_maxsim ★ (new r5) — ColBERT-style LATE-INTERACTION retrieval
+    // (Khattab & Zaharia 2020): documents and queries are BAGS of token
+    // vectors (here: pseudo-docs of 4 vectors, doc_id = vec_id / 4;
+    // queries = docs 0–1, 8 token vectors total) and
+    // score(q, d) = Σ_{t ∈ q} max_{v ∈ d} cos(t, v).
+    // Scale shape: the query token bag is broadcast (tiny by
+    // definition); the corpus token stream makes ONE narrow pass
+    // computing pair cosines map-side; the max-then-sum collapses
+    // through TWO hash aggs with map-side partials — (q, doc, q_tok)
+    // max then (q, doc) sum — so shuffled bytes are docs×queries rows,
+    // never token-pair rows; the per-query top-10 reuses [[heapTopK]]
+    // (constant-size per-partition heaps, no corpus shuffle into
+    // n_queries reducer tasks).
+    // EXACT-INTEGER determinism trick (the q_kmeans_iter move applied
+    // to ranking): each PAIR cosine is quantized to e6 BEFORE max/sum,
+    // so max-of-longs and sum-of-longs are order-independent and both
+    // engines rank identical integers — the only cross-engine surface
+    // is per-pair rounding of the WINNING pair per (q, doc, q_tok)
+    // group (a non-winner can flip ±1 without reaching the output).
+    // Measured min distance of winning pairs to a .5 boundary: 6.9e-4 /
+    // 1.7e-3 / 4.7e-5 e6-units at sf0.001/0.01/0.1 — ≥ 470 × the ~1e-7
+    // e6-unit cross-engine double-fold noise (SimilaritySpec re-measures
+    // at the spec SF on every run).
+    QueryDef(
+      "q_maxsim",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val toks = guarded(s, dir)
+          .select(ExactMath.divTrunc(col("vec_id"), lit(4L)).as("doc_id"),
+            col("vec_id"), col("embedding"))
+        val qToks = broadcast(
+          toks.filter(col("doc_id") < 2)
+            .select(col("doc_id").as("q_id"), col("vec_id").as("q_tok"),
+              col("embedding").as("q_emb")))
+        val pairs = toks.join(qToks, col("doc_id") =!= col("q_id"))
+          .select(col("q_id"), col("doc_id"), col("q_tok"),
+            round(cosine(col("q_emb"), col("embedding")) * 1000000)
+              .cast("long").as("p_e6"))
+        val scored = pairs
+          .groupBy("q_id", "doc_id", "q_tok").agg(max("p_e6").as("m"))
+          .groupBy("q_id", "doc_id").agg(sum("m").as("score_e6"))
+        // score_e6 ≤ n_q_toks × 1e6 ≪ 2^53: exact through the double heap
+        val pre = heapTopK(
+          scored.select(col("q_id"), col("doc_id"),
+            col("score_e6").cast("double")), 10)
+        val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
+        pre.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("id").as("doc_id"),
+            col("score").cast("long").as("score_e6"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id // 4 AS doc_id, vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |q AS (SELECT doc_id AS q_id, vec_id AS q_tok, v AS qv
+             |      FROM e WHERE doc_id < 2),
+             |pair AS (
+             |  SELECT q.q_id, e.doc_id, q.q_tok,
+             |    CAST(round(1000000 *
+             |      list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.qv[i])) /
+             |        (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             |         sqrt(list_sum(list_transform(q.qv, x -> x*x))))) AS BIGINT) AS p_e6
+             |  FROM e CROSS JOIN q WHERE e.doc_id != q.q_id),
+             |mx AS (SELECT q_id, doc_id, q_tok, MAX(p_e6) AS m
+             |       FROM pair GROUP BY 1, 2, 3),
+             |sc AS (SELECT q_id, doc_id, SUM(m) AS score_e6 FROM mx GROUP BY 1, 2),
+             |r AS (
+             |  SELECT q_id, doc_id, score_e6,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY score_e6 DESC, doc_id) AS rank
+             |  FROM sc)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id,
+             |  CAST(score_e6 AS BIGINT) AS score_e6
+             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_sim_rerank ★ (new r5) — the two-stage TRUNCATED-DIMENSION
+    // retrieval funnel (the matryoshka-embedding deployment pattern,
+    // Kusupati et al. 2022): stage 1 scores the WHOLE corpus on only
+    // the first 8 of 64 dims (⅛ of the FLOPs and — with a dim-sliced
+    // column layout at rest — ⅛ of the scan bytes) and keeps the top
+    // 50 per query via [[heapTopK]]; stage 2 re-scores ONLY those
+    // 50×n_queries candidates with the exact 64-dim cosine. The rerank
+    // join broadcasts the candidate id set (≤ k×n_q rows by
+    // construction) against the corpus — an equi-join that prunes the
+    // full-vector fetch to candidates, exactly how a production
+    // two-tower funnel fetches full vectors from the index.
+    // Determinism: BOTH stage boundaries compare e6-quantized integers
+    // (candidate cut at coarse rank 50, final rank at 10; ties on
+    // vec_id both engines); coarse uses its own zero-norm guard (first
+    // 8 dims can be all-zero while the full vector is not).
+    QueryDef(
+      "q_sim_rerank",
+      (s: SparkSession, dir: String) => {
+        val k = 10
+        val kCoarse = 50
+        val e = guarded(s, dir)
+        val q = broadcast(queriesDf(s, dir))
+        val coarse = e.join(q, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(slice(col("embedding"), 1, 8), slice(col("q_emb"), 1, 8))
+              .as("c"))
+          .filter(col("c").isNotNull)
+          .select(col("q_id"), col("vec_id"),
+            round(col("c") * 1000000).cast("long").as("c_e6"))
+        val cand = heapTopK(
+          coarse.select(col("q_id"), col("vec_id"), col("c_e6").cast("double")), kCoarse)
+          .select(col("q_id"), col("id").as("vec_id"),
+            col("score").cast("long").as("c_e6"))
+        val wc = Window.partitionBy("q_id").orderBy(col("c_e6").desc, col("vec_id"))
+        val c50 = cand.withColumn("crank", row_number().over(wc))
+          .filter(col("crank") <= kCoarse)
+        // full-vector fetch pruned to the candidate ids (broadcast side)
+        val rer = e.join(broadcast(c50), "vec_id")
+          .join(q, "q_id")
+          .select(col("q_id"), col("vec_id"), col("c_e6"),
+            round(cosine(col("q_emb"), col("embedding")) * 1000000)
+              .cast("long").as("cos_e6"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("vec_id"))
+        rer.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("q_id"), col("rank"), col("vec_id"),
+            col("cos_e6"), col("c_e6"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+             |coarse AS (
+             |  SELECT q.q_id, e.vec_id,
+             |    CAST(round(1000000 *
+             |      list_sum(list_transform(range(1, 9), i -> e.v[i]*q.qv[i])) /
+             |        (sqrt(list_sum(list_transform(e.v[1:8], x -> x*x))) *
+             |         sqrt(list_sum(list_transform(q.qv[1:8], x -> x*x))))) AS BIGINT) AS c_e6
+             |  FROM e CROSS JOIN q
+             |  WHERE e.vec_id != q.q_id
+             |    AND list_sum(list_transform(e.v[1:8], x -> x*x)) > 0
+             |    AND list_sum(list_transform(q.qv[1:8], x -> x*x)) > 0),
+             |c50 AS (
+             |  SELECT q_id, vec_id, c_e6 FROM (
+             |    SELECT q_id, vec_id, c_e6,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY c_e6 DESC, vec_id) AS crank
+             |    FROM coarse) WHERE crank <= 50),
+             |rer AS (
+             |  SELECT c.q_id, c.vec_id, c.c_e6,
+             |    CAST(round(1000000 *
+             |      list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.qv[i])) /
+             |        (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             |         sqrt(list_sum(list_transform(q.qv, x -> x*x))))) AS BIGINT) AS cos_e6
+             |  FROM c50 c
+             |  JOIN e ON e.vec_id = c.vec_id
+             |  JOIN q ON q.q_id = c.q_id),
+             |r AS (
+             |  SELECT q_id, vec_id, cos_e6, c_e6,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY cos_e6 DESC, vec_id) AS rank
+             |  FROM rer)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, cos_e6, c_e6
              |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -486,4 +486,83 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(r => r._5 == 0 && r._6 > 0))
     assert(got.exists(r => r._6 == 0 && r._5 > 0))
   }
+
+  private def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+      math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+  }
+
+  test("q_maxsim == driver-side late-interaction reference; pair rounding margins clear (r5)") {
+    val all = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0f) }
+    val byDoc = all.groupBy(_._1 / 4)
+    val qDocs = byDoc.filter(_._1 < 2)
+    // the cross-engine parity claim: every pair whose value REACHES an
+    // exported sum (the per-(q, doc, q_tok) argmax) sits far from a .5
+    // rounding boundary relative to double-fold noise (~1e-7 e6-units);
+    // non-winning pairs can flip ±1 without touching the output
+    var minWinnerMargin = Double.MaxValue
+    val want = qDocs.toSeq.flatMap { case (qid, qToks) =>
+      val scores = byDoc.toSeq.filter(_._1 != qid).map { case (d, dToks) =>
+        val s = qToks.map { case (_, qv) =>
+          val vals = dToks.map { case (_, dv) =>
+            val c = cosRef(qv, dv) * 1000000
+            // half-away-from-zero, the rounding both engines apply
+            val r = (math.round(math.abs(c)).toDouble * math.signum(c)).toLong
+            (r, math.abs(c - math.floor(c) - 0.5))
+          }
+          val (best, margin) = vals.maxBy(_._1)
+          if (margin < minWinnerMargin) minWinnerMargin = margin
+          best
+        }.sum
+        (d, s)
+      }
+      scores.sortBy { case (d, s) => (-s, d) }.take(10).zipWithIndex
+        .map { case ((d, s), i) => (qid, i + 1, d, s) }
+    }.toSet
+    val got = SparkEntry.queries("q_maxsim")(spark, sfDir)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == want)
+    info(f"min winning-pair rounding margin: $minWinnerMargin%.2e e6-units")
+    assert(minWinnerMargin > 1e-5, s"winning-pair rounding margin too thin: $minWinnerMargin")
+  }
+
+  test("q_sim_rerank == driver-side two-stage funnel reference; funnel recall measured (r5)") {
+    val all = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0f) }
+    val queries = all.filter(_._1 < 5)
+    def e6(c: Double): Long = (math.round(math.abs(c) * 1000000).toDouble * math.signum(c)).toLong
+    val want = queries.flatMap { case (qid, qv) =>
+      val coarse = all.filter { case (v, vv) =>
+        v != qid && vv.take(8).exists(_ != 0f) && qv.take(8).exists(_ != 0f) }
+        .map { case (v, vv) => (v, e6(cosRef(qv.take(8), vv.take(8)))) }
+        .sortBy { case (v, c) => (-c, v) }.take(50)
+      coarse.map { case (v, ce) =>
+        (v, ce, e6(cosRef(qv, all.find(_._1 == v).get._2))) }
+        .sortBy { case (v, _, fe) => (-fe, v) }.take(10).zipWithIndex
+        .map { case ((v, ce, fe), i) => (qid, i + 1, v, fe, ce) }
+    }.toSet
+    val got = SparkEntry.queries("q_sim_rerank")(spark, sfDir)
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // funnel quality vs the exact 64-dim top-10. This corpus is
+    // ISOTROPIC random — the prefix carries only 8/64 of the variance,
+    // the worst case for prefix prefiltering (measured 0.30); trained
+    // matryoshka embeddings concentrate variance in the prefix, which
+    // is what makes the funnel the production shape. The funnel's own
+    // two-stage semantics (what the oracle checks) are exact above.
+    val exactTop = queries.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (v, vv) => (v, cosRef(qv, vv)) }
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+    }.toMap
+    val gotTop = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3) }
+    val recall = exactTop.map { case (q, ex) =>
+      ex.intersect(gotTop(q).toSet).size.toDouble / ex.size }.sum / exactTop.size
+    info(f"funnel recall@10 (8-dim coarse, 50 candidates): $recall%.2f")
+    assert(recall >= 0.2, s"funnel recall collapsed: $recall")
+  }
 }
