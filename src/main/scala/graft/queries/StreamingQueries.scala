@@ -234,6 +234,61 @@ object StreamingQueries {
              |GROUP BY 1, 2
              |HAVING CAST(DATE_TRUNC('hour', MIN(ts)) AS TIMESTAMP)
              |         + INTERVAL 1 HOUR <= (SELECT w FROM wm)
-             |ORDER BY ws, c_mktsegment""".stripMargin))
+             |ORDER BY ws, c_mktsegment""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // stream_ss_join_e2e ★ (new r5) — true STREAM-STREAM inner join
+    // with event-time bounds: the click stream joined to the purchase
+    // stream on user_id with purchase_ts ∈ [click_ts, click_ts+30min],
+    // both sides watermarked 10 minutes. This is the attribution
+    // topology (click → conversion within a window) and the one join
+    // shape stream_join_e2e's static dim can't express: BOTH sides
+    // arrive over time, so the engine must buffer each in state.
+    // The equality key + time-range condition + watermarks are exactly
+    // what lets Structured Streaming EVICT state (clicks older than
+    // watermark − 30 min, purchases older than watermark) — the only
+    // stream-stream join shape that survives an unbounded stream;
+    // without the range bound Spark refuses the append-mode plan.
+    // Determinism (why this row can be hash-compared): INNER join
+    // emissions are watermark-INDEPENDENT — the watermark bounds state
+    // and late-data admission, never which matches are produced — and
+    // a one-file-per-side AvailableNow drain admits every row, so the
+    // emitted set equals the batch interval join, which is what the
+    // oracle computes. Output is per-user conversion pairs (~183 rows
+    // at sf0.1), corpus-LINEAR because the 30-min band bounds each
+    // click's match fan-out.
+    QueryDef(
+      "stream_ss_join_e2e",
+      (s: SparkSession, dir: String) => {
+        val clicks = eventsStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").cast("long").as("user_id"),
+            col("ts").as("c_ts"), col("cents").as("c_cents"))
+          .withWatermark("c_ts", "10 minutes")
+        val buys = eventsStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").cast("long").as("b_user"),
+            col("ts").as("b_ts"), col("cents").as("b_cents"))
+          .withWatermark("b_ts", "10 minutes")
+        val joined = clicks.join(buys,
+          col("user_id") === col("b_user") &&
+            col("b_ts") >= col("c_ts") &&
+            col("b_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("user_id"), col("c_ts"), col("b_ts"),
+            col("c_cents"), col("b_cents"))
+        drain(s, joined, "graft_stream_ssjoin")
+          .orderBy("user_id", "c_ts", "b_ts", "c_cents", "b_cents")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT a.user_id AS user_id, a.ts AS c_ts, b.ts AS b_ts,
+             |  a.cents AS c_cents, b.cents AS b_cents
+             |FROM e a JOIN e b
+             |  ON a.user_id = b.user_id
+             |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+             |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+             |ORDER BY 1, 2, 3, 4, 5""".stripMargin))
   )
 }

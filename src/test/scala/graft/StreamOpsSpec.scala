@@ -96,4 +96,42 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: matches across batches, late rows dropped after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Timestamp, Long, Long)]
+    val buysIn = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = clicksIn.toDF().toDF("c_ts", "user_id", "c_cents")
+      .withWatermark("c_ts", "10 minutes")
+    val buys = buysIn.toDF().toDF("b_ts", "b_user", "b_cents")
+      .withWatermark("b_ts", "10 minutes")
+    val joined = clicks.join(buys,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("c_ts").cast("string"), col("b_ts").cast("string"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: a click, no purchase yet — buffered in join state
+      clicksIn.addData((ts("2024-01-01 10:00:00"), 1L, 100L))
+      q.processAllAvailable()
+      // batch 2: matching purchase arrives LATER — cross-batch match
+      buysIn.addData((ts("2024-01-01 10:10:00"), 1L, 500L))
+      q.processAllAvailable()
+      // batch 3: both watermarks jump to ~19:50 (state far behind
+      // evicted: clicks before wm − 30 min, purchases before wm)
+      clicksIn.addData((ts("2024-01-01 20:00:00"), 2L, 1L))
+      buysIn.addData((ts("2024-01-01 20:00:00"), 9L, 1L))
+      q.processAllAvailable()
+      // batch 4: a purchase 9.5 h behind the watermark — in range of
+      // the u1 click but LATE: dropped on admission, no match emitted
+      buysIn.addData((ts("2024-01-01 10:20:00"), 1L, 900L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .as[(Long, String, String)].collect().toSet
+      assert(rows == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00")),
+        s"expected exactly the cross-batch match, got $rows")
+    } finally q.stop()
+  }
 }

@@ -79,5 +79,8 @@ class StreamingQueriesSpec extends SparkSpec {
     val a = run("stream_tumbling_e2e").collect().toSeq
     val b = run("stream_tumbling_e2e").collect().toSeq
     assert(a == b)
+    val c = run("stream_ss_join_e2e").collect().toSeq
+    val d = run("stream_ss_join_e2e").collect().toSeq
+    assert(c == d && c.nonEmpty)
   }
 }
