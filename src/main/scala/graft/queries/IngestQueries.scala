@@ -486,5 +486,73 @@ object IngestQueries {
              |  (4, 'unchanged', 40,   40),
              |  (5, 'inserted',  NULL, 50))
              | t(id, change, v_before, v_after)
-             |ORDER BY id""".stripMargin)))
+             |ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // lake_schema_evolution_e2e (new r5) — ADD-COLUMN schema evolution
+    // as a declared query (Iceberg's most common ALTER TABLE; at 100 TB
+    // "rewrite the table to add a column" is not an option — the new
+    // column must land write-forward, with history intact). Scenario:
+    // append batch A with (id, category, v); append batch B with an
+    // extra `score` column; then observe
+    //   step 1: the PRE-evolution snapshot read at its own time — the
+    //     narrow 3-column schema (time travel travels the SCHEMA too,
+    //     not just the rows);
+    //   step 2: the current table — 4 columns, batch-A rows read
+    //     `score` as NULL (write-forward semantics), batch-B scores
+    //     sum intact;
+    //   step 3: a filter on the NEW column against the full table —
+    //     NULL-safe predicate semantics over pre-evolution rows (old
+    //     rows are not phantom matches);
+    //   step 4: the pre-evolution snapshot re-read AFTER more writes —
+    //     still narrow, still the original 3 rows (isolation + schema
+    //     both travel).
+    // Column lists are exported as a sorted string so the oracle pins
+    // the exact schema at each step. Golden VALUES oracle — constant
+    // fixture ⇒ fixed ledger (the lake_ops_e2e trust argument).
+    QueryDef("lake_schema_evolution_e2e", (s: SparkSession, _: String) => {
+      import s.implicits._
+      import graft.sink.{HiveParquetWriter, LakeOps}
+      val tmpRoot = Files.createTempDirectory("graft_evo_")
+      val tableDir = tmpRoot.toString + "/warehouse/t"
+      val w = new HiveParquetWriter
+      def obs(step: Long, op: String, df: org.apache.spark.sql.DataFrame):
+          (Long, String, Long, String, Long, Long, Long) = {
+        val cols = df.columns.sorted.mkString(",")
+        val hasScore = df.columns.contains("score")
+        val a =
+          if (hasScore)
+            df.agg(count(lit(1)).cast("long"), sum(col("v")).cast("long"),
+              sum(col("score")).cast("long"),
+              sum(when(col("score").isNull, 1L).otherwise(0L)).cast("long")).head()
+          else df.agg(count(lit(1)).cast("long"), sum(col("v")).cast("long"),
+            lit(0L), lit(0L)).head()
+        (step, op, a.getLong(0), cols, a.getLong(1), a.getLong(2), a.getLong(3))
+      }
+      val s1 = w.append(Seq((1L, "c1", 10L), (2L, "c1", 20L), (3L, "c2", 30L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val r1 = obs(1, "pre_evolution", LakeOps.readSnapshot(s, tableDir, s1))
+      w.append(Seq((4L, "c2", 40L, 85L), (5L, "c3", 50L, 95L))
+        .toDF("id", "category", "v", "score"), Seq("category"), tableDir)
+      val r2 = obs(2, "evolved", LakeOps.readTable(s, tableDir))
+      val r3 = obs(3, "filter_new_col",
+        LakeOps.readTable(s, tableDir).filter(col("score") >= 90L))
+      val r4 = obs(4, "time_travel_narrow", LakeOps.readSnapshot(s, tableDir, s1))
+      deleteTree(tmpRoot)
+      Seq(r1, r2, r3, r4)
+        .toDF("step", "op", "n_rows", "cols", "sum_v", "sum_score", "n_score_null")
+        .orderBy("step")
+    },
+      Some("""SELECT CAST(step AS BIGINT) AS step, op,
+             |  CAST(n_rows AS BIGINT) AS n_rows, cols,
+             |  CAST(sum_v AS BIGINT) AS sum_v,
+             |  CAST(sum_score AS BIGINT) AS sum_score,
+             |  CAST(n_score_null AS BIGINT) AS n_score_null
+             |FROM (VALUES
+             |  (1, 'pre_evolution',      3, 'category,id,v',       60,  0,   0),
+             |  (2, 'evolved',            5, 'category,id,score,v', 150, 180, 3),
+             |  (3, 'filter_new_col',     1, 'category,id,score,v', 50,  95,  0),
+             |  (4, 'time_travel_narrow', 3, 'category,id,v',       60,  0,   0))
+             | t(step, op, n_rows, cols, sum_v, sum_score, n_score_null)
+             |ORDER BY step""".stripMargin)))
 }
