@@ -459,6 +459,58 @@ object RelationalQueries {
              |LIMIT 10""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_sql_q5 ★ (new r5) — TPC-H Q5 (local-supplier volume) through
+    // the SQL front-end: the 6-table snowflake join — lineitem ⋈
+    // orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region — with the
+    // classic Q5 twist that customer and supplier must share a nation
+    // (c_nationkey = s_nationkey rides on the supplier join, turning
+    // two independent dims into a correlated pair). Exercises what Q3
+    // can't: join ORDER matters here (region/nation prune supplier
+    // before the fact join; Catalyst's reorder + broadcast of all four
+    // sub-million-row dims keeps lineitem unshuffled until the final
+    // group-by), and the date filter pushes to the orders scan.
+    // Revenue in exact e4 ints per the house discipline.
+    QueryDef(
+      "q_sql_q5",
+      (s: SparkSession, dir: String) => {
+        Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          SELECT n_name,
+            SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))) AS revenue_e4,
+            COUNT(*) AS n_items
+          FROM graft_customer
+          JOIN graft_orders   ON c_custkey = o_custkey
+          JOIN graft_lineitem ON l_orderkey = o_orderkey
+          JOIN graft_supplier ON l_suppkey = s_suppkey
+                             AND c_nationkey = s_nationkey
+          JOIN graft_nation   ON s_nationkey = n_nationkey
+          JOIN graft_region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY n_name
+          ORDER BY revenue_e4 DESC, n_name""")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+             |    * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))) AS BIGINT)
+             |    AS revenue_e4,
+             |  COUNT(*) AS n_items
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name
+             |ORDER BY revenue_e4 DESC, n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_bloom_join ★ (new r5) — RUNTIME-FILTERED fact⋈dim join: urgent
     // orders' keys fold into a driver-built bloom filter
     // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),
