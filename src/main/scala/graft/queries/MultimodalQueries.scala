@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -20,6 +21,37 @@ object MultimodalQueries {
   private def payloads(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Scene-cut profile over (doc_id, payload) rows — the q_mm_scene_cut
+    * kernel, public so the spec can drive it on synthetic payloads with
+    * genuine energy jumps (the ASCII corpus is near-homogeneous; see
+    * the query's scaladoc).
+    */
+  def sceneCutProfile(p: DataFrame): DataFrame = {
+    val frames = p
+      .select(col("doc_id"),
+        posexplode_outer(
+          graft.functions.FrameEnergy.frameEnergies(col("payload"), 32))
+          .as(Seq("f", "e")))
+    val wLag = Window.partitionBy("doc_id").orderBy("f")
+    val wDoc = Window.partitionBy("doc_id")
+    val d = frames
+      .withColumn("d", abs(col("e") - lag(col("e"), 1).over(wLag)))
+      .withColumn("n_d", count(col("d")).over(wDoc))
+      .withColumn("sum_d", sum(col("d")).over(wDoc))
+      .withColumn("cut",
+        col("d") * 2L * col("n_d") > lit(3L) * col("sum_d"))
+    d.groupBy("doc_id")
+      .agg(count(col("e")).as("n_frames"),
+        coalesce(sum(when(col("cut"), 1L).otherwise(0L)), lit(0L)).as("n_cuts"),
+        coalesce(max(col("d")), lit(0L)).as("max_jump"),
+        coalesce(min(when(col("cut"), col("f"))), lit(-1L)).as("first_cut"))
+      .withColumn("n_segments",
+        when(col("n_frames") > 0, col("n_cuts") + 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        col("n_segments"), col("max_jump"), col("first_cut"))
+      .orderBy("doc_id")
+  }
 
   /** Silence-run profile over (doc_id, payload) rows — the q_mm_silence
     * kernel, public so the spec can drive it on synthetic payloads with
@@ -380,6 +412,61 @@ object MultimodalQueries {
              |    bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) AS hamming
              |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
              |SELECT d1, d2, CAST(hamming AS INTEGER) AS hamming
-             |FROM pairs WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin))
+             |FROM pairs WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_mm_scene_cut ★ (new r5) — scene-change detection over the
+    // frame-energy stream: a frame boundary is a CUT when the absolute
+    // energy jump |e_f − e_{f−1}| exceeds 1.5× the payload's mean
+    // absolute jump — the shot-boundary heuristic every video pipeline
+    // runs on frame histograms/energies (the codec seam swaps decoded
+    // frame signatures in without changing the query). Division-free
+    // exact-integer predicate (d·2·n_d > 3·sum_d, the q_mm_silence
+    // idiom); per-payload frame rows come from the codegen'd
+    // `frameEnergies` array via posexplode_outer (empty payloads keep
+    // their row: 0 frames, no cuts), the lag and the doc-total sums
+    // are windows over the FRAME GRID of one doc (≤ len/32 rows) —
+    // never corpus-wide — and one hash agg collapses back to one row
+    // per doc. Output: cut count, segment count (cuts+1 on non-empty
+    // frame grids), strongest jump, first cut frame (−1 if none).
+    QueryDef(
+      "q_mm_scene_cut",
+      (s: SparkSession, dir: String) => sceneCutProfile(payloads(s, dir)),
+      Some("""WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+             |h AS (
+             |  SELECT doc_id, hex(payload) AS hx,
+             |    CAST(octet_length(payload) AS BIGINT) AS n
+             |  FROM p),
+             |e AS (
+             |  SELECT doc_id,
+             |    list_transform(range((n + 31) // 32),
+             |      f -> list_sum(list_transform(
+             |        range(32*f + 1, LEAST(32*f + 32, n) + 1),
+             |        i -> CAST(('0x' || substring(hx, CAST(2*i-1 AS INTEGER), 2))::INT AS BIGINT)))) AS es
+             |  FROM h),
+             |d AS (
+             |  SELECT doc_id, es,
+             |    list_transform(range(GREATEST(len(es) - 1, 0)),
+             |      i -> abs(es[CAST(i+2 AS INTEGER)] - es[CAST(i+1 AS INTEGER)])) AS ds
+             |  FROM e),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(es) AS BIGINT) AS n_frames,
+             |    CAST(len(ds) AS BIGINT) AS n_d,
+             |    CAST(COALESCE(list_sum(ds), 0) AS BIGINT) AS sum_d,
+             |    CAST(COALESCE(list_max(ds), 0) AS BIGINT) AS max_jump,
+             |    COALESCE(list_sum(list_transform(range(len(ds)),
+             |      i -> CASE WHEN ds[CAST(i+1 AS INTEGER)] * 2 * len(ds)
+             |                     > 3 * list_sum(ds) THEN 1 ELSE 0 END)), 0) AS n_cuts,
+             |    list_min(list_transform(range(len(ds)),
+             |      i -> CASE WHEN ds[CAST(i+1 AS INTEGER)] * 2 * len(ds)
+             |                     > 3 * list_sum(ds)
+             |                THEN CAST(i + 1 AS BIGINT) ELSE NULL END)) AS first_cut
+             |  FROM d)
+             |SELECT doc_id, n_frames, CAST(n_cuts AS BIGINT) AS n_cuts,
+             |  CAST(CASE WHEN n_frames > 0 THEN n_cuts + 1 ELSE 0 END AS BIGINT)
+             |    AS n_segments,
+             |  max_jump, CAST(COALESCE(first_cut, -1) AS BIGINT) AS first_cut
+             |FROM m ORDER BY doc_id""".stripMargin))
   )
 }

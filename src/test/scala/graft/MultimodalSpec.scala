@@ -221,4 +221,29 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(viaQuery.nonEmpty && viaQuery.forall(r => r._3 <= r._2))
   }
+
+  test("q_mm_scene_cut: genuine energy jumps detected on synthetic payloads (r5)") {
+    import graft.queries.MultimodalQueries
+    def frames(spec: (Int, Int)*): Array[Byte] =
+      spec.flatMap { case (v, k) => Array.fill(32 * k)(v.toByte) }.toArray
+    // payload 1: black(3) white(3) black(3) — jumps at frames 3 and 6
+    // (diffs [0,0,8160,0,0,8160,0,0]: mean 2040, cut iff d > 3060)
+    // payload 2: uniform — no jump anywhere, no cuts
+    // payload 3: empty — 0 frames, 0 segments, first_cut −1
+    val p1 = frames((0, 3), (255, 3), (0, 3))
+    val p2 = frames((100, 5))
+    val p3 = Array.empty[Byte]
+    val df = Seq((1L, p1), (2L, p2), (3L, p3)).toDF("doc_id", "payload")
+    val got = MultimodalQueries.sceneCutProfile(df)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 9L, 2L, 3L, 8160L, 3L), // two cuts → three scenes
+      (2L, 5L, 0L, 1L, 0L, -1L),   // one unbroken scene
+      (3L, 0L, 0L, 0L, 0L, -1L)))  // empty payload keeps its row
+    // and the declared query is consistent on the real corpus
+    val viaQuery = SparkEntry.queries("q_mm_scene_cut")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(viaQuery.nonEmpty && viaQuery.forall(r =>
+      r._4 == (if (r._2 > 0) r._3 + 1 else 0L) && r._6 < r._2))
+  }
 }
