@@ -554,5 +554,72 @@ object IngestQueries {
              |  (3, 'filter_new_col',     1, 'category,id,score,v', 50,  95,  0),
              |  (4, 'time_travel_narrow', 3, 'category,id,v',       60,  0,   0))
              | t(step, op, n_rows, cols, sum_v, sum_score, n_score_null)
+             |ORDER BY step""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // lake_skip_e2e (new r5) — manifest-style FILE SKIPPING as a
+    // declared query: `LakeOps.readPruned` resolves the live set
+    // through the commit log, reads each file's parquet FOOTER min/max
+    // for the filter column (the stats an Iceberg manifest carries per
+    // data file), and opens ONLY the files whose range intersects the
+    // predicate — at 100 TB this is the difference between a full-table
+    // pass and touching one file; sorted-on-write tables make it the
+    // primary access path. Three single-file appends with disjoint
+    // v-ranges (10–30 / 40–60 / 70–90), then:
+    //   step 1: a range spanning all files — nothing prunable, 3/3
+    //     scanned (the honest baseline);
+    //   step 2: v ∈ [40,60] — exactly 1/3 files opened, same rows a
+    //     full scan + filter returns (pruning is PHYSICAL only);
+    //   step 3: v ∈ [1000,2000] — zero files opened, empty result;
+    //   step 4: v ∈ [55,75] straddling two files — 2/3 opened and the
+    //     ROW filter still applies inside them (file-level skip,
+    //     row-level truth);
+    //   step 5: after COMPACT — stats recomputed from the rewritten
+    //     live set, pruning still 1/3 for [40,60] (per-partition
+    //     bin-packing preserves the disjoint ranges here).
+    // Golden VALUES oracle — constant fixture ⇒ fixed ledger.
+    QueryDef("lake_skip_e2e", (s: SparkSession, _: String) => {
+      import s.implicits._
+      import graft.sink.{HiveParquetWriter, LakeOps}
+      val tmpRoot = Files.createTempDirectory("graft_skip_")
+      val tableDir = tmpRoot.toString + "/warehouse/t"
+      val w = new HiveParquetWriter
+      def scan(step: Long, op: String, lo: Long, hi: Long):
+          (Long, String, Long, Long, Long, Long) = {
+        val (df, scanned, live) = LakeOps.readPruned(s, tableDir, "v", lo, hi)
+        if (scanned == 0) (step, op, live.toLong, 0L, 0L, 0L)
+        else {
+          val a = df.agg(count(lit(1)).cast("long"), sum(col("v")).cast("long")).head()
+          (step, op, live.toLong, scanned.toLong, a.getLong(0), a.getLong(1))
+        }
+      }
+      w.append(Seq((1L, "c1", 10L), (2L, "c1", 20L), (3L, "c1", 30L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir)
+      w.append(Seq((4L, "c2", 40L), (5L, "c2", 50L), (6L, "c2", 60L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir)
+      w.append(Seq((7L, "c3", 70L), (8L, "c3", 80L), (9L, "c3", 90L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir)
+      val r1 = scan(1, "span_all", 10L, 90L)
+      val r2 = scan(2, "one_file", 40L, 60L)
+      val r3 = scan(3, "no_file", 1000L, 2000L)
+      val r4 = scan(4, "straddle", 55L, 75L)
+      LakeOps.compact(s, tableDir)
+      val r5 = scan(5, "post_compact", 40L, 60L)
+      deleteTree(tmpRoot)
+      Seq(r1, r2, r3, r4, r5)
+        .toDF("step", "op", "n_live", "n_scanned", "n_rows", "sum_v")
+        .orderBy("step")
+    },
+      Some("""SELECT CAST(step AS BIGINT) AS step, op,
+             |  CAST(n_live AS BIGINT) AS n_live,
+             |  CAST(n_scanned AS BIGINT) AS n_scanned,
+             |  CAST(n_rows AS BIGINT) AS n_rows, CAST(sum_v AS BIGINT) AS sum_v
+             |FROM (VALUES
+             |  (1, 'span_all',     3, 3, 9, 450),
+             |  (2, 'one_file',     3, 1, 3, 150),
+             |  (3, 'no_file',      3, 0, 0, 0),
+             |  (4, 'straddle',     3, 2, 2, 130),
+             |  (5, 'post_compact', 3, 1, 3, 150))
+             | t(step, op, n_live, n_scanned, n_rows, sum_v)
              |ORDER BY step""".stripMargin)))
 }

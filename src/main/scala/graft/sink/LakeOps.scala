@@ -324,4 +324,66 @@ object LakeOps {
     doomed.foreach(f => Files.deleteIfExists(root.resolve(f)))
     doomed.sorted
   }
+
+  /** Per-live-file [min, max] of a LONG column, from the parquet
+    * FOOTERS — the emulated form of the column stats an Iceberg
+    * manifest carries per data file. `None` when the file has no
+    * non-null stats for the column (reader must include it). Footers
+    * are KB-sized; a real `IcebergWriter` behind the [[LakeWriter]]
+    * seam would record these at COMMIT time in the manifest and pay
+    * zero reads here.
+    */
+  def fileStats(tableDir: String, column: String): Seq[(String, Option[(Long, Long)])] = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new Configuration()
+    GraftLog.liveFiles(tableDir).map { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$tableDir/$f"), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val ranges = reader.getFooter.getBlocks.asScala.flatMap { block =>
+          block.getColumns.asScala
+            .filter(_.getPath.toDotString == column)
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+            }
+        }
+        f -> (if (ranges.isEmpty) None
+              else Some((ranges.map(_._1).min, ranges.map(_._2).max)))
+      } finally reader.close()
+    }
+  }
+
+  /** Stats-pruned scan: read only the live files whose footer [min,
+    * max] for `column` INTERSECTS [lo, hi] (files without stats are
+    * conservatively included), then apply the row-level filter on what
+    * remains — manifest-style FILE SKIPPING, the read-path half of
+    * Iceberg's min/max pruning. Purely physical: the returned frame
+    * equals `readTable(...).filter(lo ≤ column ≤ hi)` by construction;
+    * only the scanned byte count changes. Returns (frame, scanned,
+    * live) so callers can observe the pruning ratio. A zero-file
+    * selection returns an empty 0-column frame (the readSnapshot
+    * empty-table convention).
+    */
+  def readPruned(spark: SparkSession, tableDir: String, column: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val stats = fileStats(tableDir, column)
+    val keep = stats.collect {
+      case (f, None) => f
+      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
+    }
+    val df =
+      if (keep.isEmpty) spark.emptyDataFrame
+      else spark.read.option("basePath", tableDir)
+        .parquet(keep.map(f => s"$tableDir/$f"): _*)
+        .filter(col(column) >= lo && col(column) <= hi)
+    (df, keep.size, stats.size)
+  }
 }

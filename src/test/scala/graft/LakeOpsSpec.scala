@@ -468,4 +468,38 @@ class LakeOpsSpec extends SparkSpec {
     assert(wiped.where(col("change") =!= "deleted").count() == 0L)
     assert(wiped.count() == 3L) // ids 1, 2, 4 all deleted
   }
+
+  test("readPruned == full scan + filter for every range; footer stats drive the skip (r5)") {
+    import spark.implicits._
+    import graft.sink.HiveParquetWriter
+    val tdir = Files.createTempDirectory("graft_prune_").toString + "/t"
+    val w = new HiveParquetWriter
+    w.append(Seq((1L, "a", 10L), (2L, "a", 25L)).toDF("id", "category", "v"),
+      Seq("category"), tdir)
+    w.append(Seq((3L, "b", 40L), (4L, "b", 55L)).toDF("id", "category", "v"),
+      Seq("category"), tdir)
+    w.append(Seq((5L, "c", 70L), (6L, "c", 95L)).toDF("id", "category", "v"),
+      Seq("category"), tdir)
+    // footer stats reproduce the written ranges exactly
+    val stats = LakeOps.fileStats(tdir, "v").flatMap(_._2).sortBy(_._1)
+    assert(stats == Seq((10L, 25L), (40L, 55L), (70L, 95L)))
+    // physical-only contract: every range, including empty and
+    // boundary-exact ones, matches the logical full scan + filter
+    for ((lo, hi) <- Seq((10L, 95L), (25L, 40L), (26L, 39L), (0L, 9L),
+      (55L, 55L), (41L, 100L))) {
+      val (pruned, scanned, live) = LakeOps.readPruned(spark, tdir, "v", lo, hi)
+      assert(live == 3 && scanned <= live)
+      val want = LakeOps.readTable(spark, tdir)
+        .filter(col("v") >= lo && col("v") <= hi)
+        .select("id").as[Long].collect().sorted.toSeq
+      val got =
+        if (scanned == 0) Seq.empty[Long]
+        else pruned.select("id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"range [$lo,$hi]: pruned=$got full=$want")
+    }
+    // a range touching no file opens no file
+    assert(LakeOps.readPruned(spark, tdir, "v", 26L, 39L)._2 == 0)
+    // a boundary-exact range opens exactly its file
+    assert(LakeOps.readPruned(spark, tdir, "v", 55L, 55L)._2 == 1)
+  }
 }
