@@ -587,11 +587,11 @@ object IngestQueries {
       def scan(step: Long, op: String, lo: Long, hi: Long):
           (Long, String, Long, Long, Long, Long) = {
         val (df, scanned, live) = LakeOps.readPruned(s, tableDir, "v", lo, hi)
-        if (scanned == 0) (step, op, live.toLong, 0L, 0L, 0L)
-        else {
-          val a = df.agg(count(lit(1)).cast("long"), sum(col("v")).cast("long")).head()
-          (step, op, live.toLong, scanned.toLong, a.getLong(0), a.getLong(1))
-        }
+        // coalesce: a scanned file can still match ZERO rows (stats
+        // intersect, rows don't) — sum would be NULL, not absent
+        val a = df.agg(count(lit(1)).cast("long"),
+          coalesce(sum(col("v")), lit(0L)).cast("long")).head()
+        (step, op, live.toLong, scanned.toLong, a.getLong(0), a.getLong(1))
       }
       w.append(Seq((1L, "c1", 10L), (2L, "c1", 20L), (3L, "c1", 30L))
         .toDF("id", "category", "v"), Seq("category"), tableDir)

@@ -1160,12 +1160,14 @@ object SimilarityQueries {
     // to ranking): each PAIR cosine is quantized to e6 BEFORE max/sum,
     // so max-of-longs and sum-of-longs are order-independent and both
     // engines rank identical integers — the only cross-engine surface
-    // is per-pair rounding of the WINNING pair per (q, doc, q_tok)
-    // group (a non-winner can flip ±1 without reaching the output).
-    // Measured min distance of winning pairs to a .5 boundary: 6.9e-4 /
-    // 1.7e-3 / 4.7e-5 e6-units at sf0.001/0.01/0.1 — ≥ 470 × the ~1e-7
-    // e6-unit cross-engine double-fold noise (SimilaritySpec re-measures
-    // at the spec SF on every run).
+    // is per-pair rounding of the pairs that can REACH a group max
+    // (every pair within 1 of its (q, doc, q_tok) max: a tied pair
+    // flipping up, or a lone max flipping down, changes the exported
+    // sum; pairs further below cannot). Measured min distance of that
+    // set to a .5 boundary: 6.9e-4 / 1.7e-3 / 4.7e-5 e6-units at
+    // sf0.001/0.01/0.1 — ≥ 470 × the ~1e-7 e6-unit cross-engine
+    // double-fold noise (SimilaritySpec re-measures at the spec SF on
+    // every run).
     QueryDef(
       "q_maxsim",
       (s: SparkSession, dir: String) => {

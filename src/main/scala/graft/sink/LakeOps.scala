@@ -337,6 +337,7 @@ object LakeOps {
     import org.apache.hadoop.conf.Configuration
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val conf = new Configuration()
     GraftLog.liveFiles(tableDir).map { f =>
       val in = HadoopInputFile.fromPath(
@@ -348,6 +349,12 @@ object LakeOps {
           block.getColumns.asScala
             .filter(_.getPath.toDotString == column)
             .flatMap { c =>
+              // fail fast on a non-INT64 column — a silent
+              // ClassCastException from genericGetMin would otherwise
+              // surface deep inside the footer loop
+              val tn = c.getPrimitiveType.getPrimitiveTypeName
+              require(tn == PrimitiveTypeName.INT64,
+                s"fileStats: column '$column' is $tn, only INT64 (long) is supported")
               val st = c.getStatistics
               if (st == null || !st.hasNonNullValue) None
               else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
@@ -365,11 +372,14 @@ object LakeOps {
     * conservatively included), then apply the row-level filter on what
     * remains — manifest-style FILE SKIPPING, the read-path half of
     * Iceberg's min/max pruning. Purely physical: the returned frame
-    * equals `readTable(...).filter(lo ≤ column ≤ hi)` by construction;
-    * only the scanned byte count changes. Returns (frame, scanned,
-    * live) so callers can observe the pruning ratio. A zero-file
-    * selection returns an empty 0-column frame (the readSnapshot
-    * empty-table convention).
+    * equals `readTable(...).filter(lo ≤ column ≤ hi)` by construction
+    * — INCLUDING the schema: survivors read with mergeSchema (a
+    * schema-evolved live set must not lose an added column to one
+    * arbitrary footer), and a zero-file selection returns an empty
+    * frame with the FULL-TABLE schema (derived from the live set the
+    * stats pass already enumerated), so callers need no 0-column
+    * special case. Returns (frame, scanned, live) so callers can
+    * observe the pruning ratio.
     */
   def readPruned(spark: SparkSession, tableDir: String, column: String,
       lo: Long, hi: Long): (DataFrame, Int, Int) = {
@@ -380,8 +390,14 @@ object LakeOps {
       case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
     }
     val df =
-      if (keep.isEmpty) spark.emptyDataFrame
-      else spark.read.option("basePath", tableDir)
+      if (stats.isEmpty) spark.emptyDataFrame // empty TABLE: no schema to carry
+      else if (keep.isEmpty)
+        // full prune: an empty frame with the table schema, so the
+        // physical-only contract holds for the empty case too
+        spark.read.option("basePath", tableDir).option("mergeSchema", "true")
+          .parquet(stats.map(f => s"$tableDir/${f._1}"): _*)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else spark.read.option("basePath", tableDir).option("mergeSchema", "true")
         .parquet(keep.map(f => s"$tableDir/$f"): _*)
         .filter(col(column) >= lo && col(column) <= hi)
     (df, keep.size, stats.size)

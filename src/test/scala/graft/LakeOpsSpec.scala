@@ -485,21 +485,36 @@ class LakeOpsSpec extends SparkSpec {
     assert(stats == Seq((10L, 25L), (40L, 55L), (70L, 95L)))
     // physical-only contract: every range, including empty and
     // boundary-exact ones, matches the logical full scan + filter
+    // physical-only contract holds WITHOUT caller special cases: the
+    // fully-pruned frame keeps the table schema (empty but typed), and
+    // (41,48] scans a stats-intersecting file that matches zero rows
     for ((lo, hi) <- Seq((10L, 95L), (25L, 40L), (26L, 39L), (0L, 9L),
-      (55L, 55L), (41L, 100L))) {
+      (55L, 55L), (41L, 100L), (41L, 48L))) {
       val (pruned, scanned, live) = LakeOps.readPruned(spark, tdir, "v", lo, hi)
       assert(live == 3 && scanned <= live)
       val want = LakeOps.readTable(spark, tdir)
         .filter(col("v") >= lo && col("v") <= hi)
         .select("id").as[Long].collect().sorted.toSeq
-      val got =
-        if (scanned == 0) Seq.empty[Long]
-        else pruned.select("id").as[Long].collect().sorted.toSeq
+      val got = pruned.select("id").as[Long].collect().sorted.toSeq
       assert(got == want, s"range [$lo,$hi]: pruned=$got full=$want")
     }
     // a range touching no file opens no file
     assert(LakeOps.readPruned(spark, tdir, "v", 26L, 39L)._2 == 0)
     // a boundary-exact range opens exactly its file
     assert(LakeOps.readPruned(spark, tdir, "v", 55L, 55L)._2 == 1)
+    // a stats-hit zero-row-match range scans 1 file, returns 0 rows
+    val zr = LakeOps.readPruned(spark, tdir, "v", 41L, 48L)
+    assert(zr._2 == 1 && zr._1.count() == 0L)
+    // schema-evolved live set: pruning must not lose the added column
+    // to one arbitrary pre-evolution footer (mergeSchema contract)
+    w.append(Seq((7L, "d", 110L, 9L, "x")).toDF("id", "category", "v", "score", "note"),
+      Seq("category"), tdir)
+    val (evo, _, _) = LakeOps.readPruned(spark, tdir, "v", 10L, 200L)
+    assert(evo.columns.contains("score"))
+    assert(evo.filter(col("score").isNull).count() == 6L) // pre-evolution rows
+    // non-INT64 stats column fails fast with a clear message
+    val err = intercept[IllegalArgumentException](
+      LakeOps.fileStats(tdir, "note"))
+    assert(err.getMessage.contains("note"))
   }
 }

@@ -499,10 +499,13 @@ class SimilaritySpec extends SparkSpec {
       .filter { case (_, v) => v.exists(_ != 0f) }
     val byDoc = all.groupBy(_._1 / 4)
     val qDocs = byDoc.filter(_._1 < 2)
-    // the cross-engine parity claim: every pair whose value REACHES an
-    // exported sum (the per-(q, doc, q_tok) argmax) sits far from a .5
-    // rounding boundary relative to double-fold noise (~1e-7 e6-units);
-    // non-winning pairs can flip ±1 without touching the output
+    // the cross-engine parity claim: every pair whose value can REACH
+    // an exported sum sits far from a .5 rounding boundary relative to
+    // double-fold noise (~1e-7 e6-units). That is every pair WITHIN 1
+    // of its group max — not just one argmax representative: a pair
+    // TIED at the max (or one below it) with a razor-thin margin could
+    // flip ±1 in one engine and CHANGE the max while the
+    // representative's fat margin passes the assertion.
     var minWinnerMargin = Double.MaxValue
     val want = qDocs.toSeq.flatMap { case (qid, qToks) =>
       val scores = byDoc.toSeq.filter(_._1 != qid).map { case (d, dToks) =>
@@ -513,8 +516,10 @@ class SimilaritySpec extends SparkSpec {
             val r = (math.round(math.abs(c)).toDouble * math.signum(c)).toLong
             (r, math.abs(c - math.floor(c) - 0.5))
           }
-          val (best, margin) = vals.maxBy(_._1)
-          if (margin < minWinnerMargin) minWinnerMargin = margin
+          val best = vals.map(_._1).max
+          vals.filter(_._1 >= best - 1).foreach { case (_, m) =>
+            if (m < minWinnerMargin) minWinnerMargin = m
+          }
           best
         }.sum
         (d, s)
@@ -535,19 +540,32 @@ class SimilaritySpec extends SparkSpec {
       .filter { case (_, v) => v.exists(_ != 0f) }
     val queries = all.filter(_._1 < 5)
     def e6(c: Double): Long = (math.round(math.abs(c) * 1000000).toDouble * math.signum(c)).toLong
+    // both stage cuts compare e6 INTEGERS with vec_id tie-break, so the
+    // only cross-engine surface is per-value rounding — measure the min
+    // distance to a .5 boundary over EVERY value either stage rounds
+    // (all corpus coarse cosines + every candidate's exact cosine)
+    var minMargin = Double.MaxValue
+    def measured(c: Double): Double = {
+      val x = c * 1000000
+      val m = math.abs(x - math.floor(x) - 0.5)
+      if (m < minMargin) minMargin = m
+      c
+    }
     val want = queries.flatMap { case (qid, qv) =>
       val coarse = all.filter { case (v, vv) =>
         v != qid && vv.take(8).exists(_ != 0f) && qv.take(8).exists(_ != 0f) }
-        .map { case (v, vv) => (v, e6(cosRef(qv.take(8), vv.take(8)))) }
+        .map { case (v, vv) => (v, e6(measured(cosRef(qv.take(8), vv.take(8))))) }
         .sortBy { case (v, c) => (-c, v) }.take(50)
       coarse.map { case (v, ce) =>
-        (v, ce, e6(cosRef(qv, all.find(_._1 == v).get._2))) }
+        (v, ce, e6(measured(cosRef(qv, all.find(_._1 == v).get._2)))) }
         .sortBy { case (v, _, fe) => (-fe, v) }.take(10).zipWithIndex
         .map { case ((v, ce, fe), i) => (qid, i + 1, v, fe, ce) }
     }.toSet
     val got = SparkEntry.queries("q_sim_rerank")(spark, sfDir)
       .as[(Long, Int, Long, Long, Long)].collect().toSet
     assert(got == want)
+    info(f"min e6 rounding margin across both stages: $minMargin%.2e e6-units")
+    assert(minMargin > 1e-5, s"rounding margin too thin: $minMargin")
     // funnel quality vs the exact 64-dim top-10. This corpus is
     // ISOTROPIC random — the prefix carries only 8/64 of the variance,
     // the worst case for prefix prefiltering (measured 0.30); trained
