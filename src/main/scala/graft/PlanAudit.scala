@@ -27,6 +27,7 @@ object PlanAudit {
     // non-equi self-exclusion predicate, corpus streams once
     ("q_maxsim", "BroadcastNestedLoopJoin"),
     ("q_sim_rerank", "BroadcastNestedLoopJoin"),
+    ("q_maxsim_rerank", "BroadcastNestedLoopJoin"), // 2-row pooled query broadcast
     // 1-row broadcast total joined with no key — nested-loop over 1 row
     ("q_mix_weights", "BroadcastNestedLoopJoin"),
     ("q_tfidf", "BroadcastNestedLoopJoin"),

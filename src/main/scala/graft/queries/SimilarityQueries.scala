@@ -1311,6 +1311,127 @@ object SimilarityQueries {
              |      ORDER BY cos_e6 DESC, vec_id) AS rank
              |  FROM rer)
              |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, cos_e6, c_e6
+             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_maxsim_rerank ★ (new r5) — the PRODUCTION late-interaction
+    // deployment (the PLAID/ColBERTv2 serving shape): stage 1 retrieves
+    // candidate documents with ONE POOLED vector per doc (elementwise
+    // mean of its token vectors — a 4× cheaper scan than token-level
+    // MaxSim, and the single-vector index is what sits in the ANN
+    // store), stage 2 re-scores ONLY the top-20 candidates with the
+    // exact token-level MaxSim of q_maxsim. Candidate generation is a
+    // broadcast of 2 pooled query vectors against the pooled corpus
+    // (one narrow pass + heapTopK); the rerank joins the candidate doc
+    // ids back to the TOKEN stream — an equi-join that fetches 20×4
+    // token vectors per query, never the corpus.
+    // Determinism: both stage boundaries compare e6 integers with
+    // doc_id tie-break. Pooling sums 4 doubles per dim (order can
+    // differ across engines: ~1e-16 relative, ~1e-10 e6-units after
+    // the cosine); measured min pooled-cosine rounding margins:
+    // 2.0e-3 / 5.4e-3 / 4.8e-6 e6-units at sf0.001/0.01/0.1 — the
+    // thinnest is still ≥ 47 × the conservative 1e-7 e6-unit full
+    // fold-noise bound and ≥ 10⁴ × the pooling-reorder noise.
+    // Stage-2 margins are the q_maxsim within-1-of-max set restricted
+    // to candidates (⊆ the measured full set). SimilaritySpec
+    // re-measures the pooled margins at the spec SF on every run.
+    QueryDef(
+      "q_maxsim_rerank",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val kCand = 20
+        val toks = guarded(s, dir)
+          .select(ExactMath.divTrunc(col("vec_id"), lit(4L)).as("doc_id"),
+            col("vec_id"), col("embedding"))
+        // pooled vector per doc: 64 codegen'd avg aggregates, one shuffle
+        val pooled = toks.groupBy("doc_id")
+          .agg(array((0 until Dim).map(i =>
+            avg(col("embedding").getItem(i))): _*).as("pool"))
+        val qPool = broadcast(pooled.filter(col("doc_id") < 2)
+          .select(col("doc_id").as("q_id"), col("pool").as("q_pool")))
+        val cand = heapTopK(
+          pooled.join(qPool, col("doc_id") =!= col("q_id"))
+            .select(col("q_id"), col("doc_id"),
+              round(cosine(col("q_pool"), col("pool")) * 1000000)
+                .cast("long").as("p_e6"))
+            .filter(col("p_e6").isNotNull)
+            .select(col("q_id"), col("doc_id"), col("p_e6").cast("double")),
+          kCand)
+          .select(col("q_id"), col("id").as("doc_id"),
+            col("score").cast("long").as("pool_e6"))
+        // exact token-level MaxSim on candidates only: max over the
+        // candidate doc's tokens PER QUERY TOKEN, then sum over query
+        // tokens (the q_maxsim semantics)
+        val qToks = broadcast(toks.filter(col("doc_id") < 2)
+          .select(col("doc_id").as("q_id"), col("vec_id").as("q_tok"),
+            col("embedding").as("q_emb")))
+        val pairs = toks.join(broadcast(cand), "doc_id")
+          .join(qToks, "q_id")
+          .select(col("q_id"), col("doc_id"), col("pool_e6"), col("q_tok"),
+            round(cosine(col("q_emb"), col("embedding")) * 1000000)
+              .cast("long").as("pe"))
+        val scored = pairs
+          .groupBy("q_id", "doc_id", "pool_e6", "q_tok").agg(max("pe").as("m"))
+          .groupBy("q_id", "doc_id", "pool_e6").agg(sum("m").as("score_e6"))
+        val w = Window.partitionBy("q_id").orderBy(col("score_e6").desc, col("doc_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("doc_id"),
+            col("score_e6"), col("pool_e6"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id // 4 AS doc_id, vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |dim AS (
+             |  SELECT doc_id, i, AVG(v[i]) AS m
+             |  FROM e, range(1, 65) r(i) GROUP BY doc_id, i),
+             |pool AS (
+             |  SELECT doc_id, list(m ORDER BY i) AS pool FROM dim GROUP BY doc_id),
+             |qp AS (SELECT doc_id AS q_id, pool AS q_pool FROM pool WHERE doc_id < 2),
+             |pscore AS (
+             |  SELECT qp.q_id, p.doc_id,
+             |    CAST(round(1000000 *
+             |      list_sum(list_transform(range(1, 65), i -> p.pool[i]*qp.q_pool[i])) /
+             |        (sqrt(list_sum(list_transform(p.pool, x -> x*x))) *
+             |         sqrt(list_sum(list_transform(qp.q_pool, x -> x*x))))) AS BIGINT)
+             |      AS p_e6
+             |  FROM pool p CROSS JOIN qp
+             |  WHERE p.doc_id != qp.q_id
+             |    AND list_sum(list_transform(p.pool, x -> x*x)) > 0
+             |    AND list_sum(list_transform(qp.q_pool, x -> x*x)) > 0),
+             |cand AS (
+             |  SELECT q_id, doc_id, p_e6 AS pool_e6 FROM (
+             |    SELECT q_id, doc_id, p_e6,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY p_e6 DESC, doc_id) AS cr
+             |    FROM pscore) WHERE cr <= 20),
+             |q AS (SELECT doc_id AS q_id, vec_id AS q_tok, v AS qv
+             |      FROM e WHERE doc_id < 2),
+             |pair AS (
+             |  SELECT c.q_id, c.doc_id, c.pool_e6, q.q_tok,
+             |    CAST(round(1000000 *
+             |      list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.qv[i])) /
+             |        (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             |         sqrt(list_sum(list_transform(q.qv, x -> x*x))))) AS BIGINT) AS pe
+             |  FROM cand c
+             |  JOIN e ON e.doc_id = c.doc_id
+             |  JOIN q ON q.q_id = c.q_id),
+             |mx AS (SELECT q_id, doc_id, pool_e6, q_tok, MAX(pe) AS m
+             |       FROM pair GROUP BY 1, 2, 3, 4),
+             |sc AS (SELECT q_id, doc_id, pool_e6, SUM(m) AS score_e6
+             |       FROM mx GROUP BY 1, 2, 3),
+             |r AS (
+             |  SELECT q_id, doc_id, score_e6, pool_e6,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY score_e6 DESC, doc_id) AS rank
+             |  FROM sc)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id,
+             |  CAST(score_e6 AS BIGINT) AS score_e6,
+             |  CAST(pool_e6 AS BIGINT) AS pool_e6
              |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -583,4 +583,42 @@ class SimilaritySpec extends SparkSpec {
     info(f"funnel recall@10 (8-dim coarse, 50 candidates): $recall%.2f")
     assert(recall >= 0.2, s"funnel recall collapsed: $recall")
   }
+
+  test("q_maxsim_rerank == driver-side pooled-retrieve + MaxSim-rerank reference (r5)") {
+    val all = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0f) }
+    val byDoc = all.groupBy(_._1 / 4)
+    def pool(toks: Array[(Long, Seq[Float])]): Seq[Double] =
+      (0 until 64).map(i => toks.map(_._2(i).toDouble).sum / toks.length)
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def e6(c: Double): Long =
+      (math.round(math.abs(c) * 1000000).toDouble * math.signum(c)).toLong
+    val pools = byDoc.map { case (d, toks) => d -> pool(toks) }
+    var minPoolMargin = Double.MaxValue
+    val want = pools.keys.filter(_ < 2).toSeq.flatMap { qid =>
+      val qp = pools(qid)
+      val cand = pools.toSeq.filter(_._1 != qid).map { case (d, p) =>
+        val c = cosD(qp, p) * 1000000
+        val m = math.abs(c - math.floor(c) - 0.5)
+        if (m < minPoolMargin) minPoolMargin = m
+        (d, e6(cosD(qp, p)))
+      }.sortBy { case (d, p) => (-p, d) }.take(20)
+      val qToks = byDoc(qid)
+      cand.map { case (d, pe) =>
+        val score = qToks.map { case (_, qv) =>
+          byDoc(d).map { case (_, dv) => e6(cosRef(qv, dv)) }.max }.sum
+        (d, pe, score)
+      }.sortBy { case (d, _, s) => (-s, d) }.take(10).zipWithIndex
+        .map { case ((d, pe, s), i) => (qid, i + 1, d, s, pe) }
+    }.toSet
+    val got = SparkEntry.queries("q_maxsim_rerank")(spark, sfDir)
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    info(f"min pooled-cosine rounding margin: $minPoolMargin%.2e e6-units")
+    assert(minPoolMargin > 1e-6, s"pooled rounding margin too thin: $minPoolMargin")
+  }
 }
