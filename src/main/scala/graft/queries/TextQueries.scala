@@ -1078,6 +1078,58 @@ object TextQueries {
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
-             |FROM t ORDER BY id""".stripMargin))
+             |FROM t ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_vocab_oov ★ (new r5) — tokenizer VOCABULARY COVERAGE: freeze
+    // the top-16 terms by corpus frequency (tie-break term asc — the
+    // fixed vocab a tokenizer ships with; 16 against this fixture's
+    // 31-term vocabulary so the OOV mass is LIVE at every SF, the
+    // real-world analogue being a 32k vocab on an open-domain corpus)
+    // and measure, per source, the
+    // out-of-vocabulary token mass and distinct OOV type count — the
+    // go/no-go metric for whether a tokenizer fits a corpus (high OOV
+    // mass ⇒ excessive fragmentation / UNK flooding downstream).
+    // Scale shape: term frequencies are one map-side-combined hash agg
+    // on the term; the vocab cut is TakeOrderedAndProject (top-16 —
+    // per-partition heaps + a 16-row driver merge, no global sort
+    // shuffle); membership is a BROADCAST left join on the token
+    // stream; the final per-source rollup is one agg. OOV ratio in
+    // exact e4 (half-up integer division).
+    QueryDef(
+      "q_vocab_oov",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val docs = Tables(s, dir, "documents")
+        val tok = docs.select(col("source"), explode(toks).as("term"))
+        val vocab = tok.groupBy("term").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("term")).limit(16)
+          .select(col("term"), lit(1L).as("in_v"))
+        tok.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"),
+            countDistinct(when(col("in_v").isNull, col("term"))).as("n_oov_types"))
+          .withColumn("oov_e4",
+            ExactMath.divTrunc(col("n_oov") * 20000L + col("n_tokens"),
+              col("n_tokens") * 2L))
+          .orderBy("source")
+      },
+      Some("""WITH p AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |f AS (SELECT term, COUNT(*) AS freq FROM p GROUP BY 1),
+             |v AS (SELECT term FROM f ORDER BY freq DESC, term LIMIT 16),
+             |t AS (
+             |  SELECT p.source, p.term,
+             |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+             |  FROM p LEFT JOIN v ON p.term = v.term)
+             |SELECT source, COUNT(*) AS n_tokens,
+             |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+             |  CAST(COUNT(DISTINCT CASE WHEN oov = 1 THEN term END) AS BIGINT)
+             |    AS n_oov_types,
+             |  CAST((SUM(oov) * 20000 + COUNT(*)) // (COUNT(*) * 2) AS BIGINT)
+             |    AS oov_e4
+             |FROM t GROUP BY source ORDER BY source""".stripMargin))
   )
 }

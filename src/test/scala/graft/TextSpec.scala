@@ -292,4 +292,23 @@ class TextSpec extends SparkSpec {
     // and similarity is discriminative: top pair strictly above the 20th
     assert(got.head._4 > got.last._4)
   }
+
+  test("q_vocab_oov == plain-Scala vocabulary-coverage reference (r5)") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val terms = docs.flatMap { case (src, t) => t.split(" ", -1).map(src -> _) }
+    val vocab = terms.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(16).map(_._1).toSet
+    val want = terms.groupBy(_._1).map { case (src, ts) =>
+      val n = ts.length.toLong
+      val oov = ts.count(t => !vocab.contains(t._2)).toLong
+      val types = ts.collect { case (_, t) if !vocab.contains(t) => t }.toSet.size.toLong
+      (src, n, oov, types, (oov * 20000L + n) / (n * 2L))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_vocab_oov")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the coverage question is live: OOV mass exists but is not total
+    assert(got.exists(r => r._3 > 0) && got.forall(r => r._3 < r._2))
+  }
 }
