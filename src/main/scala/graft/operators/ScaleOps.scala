@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Scale-out building blocks for the hot aggregation/join paths —
   * the techniques a 1000-executor deployment of this engine leans on
@@ -74,16 +76,41 @@ object ScaleOps {
       dim: DataFrame, dimKey: String, fpp: Double = 0.01): DataFrame = {
     // Key-type-generic via xxhash64 on BOTH sides: the bloom stores the
     // 64-bit hash of the dim key and the probe hashes the fact key the
-    // same way, so any key type works and build/probe can never see
-    // different representations (a Long-typed probe UDF would silently
+    // same way, so build/probe can never see different representations
+    // of the SAME type (a Long-typed probe UDF would silently
     // cast-to-null non-long keys and drop EVERY row — a false-negative
-    // hole the review caught; review fix r5). Hash collisions only add
-    // to the fpp, never subtract: no false negatives, unconditionally.
+    // hole the review caught; review fix r5). xxhash64 is type-SENSITIVE
+    // though: an Int 5 and a Long 5 hash differently, so cross-typed
+    // key pairs would drop every matching row — refuse them up front
+    // rather than document a guarantee the hash can't keep (advisor
+    // finding r5; callers cast one side first). With same-typed keys,
+    // hash collisions only add to the fpp, never subtract: no false
+    // negatives.
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(ft == dt,
+      s"bloomPrune: fact key '$factKey' is $ft but dim key '$dimKey' is $dt — " +
+        "xxhash64 hashes equal values of different types differently, which would " +
+        "silently drop every matching row; cast both keys to a common type first")
     val n = math.max(dim.count(), 1L)
-    val bf = dim.sparkSession.sparkContext.broadcast(
-      dim.select(xxhash64(col(dimKey)).as("__k")).stat.bloomFilter("__k", n, fpp))
-    val might = udf((k: Long) => bf.value.mightContainLong(k))
-    fact.filter(might(xxhash64(col(factKey))))
+    val bf = dim.select(xxhash64(col(dimKey)).as("__k")).stat.bloomFilter("__k", n, fpp)
+    val bytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(baos)
+      baos.toByteArray
+    }
+    // Probe through Catalyst's own BloomFilterMightContain (the exact
+    // expression InjectRuntimeFilter plants, with the serialized bloom
+    // as a foldable binary literal — its codegen deserializes once per
+    // task and emits a straight mightContainLong call inside
+    // whole-stage codegen). At 100 TB the probe is the fact-scan hot
+    // loop; the previous interpreted Scala UDF cost a
+    // serialize/deserialize round-trip per row (the repo's measured
+    // ~50× hot-path penalty for lambda UDFs — dev/PERF_NOTES.md).
+    val probe = GraftBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      GraftBridge.expression(xxhash64(col(factKey)))))
+    fact.filter(probe)
   }
 
   /** Write `df` as a hash-bucketed, per-bucket-sorted table: ONE

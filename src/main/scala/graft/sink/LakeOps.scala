@@ -137,8 +137,19 @@ object LakeOps {
     require(GraftLog.records(tableDir).exists(_.snapshotId == toSnapshotId),
       s"no snapshot $toSnapshotId in $tableDir")
     val files = GraftLog.liveFiles(tableDir, Some(toSnapshotId))
+    // rows = TOTAL rows of the restored live set (the convention every
+    // full-set op — compact/overwrite/delete — uses), not the target
+    // snapshot's own delta: a rollback to an append-on-top-of-appends
+    // restores all of them, and the record must describe what its file
+    // set holds (advisor finding r5). Same fold as liveFiles.
     val rows = GraftLog.records(tableDir)
-      .filter(_.snapshotId == toSnapshotId).map(_.rows).sum
+      .filter(_.snapshotId <= toSnapshotId)
+      .foldLeft(0L) { (acc, r) =>
+        r.op match {
+          case "rewrite" | "overwrite" | "delete" => r.rows
+          case _                                  => acc + r.rows
+        }
+      }
     val rec = GraftLog.commit(tableDir, "rewrite", rows, files, Seq.empty)
     CommitInfo(rec.snapshotId, rec.files, rows)
   }

@@ -69,7 +69,12 @@ object StreamOps {
       start: Long, last: Long, events: Long, totalValue: Double)
 
   private def micros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    // floorDiv, not /: for pre-epoch timestamps getTime is negative and
+    // truncation-toward-zero rounds the seconds part the wrong way —
+    // the nanos (always non-negative) then push the result a full
+    // second high, breaking the micros/fromMicros round-trip (advisor
+    // finding r5; fromMicros already floors).
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   private def fromMicros(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)

@@ -99,6 +99,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned.join(dim, Seq("o_orderpriority")).count() == trueMatches)
   }
 
+  test("bloomPrune: cross-typed keys are refused (xxhash64 is type-sensitive)") {
+    // an Int fact key probed against a Long dim key hashes differently
+    // on build vs probe even for equal values — every matching row
+    // would silently vanish, so the API must refuse the pair outright
+    val dim = Tables(spark, sfDir, "orders").select(col("o_orderkey"))
+    val fact = Tables(spark, sfDir, "lineitem")
+      .withColumn("l_orderkey", col("l_orderkey").cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.bloomPrune(fact, "l_orderkey", dim, "o_orderkey")
+    }
+    assert(e.getMessage.contains("xxhash64"))
+  }
+
+  test("bloomPrune: probe is Catalyst might_contain, not a Scala UDF") {
+    // the probe runs once per fact row — at 100 TB it must stay inside
+    // whole-stage codegen (interpreted lambda UDFs measured ~50× slower
+    // on hot paths; dev/PERF_NOTES.md)
+    val dim = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val pruned = ScaleOps.bloomPrune(
+      Tables(spark, sfDir, "lineitem"), "l_orderkey", dim, "o_orderkey")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no might_contain in:\n$plan")
+    assert(!plan.contains("UDF"), s"interpreted UDF survived in:\n$plan")
+  }
+
   test("joinBroadcastDim plans a BroadcastHashJoin") {
     val j = ScaleOps.joinBroadcastDim(
       Tables(spark, sfDir, "customer"),
