@@ -148,6 +148,58 @@ object Multimodal {
 
   val byteEntropyUdf = udf(byteEntropy _)
 
+  /** Fixed-point log₂ with 20 fractional bits, computed by the exact
+    * integer square-and-shift recurrence (normalize to [1,2) in Q30,
+    * then 20 rounds of square / conditional-halve, emitting one result
+    * bit per round). NO libm anywhere — every operation is 64-bit
+    * integer multiply/shift/compare, so ANY engine that runs the same
+    * recurrence (the q_mm_entropy oracle builds it in a DuckDB
+    * recursive CTE) produces bit-identical values; measured ≤ 1 e20-
+    * unit from true 2²⁰·log₂(v) over the whole count domain. Valid for
+    * 1 ≤ v < 2³³ (x stays in Q30 → x² < 2⁶²).
+    */
+  def log2e20(v: Long): Long = {
+    require(v >= 1 && v < (1L << 33), s"log2e20 domain: $v")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    var x = (v << 30) >> e // Q30 in [2^30, 2^31)
+    var frac = 0L
+    var i = 0
+    while (i < 20) {
+      x = (x * x) >> 30
+      frac <<= 1
+      if (x >= (2L << 30)) { frac |= 1L; x >>= 1 }
+      i += 1
+    }
+    (e.toLong << 20) | frac
+  }
+
+  /** Shannon byte entropy in exact-integer e6 units — the ORACLE-
+    * CHECKED form of [[byteEntropy]]: H·1e6 = (S·L(S) − Σ cᵢ·L(cᵢ))·1e6
+    * div (S·2²⁰) with L = [[log2e20]], all BIGINT arithmetic, floor
+    * division (DuckDB `//` truncation == floor for the non-negative
+    * numerator concavity guarantees). Within ~3 e6-units of the libm
+    * value (asserted in MultimodalSpec); exact-portable while
+    * S·log₂S < 2⁴³ (payload ≤ ~400 KiB) — beyond that compute the
+    * signal in the codec seam in floating point.
+    */
+  def byteEntropyE6(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.isEmpty) return 0L
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    val s = bytes.length.toLong
+    var num = s * log2e20(s)
+    var b = 0
+    while (b < 256) {
+      val c = counts(b)
+      if (c > 0) num -= c * log2e20(c)
+      b += 1
+    }
+    num * 1000000L / (s << 20)
+  }
+
+  val byteEntropyE6Udf = udf(byteEntropyE6 _)
+
   /** Exact integer byte-distribution stats of a payload — the rational
     * (oracle-checkable) sibling of [[byteEntropy]]: Shannon entropy
     * needs libm ln (not engine-portable at the last ulp), while the

@@ -180,22 +180,68 @@ object MultimodalQueries {
 
     // ------------------------------------------------------------------
     // q_mm_entropy ★ — byte-entropy content signal per payload (e.g.
-    // compressed-vs-text detection). No DuckDB oracle — quantified:
-    // entropy needs libm ln(), whose last-ulp values differ between
-    // JVM Math.log and DuckDB; the corpus's worst-case distance of
-    // entropy·1e6 from a rounding midpoint is 5.5e-7 (measured across
-    // all SFs), within an order of magnitude of the ~1e-8 accumulated
-    // cross-libm fold error bound — a hash flip is plausible, so the
-    // value contract is asserted in MultimodalSpec instead.
+    // compressed-vs-text detection). ORACLE-CHECKED as of r6: libm ln()
+    // is not engine-portable at the last ulp (the r5 measurement: the
+    // corpus's worst-case distance of entropy·1e6 from a rounding
+    // midpoint is 5.5e-7 vs a ~1e-8 cross-libm fold error — a hash
+    // flip was plausible), so BOTH engines now compute H from the SAME
+    // exact-integer fixed-point log₂ (Multimodal.log2e20: Q30 square-
+    // and-shift, 20 result bits, pure 64-bit multiply/shift/compare).
+    // Spark runs it inline in the one-pass byte fold; the oracle
+    // rebuilds the identical table over the (distinct counts ∪ totals)
+    // domain in a recursive CTE — bit-identical by construction, no
+    // transcendental call anywhere. H·1e6 stays within ~3 e6-units of
+    // the libm value (MultimodalSpec asserts the bridge). Byte counts
+    // come from hex(payload) — byte-wise, non-ASCII-safe (r5 simhash
+    // oracle idiom).
     QueryDef(
       "q_mm_entropy",
       (s: SparkSession, dir: String) =>
         payloads(s, dir)
           .select(col("doc_id"),
-            round(Multimodal.byteEntropyUdf(col("payload")) * 1000000).cast("long")
-              .as("entropy_e6"))
+            Multimodal.byteEntropyE6Udf(col("payload")).as("entropy_e6"))
           .orderBy("doc_id"),
-      None),
+      Some("""WITH RECURSIVE
+             |p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+             |h AS (
+             |  SELECT doc_id, hex(payload) AS hx,
+             |    CAST(octet_length(payload) AS BIGINT) AS n
+             |  FROM p WHERE octet_length(payload) > 0),
+             |b AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, CAST(n + 1 AS INTEGER)),
+             |    i -> ('0x' || substring(hx, CAST(2*i-1 AS INTEGER), 2))::INT)) AS byte
+             |  FROM h),
+             |cnt AS (SELECT doc_id, byte, CAST(COUNT(*) AS BIGINT) AS c
+             |        FROM b GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s FROM cnt GROUP BY 1),
+             |dom AS (SELECT DISTINCT v FROM
+             |        (SELECT c AS v FROM cnt UNION ALL SELECT s AS v FROM tot)),
+             |init AS (SELECT v, CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS e
+             |         FROM dom),
+             |it AS (
+             |  SELECT v, e, 0 AS i, (v << 30) >> e AS x, CAST(0 AS BIGINT) AS frac
+             |  FROM init
+             |  UNION ALL
+             |  SELECT v, e, i + 1,
+             |    CASE WHEN ((x * x) >> 30) >= (CAST(2 AS BIGINT) << 30)
+             |         THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
+             |    CASE WHEN ((x * x) >> 30) >= (CAST(2 AS BIGINT) << 30)
+             |         THEN (frac << 1) | 1 ELSE (frac << 1) END
+             |  FROM it WHERE i < 20),
+             |lg AS (SELECT v, (e << 20) | frac AS l FROM it WHERE i = 20),
+             |ent AS (
+             |  SELECT t.doc_id,
+             |    t.s * ls.l - CAST(SUM(c.c * lc.l) AS BIGINT) AS num, t.s AS s
+             |  FROM tot t
+             |  JOIN lg ls ON ls.v = t.s
+             |  JOIN cnt c ON c.doc_id = t.doc_id
+             |  JOIN lg lc ON lc.v = c.c
+             |  GROUP BY t.doc_id, t.s, ls.l)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE((ent.num * 1000000) // (ent.s << 20), 0) AS BIGINT)
+             |    AS entropy_e6
+             |FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_mm_byte_stats ★ — exact byte-distribution content signals per

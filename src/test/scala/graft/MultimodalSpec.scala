@@ -102,11 +102,43 @@ class MultimodalSpec extends SparkSpec {
     assert(text > 0.0 && text < 8.0)
   }
 
+  test("log2e20: exact at powers of two, monotone, ≤1 e20-unit from true log2") {
+    assert(Multimodal.log2e20(1L) == 0L)
+    assert(Multimodal.log2e20(2L) == (1L << 20))
+    assert(Multimodal.log2e20(4L) == (2L << 20))
+    assert(Multimodal.log2e20(65536L) == (16L << 20))
+    var prev = -1L
+    (1L to 4096L).foreach { v =>
+      val l = Multimodal.log2e20(v)
+      assert(l >= prev); prev = l
+      val truth = math.log(v.toDouble) / math.log(2.0) * (1L << 20)
+      assert(math.abs(l - truth) <= 1.0, s"v=$v l=$l truth=$truth")
+    }
+  }
+
   test("q_mm_entropy produces a value per document in (0, 8e6)") {
     val rows = SparkEntry.queries("q_mm_entropy")(spark, sfDir)
       .as[(Long, Long)].collect()
     assert(rows.length == 500)
     assert(rows.forall { case (_, e) => e > 0 && e < 8000000 })
+  }
+
+  test("byteEntropyE6 tracks libm byteEntropy within 10 e6-units on the corpus") {
+    // the fixed-point table is ≤1 e20-unit off per term, so H·1e6 drifts
+    // by at most a few units from the transcendental value — the signal
+    // is the same, only now it's engine-exact
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    docs.foreach { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      val e6 = Multimodal.byteEntropyE6(b)
+      val libm = Multimodal.byteEntropy(b) * 1e6
+      assert(math.abs(e6 - libm) <= 10.0, s"doc $id: $e6 vs $libm")
+    }
+    // edge cases: empty and constant payloads are 0; uniform 256 is 8 bits
+    assert(Multimodal.byteEntropyE6(Array[Byte]()) == 0L)
+    assert(Multimodal.byteEntropyE6(Array.fill(64)(7.toByte)) == 0L)
+    assert(Multimodal.byteEntropyE6((0 until 256).map(_.toByte).toArray) == 8000000L)
   }
 
   test("byteStats: edge cases and a driver-side reference") {
