@@ -511,6 +511,152 @@ object RelationalQueries {
              |ORDER BY revenue_e4 DESC, n_name""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_sql_q1 ★ (new r6) — TPC-H Q1 (pricing summary) through the SQL
+    // front-end: THE canonical scan→filter→wide-agg shape (8 aggregates
+    // over 2 group keys, ~54% selectivity filter pushed to the parquet
+    // scan). All money/qty math in exact integer units (e2 sums, e4
+    // disc price, e6 charge — the three-factor product is where TPC-H
+    // implementations usually go float; here it stays BIGINT, so the
+    // result is partial-agg-order-independent at any parallelism).
+    // Averages use the round-half-up integer identity
+    // (2·sum + n) div (2·n) — no float division in either engine.
+    // Sums stay in-range while rows·(1e7·100·200) < 2^63, i.e. to
+    // ~sf10; beyond that lift to DECIMAL(38,0) as q_profile_stats does.
+    // Plan: one codegen'd partial agg before the 6-group shuffle —
+    // map-side combine does ~all the work, the exchange moves 6 rows
+    // per task. This is the 100 TB shape for Q1.
+    QueryDef(
+      "q_sql_q1",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+            SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS sum_qty_c,
+            SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS sum_base_c,
+            SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))) AS sum_disc_e4,
+            SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))
+              * (100 + CAST(ROUND(l_tax*100, 0) AS BIGINT))) AS sum_charge_e6,
+            (2*SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) + COUNT(*))
+              DIV (2*COUNT(*)) AS avg_qty_c,
+            (2*SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) + COUNT(*))
+              DIV (2*COUNT(*)) AS avg_price_c,
+            (2*SUM(CAST(ROUND(l_discount*100, 0) AS BIGINT)) + COUNT(*))
+              DIV (2*COUNT(*)) AS avg_disc_c,
+            COUNT(*) AS count_order
+          FROM graft_lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS sum_qty_c,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS sum_base_c,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+             |    * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))) AS BIGINT)
+             |    AS sum_disc_e4,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+             |    * (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))
+             |    * (100 + CAST(ROUND(l_tax*100, 0) AS BIGINT))) AS BIGINT)
+             |    AS sum_charge_e6,
+             |  CAST((2*SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) + COUNT(*))
+             |    // (2*COUNT(*)) AS BIGINT) AS avg_qty_c,
+             |  CAST((2*SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) + COUNT(*))
+             |    // (2*COUNT(*)) AS BIGINT) AS avg_price_c,
+             |  CAST((2*SUM(CAST(ROUND(l_discount*100, 0) AS BIGINT)) + COUNT(*))
+             |    // (2*COUNT(*)) AS BIGINT) AS avg_disc_c,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_sql_q4 ★ (new r6) — TPC-H Q4 (order-priority checking) through
+    // the SQL front-end: the correlated-EXISTS shape. The optimizer
+    // path none of the other queries exercise — Catalyst's
+    // RewriteCorrelatedScalarSubquery/RewritePredicateSubquery must
+    // DECORRELATE the per-order existence probe into a LEFT SEMI join
+    // on l_orderkey (verified in the plan: no per-row subquery
+    // execution exists in Spark at all, so a miss here would be a
+    // planner error, not a slowdown). Fixture has no
+    // l_commitdate/l_receiptdate; the inner predicate is returnflag-
+    // based, which preserves the decorrelation shape (correlated
+    // equality + uncorrelated filter). Semi-join means lineitem
+    // contributes each matching order ONCE — no fan-out, no distinct.
+    QueryDef(
+      "q_sql_q4",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("graft_orders")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS order_count
+          FROM graft_orders
+          WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+            AND EXISTS (SELECT 1 FROM graft_lineitem
+                        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_sql_q17 ★ (new r6) — TPC-H Q17 (small-quantity-order revenue)
+    // through the SQL front-end: the correlated SCALAR-subquery shape.
+    // Q17's threshold is 0.2·avg(l_quantity) per part; avg is a float
+    // division, so the predicate is algebraically cleared to exact
+    // integers — qty_c·5·count < sum_qty_c ⟺ qty < sum/(5·n) — which
+    // costs a SECOND correlated scalar subquery and in return makes
+    // the row set engine-exact (no float boundary anywhere). Catalyst
+    // decorrelates each scalar agg into a per-partkey aggregate joined
+    // back on the correlation key (RewriteCorrelatedScalarSubquery);
+    // at 100 TB that is one lineitem re-aggregation by partkey — the
+    // same cost the textbook Q17 pays — not a per-row loop. Grouped by
+    // brand over all brands (fixture has no p_container).
+    QueryDef(
+      "q_sql_q17",
+      (s: SparkSession, dir: String) => {
+        Tables(s, dir, "part").createOrReplaceTempView("graft_part")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+        s.sql("""
+          SELECT pt.p_brand, COUNT(*) AS n_small,
+            SUM(CAST(ROUND(li.l_extendedprice*100, 0) AS BIGINT)) AS sum_price_c
+          FROM graft_lineitem li JOIN graft_part pt
+            ON pt.p_partkey = li.l_partkey
+          WHERE CAST(ROUND(li.l_quantity*100, 0) AS BIGINT) * 5 *
+                (SELECT COUNT(*) FROM graft_lineitem l2
+                 WHERE l2.l_partkey = pt.p_partkey)
+              < (SELECT SUM(CAST(ROUND(l2.l_quantity*100, 0) AS BIGINT))
+                 FROM graft_lineitem l2
+                 WHERE l2.l_partkey = pt.p_partkey)
+          GROUP BY pt.p_brand
+          ORDER BY pt.p_brand""")
+      },
+      Some("""SELECT pt.p_brand, COUNT(*) AS n_small,
+             |  CAST(SUM(CAST(ROUND(li.l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c
+             |FROM lineitem li JOIN part pt ON pt.p_partkey = li.l_partkey
+             |WHERE CAST(ROUND(li.l_quantity*100, 0) AS BIGINT) * 5 *
+             |      (SELECT COUNT(*) FROM lineitem l2
+             |       WHERE l2.l_partkey = pt.p_partkey)
+             |    < (SELECT CAST(SUM(CAST(ROUND(l2.l_quantity*100, 0) AS BIGINT))
+             |         AS BIGINT)
+             |       FROM lineitem l2 WHERE l2.l_partkey = pt.p_partkey)
+             |GROUP BY pt.p_brand
+             |ORDER BY pt.p_brand""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_bloom_join ★ (new r5) — RUNTIME-FILTERED fact⋈dim join: urgent
     // orders' keys fold into a driver-built bloom filter
     // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),

@@ -85,6 +85,35 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("q_sql_q4: the EXISTS subquery decorrelates to a left semi join") {
+    // Spark has no per-row subquery executor — if decorrelation failed
+    // the query would not plan at all — but the CLAIM in the scaladoc
+    // is the semi-join shape, so pin it: one LeftSemi on l_orderkey,
+    // no fan-out join of lineitem into orders
+    val df = SparkEntry.queries("q_sql_q4")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no LeftSemi in:\n$plan")
+    assert(df.collect().map(_.getLong(1)).sum > 0)
+  }
+
+  test("q_sql_q17: both correlated scalar aggs decorrelate to partkey aggregates") {
+    val df = SparkEntry.queries("q_sql_q17")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // decorrelated = no scalar-subquery expression survives optimization;
+    // the per-part count/sum appear as plain aggregates joined back
+    assert(!opt.contains("scalar-subquery"), s"undecorrelated subquery in:\n$opt")
+    assert(opt.contains("Aggregate"), s"no aggregate in:\n$opt")
+    // exact-integer threshold: every surviving lineitem is strictly
+    // below 0.2*avg(qty) of its part (recheck against the raw tables)
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), round(col("l_quantity") * 100).cast("long").as("qc"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum("qc").as("s"))
+    val small = li.join(perPart, "l_partkey")
+      .filter(col("qc") * 5 * col("n") < col("s"))
+    assert(df.collect().map(_.getLong(1)).sum == small.count())
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
