@@ -264,16 +264,13 @@ object StreamingQueries {
           .filter(col("event_type") === "click")
           .select(col("user_id").cast("long").as("user_id"),
             col("ts").as("c_ts"), col("cents").as("c_cents"))
-          .withWatermark("c_ts", "10 minutes")
         val buys = eventsStream(s, dir)
           .filter(col("event_type") === "purchase")
           .select(col("user_id").cast("long").as("b_user"),
             col("ts").as("b_ts"), col("cents").as("b_cents"))
-          .withWatermark("b_ts", "10 minutes")
-        val joined = clicks.join(buys,
-          col("user_id") === col("b_user") &&
-            col("b_ts") >= col("c_ts") &&
-            col("b_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        val joined = StreamOps.intervalJoin(
+          clicks, "user_id", "c_ts", buys, "b_user", "b_ts",
+          window = "30 minutes", lateness = "10 minutes", joinType = "inner")
           .select(col("user_id"), col("c_ts"), col("b_ts"),
             col("c_cents"), col("b_cents"))
         drain(s, joined, "graft_stream_ssjoin")
@@ -289,6 +286,69 @@ object StreamingQueries {
              |  ON a.user_id = b.user_id
              |  AND a.event_type = 'click' AND b.event_type = 'purchase'
              |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
-             |ORDER BY 1, 2, 3, 4, 5""".stripMargin))
+             |ORDER BY 1, 2, 3, 4, 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // stream_ss_left_e2e ★ (new r6) — stream-stream LEFT OUTER interval
+    // join: the semantically hard half of attribution. Matched pairs
+    // emit data-driven exactly like the inner row; an UNMATCHED click's
+    // null-padded row is emitted by the WATERMARK, not by data — only
+    // when the watermark passes c_ts + 30 min is "no conversion" final
+    // (that's the state-eviction instant, strict <, pinned at the exact
+    // boundary in StreamOpsSpec with controlled multi-batch arrival).
+    // Determinism: matches are watermark-independent as before; null
+    // rows are a pure function of the FINAL watermark, which a one-
+    // file-per-side AvailableNow drain fixes at
+    // min(max click ts, max purchase ts) − 10 min (per-stream
+    // watermarks combine under the default min policy; the no-data
+    // flush batch performs the eviction). So the emitted set is the
+    // batch LEFT JOIN where null rows are kept iff c_ts + 30 min <
+    // final watermark — clicks whose window is still open at end of
+    // stream are NOT emitted (on a live stream they finalize when the
+    // watermark moves). That finalization predicate is the oracle. The
+    // corpus margin at the strict-< boundary is ≥ 24.5 s across all
+    // SFs (measured r6) — no tie risk. NULLS FIRST in the oracle's
+    // ORDER BY mirrors Spark's asc-nulls-first default.
+    QueryDef(
+      "stream_ss_left_e2e",
+      (s: SparkSession, dir: String) => {
+        val clicks = eventsStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").cast("long").as("user_id"),
+            col("ts").as("c_ts"), col("cents").as("c_cents"))
+        val buys = eventsStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").cast("long").as("b_user"),
+            col("ts").as("b_ts"), col("cents").as("b_cents"))
+        val joined = StreamOps.intervalJoin(
+          clicks, "user_id", "c_ts", buys, "b_user", "b_ts",
+          window = "30 minutes", lateness = "10 minutes",
+          joinType = "leftOuter")
+          .select(col("user_id"), col("c_ts"), col("b_ts"),
+            col("c_cents"), col("b_cents"))
+        drain(s, joined, "graft_stream_ssleft")
+          .orderBy("user_id", "c_ts", "b_ts", "c_cents", "b_cents")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |c AS (SELECT user_id, ts AS c_ts, cents AS c_cents
+             |      FROM e WHERE event_type = 'click'),
+             |b AS (SELECT user_id AS b_user, ts AS b_ts, cents AS b_cents
+             |      FROM e WHERE event_type = 'purchase'),
+             |wm AS (SELECT LEAST((SELECT MAX(c_ts) FROM c),
+             |                    (SELECT MAX(b_ts) FROM b))
+             |         - INTERVAL 10 MINUTE AS w),
+             |j AS (
+             |  SELECT c.user_id, c.c_ts, b.b_ts, c.c_cents, b.b_cents
+             |  FROM c LEFT JOIN b ON c.user_id = b.b_user
+             |    AND b.b_ts >= c.c_ts
+             |    AND b.b_ts <= c.c_ts + INTERVAL 30 MINUTE)
+             |SELECT user_id, c_ts, b_ts, c_cents, b_cents FROM j
+             |WHERE b_ts IS NOT NULL
+             |   OR c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+             |ORDER BY user_id, c_ts, b_ts NULLS FIRST,
+             |  c_cents, b_cents NULLS FIRST""".stripMargin))
   )
 }

@@ -52,6 +52,43 @@ object StreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join — the attribution topology (left =
+    * trigger stream, right = conversion stream, match when the right
+    * event lands within [leftTs, leftTs + window] for the same key).
+    * The equality key + time-range condition + both-side watermarks are
+    * exactly what lets Structured Streaming EVICT join state (left rows
+    * once the watermark passes leftTs + window, right rows once it
+    * passes rightTs) — the only stream-stream join shape that survives
+    * an unbounded stream; without the range bound Spark refuses the
+    * append-mode plan.
+    *
+    * `joinType` "inner": emissions are watermark-independent (matches
+    * emit as both sides arrive). "leftOuter": the semantically hard
+    * half — a null-padded left row is emitted by the WATERMARK, not by
+    * data: only when the watermark passes leftTs + window (state
+    * eviction time) is "no conversion" final, so unmatched rows appear
+    * one watermark-advance after their window closes, and the open
+    * tail (leftTs + window ≥ watermark) is never emitted in a bounded
+    * drain. Both behaviors pinned in StreamOpsSpec with controlled
+    * multi-batch arrival.
+    *
+    * Column names must be disjoint across sides ([leftKey, leftTs] vs
+    * [rightKey, rightTs]); the condition is built on the named columns
+    * so callers keep their own payload columns.
+    */
+  def intervalJoin(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      window: String = "30 minutes",
+      lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame =
+    left.withWatermark(leftTs, lateness)
+      .join(right.withWatermark(rightTs, lateness),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"),
+        joinType)
+
   /** One user session: contiguous activity with < `gap` between events
     * (same semantics as the batch `q_session_gap` island query).
     */

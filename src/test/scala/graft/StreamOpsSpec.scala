@@ -134,4 +134,50 @@ class StreamOpsSpec extends SparkSpec {
         s"expected exactly the cross-batch match, got $rows")
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER interval join: null-padded row emits only after watermark passes leftTs + window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Timestamp, Long, Long)]
+    val buysIn = MemoryStream[(Timestamp, Long, Long)]
+    val joined = StreamOps.intervalJoin(
+      clicksIn.toDF().toDF("c_ts", "user_id", "c_cents"), "user_id", "c_ts",
+      buysIn.toDF().toDF("b_ts", "b_user", "b_cents"), "b_user", "b_ts",
+      window = "30 minutes", lateness = "10 minutes", joinType = "leftOuter")
+      .select(col("user_id"), col("c_ts").cast("string"),
+        col("b_ts").cast("string"))
+    val q = joined.writeStream.format("memory").queryName("ssleft")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def rows() = spark.table("ssleft").as[(Long, String, String)].collect().toSet
+    try {
+      // batch 1: u1 matched click, u2 unmatched click. The match emits
+      // data-driven (inner path); the u2 null row must NOT emit yet —
+      // its 30-min window is still open, a purchase could still arrive
+      clicksIn.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 100L),
+        (ts("2024-01-01 10:00:00"), 2L, 100L))
+      buysIn.addData((ts("2024-01-01 10:10:00"), 1L, 500L))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00")),
+        s"null row emitted before watermark closed the window: ${rows()}")
+      // batch 2: advance BOTH watermarks to exactly 10:30 = u2's
+      // c_ts + window. Eviction is strict (state lives while
+      // c_ts + window >= watermark), so u2 still must not emit —
+      // this pins the boundary the oracle's finalization predicate uses
+      clicksIn.addData((ts("2024-01-01 10:40:00"), 3L, 1L))
+      buysIn.addData((ts("2024-01-01 10:40:00"), 9L, 1L))
+      q.processAllAvailable()
+      assert(rows().size == 1,
+        s"null row emitted AT the boundary watermark == c_ts + window: ${rows()}")
+      // batch 3: one more microsecond of watermark — now c_ts + window
+      // < watermark and the u2 null-padded row is final
+      clicksIn.addData((ts("2024-01-01 10:40:01"), 4L, 1L))
+      buysIn.addData((ts("2024-01-01 10:40:01"), 9L, 1L))
+      q.processAllAvailable()
+      assert(rows().contains((2L, "2024-01-01 10:00:00", null)),
+        s"null-padded row missing after watermark passage: ${rows()}")
+      // the open-tail clicks (u3, u4) never emit in this drain: their
+      // windows are still inside the watermark horizon
+      assert(rows().size == 2, s"open-tail click leaked: ${rows()}")
+    } finally q.stop()
+  }
 }
