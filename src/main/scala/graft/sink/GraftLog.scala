@@ -125,29 +125,88 @@ object GraftLog {
     */
   def commit(tableDir: String, op: String, rows: Long,
       files: Seq[String], sources: Seq[String]): Record = {
-    Files.createDirectories(logDir(tableDir))
-    def arr(xs: Seq[String]) =
-      xs.sorted.map(f => "\"" + f.replace("\\", "/") + "\"").mkString("[", ",", "]")
     var attempt = 0
     while (true) {
       val id = nextSnapshotId(tableDir)
-      val tmp = logDir(tableDir).resolve(s"_tmp_${java.util.UUID.randomUUID()}")
-      Files.writeString(tmp,
-        s"""{"snapshotId":$id,"op":"$op","rows":$rows,""" +
-          s""""files":${arr(files)},"sources":${arr(sources)}}""")
-      try {
-        Files.createLink(logDir(tableDir).resolve(f"$id%020d.json"), tmp)
-        Files.delete(tmp)
+      if (tryClaim(tableDir, id, op, rows, files, sources))
         return Record(id, op, rows, files.sorted, sources.sorted)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.delete(tmp) // id raced away — re-read the log, try the next
-          attempt += 1
-          if (attempt > 1000)
-            throw new IllegalStateException(s"commit to $tableDir: 1000 id collisions")
-      }
+      attempt += 1 // id raced away — re-read the log, try the next
+      if (attempt > 1000)
+        throw new IllegalStateException(s"commit to $tableDir: 1000 id collisions")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Commit a live-set-REPLACING record (`rewrite`/`overwrite`/
+    * `delete`) VALIDATED against the base snapshot the operation
+    * planned from — the observable semantics of Iceberg's optimistic
+    * commit protocol, which the id-CAS alone does not give: a plain
+    * `commit("rewrite", ...)` racing an append wins the id race and
+    * then its record REPLACES the fold, silently dropping the
+    * concurrently-appended files from the live set (a lost update the
+    * r6 two-session race test pins).
+    *
+    * If commits landed past `baseId`:
+    *  - concurrent APPENDS are carried into the new live set when
+    *    `carryAppends` (sound for content-neutral compaction — the
+    *    appended files simply stay live and their rows join the total;
+    *    Iceberg's RewriteFiles retries the same way);
+    *  - otherwise — and always when a REPLACING commit intervened —
+    *    throw `ConcurrentModificationException`: a content-dependent
+    *    rewrite (MERGE, DELETE, rollback) planned its output rows from
+    *    a stale snapshot and must re-run against the new state.
+    */
+  def commitReplacing(tableDir: String, op: String, rows: Long,
+      files: Seq[String], sources: Seq[String], baseId: Long,
+      carryAppends: Boolean): Record = {
+    var attempt = 0
+    while (true) {
+      val recs = records(tableDir)
+      val newer = recs.filter(_.snapshotId > baseId)
+      if (newer.exists(_.op != "append"))
+        throw new java.util.ConcurrentModificationException(
+          s"$op on $tableDir planned from snapshot $baseId but a replacing " +
+            s"commit landed after it; re-read and re-run")
+      if (!carryAppends && newer.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$op on $tableDir planned from snapshot $baseId but appends " +
+            s"landed after it; re-read and re-run")
+      val allFiles = files ++ newer.flatMap(_.files)
+      val allRows = rows + newer.map(_.rows).sum
+      val id = recs.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+      if (tryClaim(tableDir, id, op, allRows, allFiles, sources))
+        return Record(id, op, allRows, allFiles.sorted, sources.sorted)
+      attempt += 1 // lost the id race — revalidate against the new log
+      if (attempt > 1000)
+        throw new IllegalStateException(s"commit to $tableDir: 1000 id collisions")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One atomic claim of snapshot `id`: stage the full record to a temp
+    * file (invisible to `records()` — no `.json` suffix), then publish
+    * via `Files.createLink` — an atomic CREATE-NEW on POSIX (unlike
+    * `ATOMIC_MOVE`, whose rename(2) silently REPLACES an existing
+    * target). Returns false when another writer claimed the id first.
+    */
+  private def tryClaim(tableDir: String, id: Long, op: String, rows: Long,
+      files: Seq[String], sources: Seq[String]): Boolean = {
+    Files.createDirectories(logDir(tableDir))
+    def arr(xs: Seq[String]) =
+      xs.sorted.map(f => "\"" + f.replace("\\", "/") + "\"").mkString("[", ",", "]")
+    val tmp = logDir(tableDir).resolve(s"_tmp_${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp,
+      s"""{"snapshotId":$id,"op":"$op","rows":$rows,""" +
+        s""""files":${arr(files)},"sources":${arr(sources)}}""")
+    try {
+      Files.createLink(logDir(tableDir).resolve(f"$id%020d.json"), tmp)
+      Files.delete(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.delete(tmp)
+        false
+    }
   }
 
   def nextSnapshotId(tableDir: String): Long =

@@ -134,8 +134,12 @@ object LakeOps {
     * to exist; returns the new snapshot's commit info.
     */
   def rollback(tableDir: String, toSnapshotId: Long): CommitInfo = {
-    require(GraftLog.records(tableDir).exists(_.snapshotId == toSnapshotId),
+    val recs = GraftLog.records(tableDir)
+    require(recs.exists(_.snapshotId == toSnapshotId),
       s"no snapshot $toSnapshotId in $tableDir")
+    // restoring old content is content-dependent by definition — abort
+    // if anything commits between planning and publish
+    val baseId = recs.map(_.snapshotId).max
     val files = GraftLog.liveFiles(tableDir, Some(toSnapshotId))
     // rows = TOTAL rows of the restored live set (the convention every
     // full-set op — compact/overwrite/delete — uses), not the target
@@ -150,7 +154,8 @@ object LakeOps {
           case _                                  => acc + r.rows
         }
       }
-    val rec = GraftLog.commit(tableDir, "rewrite", rows, files, Seq.empty)
+    val rec = GraftLog.commitReplacing(tableDir, "rewrite", rows, files,
+      Seq.empty, baseId, carryAppends = false)
     CommitInfo(rec.snapshotId, rec.files, rows)
   }
 
@@ -159,10 +164,15 @@ object LakeOps {
     * remain readable until expiry.
     */
   def compact(spark: SparkSession, tableDir: String): CommitInfo = {
-    val live = GraftLog.liveFiles(tableDir, None)
+    // plan against a FIXED base snapshot; commitReplacing validates the
+    // log hasn't moved past it (concurrent appends are carried over —
+    // sound for a content-neutral rewrite; a concurrent replacing
+    // commit aborts with ConcurrentModificationException for re-run)
+    val baseId = GraftLog.records(tableDir).map(_.snapshotId).maxOption.getOrElse(0L)
+    val live = GraftLog.liveFiles(tableDir, Some(baseId))
     val partitionCols = live.flatMap(_.split("/").dropRight(1).map(_.takeWhile(_ != '=')))
       .distinct
-    val df0 = readTable(spark, tableDir)
+    val df0 = readSnapshot(spark, tableDir, baseId)
     // render partition values back to strings (they were path-rendered
     // on write; partition inference may have re-typed them). No
     // coalesce(1): writeFiles repartitions on the partition key, which
@@ -173,8 +183,9 @@ object LakeOps {
     val df = partitionCols.foldLeft(df0)((d, c) => d.withColumn(c, d(c).cast("string")))
     val written = HiveParquetWriter.writeFiles(df, partitionCols, tableDir)
     val rows = written.map(_._2).sum
-    val rec = GraftLog.commit(tableDir, "rewrite", rows, written.map(_._1).sorted, Seq.empty)
-    CommitInfo(rec.snapshotId, rec.files, rows)
+    val rec = GraftLog.commitReplacing(tableDir, "rewrite", rows,
+      written.map(_._1).sorted, Seq.empty, baseId, carryAppends = true)
+    CommitInfo(rec.snapshotId, rec.files, rec.rows)
   }
 
   /** Copy-on-write MERGE (the observable semantics of Iceberg's
@@ -220,7 +231,12 @@ object LakeOps {
           .mkString("/")
       }.toSet
     if (touched.isEmpty) return CommitInfo(0, Seq.empty, 0)
-    val live = GraftLog.liveFiles(tableDir, None)
+    // content-dependent rewrite: plan against a fixed base snapshot and
+    // let commitReplacing ABORT (ConcurrentModificationException) if any
+    // commit lands meanwhile — a carried-over concurrent append could
+    // contain a merge key this upsert already decided about
+    val baseId = GraftLog.records(tableDir).map(_.snapshotId).maxOption.getOrElse(0L)
+    val live = GraftLog.liveFiles(tableDir, Some(baseId))
     val (touchedFiles, carried) =
       live.partition(f => touched.exists(p => f.startsWith(p + "/")))
     val merged =
@@ -246,8 +262,8 @@ object LakeOps {
     // Record.rows = rows written in the rewrite scope (same convention
     // as compact: the rows this snapshot's own files hold is what the
     // 0-th staged file reports; carried files keep their original rows)
-    val rec = GraftLog.commit(tableDir, "overwrite", written.map(_._2).sum,
-      (carried ++ written.map(_._1)).sorted, sources)
+    val rec = GraftLog.commitReplacing(tableDir, "overwrite", written.map(_._2).sum,
+      (carried ++ written.map(_._1)).sorted, sources, baseId, carryAppends = false)
     CommitInfo(rec.snapshotId, rec.files, written.map(_._2).sum)
   }
 
@@ -287,7 +303,10 @@ object LakeOps {
       predicate: org.apache.spark.sql.Column,
       partitionCols: Seq[String]): CommitInfo = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val live = GraftLog.liveFiles(tableDir, None)
+    // content-dependent rewrite: fixed base snapshot, abort on any
+    // concurrent commit (an appended row could match the predicate)
+    val baseId = GraftLog.records(tableDir).map(_.snapshotId).maxOption.getOrElse(0L)
+    val live = GraftLog.liveFiles(tableDir, Some(baseId))
     if (live.isEmpty) return CommitInfo(0, Seq.empty, 0)
     val hit = coalesce(predicate, lit(false))
     def readNorm(files: Seq[String]): DataFrame = {
@@ -312,8 +331,9 @@ object LakeOps {
       val survivors = cur.filter(not(hit))
       val written = HiveParquetWriter.writeFiles(survivors, partitionCols, tableDir)
       val kept = written.map(_._2).sum
-      val rec = GraftLog.commit(tableDir, "delete", kept,
-        (carried ++ written.map(_._1)).sorted, Seq.empty)
+      val rec = GraftLog.commitReplacing(tableDir, "delete", kept,
+        (carried ++ written.map(_._1)).sorted, Seq.empty, baseId,
+        carryAppends = false)
       CommitInfo(rec.snapshotId, rec.files, before - kept)
     } finally cur.unpersist()
   }

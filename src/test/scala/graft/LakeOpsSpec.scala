@@ -114,6 +114,101 @@ class LakeOpsSpec extends SparkSpec {
     assert(recs.flatMap(_.files).toSet == (0 until writers).map(w => s"w$w.parquet").toSet)
   }
 
+  test("two-SESSION append/compact race: linearizable ledger, no lost rows, no dangling files, quarantine live (r6)") {
+    // The property the id-CAS alone can NOT give: a compact planning
+    // from snapshot B while an append commits B+1 must not publish a
+    // rewrite that silently drops the appended file from the fold.
+    // commitReplacing carries concurrent appends into the rewrite
+    // (Iceberg RewriteFiles semantics) — this test races REAL parquet
+    // writes from two SparkSessions and asserts no row is ever lost.
+    import graft.sink.HiveParquetWriter
+    val tdir = Files.createTempDirectory("graft_race2_").toString
+    val sA = spark
+    val sB = spark.newSession()
+    val writer = new HiveParquetWriter
+    def batch(s: org.apache.spark.sql.SparkSession, w: Int, i: Int) = {
+      val sess = s
+      import sess.implicits._
+      Seq((w, i, s"w${w}_$i")).toDF("k", "seq", "v")
+        .withColumn("p", (col("k") % 2).cast("string"))
+    }
+    writer.append(batch(sA, 9, 0), Seq("p"), tdir) // seed so compact #1 has content
+    val appends = 10
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appendsDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var compactions = 0
+    val tA = new Thread(() => {
+      try (1 to appends).foreach { i =>
+        writer.append(batch(sA, 0, i), Seq("p"), tdir)
+      } catch { case t: Throwable => errs.add(t) }
+      finally appendsDone.set(true)
+    })
+    val tB = new Thread(() => {
+      try while (!appendsDone.get()) {
+        try { LakeOps.compact(sB, tdir); compactions += 1 }
+        catch { case _: java.util.ConcurrentModificationException => () } // stale plan: re-run next loop
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    tA.start(); tB.start()
+    // a foreign torn write lands mid-race: must be quarantined, not
+    // poison either racing writer
+    Thread.sleep(50)
+    val tornId = GraftLog.nextSnapshotId(tdir) + 3
+    Files.writeString(GraftLog.logDir(tdir).resolve(f"$tornId%020d.json"), """{"snapsho""")
+    tA.join(120000); tB.join(120000)
+    assert(errs.isEmpty, s"racing writer threw: ${errs.asScala.toList}")
+    assert(compactions > 0, "compactor never won a commit — race did not exercise the path")
+    val recs = GraftLog.records(tdir)
+    // linearizable ledger: contiguous ids, every append present exactly once
+    assert(recs.map(_.snapshotId).sorted == (1L to recs.size).toSeq)
+    assert(recs.count(_.op == "append") == appends + 1)
+    // no lost rows: every appended (w, seq) pair survives every rewrite
+    val finalRows = LakeOps.readTable(sA, tdir)
+      .select("k", "seq").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val want = ((9, 0) +: (1 to appends).map((0, _))).toSet
+    assert(finalRows == want, s"lost/duplicated rows: ${want.diff(finalRows)} missing")
+    // no dangling file: every live file of every snapshot exists on disk
+    recs.map(_.snapshotId).foreach { id =>
+      GraftLog.liveFiles(tdir, Some(id)).foreach(f =>
+        assert(Files.exists(Paths.get(tdir, f)), s"dangling $f at snapshot $id"))
+    }
+    // the torn write was quarantined, its id slot reused by a real commit
+    val names = Files.list(GraftLog.logDir(tdir)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(names.exists(_.endsWith(".corrupt")), "torn write not quarantined")
+  }
+
+  test("upsert/delete/rollback abort with ConcurrentModificationException on a stale base (r6)") {
+    // content-dependent rewrites must NOT carry concurrent appends (an
+    // appended row could match the merge key / delete predicate the op
+    // already decided about) — they abort for re-run instead
+    import graft.sink.HiveParquetWriter
+    val tdir = Files.createTempDirectory("graft_cme_").toString
+    val writer = new HiveParquetWriter
+    def df(i: Int) = {
+      val sess = spark
+      import sess.implicits._
+      Seq((i, s"v$i")).toDF("k", "v").withColumn("p", lit("0"))
+    }
+    writer.append(df(1), Seq("p"), tdir)
+    // simulate the race deterministically: plan from the current base,
+    // then land an append before the replacing commit publishes
+    val baseId = GraftLog.records(tdir).map(_.snapshotId).max
+    writer.append(df(2), Seq("p"), tdir)
+    intercept[java.util.ConcurrentModificationException] {
+      GraftLog.commitReplacing(tdir, "overwrite", 1L, Seq("p=0/x.parquet"),
+        Seq.empty, baseId, carryAppends = false)
+    }
+    // the same stale base WITH carryAppends (compact's mode) succeeds
+    // and keeps the concurrent append's files live
+    val rec = GraftLog.commitReplacing(tdir, "rewrite", 1L, Seq("p=0/x.parquet"),
+      Seq.empty, baseId, carryAppends = true)
+    val live = GraftLog.liveFiles(tdir, Some(rec.snapshotId))
+    assert(live.contains("p=0/x.parquet"))
+    assert(GraftLog.records(tdir).filter(_.snapshotId == 2L)
+      .flatMap(_.files).forall(live.contains), "concurrent append dropped from fold")
+  }
+
   test("randomized append/rewrite/torn-write sequences fold to the model (seeded, r5)") {
     // Property test of the whole log protocol: a seeded random mix of
     // appends, compacting rewrites, and foreign torn writes (including
