@@ -43,6 +43,31 @@ object ScaleOps {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Salted fact⋈dim equi-join for the known-hot-key regime — the join
+    * twin of [[saltedAgg]], kept here so the shipped code has ONE
+    * salting implementation per operation shape (review ask r6). Fact
+    * rows get `salt = pmod(saltSrc, S)` from a DETERMINISTIC per-row
+    * expression (an id column, not rand(): retry-safe and
+    * engine-reproducible, the property hash-sampling has); the dim side
+    * replicates S× with a generated salt; the join runs on (key, salt),
+    * slicing any hot key into S independently-placed shuffle
+    * partitions. The result is EXACTLY the unsalted join — each fact
+    * row matches one replica — the pattern changes the partitioning,
+    * never the answer. S multiplies the dim side's shuffle volume S×,
+    * bounded because the dim is the small side by construction. AQE's
+    * skew split covers the common case at runtime; this is the
+    * plan-level tool for hot keys AQE can't slice (it only splits above
+    * a size threshold and can't split an in-flight hash build).
+    */
+  def saltedJoin(fact: DataFrame, factKey: String, saltSrc: Column,
+      dim: DataFrame, dimKey: String, saltBuckets: Int): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(saltSrc, lit(saltBuckets.toLong)))
+    val d = dim.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
+      .drop("__salt")
+  }
+
   /** Broadcast-threshold hint helper: force the dimension side of a
     * join to broadcast regardless of size estimation (statistics are
     * often missing on fresh files at scale; an 8 MiB dim mis-planned

@@ -310,7 +310,8 @@ object RelationalQueries {
     // pattern, declared as a query so the technique itself is
     // oracle-checked: events (the fact side, where one hot key can dwarf
     // every other task at 100 TB) join customer on user_id with the key
-    // space widened by a deterministic salt — fact rows get
+    // space widened by a deterministic salt (`ScaleOps.saltedJoin` —
+    // the single shipped salting implementation as of r6) — fact rows get
     // salt = event_id mod S, the dim side is replicated S× via a
     // generated salt column, and the join runs on (key, salt), slicing
     // any hot key into S independently-placed shuffle partitions. The
@@ -328,16 +329,13 @@ object RelationalQueries {
     QueryDef(
       "q_join_salted",
       (s: SparkSession, dir: String) => {
-        val S = 8
         val ev = Tables(s, dir, "events")
-          .select(col("user_id"),
-            cents(col("value")).as("cents"),
-            pmod(col("event_id"), lit(S.toLong)).as("salt"))
+          .select(col("user_id"), cents(col("value")).as("cents"),
+            col("event_id"))
         val cust = Tables(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"),
-            explode(array((0 until S).map(i => lit(i.toLong)): _*)).as("salt"))
-        ev.join(cust,
-            ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.operators.ScaleOps
+          .saltedJoin(ev, "user_id", col("event_id"), cust, "c_custkey", 8)
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
           .orderBy("c_mktsegment")

@@ -33,6 +33,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin == plain equi-join; no salt column leaks into the output") {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val salted = ScaleOps.saltedJoin(ev, "user_id", col("event_id"), cust, "c_custkey", 8)
+    assert(!salted.columns.contains("__salt"))
+    val direct = ev.join(cust, ev("user_id") === cust("c_custkey"))
+    assert(salted.count() == direct.count())
+    // per-segment aggregates identical — each fact row matched exactly
+    // one dim replica (integer-exact, so plain equality)
+    val a = salted.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect().toSeq
+    val b = direct.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(a == b)
+  }
+
   test("bucketed tables join with NO Exchange (co-located join)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
     spark.sql("DROP TABLE IF EXISTS b_orders")
