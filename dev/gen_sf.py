@@ -98,11 +98,18 @@ def main(sf, out):
           o_orderdate=day_ts(rng, n_ord, ORDER_DAYS),
           o_orderpriority=np.array(PRIORITIES)[rng.integers(0, 5, n_ord)])
 
+    # Shipped lineitem has SEQUENTIAL linenumbers within each order, so
+    # (l_orderkey, l_linenumber) is unique — several queries ORDER BY that
+    # pair and the driver compares in row order. iid draws collide at
+    # sf>=1 (found: 3 spurious row-order mismatches at gen-sf1). Sorted
+    # multinomial keys keep the Poisson lines-per-order marginal.
+    lo = np.sort(rng.integers(0, n_ord, n_li))
+    ln = (np.arange(n_li) - np.searchsorted(lo, lo) + 1).astype(np.int32)
     write(out, "lineitem",
-          l_orderkey=pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
+          l_orderkey=pa.array(lo, pa.int64()),
           l_partkey=pa.array(rng.integers(0, n_part, n_li), pa.int64()),
           l_suppkey=pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
-          l_linenumber=pa.array(rng.integers(1, 8, n_li), pa.int32()),
+          l_linenumber=pa.array(ln, pa.int32()),
           l_quantity=rng.integers(1, 51, n_li).astype(np.float64),
           l_extendedprice=np.round(rng.uniform(900, 105000, n_li), 2),
           l_discount=rng.integers(0, 11, n_li) / 100.0,

@@ -4,16 +4,25 @@ parquet against DuckDB runs of oracle_sql.json over the same testdata.
 
 Usage: dev/selfcheck.py [sfdir] [verify_outdir]
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-for p in glob.glob(f"{SF}/*.parquet"):
-    name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+def fresh_con():
+    # One connection PER ORACLE: the heavy dedup oracles spill tens of GB
+    # at sf1 and a shared connection accumulates temp/memory across
+    # queries (observed: q_dedup_groups hit disk-full right after
+    # q_dedup_canonical's 55 GB run on the same connection).
+    c = duckdb.connect()
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    for p in glob.glob(f"{SF}/*.parquet"):
+        name = os.path.basename(p)[: -len(".parquet")]
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = 0
@@ -22,10 +31,14 @@ for name in sorted(oracle):
     got_dir = f"{OUT}/{name}"
     if not os.path.isdir(got_dir):
         print(f"FAIL {name}: no spark output dir"); fails += 1; continue
+    t0 = time.time()
     try:
+        con = fresh_con()
         exp = con.execute(sql).fetchdf()
+        con.close()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
+    oracle_s = time.time() - t0
     try:
         got = duckdb.connect().execute(
             f"SELECT * FROM read_parquet('{got_dir}/*.parquet')").fetchdf()
@@ -54,6 +67,6 @@ for name in sorted(oracle):
         c, i, va, vb = bad
         print(f"FAIL {name}: value mismatch col={c} row={i} exp={va} got={vb}"); fails += 1
     else:
-        print(f"OK   {name} ({len(exp)} rows)")
+        print(f"OK   {name} ({len(exp)} rows, oracle {oracle_s:.1f}s)", flush=True)
 print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} oracle queries")
 sys.exit(1 if fails else 0)
