@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -12,11 +12,18 @@ import org.apache.spark.sql.types.LongType
   * ReadSchema). At 100 TB these would be directories of many files (or an
   * Iceberg table) — nothing here assumes a single file.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-  * default (PARQUET_TYPE_ILLEGAL). We read it via the
-  * `legacy.parquet.nanosAsLong` escape hatch and truncate to a micros
-  * TimestampType column — the same value DuckDB produces with
-  * `CAST(ts AS TIMESTAMP)`, which is what every oracle SQL uses.
+  * Timestamp normalization: the engine's time semantics are
+  * instant-based TimestampType under a pinned UTC session zone — the
+  * exact semantics DuckDB gives the same naive parquet values, and the
+  * only type `withWatermark`/`unix_micros` accept. The driver's
+  * generator has shipped the `ts`/date columns as parquet
+  * TIMESTAMP(NANOS) (Spark 4 refuses it by default → read via the
+  * `legacy.parquet.nanosAsLong` escape hatch and truncate to micros)
+  * and as TIMESTAMP(MICROS) with isAdjustedToUTC=false (Spark infers
+  * TIMESTAMP_NTZ → cast to TimestampType, a wall-clock-preserving
+  * relabel under UTC). Both land on the identical micros instant, so
+  * every query and oracle is agnostic to which vintage of testdata it
+  * reads.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -26,9 +33,13 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // nanos column surfaced as long → truncate to micros timestamp.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val tsFixed =
+      // nanos column surfaced as long → truncate to micros timestamp.
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    // NTZ columns → instant TimestampType (UTC session: same wall clock).
+    tsFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(tsFixed)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.streaming.StreamOps
 
@@ -53,10 +53,15 @@ object StreamingQueries {
     // one table file out of the sf dir with a glob filter
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val withTs =
-      if (schema("ts").dataType == LongType)
+    // same two-vintage normalization as Tables: nanos-as-long testdata →
+    // truncate to micros; NTZ-micros testdata → instant relabel (UTC).
+    val withTs = schema("ts").dataType match {
+      case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
     withTs.withColumn("cents", round(col("value") * 100).cast("long"))
   }
 
