@@ -300,6 +300,11 @@ object DedupQueries {
     // The standard large-graph CC algorithm, pairs never materialized
     // beyond the (small) dup-pair set. Oracle: DuckDB recursive CTE
     // computes min reachable id over the same edges — exact integers.
+    // `dup AS MATERIALIZED` is load-bearing at scale: without it DuckDB
+    // inlines the whole shingle self-join into every recursive
+    // iteration (measured at sf1: ~100 s × diameter rounds and >79 GB
+    // of accumulated hash-join spill → disk-full; materialized, the
+    // same query runs in ~73 s total). Same rows either way.
     QueryDef(
       "q_dedup_groups",
       (s: SparkSession, dir: String) =>
@@ -308,7 +313,7 @@ object DedupQueries {
             .select(col("d1"), col("d2"))),
       Some(s"""WITH RECURSIVE $ShSql,
               |$JacSql,
-              |dup AS (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
+              |dup AS MATERIALIZED (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
               |edges AS (SELECT d1, d2 FROM dup UNION ALL SELECT d2, d1 FROM dup),
               |reach(d, r) AS (
               |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
@@ -355,7 +360,7 @@ object DedupQueries {
       },
       Some(s"""WITH RECURSIVE $ShSql,
               |$JacSql,
-              |dup AS (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
+              |dup AS MATERIALIZED (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
               |edges AS (SELECT d1, d2 FROM dup UNION ALL SELECT d2, d1 FROM dup),
               |reach(d, r) AS (
               |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
