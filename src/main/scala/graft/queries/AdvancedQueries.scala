@@ -1097,23 +1097,40 @@ object AdvancedQueries {
              |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q_interval_join ★ (new r5) — interval-OVERLAP join, the shape
-    // q_range_join (point-in-band) doesn't cover: BOTH sides are
-    // intervals and the predicate is symmetric overlap
-    // (a.lo ≤ b.hi ∧ a.hi ≥ b.lo). Business form: per error event's
-    // ±5-minute incident window, how many users' daily activity spans
-    // overlap it — the "blast radius per incident" query. A raw
-    // overlap condition nested-loops in Spark's planner; the scalable
-    // layout explodes EACH side into the hour buckets its interval
-    // covers (dilation = span/bucket + 1: ≤ 25 for a day span, 2 for a
-    // 10-minute window), equi-joins on the bucket, dedups the pair
-    // (an overlap spanning k shared buckets must count once), and
-    // applies the exact predicate inside the equi-join. Candidate
-    // generation is complete by construction: any overlap point lies
-    // in an hour bucket both lists contain. All-integer micros
-    // arithmetic; oracle = the naive inequality join (two algorithms,
-    // same rows). At 100 TB: two bucket-keyed shuffles, per-task work
-    // bounded by activity-per-hour; hot hours split by AQE.
+    // q_interval_join ★ (r5, replanned r6) — interval-OVERLAP join:
+    // per error event's ±5-minute incident window, how many users'
+    // daily activity spans overlap it — "blast radius per incident".
+    // The r5 plan exploded both sides into hour buckets and equi-joined;
+    // the scale curve killed it: the true (burst, span) overlap
+    // RELATION is ~9.4e8 pairs at gen-sf1 (each peak-hour burst
+    // overlaps thousands of day-wide spans) and any pair-materializing
+    // join pays that in full even though the answer is only a COUNT
+    // per burst (2e5 rows). Measured 584 s; the bucket dilation was
+    // never the problem (1.28×) — the pair relation itself is
+    // density-quadratic.
+    //
+    // r6 plan: interval STABBING COUNTS via a time-partitioned prefix
+    // sum — pairs never exist. Each span emits +1 at lo−5min and −1
+    // at hi+5min (the window inverted onto the point); each burst is
+    // a probe at its instant; #spans covering a probe = running sum
+    // of deltas at the probe's sort position = per-hour running sum
+    // (window partitioned by hour: density-linear partitions) + a
+    // carry of all earlier hours' deltas (an hours-sized frame,
+    // broadcast back). Kind ordering (starts < probes < ends) makes
+    // both interval ends inclusive, exactly the r5 predicate.
+    // DISTINCT-user correction by inclusion–exclusion: a user counts
+    // twice only when her day-d and day-d+1 spans BOTH cover the
+    // probe, which needs the overnight gap ≤ 10 min — a rare
+    // adjacent-day self-join (equi on user, d+1), whose both-cover
+    // windows broadcast to the probes by hour bucket. n_users =
+    // #covering spans − #double-covers, exact. Triple cover is
+    // impossible (a 10-min window cannot reach day d+2).
+    // All-integer micros; oracle = the naive inequality join (two
+    // algorithms, same rows). At 100 TB: work is O(n log n) in the
+    // sweep rows — two key-shuffles (day-group, hour-sort) and one
+    // broadcast of the hours-sized carry frame; the hour-cumsum
+    // window runs on that same tiny frame (documented single-task
+    // window, hours-count rows).
     QueryDef(
       "q_interval_join",
       (s: SparkSession, dir: String) => {
@@ -1126,19 +1143,54 @@ object AdvancedQueries {
         val spans = ev
           .groupBy(col("user_id"), expr(s"us div $DayUs").as("d"))
           .agg(min("us").as("lo"), max("us").as("hi"))
-        val bursts = ev.filter(col("event_type") === "error")
-          .select(col("event_id"), (col("us") - FiveMinUs).as("blo"),
-            (col("us") + FiveMinUs).as("bhi"))
-        val aB = spans.select(col("user_id"), col("lo"), col("hi"),
-          explode(sequence(expr(s"lo div $HourUs"), expr(s"hi div $HourUs")))
-            .as("bk"))
-        val bB = bursts.select(col("event_id"), col("blo"), col("bhi"),
-          explode(sequence(expr(s"blo div $HourUs"), expr(s"bhi div $HourUs")))
-            .as("bk"))
-        bB.join(aB, "bk")
-          .filter(col("lo") <= col("bhi") && col("hi") >= col("blo"))
-          .select(col("event_id"), col("user_id")).distinct()
-          .groupBy("event_id").agg(count(lit(1)).as("n_users_active"))
+        val nullId = lit(null).cast("long")
+        val starts = spans.select((col("lo") - FiveMinUs).as("t"),
+          lit(0).as("kind"), lit(1L).as("delta"), nullId.as("event_id"))
+        val ends = spans.select((col("hi") + FiveMinUs).as("t"),
+          lit(2).as("kind"), lit(-1L).as("delta"), nullId.as("event_id"))
+        val probes = ev.filter(col("event_type") === "error")
+          .select(col("us").as("t"), lit(1).as("kind"), lit(0L).as("delta"),
+            col("event_id"))
+        val sweep = starts.unionByName(ends).unionByName(probes)
+          .withColumn("hb", expr(s"t div $HourUs"))
+        val carry = sweep.groupBy("hb").agg(sum("delta").as("hd"))
+          .select(col("hb"), coalesce(sum("hd").over(
+            Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("carry"))
+        // explicit-N repartition: the sweep frame is bytes-small enough
+        // for AQE to coalesce the window's hash exchange to ~1
+        // partition, serializing the per-hour sort; explicit counts are
+        // exempt from coalescing (same finding as q_mm_ahash, r6)
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val counted = sweep.repartition(nPart, col("hb"))
+          .join(broadcast(carry), "hb")
+          .withColumn("run", sum("delta").over(
+            Window.partitionBy("hb").orderBy(col("t"), col("kind"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), (col("carry") + col("run")).as("n_spans"))
+        // inclusion–exclusion: users whose adjacent-day spans both
+        // cover a probe (overnight gap ≤ 10 min → both-cover window
+        // [s2.lo−5min, s1.hi+5min], ≤ 10 min wide → ≤ 2 hour buckets)
+        val s1 = spans.as("s1")
+        val s2 = spans.as("s2")
+        val adj = s1.join(s2,
+            col("s1.user_id") === col("s2.user_id") &&
+              col("s2.d") === col("s1.d") + 1 &&
+              col("s2.lo") - col("s1.hi") <= 2 * FiveMinUs)
+          .select((col("s2.lo") - FiveMinUs).as("wlo"),
+            (col("s1.hi") + FiveMinUs).as("whi"))
+        val adjB = adj.select(col("wlo"), col("whi"),
+          explode(sequence(expr(s"wlo div $HourUs"), expr(s"whi div $HourUs")))
+            .as("hb"))
+        val corr = probes.withColumn("hb", expr(s"t div $HourUs"))
+          .join(broadcast(adjB), "hb")
+          .filter(col("t") >= col("wlo") && col("t") <= col("whi"))
+          .groupBy("event_id").agg(count(lit(1)).as("n_dup"))
+        counted.join(corr, Seq("event_id"), "left")
+          .select(col("event_id"),
+            (col("n_spans") - coalesce(col("n_dup"), lit(0L))).as("n_users_active"))
+          .filter(col("n_users_active") > 0)
           .orderBy("event_id")
       },
       Some("""WITH ev AS (

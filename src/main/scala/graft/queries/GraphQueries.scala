@@ -301,11 +301,19 @@ object GraphQueries {
     QueryDef(
       "q_degree_dist",
       (s: SparkSession, dir: String) => {
-        val dt = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(array_distinct(toks)).as("w"))
-        val und = dt.as("a").join(dt.as("b"), "doc_id")
-          .filter(col("a.w") < col("b.w"))
-          .select(col("a.w").as("w1"), col("b.w").as("w2"))
+        // Per-doc pair generation is MAP-SIDE: sorted distinct token
+        // array → (i-th, each later) via posexplode+slice, no self-join.
+        // The r5 doc_id self-join produced the same pair rows but paid
+        // a full exchange+sort of the exploded token frame once the
+        // corpus outgrew the broadcast threshold — measured 13.6× wall
+        // at 10× data on the scale curve (dev/PERF_NOTES.md round 6);
+        // pair-row count is identical (per-doc-bounded) either way.
+        val withArr = Tables(s, dir, "documents")
+          .select(array_sort(array_distinct(toks)).as("ws"))
+        val und = withArr
+          .select(posexplode(col("ws")).as(Seq("i", "w1")), col("ws"))
+          .select(col("w1"),
+            explode(slice(col("ws"), col("i") + lit(2), size(col("ws")))).as("w2"))
           .distinct()
         und.select(explode(array(col("w1"), col("w2"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("deg"))

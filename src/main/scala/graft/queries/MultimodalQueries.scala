@@ -413,19 +413,59 @@ object MultimodalQueries {
           .filter(length(col("payload")) > 0) // empty → all-zero hash joins everything
           .select(col("doc_id"),
             graft.functions.AHash64.aHash64(col("payload")).as("h"))
-        val bands = h.select(col("doc_id"), col("h"),
+        // Duplicate-hash collapse (r6, from the measured scale curve:
+        // the r5 doc-level band join hit 57× wall at 10× data because
+        // exact duplicates stack on the same band keys and the join
+        // pays Σc² on every BAND, 4× over). Split the output by hash
+        // equality instead:
+        //  (a) identical-hash pairs from ONE full-64-bit equi-join —
+        //      its candidate set IS its output (hamming 0), so this
+        //      part is output-linear by construction;
+        //  (b) band join over DISTINCT hash values only (corpus
+        //      duplicate structure gone before banding), Hamming-
+        //      verified, then expanded back to doc pairs — expansion
+        //      rows = output rows. Same pair set, same pigeonhole
+        //      losslessness (bands still 4×16 over the full hash).
+        val same = h.as("a").join(h.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            lit(0L).cast("int").as("hamming"))
+        // Explicit-N repartition on the band key: the distinct's
+        // exchange output is BYTES-tiny (50k hashes ≈ 400 KB) so AQE
+        // coalesces it to ONE partition — and everything downstream of
+        // that exchange, including the Σc²-row join emission, then runs
+        // in one task (measured: the whole candidate stream on a single
+        // core, 40 s at gen-sf1; thread-dump-confirmed). An explicit
+        // partition count is the one repartition AQE does not coalesce;
+        // keying it by (bi, bv) also co-locates the self-join.
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val dh = h.select("h").distinct()
+        val bands = dh.select(col("h"),
           posexplode(array((0 until 4).map(k =>
             shiftright(col("h"), 16 * k).bitwiseAND(lit(0xffffL))): _*))
             .as(Seq("bi", "bv")))
-        bands.as("a").join(bands.as("b"),
+          .repartition(nPart, col("bi"), col("bv"))
+        // Hamming filter BEFORE the dedup: the band join emits every
+        // candidate (Σc² over band keys — ~1e8 at gen-sf1 on this
+        // band-correlated text corpus), and a distinct-first plan
+        // shuffles all of them; filtered-first, the XOR+popcount dies
+        // inside the join's codegen and only true near-pairs (output-
+        // scale) reach the distinct's exchange.
+        val hashPairs = bands.as("a").join(bands.as("b"),
             col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            col("a.h").bitwiseXOR(col("b.h")).as("x"))
-          .select(col("d1"), col("d2"), expr("bit_count(x)").as("hamming"))
-          .distinct() // a pair may share several bands
+              col("a.h") < col("b.h"))
+          .select(col("a.h").as("h1"), col("b.h").as("h2"),
+            expr("bit_count(a.h ^ b.h)").cast("int").as("hamming"))
           .filter(col("hamming") <= 3)
-          .orderBy("d1", "d2")
+          .distinct() // a hash pair may share several bands
+        val cross = hashPairs
+          .join(h.as("x"), col("x.h") === col("h1"))
+          .join(h.as("y"), col("y.h") === col("h2"))
+          .select(
+            least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("d2"),
+            col("hamming"))
+        same.unionByName(cross).orderBy("d1", "d2")
       },
       Some("""WITH d AS (
              |  SELECT doc_id, encode(text) AS p FROM documents
