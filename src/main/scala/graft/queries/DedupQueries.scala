@@ -133,8 +133,17 @@ object DedupQueries {
     // the full hash set rides along through the prefix join, so the
     // verify needs no re-join back to `sets` (whose aggregate would be
     // recomputed once per consumer)
+    // explicit-N repartition on the join key: the prefix frame is
+    // bytes-tiny (16-byte rows) so AQE coalesces its exchange to ~1
+    // partition and the Σdf² candidate emission serializes onto one
+    // core (thread-dump-confirmed at gen-sf1: 1 runnable / 31 waiting,
+    // 61 s); explicit counts are exempt from coalescing, and keying by
+    // h co-partitions both sides of the self-join (same finding as
+    // q_mm_ahash / q_interval_join, r6 scale curve)
+    val nPart = shText.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val pref = sets.select(col("doc_id"), col("n"), col("hs"),
       posexplode(col("prefix")).as(Seq("pos", "h")))
+      .repartition(nPart, col("h"))
     // required overlap for jac >= t: alpha = ceil(t/(1+t) * (nx+ny))
     val alpha = ceilDiv((col("a.n") + col("b.n")) * minJacE4, lit(10000L + minJacE4))
     val cand = pref.as("a")
@@ -554,16 +563,23 @@ object DedupQueries {
         val bandArr = array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*)
+        // explicit-N repartition on the band key (AQE would coalesce
+        // the bytes-tiny exchange to one task and serialize the
+        // candidate emission — r6 scale-curve finding, as q_mm_ahash),
+        // and Hamming-filter BEFORE the dedup so only true near-pairs
+        // reach the distinct's exchange
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
         val bands = fp.select(col("doc_id"), col("sh"), explode(bandArr).as("bk"))
           .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+          .repartition(nPart, col("band"), col("key"))
         bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
             bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-          .distinct()
           .filter(col("hamming") <= 3)
+          .distinct()
           .orderBy("d1", "d2")
       },
       Some("""WITH toks AS (
