@@ -67,7 +67,21 @@ object Bench {
     // to a different query each round and makes per-query numbers
     // incomparable round-over-round (dev/PERF_NOTES.md: the r1/r2
     // "39.6 s" flip between q_minhash_dup and q_dedup_ngram).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Ambient-load context: PERF_NOTES documents 1.7–2.9× wall-clock
+    // inflation from driver background load at sf0.1, which makes
+    // single-run round-over-round comparisons meaningless on their own.
+    // /proc/loadavg (1/5/15-min averages) rides along — captured both
+    // before and after the sweep — so a regression can be adjudicated
+    // against the machine state it ran under (BENCH_r06 rows were
+    // 15–45× off clean steady state with exit loadavg 13.94; the
+    // single after-the-fact sample couldn't say when the load arrived).
+    def loadavg: String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    val loadBefore = loadavg
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                name: String): Double = {
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune projections
       // and drop final sorts, under-measuring scan/projection-heavy
@@ -80,22 +94,33 @@ object Bench {
       // aren't measured under its memory pressure
       spark.catalog.clearCache()
       // a query that throws must not masquerade as a fast success
-      name -> (if (ok) dt else -1.0)
+      if (ok) dt else -1.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Two timed reps per query, report the MIN: a transient load spike (or
+    // a co-running process) inflates one rep, not both — min is the
+    // closest observable to the query's uncontended cost, which is what
+    // regression judging needs (BENCH_r06 single-rep rows were 15–45×
+    // off clean steady state). rep_spread = max/min per query rides
+    // along: spread ≈ 1 means the row is trustworthy; spread >> 1 flags
+    // external interference on that row specifically. Env-overridable
+    // (SPARK_GRAFT_BENCH_REPS=1) for dev scale sweeps where four
+    // full-surface runs would otherwise double their wall time.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = Iterator.continually(timeOne(fn, name))
+        .take(reps).takeWhile(_ >= 0).toSeq
+      val best = if (times.size < reps) -1.0 else times.min
+      val spread = if (best <= 0) -1.0 else times.max / best
+      (name, best, spread)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) =>
+      s"\"" + k + "\":" + f"$s%.2f" }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Ambient-load context: PERF_NOTES documents 1.7–2.9× wall-clock
-    // inflation from driver background load at sf0.1, which makes
-    // single-run round-over-round comparisons meaningless on their own.
-    // /proc/loadavg (1/5/15-min averages) rides along so a regression
-    // can be adjudicated against the machine state it ran under.
-    val loadavg =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .trim.split(" ").take(3).mkString("[", ",", "]")
-      catch { case _: Throwable => "[]" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"loadavg":$loadavg,"sf":"$sfDir"}""")
+    val loadAfter = loadavg
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_spread":$spreads,"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,6 +32,11 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TimestampType cast below is wall-clock-preserving ONLY under
+    // a UTC session zone. Pin it here — at the one choke point every table
+    // read passes through — rather than relying on each entrypoint's
+    // builder (Bench's didn't set it) or the JVM's -Duser.timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val tsFixed =
       // nanos column surfaced as long → truncate to micros timestamp.
