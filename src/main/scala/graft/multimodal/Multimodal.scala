@@ -146,8 +146,6 @@ object Multimodal {
     h
   }
 
-  val byteEntropyUdf = udf(byteEntropy _)
-
   /** Fixed-point log₂ with 20 fractional bits, computed by the exact
     * integer square-and-shift recurrence (normalize to [1,2) in Q30,
     * then 20 rounds of square / conditional-halve, emitting one result
@@ -198,8 +196,6 @@ object Multimodal {
     num * 1000000L / (s << 20)
   }
 
-  val byteEntropyE6Udf = udf(byteEntropyE6 _)
-
   /** Exact integer byte-distribution stats of a payload — the rational
     * (oracle-checkable) sibling of [[byteEntropy]]: Shannon entropy
     * needs libm ln (not engine-portable at the last ulp), while the
@@ -231,6 +227,4 @@ object Multimodal {
     val n = bytes.length.toLong
     (n, distinct, modal, modalCount, sumSq * 1000000L / (n * n))
   }
-
-  val byteStatsUdf = udf(byteStats _)
 }

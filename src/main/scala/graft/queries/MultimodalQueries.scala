@@ -190,7 +190,9 @@ object MultimodalQueries {
     // Spark runs it inline in the one-pass byte fold; the oracle
     // rebuilds the identical table over the (distinct counts ∪ totals)
     // domain in a recursive CTE — bit-identical by construction, no
-    // transcendental call anywhere. H·1e6 stays within ~3 e6-units of
+    // transcendental call anywhere. r7: the fold runs as the codegen'd
+    // ByteDist.byteEntropyE6 expression (static call inside whole-stage
+    // codegen), not a Scala-lambda UDF. H·1e6 stays within ~3 e6-units of
     // the libm value (MultimodalSpec asserts the bridge). Byte counts
     // come from hex(payload) — byte-wise, non-ASCII-safe (r5 simhash
     // oracle idiom).
@@ -199,7 +201,7 @@ object MultimodalQueries {
       (s: SparkSession, dir: String) =>
         payloads(s, dir)
           .select(col("doc_id"),
-            Multimodal.byteEntropyE6Udf(col("payload")).as("entropy_e6"))
+            graft.functions.ByteDist.byteEntropyE6(col("payload")).as("entropy_e6"))
           .orderBy("doc_id"),
       Some("""WITH RECURSIVE
              |p AS (SELECT doc_id, encode(text) AS payload FROM documents),
@@ -251,19 +253,18 @@ object MultimodalQueries {
     // of q_mm_entropy's Shannon signal (which needs libm ln and is
     // measured non-portable). Same detection use (compressed/random
     // payloads → low concentration, structured → high), none of the
-    // transcendental arithmetic. One pass per payload in the codec
-    // seam; the oracle recomputes from per-char ascii() — valid under
+    // transcendental arithmetic. One codegen'd pass per payload
+    // (ByteDist.byteStats expression, r7 — no Scala-lambda UDF
+    // remains in any declared query); the oracle recomputes from
+    // per-char ascii() — valid under
     // the corpus's documented ASCII-only invariant (payload bytes ==
     // code points).
     QueryDef(
       "q_mm_byte_stats",
       (s: SparkSession, dir: String) =>
         payloads(s, dir)
-          .select(col("doc_id"), Multimodal.byteStatsUdf(col("payload")).as("st"))
-          .select(col("doc_id"),
-            col("st._1").as("n_bytes"), col("st._2").as("distinct_bytes"),
-            col("st._3").as("modal_byte"), col("st._4").as("modal_count"),
-            col("st._5").as("simpson_e6"))
+          .select(col("doc_id"), graft.functions.ByteDist.byteStats(col("payload")).as("st"))
+          .select(col("doc_id"), col("st.*"))
           .orderBy("doc_id"),
       Some("""WITH b AS (
              |  SELECT doc_id, unnest(list_transform(range(1, len(text)+1),
