@@ -1122,7 +1122,8 @@ object AdvancedQueries {
     // twice only when her day-d and day-d+1 spans BOTH cover the
     // probe, which needs the overnight gap ≤ 10 min — a rare
     // adjacent-day self-join (equi on user, d+1), whose both-cover
-    // windows broadcast to the probes by hour bucket. n_users =
+    // windows equi-join to the probes by hour bucket (AQE picks
+    // broadcast vs shuffle: the set is data-dependent). n_users =
     // #covering spans − #double-covers, exact. Triple cover is
     // impossible (a 10-min window cannot reach day d+2).
     // All-integer micros; oracle = the naive inequality join (two
@@ -1183,8 +1184,14 @@ object AdvancedQueries {
         val adjB = adj.select(col("wlo"), col("whi"),
           explode(sequence(expr(s"wlo div $HourUs"), expr(s"whi div $HourUs")))
             .as("hb"))
+        // no broadcast hint: unlike the carry (provably hours-sized),
+        // adjB is data-dependent — worst case one row per close
+        // adjacent-day user pair × ≤2 buckets, corpus-linear. The join
+        // is equi on hb, so AQE broadcasts it while it's small and
+        // falls back to a shuffle join when it isn't, instead of
+        // OOMing the driver at 100 TB.
         val corr = probes.withColumn("hb", expr(s"t div $HourUs"))
-          .join(broadcast(adjB), "hb")
+          .join(adjB, "hb")
           .filter(col("t") >= col("wlo") && col("t") <= col("whi"))
           .groupBy("event_id").agg(count(lit(1)).as("n_dup"))
         counted.join(corr, Seq("event_id"), "left")
