@@ -655,6 +655,69 @@ object RelationalQueries {
              |ORDER BY pt.p_brand""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_sql_q21 ★ (new r7) — TPC-H Q21 (suppliers who kept orders
+    // waiting) through the SQL front-end: the decorrelation STRESS
+    // shape — a correlated EXISTS and a correlated NOT EXISTS against
+    // the SAME fact table the outer block scans, both correlated on
+    // l_orderkey with a non-equi self-exclusion (l_suppkey <>) inside.
+    // This is the rewrite that breaks naive decorrelators: the EXISTS
+    // must become a LEFT SEMI join and the NOT EXISTS a LEFT ANTI join
+    // (null-safe under the <>), each on the orderkey equi-key, with NO
+    // row fan-out — a decorrelation that materialized matches instead
+    // of probing them would multiply l1 rows and silently corrupt
+    // numwait. SqlFunctionsSpec pins the one-semi + one-anti plan.
+    // Fixture adaptation per the q_sql_q4 note (no l_receiptdate /
+    // l_commitdate): "this supplier was late" ≡ l_returnflag = 'R'.
+    // At 100 TB: three lineitem scans (outer, semi, anti) all shuffle
+    // on l_orderkey — co-partitioned back-to-back joins, no broadcast
+    // of anything corpus-sized; dims (supplier⋈nation pruned to one
+    // nation) broadcast. numwait is an exact COUNT(*); ORDER BY
+    // numwait DESC, s_name is total (s_name unique per supplier).
+    QueryDef(
+      "q_sql_q21",
+      (s: SparkSession, dir: String) => {
+        Seq("supplier", "lineitem", "orders", "nation").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          SELECT s_name, COUNT(*) AS numwait
+          FROM graft_supplier
+          JOIN graft_lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN graft_orders   ON o_orderkey = l1.l_orderkey
+          JOIN graft_nation   ON s_nationkey = n_nationkey
+          WHERE o_orderstatus = 'F'
+            AND l1.l_returnflag = 'R'
+            AND EXISTS (SELECT 1 FROM graft_lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM graft_lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_returnflag = 'R')
+            AND n_name = 'NATION_3'
+          GROUP BY s_name
+          ORDER BY numwait DESC, s_name
+          LIMIT 100""")
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+             |FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders   ON o_orderkey = l1.l_orderkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |WHERE o_orderstatus = 'F'
+             |  AND l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_returnflag = 'R')
+             |  AND n_name = 'NATION_3'
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_bloom_join ★ (new r5) — RUNTIME-FILTERED fact⋈dim join: urgent
     // orders' keys fold into a driver-built bloom filter
     // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),

@@ -114,6 +114,38 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(1)).sum == small.count())
   }
 
+  test("q_sql_q21: EXISTS + NOT EXISTS decorrelate to one semi and one anti join, no fan-out") {
+    val df = SparkEntry.queries("q_sql_q21")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the decorrelation stress shape: both correlated probes against the
+    // SAME table the outer block scans must become PROBING joins — a
+    // rewrite that materialized matches would multiply l1 rows and
+    // corrupt numwait
+    assert("LeftSemi".r.findAllIn(opt).size == 1, s"expected exactly one LeftSemi in:\n$opt")
+    assert("LeftAnti".r.findAllIn(opt).size == 1, s"expected exactly one LeftAnti in:\n$opt")
+    assert(!opt.contains("exists-subquery") && !opt.contains("ExistenceJoin"),
+      s"undecorrelated existence probe in:\n$opt")
+    // no-fan-out cross-check: recompute numwait with hand-built probing
+    // joins over the raw tables and compare totals
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val l1 = li.filter(col("l_returnflag") === "R")
+    val otherSupp = li.select(col("l_orderkey").as("k"), col("l_suppkey").as("s"))
+    val semi = l1.join(otherSupp,
+      col("l_orderkey") === col("k") && col("l_suppkey") =!= col("s"), "left_semi")
+    val otherLate = l1.select(col("l_orderkey").as("k"), col("l_suppkey").as("s"))
+    val anti = semi.join(otherLate,
+      col("l_orderkey") === col("k") && col("l_suppkey") =!= col("s"), "left_anti")
+    val expected = anti
+      .join(Tables(spark, sfDir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, sfDir, "nation").filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .count()
+    assert(df.collect().map(_.getLong(1)).sum == expected)
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
