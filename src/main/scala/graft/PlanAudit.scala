@@ -55,7 +55,55 @@ object PlanAudit {
     ("q_skew_stats", "globalWindow"),
     // window over the DAYS table (time-span-sized, ≤36525 rows for a
     // century), not the corpus — see the q_rate_anomaly scaladoc
-    ("q_rate_anomaly", "globalWindow"))
+    ("q_rate_anomaly", "globalWindow"),
+    // prefix-sum carry over the HOUR-BUCKET frame (time-span-sized:
+    // ~720 rows for the 30-day corpus window), not the sweep rows —
+    // see the q_interval_join scaladoc; advisor r6 adjudicated "none
+    // required now", with the two-level day-partitioned prefix sum as
+    // the escape hatch if the time span ever scales with the corpus
+    ("q_interval_join", "globalWindow"))
+
+  /** One sweep finding: query, flag, whether it's in [[documented]]. */
+  final case class Finding(query: String, flag: String, documented: Boolean)
+
+  /** Sweep every declared query's physical plan. Pure analysis — builds
+    * each plan without executing it (e2e queries still run their setup
+    * side effects, which is why sweeps run at sf0.001). Any thrown plan
+    * error surfaces as an undocumented `PLAN ERROR` finding rather than
+    * aborting the sweep. Callable from both `main` and PlanAuditSpec so
+    * the undocumented=0 invariant is machine-enforced per `sbt test`.
+    */
+  def sweep(spark: SparkSession, dir: String): Seq[Finding] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val fs =
+        try {
+          val qe = fn(spark, dir).queryExecution
+          val plan = qe.executedPlan.toString
+          // A Window with an empty partition spec runs in ONE task.
+          // Detected on the optimized logical TREE, not the plan string:
+          // TreeNode.argString OMITS empty sequences, so an empty
+          // partition spec never prints as `[]` and the r4 string regex
+          // silently matched nothing (caught by PlanAuditSpec's stale
+          // check, r7). collectWithSubqueries so a window inside a
+          // subquery expression can't hide.
+          val globalWin = qe.optimizedPlan.collectWithSubqueries {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty => w
+          }.nonEmpty
+          Seq(
+            "CartesianProduct" -> plan.contains("CartesianProduct"),
+            "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+            "globalWindow" -> globalWin)
+            .collect { case (f, true) =>
+              Finding(name, f, documented.contains((name, f))) }
+        } catch { case e: Throwable =>
+          Seq(Finding(name,
+            s"PLAN ERROR ${Option(e.getMessage).getOrElse(e.toString).take(100)}",
+            documented = false))
+        }
+      spark.catalog.clearCache()
+      fs
+    }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -66,28 +114,11 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var undocumented = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        val flags = Seq(
-          "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-          // a Window with an empty partition spec runs in ONE task
-          "globalWindow" -> raw"Window \[[^\]]*\], \[\]".r.findFirstIn(plan).isDefined)
-          .collect { case (f, true) => f }
-        flags.foreach { f =>
-          val doc = documented.contains((name, f))
-          if (!doc) undocumented += 1
-          println(s"$name: $f${if (doc) " (documented)" else "  <-- UNDOCUMENTED"}")
-        }
-      } catch { case e: Throwable =>
-        undocumented += 1
-        println(s"$name: PLAN ERROR ${Option(e.getMessage).getOrElse(e.toString).take(100)}")
-      }
-      spark.catalog.clearCache()
+    val findings = sweep(spark, dir)
+    findings.foreach { f =>
+      println(s"${f.query}: ${f.flag}${if (f.documented) " (documented)" else "  <-- UNDOCUMENTED"}")
     }
-    println(s"AUDIT DONE undocumented=$undocumented")
+    println(s"AUDIT DONE undocumented=${findings.count(!_.documented)}")
     spark.stop()
   }
 }
