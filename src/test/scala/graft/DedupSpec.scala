@@ -186,6 +186,30 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 2L), (21L, 20L, 2L)))
   }
 
+  test("connectedComponents: >1M-edge graph takes the distributed branch at the DEFAULT threshold and converges (r7)") {
+    // The at-scale branch proven at scale, not just via a forced
+    // threshold: 1.05M undirected pairs (> the 1M default
+    // driverMaxEdges → 2.1M directed edges fail the 2·threshold gate,
+    // so the ADAPTIVE rule itself routes to label propagation — no
+    // collect of the edge list ever happens) over a graph with KNOWN
+    // components: 150k chains of 8 consecutive nodes (chains, not
+    // stars, so labels need diameter-many propagation rounds — 7 hops
+    // + 1 equal-sum detection round, comfortably under the 20-round
+    // diameter cap). Ground truth is analytic: node i belongs to the
+    // component whose min (= cluster_id) is i - i % 8, size 8.
+    val k = 8
+    val n = 1200000L // 150k components × 8 → 1.05M within-chain pairs
+    val pairs = spark.range(n - 1)
+      .filter((col("id") + 1) % k =!= 0)
+      .select(col("id").as("d1"), (col("id") + 1).as("d2"))
+    val labels = graft.queries.DedupQueries.connectedComponents(spark, pairs)
+    val bad = labels.filter(
+      col("cluster_id") =!= col("doc_id") - (col("doc_id") % k) ||
+        col("cluster_size") =!= k).count()
+    assert(bad == 0, s"$bad nodes with wrong component label or size")
+    assert(labels.count() == n)
+  }
+
   test("q_contamination_matrix matches a driver-side shingle fold (r5)") {
     val docs = Tables(spark, sfDir, "documents")
       .select("source", "text").as[(String, String)].collect().toSeq

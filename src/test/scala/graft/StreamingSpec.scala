@@ -64,6 +64,69 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(tableDir).count() == 2 * rows)
   }
 
+  test("crash-restart recovery: kill mid-drain after a committed batch, restart, exactly-once lake content (r7)") {
+    // The claim a 100 TB deployment leans on: a REAL restart from the
+    // checkpoint — not a simulated double-call — lands the lake in
+    // exactly the no-crash state. The crash is injected at the
+    // at-least-once window's worst point: AFTER batch 1's lake commit,
+    // BEFORE Spark writes batch 1's checkpoint commit — so the restart
+    // REPLAYS batch 1 and only the stream:<ckpt>:<batchId> fence in
+    // the commit ledger stands between the table and a double-append.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sink.{GraftLog, HiveParquetWriter}
+    val table = IngestQueries.fixtureTable
+    val root = Files.createTempDirectory("graft_crash_").toString
+    val inDir = java.nio.file.Paths.get(root, "events", "comp1")
+    Files.createDirectories(inDir)
+    // four 1-row files → four micro-batches under maxFilesPerTrigger=1
+    (0 until 4).foreach { i =>
+      Files.writeString(inDir.resolve(f"f$i%d.json"),
+        s"""{"id":${i + 1},"event_date":"2024-03-1${i + 1}","user_id":${10 * i},"category":"c$i"}""")
+    }
+    def drain(tableDir: String, ckpt: String, crashAtBatch: Long): Unit = {
+      val q = StreamingIngest.readStream(spark, root, "comp1", table,
+          cleanSource = false, maxFilesPerTrigger = 1)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          StreamingIngest.appendBatch(new HiveParquetWriter, batch, table,
+            tableDir, ckpt, batchId)
+          if (batchId == crashAtBatch)
+            throw new RuntimeException("injected crash after lake commit")
+        }
+        .start()
+      if (crashAtBatch >= 0)
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.awaitTermination()
+        }
+      else { q.awaitTermination(120000); assert(!q.isActive) }
+    }
+    // run 1: dies after batch 1's lake commit (batch 0 fully committed)
+    val crashedDir = s"$root/warehouse/crashed"
+    val ckpt = s"$root/ckpt"
+    drain(crashedDir, ckpt, crashAtBatch = 1L)
+    val afterCrash = GraftLog.records(crashedDir)
+    assert(afterCrash.size == 2, "crash point must land after batch 1's lake commit")
+    // run 2: restart from the SAME checkpoint — batch 1 replays and must
+    // be fenced, batches 2-3 drain fresh
+    drain(crashedDir, ckpt, crashAtBatch = -1L)
+    // golden: the same input drained with no crash into a fresh lake
+    val goldenDir = s"$root/warehouse/golden"
+    drain(goldenDir, s"$root/ckpt_golden", crashAtBatch = -1L)
+    def content(dir: String): Seq[(Long, String)] =
+      spark.read.parquet(dir).select(col("id"), col("category"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(content(crashedDir) == content(goldenDir),
+      "restart diverged from the no-crash run")
+    assert(content(crashedDir).map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // exactly one ledger commit per micro-batch; the replayed batch did
+    // not commit twice (fence keys pairwise distinct, one per batch)
+    val keys = GraftLog.records(crashedDir).flatMap(_.sources)
+    assert(keys.size == 4 && keys.distinct.size == 4,
+      s"expected 4 distinct fence keys, got $keys")
+  }
+
   test("streaming MERGE: per-batch upsert, last-writer-wins, replay fenced (r5)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
