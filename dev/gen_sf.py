@@ -11,7 +11,16 @@ this generator's family (gen-sf0.1 -> gen-sf1), with gen-sf0.1 vs shipped
 sf0.1 bench agreement reported as the calibration check.
 
 Dev tooling only — the library never reads this. Usage:
-  python3 dev/gen_sf.py <sf> <outdir>     # e.g. 1 /tmp/graft_sfgen/sf1
+  python3 dev/gen_sf.py <sf> <outdir> [--vocab=heaps|fixed]
+
+Document vocabulary (r7): --vocab=heaps (default) grows the document
+vocabulary with corpus size per Heaps' law (V = 15*sqrt(total_words),
+Zipf s=1 word frequencies) — like real corpora, where type count grows
+with token count. The r6 fixed 31-word vocab SATURATES the trigram
+space at scale (every possible shingle becomes hot; the measured
+dedup-family ratios were evidence about the corpus artifact, not the
+plan). --vocab=fixed keeps the r6 behavior for like-for-like
+comparisons against the r6 scale table.
 """
 import os
 import sys
@@ -49,7 +58,7 @@ def day_ts(rng, n, span_days):
     return pa.array(EPOCH_1995 + days * DAY_US, type=pa.timestamp("us"))
 
 
-def main(sf, out):
+def main(sf, out, vocab_mode="heaps"):
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
     n_cust = int(150000 * sf)
@@ -127,21 +136,45 @@ def main(sf, out):
           value=np.round(np.minimum(rng.exponential(50, n_ev), 999.0), 2),
           props=[f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)])
 
-    # documents: uniform bag-of-words over the shipped 31-word vocab,
-    # 10..100 words, lang a LABEL (all text English, as shipped), plus
-    # engineered dup structure: ~1.5% near-dups (5% word substitution)
-    # and ~0.3% exact dups — the dedup queries' prey
+    # documents: bag-of-words, 10..100 words, lang a LABEL (all text
+    # English, as shipped), plus engineered dup structure: ~1.5%
+    # near-dups (5% word substitution) and ~0.3% exact dups — the
+    # dedup queries' prey. Base text vocabulary per --vocab:
+    #   heaps (default): V = 15*sqrt(expected_total_words) distinct
+    #     types (Heaps beta=0.5), Zipf s=1 frequencies — diversity
+    #     grows with SF like a real corpus, so hot-shingle density
+    #     stays roughly CONSTANT across SF instead of saturating, and
+    #     measured dedup ratios reflect the PLAN
+    #   fixed: the r6 31-word uniform draw (trigram space saturates by
+    #     sf0.1 — kept for like-for-like vs the r6 scale table)
     langs = np.array(["en", "zh", "es", "fr", "de"])
     lang_p = np.array([0.41, 0.1475, 0.1475, 0.1475, 0.1475])
-    texts = []
-    for i in range(n_doc):
-        nw = rng.integers(10, 101)
-        texts.append(" ".join(VOCAB[w] for w in rng.integers(0, len(VOCAB), nw)))
+    nw = rng.integers(10, 101, n_doc)
+    if vocab_mode == "heaps":
+        exp_words = n_doc * 55  # E[nw] = 55
+        v_size = max(int(15 * np.sqrt(exp_words)), len(VOCAB))
+
+        def word(i):  # deterministic base-26 token, 'a'..'z'
+            s = ""
+            while True:
+                s += chr(ord("a") + i % 26)
+                i //= 26
+                if i == 0:
+                    return s
+        vocab = np.array([word(i) for i in range(v_size)])
+        p = 1.0 / np.arange(1, v_size + 1)
+        p /= p.sum()
+    else:
+        vocab = np.array(VOCAB)
+        p = np.full(len(VOCAB), 1.0 / len(VOCAB))
+    flat = vocab[rng.choice(len(vocab), int(nw.sum()), p=p)]
+    bounds = np.cumsum(nw)
+    texts = [" ".join(flat[s:e]) for s, e in zip(np.r_[0, bounds[:-1]], bounds)]
     for i in rng.choice(np.arange(10, n_doc), max(n_doc // 67, 1), replace=False):
         src = rng.integers(0, i)
         words = texts[src].split(" ")
         for j in rng.integers(0, len(words), max(len(words) // 20, 1)):
-            words[j] = VOCAB[rng.integers(0, len(VOCAB))]
+            words[j] = vocab[rng.choice(len(vocab), p=p)]
         texts[i] = " ".join(words)
     for i in rng.choice(np.arange(10, n_doc), max(n_doc // 333, 1), replace=False):
         texts[i] = texts[rng.integers(0, i)]
@@ -176,4 +209,9 @@ def main(sf, out):
 
 
 if __name__ == "__main__":
-    main(float(sys.argv[1]), sys.argv[2])
+    mode = "heaps"
+    for a in sys.argv[3:]:
+        if a.startswith("--vocab="):
+            mode = a.split("=", 1)[1]
+    assert mode in ("heaps", "fixed"), mode
+    main(float(sys.argv[1]), sys.argv[2], mode)
