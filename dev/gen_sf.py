@@ -145,8 +145,11 @@ def main(sf, out, vocab_mode="heaps"):
     #     grows with SF like a real corpus, so hot-shingle density
     #     stays roughly CONSTANT across SF instead of saturating, and
     #     measured dedup ratios reflect the PLAN
-    #   fixed: the r6 31-word uniform draw (trigram space saturates by
-    #     sf0.1 — kept for like-for-like vs the r6 scale table)
+    #   fixed: the r6 31-word uniform DISTRIBUTION (trigram space
+    #     saturates by sf0.1). NOTE: the r7 vectorized rewrite changed
+    #     the RNG draw sequence, so fixed mode regenerates the same
+    #     distribution, NOT the byte-identical r6 corpus — comparisons
+    #     against the r6 scale table are distributional only
     langs = np.array(["en", "zh", "es", "fr", "de"])
     lang_p = np.array([0.41, 0.1475, 0.1475, 0.1475, 0.1475])
     nw = rng.integers(10, 101, n_doc)

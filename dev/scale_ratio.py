@@ -18,9 +18,13 @@ import sys
 
 
 def load(path):
+    # graft.Bench (r8+) prints two JSON lines: the full named-dict record
+    # first, then a compact tail-safe array line. Prefer the last line
+    # that carries the named "queries" dict.
     with open(path) as f:
         lines = [l.strip() for l in f if l.strip().startswith("{")]
-    return json.loads(lines[-1])
+    named = [l for l in lines if '"queries"' in l]
+    return json.loads((named or lines)[-1])
 
 
 def main():

@@ -718,6 +718,74 @@ object RelationalQueries {
              |LIMIT 100""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_sql_q20 ★ (new r8) — TPC-H Q20 (potential part promotion)
+    // through the SQL front-end: the NESTED decorrelation shape — an IN
+    // subquery whose inner block itself contains BOTH a second IN
+    // subquery (part-name prefix) and a correlated scalar-agg subquery
+    // (the availqty > 0.5·sum(shipped) threshold). Q21 covered sibling
+    // EXISTS/NOT-EXISTS; this is the two decorrelations COMPOSED: the
+    // scalar agg must become a per-key aggregate left-joined back
+    // INSIDE a block that is itself collapsed into a semi join — the
+    // rewrite naive planners botch into row multiplication. The 0.5
+    // factor is cleared to exact integers (2·qty_c > sum_c); the SUM
+    // over an empty correlated group is NULL and NULL-excludes per
+    // TPC-H semantics (the classic decorrelation-NULL trap, exercised
+    // deliberately: ~90% of groups are empty at every SF).
+    // Fixture adaptation (per the q_sql_q4 note — no partsupp /
+    // l_commitdate / s_address): the "stock offer" relation is
+    // lineitem rows with l_returnflag='N' (availqty := l_quantity),
+    // shipped demand is flag 'R' in the 1996 ship-year, correlated on
+    // l_partkey alone — per-part lineitem density is SF-INVARIANT
+    // (~30 rows) where per-(part,supp) density hollows out
+    // quadratically, so the threshold stays discriminating at any
+    // scale (measured: 3/4, 10/15, 145/201 suppliers qualify at
+    // sf0.001/0.01/0.1). Nation filter by region ⇒ nonzero at sf0.001.
+    // At 100 TB: the part prefix-filter is dim-sized → broadcast semi;
+    // the demand re-aggregation shuffles lineitem once on l_partkey
+    // and joins back on the same key; the outer IN is a semi join on
+    // s_suppkey — every probe is an equi-join, nothing corpus-sized is
+    // broadcast, no fan-out anywhere (SqlFunctionsSpec pins the plan).
+    QueryDef(
+      "q_sql_q20",
+      (s: SparkSession, dir: String) => {
+        Seq("supplier", "lineitem", "part", "nation").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          SELECT s_name
+          FROM graft_supplier JOIN graft_nation ON s_nationkey = n_nationkey
+          WHERE n_regionkey = 3
+            AND s_suppkey IN (
+              SELECT ps.l_suppkey FROM graft_lineitem ps
+              WHERE ps.l_returnflag = 'N'
+                AND ps.l_partkey IN (SELECT p_partkey FROM graft_part
+                                     WHERE p_name LIKE 'cold ring%')
+                AND CAST(ROUND(ps.l_quantity*100, 0) AS BIGINT) * 2 > (
+                  SELECT SUM(CAST(ROUND(l.l_quantity*100, 0) AS BIGINT))
+                  FROM graft_lineitem l
+                  WHERE l.l_partkey = ps.l_partkey
+                    AND l.l_returnflag = 'R'
+                    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+          ORDER BY s_name""")
+      },
+      Some("""SELECT s_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_regionkey = 3
+             |  AND s_suppkey IN (
+             |    SELECT ps.l_suppkey FROM lineitem ps
+             |    WHERE ps.l_returnflag = 'N'
+             |      AND ps.l_partkey IN (SELECT p_partkey FROM part
+             |                           WHERE p_name LIKE 'cold ring%')
+             |      AND CAST(ROUND(ps.l_quantity*100, 0) AS BIGINT) * 2 > (
+             |        SELECT SUM(CAST(ROUND(l.l_quantity*100, 0) AS BIGINT))
+             |        FROM lineitem l
+             |        WHERE l.l_partkey = ps.l_partkey
+             |          AND l.l_returnflag = 'R'
+             |          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+             |ORDER BY s_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_bloom_join ★ (new r5) — RUNTIME-FILTERED fact⋈dim join: urgent
     // orders' keys fold into a driver-built bloom filter
     // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),

@@ -10,7 +10,8 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  // One sweep shared by both assertions: each sweep builds all 162 plans
+  // One sweep shared by both assertions: each sweep builds every declared
+  // query's plan (SparkEntry.queries.size of them)
   // (and runs the e2e queries' setup side effects), so running it twice
   // would double the suite's cost for no information.
   private lazy val findings = PlanAudit.sweep(spark, sfDir)
