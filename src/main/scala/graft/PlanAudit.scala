@@ -61,10 +61,75 @@ object PlanAudit {
     // see the q_interval_join scaladoc; advisor r6 adjudicated "none
     // required now", with the two-level day-partitioned prefix sum as
     // the escape hatch if the time span ever scales with the corpus
-    ("q_interval_join", "globalWindow"))
+    ("q_interval_join", "globalWindow"),
+
+    // ---- forcedBroadcast: every explicit broadcast() hint whose side
+    // is NOT structurally bounded (see [[boundedRows]]) must carry its
+    // written cardinality bound here — the r7 interval-join fix
+    // (a data-dependent correction set was force-broadcast; would OOM
+    // the driver at 100 TB) is a bug CLASS, so the sweep now enforces
+    // the bound-or-drop rule machine-side. Scalar-agg totals, LIMIT
+    // heads, and driver-built literal frames auto-pass.
+    // nation (25 rows) / region (5 rows): schema-fixed dims
+    ("q_join_broadcast", "forcedBroadcast"),
+    ("q_join_star", "forcedBroadcast"),
+    // per-event_type frames: 5-value closed domain
+    ("q_approx_percentile", "forcedBroadcast"),
+    ("q_user_overlap", "forcedBroadcast"),
+    ("q_winsorize", "forcedBroadcast"),
+    ("q_outlier_fences", "forcedBroadcast"),
+    // per-lang frame: 5-value closed domain
+    ("q_sample_weighted", "forcedBroadcast"),
+    // per-source frames: 20-value closed domain
+    ("q_contamination_matrix", "forcedBroadcast"),
+    // hour-bucket frames: time-span-sized (~720 rows for the 30-day
+    // window), same bound as the allowlisted q_interval_join carry
+    ("q_rolling_distinct", "forcedBroadcast"),
+    ("q_interval_join", "forcedBroadcast"),
+    // query sets: id-prefix filters selecting ≤5 fixed query
+    // vectors / ≤2 query docs (the declared top-k/rerank contract)
+    ("q_sim_topk", "forcedBroadcast"),
+    ("q_sim_ann", "forcedBroadcast"),
+    ("q_sim_ivf", "forcedBroadcast"),
+    ("q_hybrid_rrf", "forcedBroadcast"),
+    ("q_sim_rerank", "forcedBroadcast"),
+    ("q_maxsim", "forcedBroadcast"),
+    ("q_maxsim_rerank", "forcedBroadcast"),
+    // eval-suite shingles: the decontamination contract is an
+    // asymmetric probe — the eval side is a BENCHMARK (KBs–MBs,
+    // doc_id < 20 here), never the corpus; see the query's scaladoc
+    ("q_decontaminate", "forcedBroadcast"))
 
   /** One sweep finding: query, flag, whether it's in [[documented]]. */
   final case class Finding(query: String, flag: String, documented: Boolean)
+
+  /** Structural proof that a broadcast-hinted subtree is driver-safe:
+    * bounded rows REGARDLESS of corpus size. True iff the tree is built
+    * from literal/driver-side leaves, or every path to an unbounded leaf
+    * passes through a row-count-capping node (grouping-free aggregate →
+    * 1 row, LIMIT → k rows), composed through row-non-increasing ops
+    * (project/filter/sort/dedup-to-subset) and joins/unions of bounded
+    * sides. Grouping aggregates and distincts do NOT prove a bound
+    * (their cardinality is the key domain — corpus-sized in general);
+    * queries that broadcast those must carry a written domain bound in
+    * [[documented]] under the `forcedBroadcast` flag.
+    */
+  private def boundedRows(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
+      case a: Aggregate => a.groupingExpressions.isEmpty || boundedRows(a.child)
+      case _: GlobalLimit | _: LocalLimit => true
+      case j: Join => boundedRows(j.left) && boundedRows(j.right)
+      case u: Union => u.children.forall(boundedRows)
+      case _: Project | _: Filter | _: Sort | _: SubqueryAlias |
+          _: Repartition | _: RepartitionByExpression | _: Window |
+          _: ResolvedHint | _: Deduplicate | _: Distinct =>
+        boundedRows(p.children.head)
+      case _ => false
+    }
+  }
 
   /** Sweep every declared query's physical plan. Pure analysis — builds
     * each plan without executing it (e2e queries still run their setup
@@ -90,10 +155,23 @@ object PlanAudit {
             case w: org.apache.spark.sql.catalyst.plans.logical.Window
                 if w.partitionSpec.isEmpty => w
           }.nonEmpty
+          // A broadcast() hint whose side has no structural row bound is
+          // a driver-OOM-at-100TB hazard unless its domain bound is
+          // written down (the r7 interval-join bug class). Hints live as
+          // ResolvedHint in the ANALYZED plan (the optimizer folds them
+          // into Join nodes); collectWithSubqueries so a hint inside an
+          // IN/EXISTS block can't hide.
+          val unboundedHint = qe.analyzed.collectWithSubqueries {
+            case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+                if h.hints.strategy.contains(
+                  org.apache.spark.sql.catalyst.plans.logical.BROADCAST) &&
+                  !boundedRows(h.child) => h
+          }.nonEmpty
           Seq(
             "CartesianProduct" -> plan.contains("CartesianProduct"),
             "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-            "globalWindow" -> globalWin)
+            "globalWindow" -> globalWin,
+            "forcedBroadcast" -> unboundedHint)
             .collect { case (f, true) =>
               Finding(name, f, documented.contains((name, f))) }
         } catch { case e: Throwable =>

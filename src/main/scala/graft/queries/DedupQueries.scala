@@ -503,7 +503,10 @@ object DedupQueries {
           .distinct()
         val x = docAgg.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1"))
         val y = docAgg.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2"))
-        broadcast(cand).join(x, "d1").join(y, "d2")
+        // no broadcast hint on cand: the candidate-pair set scales with
+        // dup density × corpus (data-dependent — the r7 interval-join
+        // bug class); AQE broadcasts it when it is actually small
+        cand.join(x, "d1").join(y, "d2")
           .select(col("d1"), col("d2"),
             size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("common"),
             col("n1"), col("n2"))

@@ -118,9 +118,14 @@ object ProfileQueries {
     */
   def fkEdge(name: String, child: DataFrame, key: String,
       parent: DataFrame, pkey: String): DataFrame = {
+    // no broadcast hint on the parent key set: parent tables are
+    // corpus-sized (orders is the parent of lineitem — forcing their
+    // distinct keys through the driver would OOM at 100 TB, the r7
+    // interval-join bug class). The anti join shuffles on the key —
+    // the honest referential-audit cost — and AQE still broadcasts
+    // genuinely dim-sized parents at runtime.
     val orphans = child.select(col(key).as("k"))
-      .join(broadcast(parent.select(col(pkey).as("k")).distinct()),
-        Seq("k"), "left_anti")
+      .join(parent.select(col(pkey).as("k")).distinct(), Seq("k"), "left_anti")
     child.agg(count(lit(1)).as("n_child"))
       .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
       .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),

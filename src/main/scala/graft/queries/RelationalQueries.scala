@@ -791,11 +791,16 @@ object RelationalQueries {
     // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),
     // the fact scan is pre-filtered map-side by the broadcast bloom
     // (~80% of lineitem never reaches the shuffle; at 100 TB that IS
-    // the query cost), and the exact broadcast join afterwards removes
-    // the fpp false positives — so the RESULT is byte-identical to the
-    // plain join the oracle runs, which is the point: the bloom is pure
-    // physical optimization, invisible in the answer. Aggregates in
-    // exact e2 ints as always.
+    // the query cost), and the exact join afterwards removes the fpp
+    // false positives — so the RESULT is byte-identical to the plain
+    // join the oracle runs, which is the point: the bloom is pure
+    // physical optimization, invisible in the answer. The exact join
+    // carries NO broadcast hint (r8): the urgent-order key set is a
+    // fixed FRACTION of orders — corpus-sized, the r7 interval-join
+    // bug class — so it must be allowed to shuffle at scale (the bloom
+    // is bit-compact where the exact key set is not; that asymmetry is
+    // the whole reason the pattern exists). AQE still broadcasts it at
+    // test SF. Aggregates in exact e2 ints as always.
     QueryDef(
       "q_bloom_join",
       (s: SparkSession, dir: String) => {
@@ -805,7 +810,7 @@ object RelationalQueries {
           .select("o_orderkey")
         val pruned = ScaleOps.bloomPrune(
           Tables(s, dir, "lineitem"), "l_orderkey", dim, "o_orderkey")
-        pruned.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+        pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum(cents(col("l_extendedprice"))).as("sum_price_e2"))

@@ -127,6 +127,76 @@ class StreamingSpec extends SparkSpec {
       s"expected 4 distinct fence keys, got $keys")
   }
 
+  test("streaming MERGE crash-restart: kill between lake commit and checkpoint on an upsert batch, restart, exactly-once (r8)") {
+    // The r7 crash-restart spec proved the APPEND path; this is the same
+    // kill-at-worst-point harness on the MERGE path, where the fence is
+    // correctness-critical rather than dedup hygiene: an unfenced
+    // replayed MERGE re-commits as a new overwrite snapshot (and, if
+    // replay ever lands after a later batch, resurrects stale values —
+    // the r5 spec pins that half). Crash is injected AFTER batch 1's
+    // MERGE commit, BEFORE its checkpoint commit; restart replays batch
+    // 1 and the stream:<ckpt>:<batchId> ledger key must skip it.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sink.{GraftLog, LakeOps}
+    val root = Files.createTempDirectory("graft_merge_crash_").toString
+    val inDir = java.nio.file.Paths.get(root, "changes")
+    Files.createDirectories(inDir)
+    // four 1-row change records; f2 UPDATES key 1 across the crash point
+    val changes = Seq(
+      """{"id":1,"category":"a","v":10}""",
+      """{"id":2,"category":"b","v":20}""",
+      """{"id":1,"category":"a","v":15}""",
+      """{"id":3,"category":"b","v":30}""")
+    changes.zipWithIndex.foreach { case (j, i) =>
+      Files.writeString(inDir.resolve(f"f$i%d.json"), j)
+    }
+    def readChanges = spark.readStream
+      .schema("id LONG, category STRING, v LONG")
+      .option("maxFilesPerTrigger", 1)
+      .json(inDir.toString)
+    def drain(tableDir: String, ckpt: String, crashAtBatch: Long): Unit = {
+      val q = readChanges.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          StreamingIngest.upsertBatch(batch, tableDir,
+            keyCols = Seq("id"), partitionCols = Seq("category"), ckpt, batchId)
+          if (batchId == crashAtBatch)
+            throw new RuntimeException("injected crash after MERGE commit")
+        }
+        .start()
+      if (crashAtBatch >= 0)
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.awaitTermination()
+        }
+      else { q.awaitTermination(120000); assert(!q.isActive) }
+    }
+    val crashedDir = s"$root/warehouse/crashed"
+    val ckpt = s"$root/ckpt"
+    drain(crashedDir, ckpt, crashAtBatch = 1L)
+    assert(GraftLog.records(crashedDir).size == 2,
+      "crash point must land after batch 1's MERGE commit")
+    // restart from the same checkpoint: batch 1 replays fenced, 2-3 fresh
+    drain(crashedDir, ckpt, crashAtBatch = -1L)
+    // golden: same changelog, no crash, fresh lake + checkpoint
+    val goldenDir = s"$root/warehouse/golden"
+    drain(goldenDir, s"$root/ckpt_golden", crashAtBatch = -1L)
+    def state(dir: String): Map[Long, Long] =
+      LakeOps.readTable(spark, dir).select(col("id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(state(crashedDir) == state(goldenDir),
+      "restart diverged from the no-crash MERGE run")
+    assert(state(crashedDir) == Map(1L -> 15L, 2L -> 20L, 3L -> 30L))
+    // exactly one overwrite commit per micro-batch — the replayed batch
+    // did not re-commit (fence keys pairwise distinct, one per batch)
+    val recs = GraftLog.records(crashedDir)
+    assert(recs.map(_.op).forall(_ == "overwrite"))
+    val keys = recs.flatMap(_.sources)
+    assert(keys.size == 4 && keys.distinct.size == 4,
+      s"expected 4 distinct fence keys, got $keys")
+  }
+
   test("streaming MERGE: per-batch upsert, last-writer-wins, replay fenced (r5)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
