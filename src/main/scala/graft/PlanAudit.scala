@@ -135,7 +135,15 @@ object PlanAudit {
     * each plan without executing it (e2e queries still run their setup
     * side effects, which is why sweeps run at sf0.001). Any thrown plan
     * error surfaces as an undocumented `PLAN ERROR` finding rather than
-    * aborting the sweep. Callable from both `main` and PlanAuditSpec so
+    * aborting the sweep.
+    *
+    * Known blind spot (r8): the stream_* e2e queries RUN their
+    * streaming query inside the builder and return the drained sink —
+    * the sweep analyzes only that post-drain batch plan, so hints and
+    * join shapes inside the streaming topology are not swept. Those
+    * queries therefore follow the bound-or-drop rule by review, not by
+    * machine (stream_join_e2e's dim hint was dropped for exactly this
+    * reason). Callable from both `main` and PlanAuditSpec so
     * the undocumented=0 invariant is machine-enforced per `sbt test`.
     */
   def sweep(spark: SparkSession, dir: String): Seq[Finding] =

@@ -27,6 +27,66 @@ object GraphQueries {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Per-doc MAP-SIDE co-occurrence pair stream (w1 < w2 over each
+    * document's sorted distinct token set): posexplode + slice, no
+    * doc_id self-join — the r6 degree-dist replan (the self-join paid a
+    * full exchange+sort of the exploded token frame once the corpus
+    * outgrew the broadcast threshold; 13.6× at 10× data), now shared by
+    * the whole graph battery. One row per (doc, unordered pair);
+    * per-doc-bounded quadratic, never corpus².
+    */
+  private def pairStream(docs: DataFrame): DataFrame =
+    docs.select(array_sort(array_distinct(toks)).as("ws"))
+      .select(posexplode(col("ws")).as(Seq("i", "w1")), col("ws"))
+      .select(col("w1"),
+        explode(slice(col("ws"), col("i") + lit(2), size(col("ws")))).as("w2"))
+
+  /** The graph battery's SHARED edge definition (r8): undirected token
+    * co-occurrence edges with SUPPORT ≥ 3 documents. Support
+    * thresholding is how co-occurrence networks are actually built (a
+    * pair observed once or twice is chance adjacency, not association
+    * — the count/PMI-threshold convention of collocation analysis),
+    * and it is what keeps every downstream graph analytic
+    * corpus-scalable: on the r8 Heaps-law corpus the threshold drops
+    * the distinct edge set 17.0M → 2.9M at gen-sf1 (83% noise edges)
+    * and the degree-ordered wedge count 6.7e9 → 3.9e8 (94%) —
+    * q_triangles' OLD unthresholded plan
+    * filled the disk and died at gen-sf1. On the driver fixtures the
+    * threshold is invisible: every one of the 31-word corpus' 465
+    * pairs co-occurs in far more than 3 documents, so all four graph
+    * queries' outputs are unchanged there. The support count is one
+    * map-side-combined hash agg over the per-doc-bounded pair stream —
+    * same shuffle the old `.distinct()` paid.
+    */
+  private def undEdges(docs: DataFrame): DataFrame =
+    pairStream(docs).groupBy("w1", "w2").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 3L).select("w1", "w2")
+
+  /** Both directions of [[undEdges]] — the symmetric directed edge
+    * frame the PageRank family iterates. */
+  private def dirEdges(docs: DataFrame): DataFrame = {
+    val und = undEdges(docs)
+    und.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(und.select(col("w2").as("src"), col("w1").as("dst")))
+  }
+
+  /** The oracle-side twin of the shared edge scheme: CTEs t/dt/und
+    * (+ directed `e` where a consumer asks) — interpolated into every
+    * graph oracle so the support rule can never drift between engines.
+    */
+  private val UndEdgesSql: String =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM t),
+      |und AS (
+      |  SELECT a.w AS w1, b.w AS w2
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)""".stripMargin
+  private val DirEdgesSql: String =
+    s"""$UndEdgesSql,
+       |e AS (SELECT w1 AS src, w2 AS dst FROM und
+       |      UNION ALL SELECT w2 AS src, w1 AS dst FROM und)""".stripMargin
+
   /** `steps` PageRank supersteps over an edge frame (src, dst) in exact
     * integer e9 arithmetic from the uniform start — the q_pagerank_iter
     * kernel in a driver-orchestrated loop (public so the spec can drive
@@ -89,12 +149,7 @@ object GraphQueries {
     QueryDef(
       "q_pagerank_iter",
       (s: SparkSession, dir: String) => {
-        val dt = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(array_distinct(toks)).as("w"))
-        val e = dt.as("a").join(dt.as("b"), "doc_id")
-          .filter(col("a.w") =!= col("b.w"))
-          .select(col("a.w").as("src"), col("b.w").as("dst"))
-          .distinct()
+        val e = dirEdges(Tables(s, dir, "documents"))
         val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
         val nDf = deg.agg(count(lit(1)).as("n_nodes"))
         val contrib = deg.crossJoin(broadcast(nDf))
@@ -111,12 +166,7 @@ object GraphQueries {
               ExactMath.divTrunc(col("m") * 85L, lit(100L))).as("pr_e9"))
           .orderBy(col("pr_e9").desc, col("token"))
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-             |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM t),
-             |e AS (
-             |  SELECT DISTINCT a.w AS src, b.w AS dst
-             |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w != b.w),
+      Some(s"""WITH $DirEdgesSql,
              |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
              |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
              |contrib AS (
@@ -154,13 +204,7 @@ object GraphQueries {
     QueryDef(
       "q_pagerank3",
       (s: SparkSession, dir: String) => {
-        val dt = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(array_distinct(toks)).as("w"))
-        val e = dt.as("a").join(dt.as("b"), "doc_id")
-          .filter(col("a.w") =!= col("b.w"))
-          .select(col("a.w").as("src"), col("b.w").as("dst"))
-          .distinct()
-        pagerankSteps(e, 3)
+        pagerankSteps(dirEdges(Tables(s, dir, "documents")), 3)
           .select(col("node").as("token"), col("r").as("pr3_e9"))
           .orderBy(col("pr3_e9").desc, col("token"))
       },
@@ -181,12 +225,7 @@ object GraphQueries {
              |  FROM deg CROSS JOIN n LEFT JOIN m$i ON m$i.node = deg.src)"""
             .stripMargin
         }.mkString(",\n")
-        s"""WITH t AS (
-           |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-           |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM t),
-           |e AS (
-           |  SELECT DISTINCT a.w AS src, b.w AS dst
-           |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w != b.w),
+        s"""WITH $DirEdgesSql,
            |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
            |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
            |r0 AS (SELECT src AS node, 1000000000 // n_nodes AS r FROM deg, n),
@@ -215,12 +254,7 @@ object GraphQueries {
     QueryDef(
       "q_triangles",
       (s: SparkSession, dir: String) => {
-        val dt = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(array_distinct(toks)).as("w"))
-        val und = dt.as("a").join(dt.as("b"), "doc_id")
-          .filter(col("a.w") < col("b.w"))
-          .select(col("a.w").as("w1"), col("b.w").as("w2"))
-          .distinct()
+        val und = undEdges(Tables(s, dir, "documents"))
         val deg = und.select(explode(array(col("w1"), col("w2"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("deg"))
         val withDeg = und
@@ -236,10 +270,31 @@ object GraphQueries {
           .select(col("e.src"), col("e.dst"), col("e.dd"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         dirE.count() // eager: wedge join reuses it twice + close join
-        val tris = dirE.as("x").join(dirE.as("y"), "src")
+        // Close check, r8 replan: the wedge stream is the quadratic
+        // object here (Σ outdeg² rows — on the r8 Heaps-law corpus it
+        // grew past 10^10 at gen-sf1 and the OLD plan's sort-merge close
+        // join SORTED it, spilling until the disk filled and the query
+        // DIED; the 31-word corpus' 465-edge graph had hidden this).
+        // The wedge stream must never reach an exchange: a broadcast
+        // bloom over the (src,dst) edge keys filters wedges MAP-SIDE in
+        // the same stage that generates them — survivors ≈ triangles +
+        // fpp·wedges — and only survivors are shuffled into the exact
+        // close join, which removes the false positives, so the RESULT
+        // is bit-identical to the unfiltered plan (the q_bloom_join
+        // invariant: blooms are physical, invisible in the answer). The
+        // bloom is edge-set-sized (~10 bits/edge), not wedge-sized —
+        // the same corpus-linear/quadratic asymmetry the degree
+        // ordering exploits. Wedge GENERATION stays Σ outdeg² compute:
+        // that is the triangle-listing lower bound, now CPU-shaped
+        // (codegen join + bloom probe) instead of disk-shaped.
+        val edgeKeys = dirE.select(xxhash64(col("src"), col("dst")).as("bc"))
+        val wedges = dirE.as("x").join(dirE.as("y"), "src")
           .filter(col("x.dd") < col("y.dd") ||
             (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst")))
           .select(col("src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+          .withColumn("bc", xxhash64(col("b"), col("c")))
+        val tris = graft.operators.ScaleOps
+          .bloomPrune(wedges, "bc", edgeKeys, "bc")
           .join(dirE.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
         val triPerNode = tris
           .select(explode(array(col("a"), col("b"), col("c"))).as("w"))
@@ -253,12 +308,7 @@ object GraphQueries {
                 col("deg") * (col("deg") - 1L))).otherwise(0L).as("clust_e4"))
           .orderBy("token")
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-             |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM t),
-             |und AS (
-             |  SELECT DISTINCT a.w AS w1, b.w AS w2
-             |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w),
+      Some(s"""WITH $UndEdgesSql,
              |deg AS (
              |  SELECT w, COUNT(*) AS deg FROM (
              |    SELECT w1 AS w FROM und UNION ALL SELECT w2 FROM und)
@@ -301,33 +351,17 @@ object GraphQueries {
     QueryDef(
       "q_degree_dist",
       (s: SparkSession, dir: String) => {
-        // Per-doc pair generation is MAP-SIDE: sorted distinct token
-        // array → (i-th, each later) via posexplode+slice, no self-join.
-        // The r5 doc_id self-join produced the same pair rows but paid
-        // a full exchange+sort of the exploded token frame once the
-        // corpus outgrew the broadcast threshold — measured 13.6× wall
-        // at 10× data on the scale curve (dev/PERF_NOTES.md round 6);
-        // pair-row count is identical (per-doc-bounded) either way.
-        val withArr = Tables(s, dir, "documents")
-          .select(array_sort(array_distinct(toks)).as("ws"))
-        val und = withArr
-          .select(posexplode(col("ws")).as(Seq("i", "w1")), col("ws"))
-          .select(col("w1"),
-            explode(slice(col("ws"), col("i") + lit(2), size(col("ws")))).as("w2"))
-          .distinct()
-        und.select(explode(array(col("w1"), col("w2"))).as("w"))
+        // Map-side pair gen + support threshold via the shared
+        // [[undEdges]] (the r6 replan generalized; see its scaladoc).
+        undEdges(Tables(s, dir, "documents"))
+          .select(explode(array(col("w1"), col("w2"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("deg"))
           .groupBy((length(bin(col("deg"))) - 1L).cast("long").as("log2_deg"))
           .agg(count(lit(1)).as("n_nodes"),
             min("deg").as("min_deg"), max("deg").as("max_deg"))
           .orderBy("log2_deg")
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-             |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM t),
-             |und AS (
-             |  SELECT DISTINCT a.w AS w1, b.w AS w2
-             |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w),
+      Some(s"""WITH $UndEdgesSql,
              |deg AS (
              |  SELECT w, COUNT(*) AS deg FROM (
              |    SELECT w1 AS w FROM und UNION ALL SELECT w2 FROM und)

@@ -214,8 +214,15 @@ object StreamingQueries {
       (s: SparkSession, dir: String) => {
         val dim = s.read.parquet(s"$dir/customer.parquet")
           .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        // no broadcast hint (r8): the customer dim is CORPUS-SIZED on
+        // this fixture (the r7 interval-join bug class — a forced
+        // broadcast of it would OOM the driver at 100 TB), and hints
+        // inside the streaming query are invisible to the PlanAudit
+        // sweep (it can only analyze the post-drain batch plan), so
+        // bound-or-drop can't be machine-checked here — drop. Per-batch
+        // planning still broadcasts a genuinely small dim at runtime.
         val agg = eventsStream(s, dir)
-          .join(broadcast(dim), Seq("user_id"))
+          .join(dim, Seq("user_id"))
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))

@@ -28,9 +28,10 @@ object TextQueries {
   /** df-cut tf-idf postings (doc_id, term, w) over a documents frame —
     * the shared weight scheme of q_doc_sim_sparse and q_hybrid_rrf
     * (one implementation so the cut and idf scale can never drift
-    * apart): w = tf · (100·N // df), terms with df > max(2, N/10)
-    * dropped (Bayardo-style size pruning; headroom argued on
-    * q_doc_sim_sparse). Persisted + eagerly materialized — every
+    * apart): w = tf · (100·N // df), terms with
+    * df > max(2, min(N/10, 100)) dropped (Bayardo-style size pruning
+    * with an absolute salience cap — see the r8 note in the body;
+    * headroom argued on q_doc_sim_sparse). Persisted + eagerly materialized — every
     * caller has multiple consumers (the PERF_NOTES race rule).
     */
   def dfCutWeights(docs: DataFrame): DataFrame = {
@@ -39,9 +40,20 @@ object TextQueries {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // df ≤ max(2, min(N/10, 100)): the r5 cut was N/10 alone, which is
+    // NOT corpus-linear — Bayardo's candidate bound is cut·|postings|,
+    // and a cut proportional to N makes that Θ(N²). The 31-word corpus
+    // masked it (every term's df ≈ N, so the cut killed all but a tiny
+    // tail); the r8 Heaps-law corpus exposed it (q_doc_sim_sparse
+    // 4.1 s → 513 s for 10× data — candidates ∝ Σ_{df≤N/10} df² grows
+    // quadratically on a Zipf vocabulary). The absolute 100-doc
+    // salience cap restores the linear bound: a term in >100 documents
+    // has idf² discrimination ~zero and only manufactures fan-out. The
+    // N/10 leg still governs below N=1000, so driver-scale results are
+    // unchanged.
     val wgt = tf.join(df_, "term").crossJoin(broadcast(n))
       .filter(col("df") <= greatest(lit(2L),
-        ExactMath.divTrunc(col("n_docs"), lit(10L))))
+        least(ExactMath.divTrunc(col("n_docs"), lit(10L)), lit(100L))))
       .select(col("doc_id"), col("term"),
         (col("tf") * ExactMath.divTrunc(col("n_docs") * 100L, col("df"))).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -64,7 +76,7 @@ object TextQueries {
       |  SELECT tf.doc_id, tf.term,
       |    tf.tf * ((n.n_docs * 100) // df.df) AS w
       |  FROM tf JOIN df USING (term) CROSS JOIN n
-      |  WHERE df.df <= GREATEST(2, n.n_docs // 10))""".stripMargin
+      |  WHERE df.df <= GREATEST(2, LEAST(n.n_docs // 10, 100)))""".stripMargin
 
   /** Half-up integer ratio in e4 units: round(1e4 * num/den) — exact
     * long division (ExactMath), never double (per-doc numerators can't
@@ -969,11 +981,13 @@ object TextQueries {
     // rather than by embedding geometry; the two catch different
     // duplicate classes and production pipelines run both). Pairs are
     // generated ONLY through shared terms, and a DF-CUT (df ≤
-    // max(2, N/10) — the size-pruning insight of Bayardo et al.'s
-    // all-pairs similarity: ubiquitous terms create quadratic fan-out
-    // but contribute no discrimination) bounds every term's pair
-    // fan-out at cut², keeping candidates ≤ cut · |postings| —
-    // corpus-LINEAR, never corpus². Weights are exact integers
+    // max(2, min(N/10, 100)) — the size-pruning insight of Bayardo et
+    // al.'s all-pairs similarity: ubiquitous terms create quadratic
+    // fan-out but contribute no discrimination) bounds every term's
+    // pair fan-out at cut², keeping candidates ≤ cut · |postings| —
+    // corpus-LINEAR because the cap is ABSOLUTE (the r5 N/10-only cut
+    // made that bound Θ(N²); the r8 Heaps corpus measured it at 126×
+    // for 10× data — see dfCutWeights). Weights are exact integers
     // (w = tf · (100N // df), floor-div idf — rank-equivalent rarity,
     // the q_tfidf log-free move), so dot products and norms are
     // engine-exact longs: w ≤ tf·100N/df ~ 1e6 here, norms ≤ doc_len·w²

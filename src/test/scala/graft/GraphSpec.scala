@@ -7,10 +7,11 @@ class GraphSpec extends SparkSpec {
   test("q_pagerank_iter matches a driver-side exact-integer power step (r5)") {
     val docs = Tables(spark, sfDir, "documents")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // shared r8 edge rule: support >= 3 documents (GraphQueries.undEdges)
     val edges = docs.flatMap { case (_, text) =>
       val ws = text.split(" ", -1).distinct.toSeq
       for (a <- ws; b <- ws if a != b) yield (a, b)
-    }.distinct
+    }.groupBy(identity).filter(_._2.size >= 3).keys.toSeq
     val deg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
     val n = deg.size.toLong
     val contrib = deg.map { case (s, d) => (s, (1000000000L / n) / d) }
@@ -33,10 +34,11 @@ class GraphSpec extends SparkSpec {
   test("q_pagerank3: three driver-folded supersteps match; mass bound holds (r5)") {
     val docs = Tables(spark, sfDir, "documents")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // shared r8 edge rule: support >= 3 documents (GraphQueries.undEdges)
     val edges = docs.flatMap { case (_, text) =>
       val ws = text.split(" ", -1).distinct.toSeq
       for (a <- ws; b <- ws if a != b) yield (a, b)
-    }.distinct
+    }.groupBy(identity).filter(_._2.size >= 3).keys.toSeq
     val deg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
     val n = deg.size.toLong
     val inEdges = edges.groupBy(_._2)
@@ -114,10 +116,11 @@ class GraphSpec extends SparkSpec {
   test("q_triangles matches a brute-force driver count; each triangle counted once (r5)") {
     val docs = Tables(spark, sfDir, "documents")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // shared r8 edge rule: support >= 3 documents (GraphQueries.undEdges)
     val und = docs.flatMap { case (_, text) =>
       val ws = text.split(" ", -1).distinct.toSeq
       for (a <- ws; b <- ws if a < b) yield (a, b)
-    }.distinct
+    }.groupBy(identity).filter(_._2.size >= 3).keys.toSeq
     val adj = (und ++ und.map(_.swap)).groupBy(_._1)
       .map { case (w, es) => w -> es.map(_._2).toSet }
     val deg = adj.map { case (w, ns) => w -> ns.size.toLong }

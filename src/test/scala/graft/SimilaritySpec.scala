@@ -453,7 +453,7 @@ class SimilaritySpec extends SparkSpec {
       t.split(" ").groupBy(identity).map { case (w, xs) => (d, w, xs.size.toLong) } }
     val dfm = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
     val nDocs = docs.size.toLong
-    val cut = math.max(2L, nDocs / 10L)
+    val cut = math.max(2L, math.min(nDocs / 10L, 100L))
     val wgt = tf.filter(r => dfm(r._2) <= cut)
       .map { case (d, w, f) => (d, w, f * (nDocs * 100L / dfm(w))) }
     val byDoc = wgt.groupBy(_._1).map { case (d, xs) =>

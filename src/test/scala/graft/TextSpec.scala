@@ -273,7 +273,7 @@ class TextSpec extends SparkSpec {
     }
     val df = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
     val nDocs = rows.length.toLong
-    val cut = math.max(2L, nDocs / 10L)
+    val cut = math.max(2L, math.min(nDocs / 10L, 100L))
     val wgt = tf.filter(r => df(r._2) <= cut)
       .map { case (d, w, f) => (d, w, f * (nDocs * 100L / df(w))) }
     val nrm = wgt.groupBy(_._1).map { case (d, xs) =>
