@@ -786,6 +786,69 @@ object RelationalQueries {
              |ORDER BY s_name""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_sql_q22 ★ (new r8) — TPC-H Q22 (global sales opportunity)
+    // through the SQL front-end: the remaining classic decorrelation
+    // shape after Q4/Q17/Q21/Q20 — an UNCORRELATED scalar-agg threshold
+    // (above-average balance; stays a once-executed scalar subquery in
+    // the optimized plan, broadcast as a literal — the correct plan,
+    // NOT a decorrelation miss) composed with a correlated NOT EXISTS
+    // that must become a LEFT ANTI join against the corpus-sized orders
+    // table with no fan-out. The TPC-H avg threshold is a float
+    // boundary; it is cleared to exact integers the q_sql_q17 way —
+    // bal_c · count > sum_c ⟺ bal > avg — costing a second uncorrelated
+    // scalar agg and making the row set engine-exact. Fixture
+    // adaptation (no c_phone country codes): the customer segment is
+    // nation-region ∈ {1, 3} via the nation join, and "never ordered"
+    // probes urgent orders only (every customer has ~10 orders on this
+    // fixture — P(no order) ≈ e⁻¹⁰ ≈ 0 — while P(no urgent order)
+    // ≈ e⁻² keeps the anti join selective and the result nonzero:
+    // 1/35/387 customers at sf0.001/0.01/0.1). At 100 TB: the
+    // threshold aggs are two corpus scans reduced to one row each; the
+    // anti join shuffles customer and the o_custkey projection of
+    // orders on the key — no broadcast of anything corpus-sized.
+    QueryDef(
+      "q_sql_q22",
+      (s: SparkSession, dir: String) => {
+        Seq("customer", "nation", "orders").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          SELECT n_name, COUNT(*) AS numcust,
+            SUM(CAST(ROUND(c_acctbal*100, 0) AS BIGINT)) AS totacctbal_c
+          FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey IN (1, 3)
+            AND CAST(ROUND(c_acctbal*100, 0) AS BIGINT) *
+              (SELECT COUNT(*)
+               FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
+               WHERE c_acctbal > 0.0 AND n_regionkey IN (1, 3)) >
+              (SELECT SUM(CAST(ROUND(c_acctbal*100, 0) AS BIGINT))
+               FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
+               WHERE c_acctbal > 0.0 AND n_regionkey IN (1, 3))
+            AND NOT EXISTS (SELECT 1 FROM graft_orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT')
+          GROUP BY n_name
+          ORDER BY n_name""")
+      },
+      Some("""SELECT n_name, COUNT(*) AS numcust,
+             |  CAST(SUM(CAST(ROUND(c_acctbal*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS totacctbal_c
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_regionkey IN (1, 3)
+             |  AND CAST(ROUND(c_acctbal*100, 0) AS BIGINT) *
+             |    (SELECT COUNT(*)
+             |     FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |     WHERE c_acctbal > 0.0 AND n_regionkey IN (1, 3)) >
+             |    (SELECT CAST(SUM(CAST(ROUND(c_acctbal*100, 0) AS BIGINT))
+             |       AS BIGINT)
+             |     FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |     WHERE c_acctbal > 0.0 AND n_regionkey IN (1, 3))
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_bloom_join ★ (new r5) — RUNTIME-FILTERED fact⋈dim join: urgent
     // orders' keys fold into a driver-built bloom filter
     // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),

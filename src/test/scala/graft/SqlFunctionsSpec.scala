@@ -199,6 +199,37 @@ class SqlFunctionsSpec extends SparkSpec {
       s"q20 mismatch: got ${got.length} rows, expected ${expected.length}")
   }
 
+  test("q_sql_q22: NOT EXISTS decorrelates to one anti join; uncorrelated scalar aggs stay once-executed") {
+    val df = SparkEntry.queries("q_sql_q22")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the correlated NOT EXISTS must become a LEFT ANTI probe on
+    // o_custkey — no ExistenceJoin, no fan-out
+    assert("LeftAnti".r.findAllIn(opt).size == 1, s"expected one LeftAnti in:\n$opt")
+    assert(!opt.contains("ExistenceJoin"), s"unrewritten existence probe in:\n$opt")
+    // the UNCORRELATED threshold aggs are CORRECT as scalar subqueries
+    // (executed once, folded to a literal) — assert they survived as
+    // such rather than being joined per-row
+    assert(opt.contains("scalar-subquery"), s"expected once-executed scalar aggs in:\n$opt")
+    // hand-built cross-check over the raw tables
+    val cn = Tables(spark, sfDir, "customer")
+      .join(Tables(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_regionkey").isin(1, 3))
+      .select(col("c_custkey"), col("n_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"), col("c_acctbal"))
+    val pos = cn.filter(col("c_acctbal") > 0.0)
+      .agg(count(lit(1)).as("n"), sum("bal_c").as("s")).collect()(0)
+    val urgent = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val expected = cn.filter(col("bal_c") * pos.getLong(0) > pos.getLong(1))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("n_name").agg(count(lit(1)).as("numcust"), sum("bal_c").as("tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toMap2
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "q22 empty at this SF — fixture calibration broke")
+    assert(got.map(r => ((r._1, r._2), r._3)).toMap ==
+      expected.map { case ((n, c), t) => ((n, c), t) })
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
