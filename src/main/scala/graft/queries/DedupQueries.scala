@@ -558,6 +558,20 @@ object DedupQueries {
     // two hex digits at a time, so the oracle hashes the identical
     // UTF-8 byte stream Spark's SimHash64 hashes — verified equal to
     // FNV-1a over .getBytes on multi-byte fixtures (é, 日本).
+    // Scale adjudication (r8 Heaps-law curve): on a topic-less Zipf
+    // bag-of-words corpus the fingerprints CONCENTRATE (every doc's
+    // votes are dominated by the shared head vocabulary — hottest
+    // 16-bit band bucket holds ~40% of docs), so candidates grow ~N²
+    // (5.3M → 408M for 10× docs, measured). But the OUTPUT grows
+    // almost as fast — 169.8k → 8.9M true Hamming-≤3 pairs (52×),
+    // because such documents genuinely ARE mutually near-identical —
+    // so the 14× wall ratio is SUB-OUTPUT-LINEAR (the q_mm_ahash r6
+    // adjudication): per-candidate cost is a codegen'd bit_count
+    // (~23M pairs/s/32c) and the Hamming filter runs BEFORE the
+    // distinct's exchange. Real corpora have topical structure that
+    // spreads the fingerprints; the principled further step if a
+    // deployment hits this is Manku-style feature WEIGHTING (idf) in
+    // the vote, which de-concentrates the head — noted, not built.
     QueryDef(
       "q_simhash_dup",
       (s: SparkSession, dir: String) => {

@@ -58,9 +58,21 @@ object GraphQueries {
     * map-side-combined hash agg over the per-doc-bounded pair stream —
     * same shuffle the old `.distinct()` paid.
     */
-  private def undEdges(docs: DataFrame): DataFrame =
-    pairStream(docs).groupBy("w1", "w2").agg(count(lit(1)).as("sup"))
+  private def undEdges(docs: DataFrame): DataFrame = {
+    // Persisted + eagerly materialized at the ONE choke point (the
+    // PERF_NOTES race rule): every consumer re-scans the edge frame —
+    // dirEdges unions two selects of it, q_triangles joins degrees onto
+    // it twice, every query derives deg from it — and without a filled
+    // cache each scan REPLAYS the 65M-row per-doc pair aggregation (the
+    // corpus pass; measured 2-3 replays per graph query at gen-sf1,
+    // r8). The edge frame itself is vocabulary-pair-sized (2.9M rows at
+    // gen-sf1) — the safe thing to persist at any scale.
+    val e = pairStream(docs).groupBy("w1", "w2").agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 3L).select("w1", "w2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    e
+  }
 
   /** Both directions of [[undEdges]] — the symmetric directed edge
     * frame the PageRank family iterates. */
