@@ -113,7 +113,15 @@ object Bench {
       // measurement: report min of the SUCCESSFUL reps and surface the
       // flake through the `flaky` counter instead of discarding the row
       // as failed (r7 advice).
-      val times = Iterator.continually(timeOne(fn, name)).take(reps).toSeq
+      // Short-circuit a deterministically-failing query (r8 advice): once
+      // every rep so far has failed, re-running it can only double the
+      // wasted wall time (a slow failure — minutes of spill before the
+      // throw — is the expensive case). A query with at least one
+      // SUCCESSFUL rep keeps running its remaining reps so min-of-reps
+      // and the flaky counter stay meaningful.
+      val times = Iterator.continually(timeOne(fn, name))
+        .scanLeft(Seq.empty[Double])(_ :+ _).drop(1)
+        .find(ts => ts.size == reps || ts.forall(_ < 0)).get
       val good = times.filter(_ >= 0)
       val best = if (good.isEmpty) -1.0 else good.min
       val spread = if (best <= 0) -1.0 else good.max / best
@@ -142,9 +150,15 @@ object Bench {
     // (the order above), with names_md5 = md5 of the comma-joined sorted
     // names so a decoder can confirm alignment.
     val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"flaky":$flaky,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg":$loadAfter,"sf":"$sfDir","queries":$qs,"rep_spread":$spreads}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("dev/bench_last.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    // Anchored path + loud failure (r8 advice): a cwd-relative write with
+    // a swallowed Throwable silently dropped the full per-query record
+    // whenever Bench ran outside the repo root. SPARK_GRAFT_REPO
+    // overrides; the default is the repo the class was built in.
+    val benchLast = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "dev", "bench_last.json")
+    try java.nio.file.Files.writeString(benchLast, fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"WARN: could not write $benchLast: $e") }
     println(fullLine)
     val tMs = results.map { case (_, v, _, _) =>
       if (v < 0) "-1" else math.round(v * 1000).toString }.mkString("[", ",", "]")

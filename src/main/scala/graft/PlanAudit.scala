@@ -12,8 +12,10 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
 
-  /** (query, flag) pairs that are DESIGNED, with the reason. */
-  val documented: Set[(String, String)] = Set(
+  /** (query, flag) pairs that are DESIGNED, with the reason.
+    * (lazy: unions [[forcedBroadcastCounts]], declared below.)
+    */
+  lazy val documented: Set[(String, String)] = Set(
     // explicit Θ(n²) exact fallback, blocked + FLOPs-budgeted; at test
     // SF AQE renders the blocked crossJoin as a BNLJ over the
     // broadcast-able block, at scale it is a shuffled cartesian —
@@ -63,42 +65,58 @@ object PlanAudit {
     // the escape hatch if the time span ever scales with the corpus
     ("q_interval_join", "globalWindow"),
 
-    // ---- forcedBroadcast: every explicit broadcast() hint whose side
-    // is NOT structurally bounded (see [[boundedRows]]) must carry its
-    // written cardinality bound here — the r7 interval-join fix
-    // (a data-dependent correction set was force-broadcast; would OOM
-    // the driver at 100 TB) is a bug CLASS, so the sweep now enforces
-    // the bound-or-drop rule machine-side. Scalar-agg totals, LIMIT
-    // heads, and driver-built literal frames auto-pass.
+  ) ++ forcedBroadcastCounts.keySet.map(q => (q, "forcedBroadcast"))
+
+  /** Every explicit broadcast() hint whose side is NOT structurally
+    * bounded (see [[boundedRows]]) must carry its written cardinality
+    * bound here — the r7 interval-join fix (a data-dependent correction
+    * set was force-broadcast; would OOM the driver at 100 TB) is a bug
+    * CLASS, so the sweep enforces the bound-or-drop rule machine-side.
+    * Scalar-agg totals, LIMIT heads, and driver-built literal frames
+    * auto-pass. Keyed by the EXPECTED COUNT of unbounded hints, not mere
+    * presence (r8 advice): a presence allowlist would silently cover a
+    * future second, genuinely new unbounded hint added to an
+    * already-documented query — the sweep flags any observed excess.
+    */
+  val forcedBroadcastCounts: Map[String, Int] = Map(
     // nation (25 rows) / region (5 rows): schema-fixed dims
-    ("q_join_broadcast", "forcedBroadcast"),
-    ("q_join_star", "forcedBroadcast"),
-    // per-event_type frames: 5-value closed domain
-    ("q_approx_percentile", "forcedBroadcast"),
-    ("q_user_overlap", "forcedBroadcast"),
-    ("q_winsorize", "forcedBroadcast"),
-    ("q_outlier_fences", "forcedBroadcast"),
+    "q_join_broadcast" -> 1,
+    "q_join_star" -> 2, // nation AND region hinted
+    // per-event_type frames: 5-value closed domain (q_user_overlap
+    // joins its frame twice — once per pair side)
+    "q_approx_percentile" -> 1,
+    "q_user_overlap" -> 2,
+    "q_winsorize" -> 1,
+    "q_outlier_fences" -> 1,
     // per-lang frame: 5-value closed domain
-    ("q_sample_weighted", "forcedBroadcast"),
-    // per-source frames: 20-value closed domain
-    ("q_contamination_matrix", "forcedBroadcast"),
+    "q_sample_weighted" -> 1,
+    // per-source frames: 20-value closed domain, joined once per pair side
+    "q_contamination_matrix" -> 2,
     // hour-bucket frames: time-span-sized (~720 rows for the 30-day
     // window), same bound as the allowlisted q_interval_join carry
-    ("q_rolling_distinct", "forcedBroadcast"),
-    ("q_interval_join", "forcedBroadcast"),
+    "q_rolling_distinct" -> 1,
+    "q_interval_join" -> 1,
     // query sets: id-prefix filters selecting ≤5 fixed query
-    // vectors / ≤2 query docs (the declared top-k/rerank contract)
-    ("q_sim_topk", "forcedBroadcast"),
-    ("q_sim_ann", "forcedBroadcast"),
-    ("q_sim_ivf", "forcedBroadcast"),
-    ("q_hybrid_rrf", "forcedBroadcast"),
-    ("q_sim_rerank", "forcedBroadcast"),
-    ("q_maxsim", "forcedBroadcast"),
-    ("q_maxsim_rerank", "forcedBroadcast"),
+    // vectors / ≤2 query docs (the declared top-k/rerank contract).
+    // The rerank funnels additionally broadcast their STAGE-1 OUTPUT —
+    // per-query top-50 candidate ids (≤ 250 rows) for q_sim_rerank;
+    // pooled queries + query token bags + candidate ids (≤ 2·k docs)
+    // for q_maxsim_rerank — all products of the fixed query-set
+    // cardinality × a rank cut, never corpus-sized
+    "q_sim_topk" -> 1,
+    "q_sim_ann" -> 1,
+    "q_sim_ivf" -> 1,
+    "q_hybrid_rrf" -> 2, // query vectors + ≤5-query-doc sparse term bag
+    // (counts are HINT-NODE OCCURRENCES in the analyzed tree: reusing a
+    // hinted frame at two join sites counts twice — q_sim_rerank's
+    // query set feeds both the coarse and the rerank join)
+    "q_sim_rerank" -> 3,
+    "q_maxsim" -> 1,
+    "q_maxsim_rerank" -> 3,
     // eval-suite shingles: the decontamination contract is an
     // asymmetric probe — the eval side is a BENCHMARK (KBs–MBs,
     // doc_id < 20 here), never the corpus; see the query's scaladoc
-    ("q_decontaminate", "forcedBroadcast"))
+    "q_decontaminate" -> 1)
 
   /** One sweep finding: query, flag, whether it's in [[documented]]. */
   final case class Finding(query: String, flag: String, documented: Boolean)
@@ -120,7 +138,13 @@ object PlanAudit {
     p match {
       case _: LocalRelation | _: OneRowRelation | _: Range => true
       case a: Aggregate => a.groupingExpressions.isEmpty || boundedRows(a.child)
-      case _: GlobalLimit | _: LocalLimit => true
+      // only a GLOBAL limit proves a global row bound; a bare LocalLimit
+      // caps rows PER PARTITION (total scales with partition count), so
+      // it recurses instead of passing — the GlobalLimit∘LocalLimit pair
+      // that .limit(k) produces still passes via the GlobalLimit case
+      // (r8 advice)
+      case _: GlobalLimit => true
+      case l: LocalLimit => boundedRows(l.child)
       case j: Join => boundedRows(j.left) && boundedRows(j.right)
       case u: Union => u.children.forall(boundedRows)
       case _: Project | _: Filter | _: Sort | _: SubqueryAlias |
@@ -131,20 +155,84 @@ object PlanAudit {
     }
   }
 
+  /** Count of structurally-unbounded BROADCAST hints in an analyzed
+    * logical plan. Hints live as ResolvedHint in the ANALYZED plan (the
+    * optimizer folds them into Join nodes); collectWithSubqueries so a
+    * hint inside an IN/EXISTS block can't hide. Public so the streaming
+    * sweep and PlanAuditSpec's planted-hint sharpness check share the
+    * exact predicate the batch sweep enforces.
+    */
+  def unboundedHintCount(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+    analyzed.collectWithSubqueries {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) &&
+            !boundedRows(h.child) => h
+    }.size
+
+  /** Streaming-topology sweep — closes the r8 blind spot where hints and
+    * join shapes INSIDE a stream_* topology were invisible to [[sweep]]
+    * (which only sees the post-drain batch plan; stream_join_e2e's
+    * corpus-sized dim broadcast slipped through exactly there). Each
+    * topology builder returns the PRE-`start()` streaming DataFrame the
+    * declared query drains; only its ANALYZED plan exists (optimization
+    * and physical planning require `start()`), so the checks are the
+    * analyzed-plan subset of the batch sweep's: unbounded broadcast
+    * hints (same [[boundedRows]] predicate), single-task analytic
+    * windows, and condition-less (cartesian) joins. Flags carry a
+    * `stream:` prefix so a topology finding can never be satisfied by a
+    * batch-plan allowlist entry for the same query name.
+    *
+    * Remaining non-swept streaming surface: `stream_ingest_e2e`'s
+    * topology is a bare file source → schema'd decode (no join, no
+    * window, no hint — the transforms live in `foreachBatch`, whose
+    * per-batch frames are BATCH plans built by `StreamingIngest` and
+    * spec-covered); nothing there can host the hazard class this sweep
+    * targets.
+    */
+  def sweepStreaming(spark: SparkSession, dir: String): Seq[Finding] =
+    graft.queries.StreamingQueries.topologies.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val analyzed = fn(spark, dir).queryExecution.analyzed
+          val globalWin = analyzed.collectWithSubqueries {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty => w
+          }.nonEmpty
+          val cartesian = analyzed.collectWithSubqueries {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join
+                if j.condition.isEmpty &&
+                  j.joinType != org.apache.spark.sql.catalyst.plans.LeftSemi &&
+                  j.joinType != org.apache.spark.sql.catalyst.plans.LeftAnti => j
+          }.nonEmpty
+          val nUnbounded = unboundedHintCount(analyzed)
+          Seq(
+            "stream:cartesianJoin" -> cartesian,
+            "stream:globalWindow" -> globalWin)
+            .collect { case (f, true) =>
+              Finding(name, f, documented.contains((name, f))) } ++
+            (if (nUnbounded > 0)
+              Seq(Finding(name, "stream:forcedBroadcast", documented = false))
+             else Nil)
+        } catch { case e: Throwable =>
+          Seq(Finding(name,
+            s"stream:PLAN ERROR ${Option(e.getMessage).getOrElse(e.toString).take(100)}",
+            documented = false))
+        }
+    }
+
   /** Sweep every declared query's physical plan. Pure analysis — builds
     * each plan without executing it (e2e queries still run their setup
     * side effects, which is why sweeps run at sf0.001). Any thrown plan
     * error surfaces as an undocumented `PLAN ERROR` finding rather than
     * aborting the sweep.
     *
-    * Known blind spot (r8): the stream_* e2e queries RUN their
-    * streaming query inside the builder and return the drained sink —
-    * the sweep analyzes only that post-drain batch plan, so hints and
-    * join shapes inside the streaming topology are not swept. Those
-    * queries therefore follow the bound-or-drop rule by review, not by
-    * machine (stream_join_e2e's dim hint was dropped for exactly this
-    * reason). Callable from both `main` and PlanAuditSpec so
-    * the undocumented=0 invariant is machine-enforced per `sbt test`.
+    * For the stream_* e2e queries this sweep sees only the post-drain
+    * batch plan; the topology INSIDE the stream is covered by
+    * [[sweepStreaming]] (r9 — closed the r8 blind spot). Callable from
+    * both `main` and PlanAuditSpec so the undocumented=0 invariant is
+    * machine-enforced per `sbt test`.
     */
   def sweep(spark: SparkSession, dir: String): Seq[Finding] =
     SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -165,23 +253,20 @@ object PlanAudit {
           }.nonEmpty
           // A broadcast() hint whose side has no structural row bound is
           // a driver-OOM-at-100TB hazard unless its domain bound is
-          // written down (the r7 interval-join bug class). Hints live as
-          // ResolvedHint in the ANALYZED plan (the optimizer folds them
-          // into Join nodes); collectWithSubqueries so a hint inside an
-          // IN/EXISTS block can't hide.
-          val unboundedHint = qe.analyzed.collectWithSubqueries {
-            case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-                if h.hints.strategy.contains(
-                  org.apache.spark.sql.catalyst.plans.logical.BROADCAST) &&
-                  !boundedRows(h.child) => h
-          }.nonEmpty
+          // written down (the r7 interval-join bug class). Compared by
+          // COUNT against the allowlist (r8 advice): an allowlisted
+          // query that grows a second unbounded hint is flagged.
+          val nUnbounded = unboundedHintCount(qe.analyzed)
           Seq(
             "CartesianProduct" -> plan.contains("CartesianProduct"),
             "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-            "globalWindow" -> globalWin,
-            "forcedBroadcast" -> unboundedHint)
+            "globalWindow" -> globalWin)
             .collect { case (f, true) =>
-              Finding(name, f, documented.contains((name, f))) }
+              Finding(name, f, documented.contains((name, f))) } ++
+            (if (nUnbounded > 0)
+              Seq(Finding(name, "forcedBroadcast",
+                nUnbounded <= forcedBroadcastCounts.getOrElse(name, 0)))
+             else Nil)
         } catch { case e: Throwable =>
           Seq(Finding(name,
             s"PLAN ERROR ${Option(e.getMessage).getOrElse(e.toString).take(100)}",
@@ -200,7 +285,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val findings = sweep(spark, dir)
+    val findings = sweep(spark, dir) ++ sweepStreaming(spark, dir)
     findings.foreach { f =>
       println(s"${f.query}: ${f.flag}${if (f.documented) " (documented)" else "  <-- UNDOCUMENTED"}")
     }

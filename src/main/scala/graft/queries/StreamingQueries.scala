@@ -65,6 +65,85 @@ object StreamingQueries {
     withTs.withColumn("cents", round(col("value") * 100).cast("long"))
   }
 
+  // ---- topology builders -------------------------------------------
+  // Each returns the PRE-start() streaming DataFrame the declared query
+  // drains — factored out of the QueryDefs so PlanAudit.sweepStreaming
+  // can analyze the topology itself (the declared query returns only the
+  // post-drain batch sink, which is why the r8 batch-only sweep missed
+  // stream_join_e2e's corpus-sized dim broadcast hint).
+
+  private def tumblingTopo(s: SparkSession, dir: String): DataFrame =
+    StreamOps.tumblingCounts(
+      eventsStream(s, dir).select(col("ts"), col("event_type"),
+        col("cents").cast("double").as("value")),
+      windowLen = "1 hour", lateness = "10 minutes")
+
+  private def sessionTopo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = eventsStream(s, dir)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("cents").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    StreamOps.sessionize(
+      ds, gapMs = 600000L, timeout = GroupStateTimeout.NoTimeout()).toDF()
+  }
+
+  private def dedupTopo(s: SparkSession, dir: String): DataFrame =
+    StreamOps.dedupStream(
+      eventsStream(s, dir), keys = Seq("user_id", "event_type"),
+      lateness = "10 minutes")
+      .select("user_id", "event_type")
+
+  private def joinTopo(s: SparkSession, dir: String): DataFrame = {
+    val dim = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    // no broadcast hint (r8): the customer dim is CORPUS-SIZED on
+    // this fixture (the r7 interval-join bug class — a forced
+    // broadcast of it would OOM the driver at 100 TB) — drop.
+    // Per-batch planning still broadcasts a genuinely small dim at
+    // runtime. Machine-checked since r9: PlanAudit.sweepStreaming
+    // runs the unbounded-hint walk over THIS pre-start topology.
+    eventsStream(s, dir)
+      .join(dim, Seq("user_id"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("window.start").as("ws"), col("c_mktsegment"),
+        col("n"), col("sum_cents"))
+  }
+
+  private def ssJoinTopo(joinType: String)(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").as("c_ts"), col("cents").as("c_cents"))
+    val buys = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("b_user"),
+        col("ts").as("b_ts"), col("cents").as("b_cents"))
+    StreamOps.intervalJoin(
+      clicks, "user_id", "c_ts", buys, "b_user", "b_ts",
+      window = "30 minutes", lateness = "10 minutes", joinType = joinType)
+      .select(col("user_id"), col("c_ts"), col("b_ts"),
+        col("c_cents"), col("b_cents"))
+  }
+
+  /** Pre-start streaming topologies keyed by declared query name, for
+    * [[graft.PlanAudit.sweepStreaming]]. Every stream_* QueryDef below
+    * drains EXACTLY the frame its builder returns, so sweeping these IS
+    * sweeping the production topology. (stream_ingest_e2e lives in
+    * IngestQueries and is deliberately absent: its topology is a bare
+    * file source → schema'd decode with no join/window/hint — the lake
+    * transforms run in foreachBatch on BATCH plans, spec-covered.)
+    */
+  def topologies: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_e2e" -> (tumblingTopo _),
+    "stream_session_e2e" -> (sessionTopo _),
+    "stream_dedup_e2e" -> (dedupTopo _),
+    "stream_join_e2e" -> (joinTopo _),
+    "stream_ss_join_e2e" -> ssJoinTopo("inner") _,
+    "stream_ss_left_e2e" -> ssJoinTopo("leftOuter") _)
+
   /** Drain `df` through a memory sink and return the sink table.
     * AvailableNow processes every pending file, then (because
     * no-data micro-batches are on by default) runs a final empty batch
@@ -96,11 +175,7 @@ object StreamingQueries {
     QueryDef(
       "stream_tumbling_e2e",
       (s: SparkSession, dir: String) => {
-        val agg = StreamOps.tumblingCounts(
-          eventsStream(s, dir).select(col("ts"), col("event_type"),
-            col("cents").cast("double").as("value")),
-          windowLen = "1 hour", lateness = "10 minutes")
-        drain(s, agg, "graft_stream_tumbling")
+        drain(s, tumblingTopo(s, dir), "graft_stream_tumbling")
           .select(col("ws"), col("event_type"), col("n"),
             col("sum_value").cast("long").as("sum_cents"))
           .orderBy("ws", "event_type")
@@ -133,14 +208,7 @@ object StreamingQueries {
     QueryDef(
       "stream_session_e2e",
       (s: SparkSession, dir: String) => {
-        import s.implicits._
-        val ds = eventsStream(s, dir)
-          .select(col("user_id").cast("long"), col("ts"),
-            col("cents").cast("double"))
-          .as[(Long, java.sql.Timestamp, Double)]
-        val sessions = StreamOps.sessionize(
-          ds, gapMs = 600000L, timeout = GroupStateTimeout.NoTimeout())
-        drain(s, sessions.toDF(), "graft_stream_session")
+        drain(s, sessionTopo(s, dir), "graft_stream_session")
           .select(col("userId").as("user_id"), col("start").as("sess_start"),
             col("end").as("sess_end"), col("events").as("n"),
             col("totalValue").cast("long").as("sum_cents"))
@@ -182,11 +250,7 @@ object StreamingQueries {
     QueryDef(
       "stream_dedup_e2e",
       (s: SparkSession, dir: String) => {
-        val deduped = StreamOps.dedupStream(
-          eventsStream(s, dir), keys = Seq("user_id", "event_type"),
-          lateness = "10 minutes")
-        val keys = drain(s, deduped.select("user_id", "event_type"),
-          "graft_stream_dedup")
+        val keys = drain(s, dedupTopo(s, dir), "graft_stream_dedup")
         val counts = s.read.parquet(s"$dir/events.parquet")
           .groupBy(col("user_id").cast("long").as("user_id"), col("event_type"))
           .agg(count(lit(1)).as("n_arrivals"))
@@ -212,23 +276,7 @@ object StreamingQueries {
     QueryDef(
       "stream_join_e2e",
       (s: SparkSession, dir: String) => {
-        val dim = s.read.parquet(s"$dir/customer.parquet")
-          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-        // no broadcast hint (r8): the customer dim is CORPUS-SIZED on
-        // this fixture (the r7 interval-join bug class — a forced
-        // broadcast of it would OOM the driver at 100 TB), and hints
-        // inside the streaming query are invisible to the PlanAudit
-        // sweep (it can only analyze the post-drain batch plan), so
-        // bound-or-drop can't be machine-checked here — drop. Per-batch
-        // planning still broadcasts a genuinely small dim at runtime.
-        val agg = eventsStream(s, dir)
-          .join(dim, Seq("user_id"))
-          .withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-          .select(col("window.start").as("ws"), col("c_mktsegment"),
-            col("n"), col("sum_cents"))
-        drain(s, agg, "graft_stream_join")
+        drain(s, joinTopo(s, dir), "graft_stream_join")
           .orderBy("ws", "c_mktsegment")
       },
       Some("""WITH e AS (
@@ -272,20 +320,7 @@ object StreamingQueries {
     QueryDef(
       "stream_ss_join_e2e",
       (s: SparkSession, dir: String) => {
-        val clicks = eventsStream(s, dir)
-          .filter(col("event_type") === "click")
-          .select(col("user_id").cast("long").as("user_id"),
-            col("ts").as("c_ts"), col("cents").as("c_cents"))
-        val buys = eventsStream(s, dir)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id").cast("long").as("b_user"),
-            col("ts").as("b_ts"), col("cents").as("b_cents"))
-        val joined = StreamOps.intervalJoin(
-          clicks, "user_id", "c_ts", buys, "b_user", "b_ts",
-          window = "30 minutes", lateness = "10 minutes", joinType = "inner")
-          .select(col("user_id"), col("c_ts"), col("b_ts"),
-            col("c_cents"), col("b_cents"))
-        drain(s, joined, "graft_stream_ssjoin")
+        drain(s, ssJoinTopo("inner")(s, dir), "graft_stream_ssjoin")
           .orderBy("user_id", "c_ts", "b_ts", "c_cents", "b_cents")
       },
       Some("""WITH e AS (
@@ -324,21 +359,7 @@ object StreamingQueries {
     QueryDef(
       "stream_ss_left_e2e",
       (s: SparkSession, dir: String) => {
-        val clicks = eventsStream(s, dir)
-          .filter(col("event_type") === "click")
-          .select(col("user_id").cast("long").as("user_id"),
-            col("ts").as("c_ts"), col("cents").as("c_cents"))
-        val buys = eventsStream(s, dir)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id").cast("long").as("b_user"),
-            col("ts").as("b_ts"), col("cents").as("b_cents"))
-        val joined = StreamOps.intervalJoin(
-          clicks, "user_id", "c_ts", buys, "b_user", "b_ts",
-          window = "30 minutes", lateness = "10 minutes",
-          joinType = "leftOuter")
-          .select(col("user_id"), col("c_ts"), col("b_ts"),
-            col("c_cents"), col("b_cents"))
-        drain(s, joined, "graft_stream_ssleft")
+        drain(s, ssJoinTopo("leftOuter")(s, dir), "graft_stream_ssleft")
           .orderBy("user_id", "c_ts", "b_ts", "c_cents", "b_cents")
       },
       Some("""WITH e AS (

@@ -7,6 +7,13 @@ package graft
   * planner regression or an undocumented scale hazard — fix the plan or,
   * if the shape is genuinely designed (e.g. a 1-row broadcast total),
   * document it in [[PlanAudit.documented]] with the reason.
+  *
+  * Since r9 the invariant also covers the PRE-start streaming topologies
+  * ([[PlanAudit.sweepStreaming]]) — the r8 blind spot where a
+  * corpus-sized dim broadcast inside stream_join_e2e was visible only to
+  * review — plus sharpness checks that the sweep machinery actually
+  * catches a deliberately planted hazard (a sweep that can't flag a
+  * planted bug proves nothing when it reports zero).
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -14,12 +21,26 @@ class PlanAuditSpec extends SparkSpec {
   // query's plan (SparkEntry.queries.size of them)
   // (and runs the e2e queries' setup side effects), so running it twice
   // would double the suite's cost for no information.
-  private lazy val findings = PlanAudit.sweep(spark, sfDir)
+  private lazy val findings =
+    PlanAudit.sweep(spark, sfDir) ++ PlanAudit.sweepStreaming(spark, sfDir)
 
   test("plan sweep over all declared queries finds no undocumented anti-pattern") {
     val undocumented = findings.filterNot(_.documented)
     assert(undocumented.isEmpty,
       s"\nundocumented plan flags:\n${undocumented.map(f => s"  ${f.query}: ${f.flag}").mkString("\n")}")
+  }
+
+  test("streaming sweep covers every declared stream_* topology") {
+    // The sweep is only as good as its coverage: every stream_* query in
+    // the contract (minus the documented stream_ingest_e2e exception —
+    // bare source topology, transforms in foreachBatch) must have a
+    // registered pre-start topology, or a new streaming query could
+    // silently re-open the r8 blind spot.
+    val declared = SparkEntry.queries.keySet.filter(_.startsWith("stream_"))
+    val missing = declared -
+      "stream_ingest_e2e" -- graft.queries.StreamingQueries.topologies.keySet
+    assert(missing.isEmpty,
+      s"stream_* queries with no swept topology: $missing")
   }
 
   test("documented exception list carries no stale queries") {
@@ -33,5 +54,56 @@ class PlanAuditSpec extends SparkSpec {
     val stale = PlanAudit.documented.map(_._1).diff(flaggedQueries)
     assert(stale.isEmpty,
       s"\ndocumented queries no longer flagged at all:\n${stale.map(q => s"  $q").mkString("\n")}")
+  }
+
+  test("sharpness: a planted corpus-sized broadcast hint inside a streaming topology is caught") {
+    // Rebuild exactly the r8 bug (StreamingQueries joinTopo's dropped
+    // hint): a streaming fact source joined to broadcast(corpus dim).
+    // The sweep's predicate must count it — otherwise the blind-spot
+    // closure is decorative.
+    import org.apache.spark.sql.functions._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val planted = stream.join(broadcast(dim), Seq("user_id"))
+    assert(PlanAudit.unboundedHintCount(planted.queryExecution.analyzed) == 1)
+    // and the hint-free topology stays clean
+    val clean = stream.join(dim, Seq("user_id"))
+    assert(PlanAudit.unboundedHintCount(clean.queryExecution.analyzed) == 0)
+  }
+
+  test("sharpness: boundedRows accepts GlobalLimit but not a bare LocalLimit (r8 advice)") {
+    // A bare LocalLimit caps rows PER PARTITION — total output scales
+    // with partition count — so it must NOT prove a broadcast-safe
+    // bound; the GlobalLimit∘LocalLimit pair that .limit(k) produces
+    // must. Plans are hand-built so the bare-LocalLimit shape (which
+    // .limit never produces) is actually exercised.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val corpus = spark.read.parquet(s"$sfDir/customer.parquet")
+      .queryExecution.analyzed
+    def hinted(p: LogicalPlan): LogicalPlan =
+      ResolvedHint(p, HintInfo(strategy = Some(BROADCAST)))
+    assert(PlanAudit.unboundedHintCount(hinted(LocalLimit(Literal(5), corpus))) == 1)
+    assert(PlanAudit.unboundedHintCount(
+      hinted(GlobalLimit(Literal(5), LocalLimit(Literal(5), corpus)))) == 0)
+    assert(PlanAudit.unboundedHintCount(hinted(corpus)) == 1)
+  }
+
+  test("sharpness: the hint walk COUNTS unbounded hints, so a second one can't ride an allowlist entry (r8 advice)") {
+    // The count-keyed allowlist's whole point: presence-keying would let
+    // any future unbounded hint ride an existing entry, so the predicate
+    // must return 2 for two hints (nonEmpty-style detection couldn't).
+    // Every allowlist entry must also be keyed by a declared query.
+    val unknown = PlanAudit.forcedBroadcastCounts.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"allowlist keys not in the contract: $unknown")
+    import org.apache.spark.sql.functions._
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val two = broadcast(cust)
+      .join(broadcast(orders), col("c_custkey") === col("o_custkey"))
+    assert(PlanAudit.unboundedHintCount(two.queryExecution.analyzed) == 2)
   }
 }

@@ -148,7 +148,13 @@ class StreamingSpec extends SparkSpec {
       """{"id":1,"category":"a","v":15}""",
       """{"id":3,"category":"b","v":30}""")
     changes.zipWithIndex.foreach { case (j, i) =>
-      Files.writeString(inDir.resolve(f"f$i%d.json"), j)
+      val p = Files.writeString(inDir.resolve(f"f$i%d.json"), j)
+      // strictly increasing mtimes, 1 s apart (r8 advice): the final
+      // state assertion needs f2's update to key 1 processed AFTER f0 —
+      // FileStreamSource orders by millisecond mtime and four same-ms
+      // writes fall back to listing order, which can flake it
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
     }
     def readChanges = spark.readStream
       .schema("id LONG, category STRING, v LONG")
