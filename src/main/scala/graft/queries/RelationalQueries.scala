@@ -849,6 +849,60 @@ object RelationalQueries {
              |ORDER BY n_name""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_sql_q13 ★ (new r9) — TPC-H Q13 (customer order-count
+    // distribution) through the SQL front-end: the one classic
+    // outer-join-aggregation shape the battery didn't cover
+    // (Q1/Q3/Q4/Q5/Q17/Q20/Q21/Q22 are all inner/semi/anti) — a LEFT
+    // OUTER join whose ON clause carries a non-key filter (TPC-H's
+    // `o_comment NOT LIKE '%special%requests%'`; adapted to the
+    // fixture's double-wildcard `o_orderpriority NOT LIKE
+    // '%NOT%SPECIFIED%'` plus a half-year o_orderdate band), then TWO
+    // stacked aggregations: per-customer COUNT(o_orderkey) — which must
+    // count 0, not NULL, for customers whose every order the ON filter
+    // rejected (the null-preserving path under test) — and the
+    // count-of-counts histogram. The date band keeps the zero bucket
+    // REAL at every SF (67/846/8215 zero-order customers at
+    // sf0.001/0.01/0.1; without it P(no qualifying order) ≈ e⁻⁸ ≈ 0 on
+    // this ~10-orders-per-customer fixture and the outer join would be
+    // inner in all but name). Filters must NOT be pushed below the
+    // outer join's null-supplying side — SqlFunctionsSpec pins one
+    // LeftOuter and the ON-clause filter surviving inside the join.
+    // At 100 TB: the filtered o_custkey projection of orders and
+    // customer shuffle once on the key (no corpus-sized broadcast);
+    // agg 1 is co-partitioned with the join (no extra exchange); agg 2
+    // reduces to the ≤ max-orders-per-customer count domain — one real
+    // shuffle of dimension-projected data end-to-end.
+    QueryDef(
+      "q_sql_q13",
+      (s: SparkSession, dir: String) => {
+        Seq("customer", "orders").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          SELECT c_count, COUNT(*) AS custdist
+          FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM graft_customer LEFT OUTER JOIN graft_orders
+              ON c_custkey = o_custkey
+              AND o_orderpriority NOT LIKE '%NOT%SPECIFIED%'
+              AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+            GROUP BY c_custkey) c_orders
+          GROUP BY c_count
+          ORDER BY custdist DESC, c_count DESC""")
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+             |FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey
+             |    AND o_orderpriority NOT LIKE '%NOT%SPECIFIED%'
+             |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             |    AND o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+             |  GROUP BY c_custkey) c_orders
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_bloom_join ★ (new r5) — RUNTIME-FILTERED fact⋈dim join: urgent
     // orders' keys fold into a driver-built bloom filter
     // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),

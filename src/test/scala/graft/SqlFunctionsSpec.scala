@@ -230,6 +230,39 @@ class SqlFunctionsSpec extends SparkSpec {
       expected.map { case ((n, c), t) => ((n, c), t) })
   }
 
+  test("q_sql_q13: one null-preserving LeftOuter, ON-filters pushed to the orders scan, zero bucket real") {
+    val df = SparkEntry.queries("q_sql_q13")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // exactly one outer join, and it stays OUTER (a planner that
+    // rewrote it inner would still produce rows — just the wrong ones)
+    assert("LeftOuter".r.findAllIn(opt).size == 1, s"expected one LeftOuter in:\n$opt")
+    // the ON-clause non-key filters apply to the null-SUPPLYING side
+    // only, so pushing them below the join into the orders scan is
+    // semantics-preserving and is the plan we want at 100 TB (the scan
+    // prunes ~96% of orders before the shuffle); what must NOT appear
+    // is the filter hoisted ABOVE the join, where it would discard the
+    // null-padded zero-order customers
+    val joinIdx = opt.indexOf("Join LeftOuter")
+    val filterIdx = opt.indexOf("LIKE %NOT%SPECIFIED%")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"ON filter not pushed below the outer join:\n$opt")
+    // null-preservation carries data at every SF: customers whose every
+    // order was rejected by the ON filter land in c_count = 0
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.getOrElse(0L, 0L) > 0, s"zero bucket empty: $rows")
+    // cross-check the whole histogram against a hand-built aggregation
+    val qualifying = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .filter(col("o_orderdate") >= "1998-01-01" && col("o_orderdate") < "1998-07-01")
+      .select("o_custkey", "o_orderkey")
+    val expected = Tables(spark, sfDir, "customer")
+      .join(qualifying, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows == expected)
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
