@@ -45,6 +45,7 @@ object PlanAudit {
     ("q_mix_temperature", "BroadcastNestedLoopJoin"), // 1-row totals broadcast
     ("q_rfm", "BroadcastNestedLoopJoin"),             // 1-row corpus max day
     ("q_rle_profile", "BroadcastNestedLoopJoin"),     // 1-row × 1-row stats cross
+    ("q_simhash_dup", "BroadcastNestedLoopJoin"),     // 1-row n_docs for idf weight
     ("q_trend_ols", "BroadcastNestedLoopJoin"),       // 1-row corpus min day
     ("q_vocab_growth", "BroadcastNestedLoopJoin"),    // 1-row max doc_id
     // windows over the USER table / the ≤10-row growth-curve frame,

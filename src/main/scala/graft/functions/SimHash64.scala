@@ -48,6 +48,45 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** FNV-1a-64 of one STRING's UTF-8 bytes — the per-token hash
+  * [[SimHash64]] folds internally, exposed as its own codegen'd
+  * expression for the WEIGHTED SimHash path (Manku et al. WWW'07 §3:
+  * per-feature weights): weighting requires joining each token to its
+  * corpus df before voting, so the vote runs over exploded
+  * (doc, token, weight) rows rather than inside the array fold — the
+  * token hash must therefore be computable row-wise. Same constants,
+  * same bytes, bit-identical to the hash SimHash64 votes with.
+  */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fnv64 expects string, got $t")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHash64.fnv1a64(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.fnv1a64($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
+object Fnv64 {
+  /** Column-level entry point: `fnv64($"token")`. */
+  def fnv64(c: Column): Column =
+    GraftBridge.column(Fnv64(GraftBridge.expression(c)))
+}
+
 object SimHash64 {
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L

@@ -541,42 +541,94 @@ object DedupQueries {
 
     // ------------------------------------------------------------------
     // q_simhash_dup ★ — SimHash(64) Hamming-band near-dup: one 64-bit
-    // fingerprint per doc (custom codegen'd expression), 4×16-bit band
-    // keys, verify Hamming ≤ 3 on candidates via bit_count(xor) — the
-    // Manku et al. (WWW'07) operating point, and exactly the distance
-    // the 4-band pigeonhole guarantees recall for. Measured on this
-    // corpus: planted dups sit at Hamming 0-5, background floor at 5 —
-    // ≤ 3 keeps precision ≈ 1 at recall ≈ 0.8 of the j≥0.6 pairs.
+    // fingerprint per doc, 4×16-bit band keys, Hamming-verify on band
+    // candidates via bit_count(xor) (Manku et al. WWW'07).
     // ORACLE-CHECKED (upgraded from rows-only in r1): FNV-1a-64 is pure
     // integer arithmetic, so DuckDB reproduces the fingerprint exactly
-    // with a UBIGINT list_reduce over the token's UTF-8 BYTES (xor +
+    // with a UBIGINT list_reduce over the feature's UTF-8 BYTES (xor +
     // multiply mod 2^64 via HUGEINT) and the same per-bit vote; band
     // keys and Hamming distances are sign-independent bit patterns.
     // Fidelity + precision/recall stay asserted in DedupSpec.
     // BYTE-WISE since r5 (was per-character ascii(), an ASCII-only
     // assumption — r4 ask #6): bytes come from hex(encode(t)) parsed
     // two hex digits at a time, so the oracle hashes the identical
-    // UTF-8 byte stream Spark's SimHash64 hashes — verified equal to
+    // UTF-8 byte stream Spark's Fnv64 hashes — verified equal to
     // FNV-1a over .getBytes on multi-byte fixtures (é, 日本).
-    // Scale adjudication (r8 Heaps-law curve): on a topic-less Zipf
-    // bag-of-words corpus the fingerprints CONCENTRATE (every doc's
-    // votes are dominated by the shared head vocabulary — hottest
-    // 16-bit band bucket holds ~40% of docs), so candidates grow ~N²
-    // (5.3M → 408M for 10× docs, measured). But the OUTPUT grows
-    // almost as fast — 169.8k → 8.9M true Hamming-≤3 pairs (52×),
-    // because such documents genuinely ARE mutually near-identical —
-    // so the 14× wall ratio is SUB-OUTPUT-LINEAR (the q_mm_ahash r6
-    // adjudication): per-candidate cost is a codegen'd bit_count
-    // (~23M pairs/s/32c) and the Hamming filter runs BEFORE the
-    // distinct's exchange. Real corpora have topical structure that
-    // spreads the fingerprints; the principled further step if a
-    // deployment hits this is Manku-style feature WEIGHTING (idf) in
-    // the vote, which de-concentrates the head — noted, not built.
+    // MANKU-FAITHFUL since r9 (Manku et al. WWW'07 §3 — features with
+    // weights): the fingerprint now votes 3-token SHINGLE features with
+    // idf-derived INTEGER weights w = ⌊log₂(N/df)⌋+1 (length of the
+    // binary rendering of the exact integer quotient N div df — no
+    // float anywhere), and the verify cut widens to Hamming ≤ 7 (the
+    // 4×16 pigeonhole still GUARANTEES ≤ 3; 4–7 is probabilistic LSH
+    // recall, identical in both engines because the oracle mirrors the
+    // band-candidate step). Three measurements drove this redesign
+    // (dev/PERF_NOTES.md r9):
+    // (1) The r8 Heaps curve showed UNIGRAM fingerprints concentrate on
+    //     topic-less Zipf corpora (hottest 16-bit band bucket ~40% of
+    //     docs; candidates ~N², 5.3M → 408M for 10×) — every doc's
+    //     votes are dominated by the shared head VOCABULARY. Shingles
+    //     fix the cause: the feature space is the token-TRIPLE space,
+    //     where no feature is corpus-universal, so fingerprints are
+    //     document-distinctive and bands spread.
+    // (2) Naive idf weighting of UNIGRAMS (the r8 watch-item sketch)
+    //     measured WORSE on the driver corpus: with a 31-word
+    //     vocabulary one rare token gets w=5 against a w=1 field and
+    //     its presence/absence scatters true pairs to Hamming 4–25
+    //     while the background floor drops to 3 — signal destroyed
+    //     (precision 0 at any cut). Weights belong on features rare
+    //     enough to be distinctive, i.e. shingles — Manku's actual
+    //     operating point.
+    // (3) Shingle+idf on the driver corpus: true j≥0.6 pairs at
+    //     Hamming 1–9, background floor EMPTY through 10 → at the ≤7
+    //     cut precision 1.0, recall 0.68 of the exact n-gram truth
+    //     (DedupSpec pins ≥0.9/≥0.6).
+    // Plan: weighting needs each shingle's corpus df, so the vote runs
+    // over exploded rows — df agg (one shingle-keyed shuffle with
+    // map-side combine over per-doc-distinct rows), weight join
+    // (shingle-keyed equi-join; the weight table is shingle-vocabulary
+    // sized and Heaps-growing, so it is NOT hinted — AQE broadcasts it
+    // while it fits, shuffles when it doesn't), then one doc_id-keyed
+    // 64-sum aggregate (map-side combined; the codegen'd Fnv64 hashes
+    // shingle strings row-wise with SimHash64's exact FNV-1a-64). The
+    // 1-row N frame rides a documented broadcast cross (the repo-wide
+    // scalar-total pattern). Everything after the fingerprint —
+    // 4×16-bit bands, explicit-N repartition, Hamming filter BEFORE
+    // the distinct — is unchanged from r6/r8.
     QueryDef(
       "q_simhash_dup",
       (s: SparkSession, dir: String) => {
-        val fp = Tables(s, dir, "documents")
-          .select(col("doc_id"), simHash64(split(col("text"), " ")).as("sh"))
+        import graft.functions.Fnv64.fnv64
+        import graft.functions.Shingles.shinglesAll
+        val docs = Tables(s, dir, "documents")
+        // 3-token shingles WITH occurrence multiplicity (codegen'd —
+        // the interpreted transform(sequence)+slice+concat_ws chain
+        // measured 5.0 s for one sf0.1 pass; docs with < 3 tokens
+        // contribute no features, and the explode drops them)
+        // hash IMMEDIATELY: df, weight, and votes are all keyed by the
+        // 8-byte FNV hash, never the shingle string — every shuffle in
+        // the fingerprint pipeline carries longs (measured 2.67 s →
+        // ~1 s at sf0.1 vs string keys). df-by-hash equals
+        // df-by-shingle up to FNV collisions, which BOTH engines
+        // reproduce bit-identically (the oracle's df_t is keyed by the
+        // same hash), so oracle parity is exact even on a collision.
+        val hs = docs.select(col("doc_id"),
+          explode(shinglesAll(split(col("text"), " "), 3)).as("t"))
+          .select(col("doc_id"), fnv64(col("t")).as("h"))
+        val dfT = hs.distinct().groupBy("h").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val wgt = dfT.crossJoin(broadcast(nDocs))
+          .select(col("h"),
+            length(bin(expr("n_docs div df"))).cast("long").as("w"))
+        val voteCols = (0 until 64).map { j =>
+          sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L,
+            col("w")).otherwise(-col("w"))).as(s"v$j") }
+        val fp = hs.join(wgt, "h")
+          .groupBy("doc_id")
+          .agg(voteCols.head, voteCols.tail: _*)
+          .select(col("doc_id"),
+            (0 until 64).map(j =>
+              when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+              .reduce(_.bitwiseOR(_)).as("sh"))
         val bandArr = array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*)
@@ -595,12 +647,15 @@ object DedupQueries {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
             bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-          .filter(col("hamming") <= 3)
+          .filter(col("hamming") <= 7)
           .distinct()
           .orderBy("d1", "d2")
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |toks AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts)-1, 1)),
+             |    i -> array_to_string(ts[i:i+2], ' '))) AS t
+             |  FROM docs),
              |th AS (
              |  SELECT doc_id, list_reduce(
              |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
@@ -608,9 +663,13 @@ object DedupQueries {
              |        i -> CAST(('0x' || substring(hex(encode(t)), 2*i-1, 2))::INT AS UBIGINT))),
              |    (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS h
              |  FROM toks),
+             |df_t AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM th GROUP BY h),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |wt AS (SELECT h, CAST(length(bin(n_docs // df)) AS BIGINT) AS w
+             |       FROM df_t, n),
              |votes AS (
-             |  SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-             |  FROM th, range(64) r(j) GROUP BY doc_id, j),
+             |  SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN w ELSE -w END) AS v
+             |  FROM th JOIN wt USING (h), range(64) r(j) GROUP BY doc_id, j),
              |fp AS (
              |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0
              |    THEN (CAST(1 AS UBIGINT) << CAST(j AS INTEGER))
@@ -624,7 +683,7 @@ object DedupQueries {
              |    CAST(bit_count(xor(a.sh, b2.sh)) AS INTEGER) AS hamming
              |  FROM bands a JOIN bands b2
              |  ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
-             |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
+             |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 7
              |ORDER BY d1, d2""".stripMargin)),
 
     // ------------------------------------------------------------------

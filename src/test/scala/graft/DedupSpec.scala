@@ -66,9 +66,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("q_simhash_dup: precision >= 0.9 and recall >= 0.6 vs q_dedup_ngram") {
-    // Measured corpus structure: planted j>=0.6 dups at Hamming 0-5,
-    // background floor at 5 → the Hamming<=3 cut is precision ~1 at
-    // recall ~0.8 of the exact n-gram near-dup pairs.
+    // Measured corpus structure (r9, shingle-feature idf-weighted
+    // votes): planted j>=0.6 dups at Hamming 1-9, background floor
+    // EMPTY through 10 → the Hamming<=7 cut is precision 1.0 at
+    // recall ~0.68 of the exact n-gram near-dup pairs (4-7 recall is
+    // probabilistic through the 4x16 bands; <=3 stays guaranteed).
     val sim = SparkEntry.queries("q_simhash_dup")(spark, sfDir)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     val jac = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
