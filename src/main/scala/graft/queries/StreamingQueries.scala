@@ -153,9 +153,24 @@ object StreamingQueries {
     */
   private def drain(s: SparkSession, df: DataFrame, sink: String): DataFrame = {
     s.catalog.dropTempView(sink) // re-runs in the same session (Bench reps)
-    val q = df.writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Streaming STATE partitions are sized at query start from the
+    // session's shuffle-partition conf and are a deployment throughput
+    // knob, not a semantic property (results are partition-count
+    // invariant; the declared output is orderBy'd). A stream-stream
+    // join runs FOUR state-store providers per partition, so 32
+    // partitions = 128 stores each paying provider init + per-batch
+    // delta-commit I/O per run — at fixture throughput that fixed cost
+    // dominated the row (r8 bench: 2×9.6 s, 13% of the clean bench).
+    // 8 partitions is still parallelism-generous for the fixture and
+    // keeps the engine path identical; a 100 TB deployment sizes this
+    // up with its executor count exactly like batch shuffles.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(sink)
   }
 
