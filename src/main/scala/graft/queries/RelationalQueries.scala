@@ -903,6 +903,107 @@ object RelationalQueries {
              |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_sql_q15 ★ (new r9) — TPC-H Q15 (top supplier) through the SQL
+    // front-end: the ARGMAX-over-aggregates shape — a grouped revenue
+    // aggregation consumed twice, once as the join input and once
+    // reduced to a scalar MAX that selects the winner(s). TPC-H phrases
+    // it as a view; here it is a CTE + uncorrelated scalar subquery,
+    // which Catalyst must keep ONCE-EXECUTED (a decorrelation miss
+    // would re-aggregate lineitem per supplier row). Revenue is exact
+    // e4 integer: price_c × (100 − disc_c) — no float boundary, so the
+    // argmax row set is engine-exact (unique winner measured at every
+    // SF; ties would return all maxima identically in both engines).
+    // At 100 TB: two lineitem scans (one per revenue consumer — the
+    // optimizer's scalar-subquery CSE is not relied on), each reduced
+    // by the quarter filter AT THE SCAN, grouped on l_suppkey
+    // (map-side combine), then a supplier-keyed equi-join of the
+    // supplier-cardinality revenue frame. Nothing corpus-sized is
+    // broadcast; no fan-out (SqlFunctionsSpec pins the plan).
+    QueryDef(
+      "q_sql_q15",
+      (s: SparkSession, dir: String) => {
+        Seq("supplier", "lineitem").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+              SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+                  (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))) AS total_e4
+            FROM graft_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_e4
+          FROM graft_supplier JOIN revenue ON s_suppkey = supplier_no
+          WHERE total_e4 = (SELECT MAX(total_e4) FROM revenue)
+          ORDER BY s_suppkey""")
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) *
+             |        (100 - CAST(ROUND(l_discount*100, 0) AS BIGINT))) AS BIGINT)
+             |      AS total_e4
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_e4
+             |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+             |WHERE total_e4 = (SELECT MAX(total_e4) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_sql_q18 ★ (new r9) — TPC-H Q18 (large-volume customers) through
+    // the SQL front-end: IN over a GROUPED-HAVING subquery — the
+    // semi-join-on-an-aggregate decorrelation shape the battery lacked
+    // (Q4/Q20-22 probe raw or filtered tables; here the probe side is
+    // itself a full groupBy of the fact table). Catalyst must rewrite
+    // to one LEFT SEMI on o_orderkey fed by the aggregated HAVING frame
+    // — no fan-out, no re-aggregation per probe row. Threshold
+    // sum(qty_c) > 30000 ≈ p99.7 of per-order quantity at every SF
+    // (5/46/100-capped result rows at sf0.001/0.01/0.1) — selective
+    // but never empty, and far from any tie boundary (integer cents).
+    // Deterministic LIMIT: the ORDER BY is a total order (price desc,
+    // date, orderkey). At 100 TB: one lineitem groupBy(l_orderkey) with
+    // map-side combine feeds the semi join; the outer
+    // customer⋈orders⋈lineitem chain shuffles on its equi-keys; the
+    // final TakeOrderedAndProject caps driver results at 100 rows.
+    QueryDef(
+      "q_sql_q18",
+      (s: SparkSession, dir: String) => {
+        Seq("customer", "orders", "lineitem").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+            CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS o_totalprice_c,
+            SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS sum_qty_c
+          FROM graft_customer
+            JOIN graft_orders ON c_custkey = o_custkey
+            JOIN graft_lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderkey IN (
+            SELECT l_orderkey FROM graft_lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) > 30000)
+          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          ORDER BY o_totalprice_c DESC, o_orderdate, o_orderkey
+          LIMIT 100""")
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             |  CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS o_totalprice_c,
+             |  CAST(SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS sum_qty_c
+             |FROM customer
+             |  JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem
+             |  GROUP BY l_orderkey
+             |  HAVING SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) > 30000)
+             |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+             |ORDER BY o_totalprice_c DESC, o_orderdate, o_orderkey
+             |LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_bloom_join ★ (new r5) — RUNTIME-FILTERED fact⋈dim join: urgent
     // orders' keys fold into a driver-built bloom filter
     // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),

@@ -44,6 +44,20 @@ class DedupSpec extends SparkSpec {
     assert(got == docs.map(d => SimHash64.hashTokens(d.split(" ").toSeq)))
   }
 
+  test("Fnv64 expression == SimHash64.fnv1a64 reference, including non-ASCII (r9)") {
+    // The weighted-vote pipeline hashes shingle strings row-wise with
+    // Fnv64; it must be bit-identical to the fold SimHash64 runs (and
+    // therefore to the DuckDB byte-wise oracle the r5 constants pin).
+    import graft.functions.Fnv64.fnv64
+    val toks = Seq("ab", "é", "日本", "the quick brown", "", "straße café x")
+    val got = toks.map(Tuple1(_)).toDF("t").select(fnv64(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    val want = toks.map(t =>
+      SimHash64.fnv1a64(org.apache.spark.unsafe.types.UTF8String.fromString(t).getBytes))
+    assert(got == want)
+    assert(got(0) == 620445648566982762L) // the r5 cross-engine constant
+  }
+
   test("identical token arrays → identical simhash; disjoint vocab → distant") {
     val a = SimHash64.hashTokens(Seq("alpha", "beta", "gamma", "delta"))
     val b = SimHash64.hashTokens(Seq("alpha", "beta", "gamma", "delta"))

@@ -263,6 +263,57 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(rows == expected)
   }
 
+  test("q_sql_q15: argmax scalar subquery once-executed, supplier-keyed join, no fan-out") {
+    val df = SparkEntry.queries("q_sql_q15")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the MAX(total_e4) threshold must survive as a once-executed
+    // scalar subquery (folded to a literal at runtime), not a per-row
+    // re-aggregation of lineitem
+    assert(opt.contains("scalar-subquery"), s"expected once-executed scalar MAX in:\n$opt")
+    // exactly one join: supplier x revenue on the key (the revenue CTE
+    // must not be joined to itself or cross-joined to the max)
+    assert("Join".r.findAllIn(opt).size == 1, s"expected one join in:\n$opt")
+    // cross-check the winner against a hand-built argmax
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("total_e4"))
+    val expected = rev.withColumn("r", rank().over(
+      Window.orderBy(col("total_e4").desc))).filter(col("r") === 1)
+      .select("l_suppkey", "total_e4")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = df.select("s_suppkey", "total_e4")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q_sql_q18: grouped-HAVING IN decorrelates to one LeftSemi on the aggregate, deterministic LIMIT") {
+    val df = SparkEntry.queries("q_sql_q18")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // one LeftSemi per fact side: Catalyst propagates the o_orderkey
+    // membership constraint through the o_orderkey = l_orderkey join
+    // equality and plants the semi probe on BOTH orders and lineitem —
+    // a constraint-propagation BONUS prune (lineitem shrinks before
+    // the big join), not a fan-out
+    val nSemi = "LeftSemi".r.findAllIn(opt).size
+    assert(nSemi >= 1 && nSemi <= 2, s"expected 1-2 LeftSemi in:\n$opt")
+    assert(!opt.contains("ExistenceJoin"), s"unrewritten existence probe in:\n$opt")
+    // the semi-join probe side is the AGGREGATED having frame: the
+    // HAVING filter must sit above an Aggregate on l_orderkey inside
+    // the semi join's right subtree (grep: a Filter on sum_qty
+    // threshold appears after the LeftSemi marker in tree print order)
+    val semiIdx = opt.indexOf("Join LeftSemi")
+    assert(semiIdx >= 0 && opt.indexOf("Aggregate [l_orderkey", semiIdx) > semiIdx,
+      s"semi probe not fed by the orderkey aggregate:\n$opt")
+    // determinism of the LIMIT: the ORDER BY is a total order, so two
+    // runs agree row-for-row
+    val a = df.collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q_sql_q18")(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
