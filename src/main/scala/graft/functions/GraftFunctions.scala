@@ -13,6 +13,7 @@ import org.apache.spark.sql.types.IntegerType
   * {{{
   * SELECT graft_cosine(a.embedding, b.embedding)      -- fused cosine
   * SELECT graft_simhash64(split(text, ' '))           -- 64-bit SimHash
+  * SELECT graft_fnv64(token)                          -- FNV-1a-64 of a string
   * SELECT graft_ahash64(payload)                      -- 64-bit average hash
   * SELECT graft_java_hash(user_id)                    -- A15 bucket hash
   * SELECT graft_lsh_code(embedding, 8, 64)            -- sign-LSH code
@@ -43,6 +44,7 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (es => VectorOps.CosineSim(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64(es.head)),
+    "graft_fnv64" -> (es => Fnv64(es.head)),
     "graft_ahash64" -> (es => AHash64(es.head)),
     "graft_java_hash" -> (es => JavaHash(es.head)),
     "graft_quant_i8" -> (es => VectorOps.QuantI8Stats(es.head)),

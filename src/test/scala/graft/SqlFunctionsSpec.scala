@@ -37,14 +37,16 @@ class SqlFunctionsSpec extends SparkSpec {
       """SELECT graft_simhash64(split(text, ' ')),
         |  graft_java_hash(text),
         |  graft_shingles(split(text, ' '), 2),
-        |  graft_ahash64(encode(text, 'UTF-8'))
+        |  graft_ahash64(encode(text, 'UTF-8')),
+        |  graft_fnv64(text)
         |FROM d_sql""".stripMargin)
-      .as[(Long, Int, Seq[String], Long)].collect().toSeq
+      .as[(Long, Int, Seq[String], Long, Long)].collect().toSeq
     val want = docs.map { t =>
       (SimHash64.hashTokens(t.split(" ").toSeq), t.hashCode,
         t.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
           .map(_.mkString(" ")).toSeq.distinct,
-        graft.functions.AHash64.hash(t.getBytes("UTF-8")))
+        graft.functions.AHash64.hash(t.getBytes("UTF-8")),
+        SimHash64.fnv1a64(t.getBytes("UTF-8")))
     }
     assert(sql == want)
   }
