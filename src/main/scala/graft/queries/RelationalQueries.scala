@@ -1004,6 +1004,200 @@ object RelationalQueries {
              |LIMIT 100""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_sql_q2 ★ (new r9) — TPC-H Q2 (minimum-cost supplier) through the
+    // SQL front-end: the CORRELATED SCALAR-MIN decorrelation — for each
+    // part, keep the supplier(s) whose cost equals the per-part minimum
+    // over a region-restricted supply relation. Catalyst must rewrite
+    // the correlated `= (SELECT MIN ...)` into a per-partkey aggregate
+    // joined back (RewriteCorrelatedScalarSubquery) — the optimized
+    // plan carries NO residual subquery and no cartesian
+    // (SqlFunctionsSpec pins both). Fixture adaptation (no partsupp
+    // table): the supply relation is derived — per (part, supplier)
+    // MINIMUM line price in exact cents over lineitem; region 3 via the
+    // supplier→nation join on BOTH the outer block and the subquery,
+    // p_name prefix as in Q20. Ties at the minimum return all
+    // suppliers, identically in both engines (exact integers). At
+    // 100 TB: supply is one lineitem groupBy (map-side combine); the
+    // min-per-part agg and the equality probe are partkey-keyed
+    // equi-joins; nation/region dims broadcast by size.
+    QueryDef(
+      "q_sql_q2",
+      (s: SparkSession, dir: String) => {
+        Seq("part", "supplier", "lineitem", "nation").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+              MIN(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS cost_c
+            FROM graft_lineitem GROUP BY l_partkey, l_suppkey)
+          SELECT p_partkey, p_name, s_name, cost_c
+          FROM graft_part, graft_supplier, supply, graft_nation
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND s_nationkey = n_nationkey AND n_regionkey = 3
+            AND p_name LIKE 'cold%'
+            AND cost_c = (SELECT MIN(s2.cost_c)
+                          FROM supply s2, graft_supplier sp2, graft_nation n2
+                          WHERE s2.l_partkey = p_partkey
+                            AND s2.l_suppkey = sp2.s_suppkey
+                            AND sp2.s_nationkey = n2.n_nationkey
+                            AND n2.n_regionkey = 3)
+          ORDER BY p_partkey, s_name""")
+      },
+      Some("""WITH supply AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    MIN(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS cost_c
+             |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+             |SELECT p_partkey, p_name, s_name, cost_c
+             |FROM part, supplier, supply, nation
+             |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = 3
+             |  AND p_name LIKE 'cold%'
+             |  AND cost_c = (SELECT MIN(s2.cost_c)
+             |                FROM supply s2, supplier sp2, nation n2
+             |                WHERE s2.l_partkey = p_partkey
+             |                  AND s2.l_suppkey = sp2.s_suppkey
+             |                  AND sp2.s_nationkey = n2.n_nationkey
+             |                  AND n2.n_regionkey = 3)
+             |ORDER BY p_partkey, s_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_sql_q11 ★ (new r9) — TPC-H Q11 (important stock) through the
+    // SQL front-end: grouped value per part HAVING above a fraction of
+    // the GLOBAL total of the same grouped relation — the
+    // aggregate-vs-scalar-of-itself shape (the CTE is consumed as rows
+    // AND reduced to two scalars). TPC-H's `> SUM(...) * 0.0001`
+    // fraction is SF-dependent (empty above sf0.001 here) and float;
+    // replaced by the scale-free exact-integer form
+    // val_c · count > 2 · total — "parts above twice the mean share" —
+    // which stays populated at every SF (12/46/644 rows) and crosses no
+    // float boundary. Both scalar reductions must stay once-executed
+    // scalar subqueries (spec-pinned, as q_sql_q22/q15). At 100 TB:
+    // one region-filtered lineitem⋈supplier⋈nation pass grouped on
+    // l_partkey, then two 1-row reductions of that vocabulary-sized
+    // frame — no second corpus scan, nothing corpus-sized broadcast.
+    QueryDef(
+      "q_sql_q11",
+      (s: SparkSession, dir: String) => {
+        Seq("supplier", "lineitem", "nation").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          WITH val AS (
+            SELECT l_partkey,
+              SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS val_c
+            FROM graft_lineitem
+              JOIN graft_supplier ON l_suppkey = s_suppkey
+              JOIN graft_nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey = 1
+            GROUP BY l_partkey)
+          SELECT l_partkey, val_c FROM val
+          WHERE val_c * (SELECT COUNT(*) FROM val) >
+                2 * (SELECT SUM(val_c) FROM val)
+          ORDER BY val_c DESC, l_partkey""")
+      },
+      Some("""WITH val AS (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)
+             |      AS val_c
+             |  FROM lineitem
+             |    JOIN supplier ON l_suppkey = s_suppkey
+             |    JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_regionkey = 1
+             |  GROUP BY l_partkey)
+             |SELECT l_partkey, val_c FROM val
+             |WHERE val_c * (SELECT COUNT(*) FROM val) >
+             |      2 * (SELECT CAST(SUM(val_c) AS BIGINT) FROM val)
+             |ORDER BY val_c DESC, l_partkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_sql_q16 ★ (new r9) — TPC-H Q16 (parts/supplier relationship)
+    // through the SQL front-end: NOT IN over a filtered key subquery +
+    // COUNT(DISTINCT) per attribute group. NOT IN is the null-AWARE
+    // anti shape: with nullable keys Spark must plan a null-aware anti
+    // join, which only exists as a broadcast nested loop — a scale
+    // trap. The explicit IS NOT NULL guards on both the probe and the
+    // subquery side let Catalyst prove non-nullability and plan the
+    // plain LEFT ANTI equi-join instead (spec pins LeftAnti, no BNLJ) —
+    // the write-it-so-it-scales lesson this row exists to encode.
+    // "Complaint" suppliers (TPC-H's comment LIKE) adapt to negative
+    // account balance. At 100 TB: the anti probe is supplier-keyed; the
+    // distinct-supplier count shuffles (brand,type,size,supp) once with
+    // partial dedup map-side.
+    QueryDef(
+      "q_sql_q16",
+      (s: SparkSession, dir: String) => {
+        Seq("part", "supplier", "lineitem").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          SELECT p_brand, p_type, p_size,
+            COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          FROM graft_part JOIN graft_lineitem ON p_partkey = l_partkey
+          WHERE p_type <> 'PROMO'
+            AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+            AND l_suppkey IS NOT NULL
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_supplier
+                                  WHERE s_acctbal < 0
+                                    AND s_suppkey IS NOT NULL)
+          GROUP BY p_brand, p_type, p_size
+          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM part JOIN lineitem ON p_partkey = l_partkey
+             |WHERE p_type <> 'PROMO'
+             |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+             |  AND l_suppkey IS NOT NULL
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_acctbal < 0
+             |                          AND s_suppkey IS NOT NULL)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_sql_q19 ★ (new r9) — TPC-H Q19 (discounted revenue) through the
+    // SQL front-end: the DISJUNCTIVE JOIN PREDICATE — three OR'd
+    // conjunct groups, EACH repeating the p_partkey = l_partkey
+    // equality inside it (the faithful Q19 text). The planner test:
+    // Catalyst must factor the common equi-conjunct OUT of the
+    // disjunction (CNF extraction) and plan one equi hash/merge join
+    // with the residual OR as the join filter — a naive planner reads
+    // the top-level OR, finds no conjunct equality, and cartesians.
+    // It must ALSO derive pushed-down scan filters from the OR (the
+    // part-only disjunction prunes the part scan; the l_quantity
+    // disjunction prunes lineitem). Spec pins: exactly one equi Join,
+    // no CartesianProduct/BNLJ, and the derived OR-filter present
+    // below the join on both sides. Output is a 1-row exact-cents
+    // total + count. Brand/container predicates adapt to the fixture's
+    // p_type/p_size space.
+    QueryDef(
+      "q_sql_q19",
+      (s: SparkSession, dir: String) => {
+        Seq("part", "lineitem").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+        s.sql("""
+          SELECT COUNT(*) AS n,
+            SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS revenue_c
+          FROM graft_lineitem, graft_part
+          WHERE (p_partkey = l_partkey AND p_type = 'ECONOMY'
+                 AND p_size BETWEEN 1 AND 15 AND l_quantity <= 20)
+             OR (p_partkey = l_partkey AND p_type = 'PROMO'
+                 AND p_size BETWEEN 10 AND 30
+                 AND l_quantity BETWEEN 10 AND 30)
+             OR (p_partkey = l_partkey AND p_type = 'STANDARD'
+                 AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)""")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)
+             |    AS revenue_c
+             |FROM lineitem, part
+             |WHERE (p_partkey = l_partkey AND p_type = 'ECONOMY'
+             |       AND p_size BETWEEN 1 AND 15 AND l_quantity <= 20)
+             |   OR (p_partkey = l_partkey AND p_type = 'PROMO'
+             |       AND p_size BETWEEN 10 AND 30
+             |       AND l_quantity BETWEEN 10 AND 30)
+             |   OR (p_partkey = l_partkey AND p_type = 'STANDARD'
+             |       AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_bloom_join ★ (new r5) — RUNTIME-FILTERED fact⋈dim join: urgent
     // orders' keys fold into a driver-built bloom filter
     // (ScaleOps.bloomPrune — the explicit InjectRuntimeFilter pattern),

@@ -316,6 +316,73 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("q_sql_q2: correlated scalar-MIN decorrelates to an aggregate join, no residual subquery") {
+    val df = SparkEntry.queries("q_sql_q2")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // RewriteCorrelatedScalarSubquery must have turned the per-part
+    // `= (SELECT MIN ...)` into a min-per-partkey aggregate joined
+    // back — a surviving scalar-subquery marker would mean per-row
+    // re-execution of the region-restricted supply aggregation
+    assert(!opt.contains("scalar-subquery"), s"correlated MIN not decorrelated:\n$opt")
+    assert(!opt.contains("Cartesian") && !opt.contains("BroadcastNestedLoop"),
+      s"non-equi join shape in:\n$opt")
+    // winners really are per-part minima: re-derive with a window rank
+    import org.apache.spark.sql.expressions.Window
+    val got = df.select("p_partkey", "s_name", "cost_c").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    val perPartMin = got.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    assert(got.forall { case (p, _, c) => c == perPartMin(p) })
+  }
+
+  test("q_sql_q11: both self-scalar reductions once-executed; threshold rows exact") {
+    val df = SparkEntry.queries("q_sql_q11")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("scalar-subquery".r.findAllIn(opt).size >= 2,
+      s"expected two once-executed scalar reductions in:\n$opt")
+    assert(!opt.contains("Cartesian") && !opt.contains("BroadcastNestedLoop"),
+      s"non-equi join shape in:\n$opt")
+    // cross-check against a hand-built 2x-mean cut
+    val valC = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_regionkey") === 1)
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("val_c"))
+    val rows = valC.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (n, tot) = (rows.length.toLong, rows.map(_._2).sum)
+    val expected = rows.filter { case (_, v) => v * n > 2 * tot }.toMap
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q_sql_q16: NOT IN plans a plain LeftAnti equi-join (null guards defeat the NAAJ trap)") {
+    val df = SparkEntry.queries("q_sql_q16")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // with nullable keys NOT IN must plan a null-aware anti join,
+    // which only exists as a broadcast nested loop — the IS NOT NULL
+    // guards exist precisely so Catalyst can prove the plain LeftAnti
+    assert(opt.contains("LeftAnti"), s"expected LeftAnti in:\n$opt")
+    assert(!opt.contains("BroadcastNestedLoop") && !opt.contains("Cartesian"),
+      s"null-aware anti fell back to a nested loop:\n$opt")
+  }
+
+  test("q_sql_q19: the repeated equi-conjunct is factored out of the disjunction — one equi join, no cartesian") {
+    val df = SparkEntry.queries("q_sql_q19")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("Join Inner".r.findAllIn(opt).size == 1, s"expected one inner join in:\n$opt")
+    assert(!opt.contains("Cartesian") && !opt.contains("BroadcastNestedLoop"),
+      s"disjunction defeated equi-key extraction:\n$opt")
+    // the join keys really are the factored p_partkey = l_partkey pair
+    assert(opt.contains("(p_partkey"), s"equality not on the join node:\n$opt")
+    // derived OR-filters pushed below the join on BOTH scans: the
+    // part-only disjunction (p_type/p_size) and the lineitem-only
+    // disjunction (l_quantity bands)
+    val joinIdx = opt.indexOf("Join Inner")
+    assert(opt.indexOf("p_type", joinIdx) > joinIdx, s"no part-side derived filter:\n$opt")
+    assert(opt.indexOf("l_quantity", joinIdx) > joinIdx, s"no lineitem-side derived filter:\n$opt")
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
