@@ -74,6 +74,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(PlanAudit.unboundedHintCount(clean.queryExecution.analyzed) == 0)
   }
 
+  test("sharpness: a condition-less join inside a streaming topology is caught") {
+    // The stream:cartesianJoin detector must actually fire: a
+    // stream-static crossJoin analyzes to a Join with no condition.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val dim = spark.read.parquet(s"$sfDir/region.parquet")
+    val planted = stream.crossJoin(dim).queryExecution.analyzed
+    val bare = planted.collectWithSubqueries {
+      case j: Join if j.condition.isEmpty => j
+    }
+    assert(bare.nonEmpty, "planted cross join not visible to the analyzed-plan walk")
+  }
+
   test("sharpness: boundedRows accepts GlobalLimit but not a bare LocalLimit (r8 advice)") {
     // A bare LocalLimit caps rows PER PARTITION — total output scales
     // with partition count — so it must NOT prove a broadcast-safe
