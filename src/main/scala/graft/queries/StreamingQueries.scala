@@ -128,6 +128,24 @@ object StreamingQueries {
         col("c_cents"), col("b_cents"))
   }
 
+  private def ssFullTopo(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").as("c_ts"), col("cents").as("c_cents"))
+    val buys = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long").as("b_user"),
+        col("ts").as("b_ts"), col("cents").as("b_cents"))
+    StreamOps.intervalJoin(
+      clicks, "user_id", "c_ts", buys, "b_user", "b_ts",
+      window = "30 minutes", lateness = "10 minutes", joinType = "fullOuter")
+      // full outer: either key side can be null — the declared key is
+      // the coalesce, never null
+      .select(coalesce(col("user_id"), col("b_user")).as("uid"),
+        col("c_ts"), col("b_ts"), col("c_cents"), col("b_cents"))
+  }
+
   /** Pre-start streaming topologies keyed by declared query name, for
     * [[graft.PlanAudit.sweepStreaming]]. Every stream_* QueryDef below
     * drains EXACTLY the frame its builder returns, so sweeping these IS
@@ -142,7 +160,8 @@ object StreamingQueries {
     "stream_dedup_e2e" -> (dedupTopo _),
     "stream_join_e2e" -> (joinTopo _),
     "stream_ss_join_e2e" -> ssJoinTopo("inner") _,
-    "stream_ss_left_e2e" -> ssJoinTopo("leftOuter") _)
+    "stream_ss_left_e2e" -> ssJoinTopo("leftOuter") _,
+    "stream_ss_full_e2e" -> (ssFullTopo _))
 
   /** Drain `df` through a memory sink and return the sink table.
     * AvailableNow processes every pending file, then (because
@@ -397,6 +416,55 @@ object StreamingQueries {
              |WHERE b_ts IS NOT NULL
              |   OR c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
              |ORDER BY user_id, c_ts, b_ts NULLS FIRST,
-             |  c_cents, b_cents NULLS FIRST""".stripMargin))
+             |  c_cents, b_cents NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // stream_ss_full_e2e ★ (new r9) — stream-stream FULL OUTER interval
+    // join: completes the streaming join-type matrix (inner r5, left
+    // r6). Matches emit data-driven; null-padded rows on EITHER side
+    // emit by WATERMARK at that side's state-eviction instant — an
+    // unmatched click finalizes when the watermark passes
+    // c_ts + 30 min (the latest purchase that could match it), exactly
+    // the left-outer predicate; an unmatched purchase finalizes when
+    // the watermark passes b_ts (the latest click that could match a
+    // purchase at b_ts is at c_ts = b_ts). Both are strict <, pinned
+    // empirically like the left row; the one-file-per-side
+    // AvailableNow drain fixes the final watermark at
+    // min(max c_ts, max b_ts) − 10 min. Boundary margins measured
+    // across SFs: ≥ 8.1 s (click side) / ≥ 42.5 s (purchase side) —
+    // no tie risk. The declared key is COALESCE(user_id, b_user)
+    // (never null on a full-outer row). Scale: identical state bounds
+    // to the inner/left rows — clicks evict at wm − 30 min, purchases
+    // at wm — the only full-outer shape that survives an unbounded
+    // stream.
+    QueryDef(
+      "stream_ss_full_e2e",
+      (s: SparkSession, dir: String) => {
+        drain(s, ssFullTopo(s, dir), "graft_stream_ssfull")
+          .orderBy("uid", "c_ts", "b_ts", "c_cents", "b_cents")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |c AS (SELECT user_id, ts AS c_ts, cents AS c_cents
+             |      FROM e WHERE event_type = 'click'),
+             |b AS (SELECT user_id AS b_user, ts AS b_ts, cents AS b_cents
+             |      FROM e WHERE event_type = 'purchase'),
+             |wm AS (SELECT LEAST((SELECT MAX(c_ts) FROM c),
+             |                    (SELECT MAX(b_ts) FROM b))
+             |         - INTERVAL 10 MINUTE AS w),
+             |j AS (
+             |  SELECT COALESCE(c.user_id, b.b_user) AS uid,
+             |    c.c_ts, b.b_ts, c.c_cents, b.b_cents
+             |  FROM c FULL JOIN b ON c.user_id = b.b_user
+             |    AND b.b_ts >= c.c_ts
+             |    AND b.b_ts <= c.c_ts + INTERVAL 30 MINUTE)
+             |SELECT uid, c_ts, b_ts, c_cents, b_cents FROM j
+             |WHERE (c_ts IS NOT NULL AND b_ts IS NOT NULL)
+             |   OR (b_ts IS NULL AND c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+             |   OR (c_ts IS NULL AND b_ts < (SELECT w FROM wm))
+             |ORDER BY uid, c_ts NULLS FIRST, b_ts NULLS FIRST,
+             |  c_cents NULLS FIRST, b_cents NULLS FIRST""".stripMargin))
   )
 }
