@@ -88,6 +88,17 @@ object StreamingQueries {
       ds, gapMs = 600000L, timeout = GroupStateTimeout.NoTimeout()).toDF()
   }
 
+  private def sessionWmTopo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").cast("long"), col("ts"),
+        col("cents").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    StreamOps.sessionize(ds, gapMs = 600000L,
+      timeout = GroupStateTimeout.EventTimeTimeout()).toDF()
+  }
+
   private def dedupTopo(s: SparkSession, dir: String): DataFrame =
     StreamOps.dedupStream(
       eventsStream(s, dir), keys = Seq("user_id", "event_type"),
@@ -157,6 +168,7 @@ object StreamingQueries {
   def topologies: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_e2e" -> (tumblingTopo _),
     "stream_session_e2e" -> (sessionTopo _),
+    "stream_session_wm_e2e" -> (sessionWmTopo _),
     "stream_dedup_e2e" -> (dedupTopo _),
     "stream_join_e2e" -> (joinTopo _),
     "stream_ss_join_e2e" -> ssJoinTopo("inner") _,
@@ -266,6 +278,56 @@ object StreamingQueries {
              |FROM y
              |GROUP BY user_id, sid
              |QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+             |ORDER BY user_id, sess_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // stream_session_wm_e2e ★ (new r9) — sessionization with
+    // EVENT-TIME TIMEOUT: the timeout path of flatMapGroupsWithState —
+    // the half stream_session_e2e's NoTimeout contract deliberately
+    // leaves out. Each open session arms a timeout at last + gap (the
+    // instant no in-order event can extend it, in event-time MILLIS);
+    // when the watermark passes it — including on the AvailableNow
+    // no-data flush batch — the state fires, emits, and is removed.
+    // Emitted set (deterministic in a one-batch drain): gap-closed
+    // sessions (in-batch, as before) PLUS watermark-closed tails —
+    // tail islands with last + gap < final wm (= max ts − 10 min
+    // lateness), i.e. last + 20 min < max ts on this fixture. Open
+    // tails inside the horizon still withhold (on a live stream they
+    // fire as the watermark moves — this row pins exactly that
+    // semantics). Boundary margins measured ≥ 4.1 s across SFs, far
+    // above the ms resolution timeouts are armed at. Scale: state is
+    // now GUARANTEED bounded by the watermark (NoTimeout's open tails
+    // live forever; here every state dies gap-past-watermark) — this
+    // is the production shape for unbounded key spaces.
+    QueryDef(
+      "stream_session_wm_e2e",
+      (s: SparkSession, dir: String) => {
+        drain(s, sessionWmTopo(s, dir), "graft_stream_session_wm")
+          .select(col("userId").as("user_id"), col("start").as("sess_start"),
+            col("end").as("sess_end"), col("events").as("n"),
+            col("totalValue").cast("long").as("sum_cents"))
+          .orderBy("user_id", "sess_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e),
+             |x AS (
+             |  SELECT *, CASE WHEN LAG(ts) OVER win IS NULL
+             |      OR ts - LAG(ts) OVER win >= INTERVAL 10 MINUTE
+             |    THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+             |y AS (
+             |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x)
+             |SELECT user_id, MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+             |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM y
+             |GROUP BY user_id, sid
+             |QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+             |   OR MAX(ts) + INTERVAL 10 MINUTE < (SELECT w FROM wm)
              |ORDER BY user_id, sess_start""".stripMargin)),
 
     // ------------------------------------------------------------------

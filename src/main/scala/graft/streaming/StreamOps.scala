@@ -170,6 +170,15 @@ object StreamOps {
             cur.foreach(state.update)
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
               state.setTimeoutDuration(timeoutMs)
+            // Event-time timeout: the session dies when the WATERMARK
+            // passes its gap horizon (last + gap) — the instant no
+            // in-order event can extend it. setTimeoutTimestamp is
+            // MILLIS event time; fires on the first batch whose
+            // watermark exceeds it (including the AvailableNow no-data
+            // flush batch). Requires a withWatermark on the input.
+            if (timeout == GroupStateTimeout.EventTimeTimeout())
+              cur.foreach(s2 => state.setTimeoutTimestamp(
+                Math.floorDiv(s2.last, 1000L) + gapMs))
             closed.result().iterator
           }
       }

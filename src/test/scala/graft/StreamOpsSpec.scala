@@ -97,6 +97,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer EVENT-TIME timeout: open session fires when the watermark passes last + gap, not at it") {
+    // Pins the boundary stream_session_wm_e2e's oracle predicate uses
+    // (strict <): an open session armed at last + gap must NOT emit
+    // while watermark == last + gap, and must emit once the watermark
+    // is past it. Lateness 0 keeps the arithmetic crisp.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.sessionize(
+      in.toDS().withWatermark("_2", "0 seconds"), gapMs = 10 * 60 * 1000,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
+    val q = out.writeStream.format("memory").queryName("sessions_wm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def rows() = spark.table("sessions_wm")
+      .select(col("userId"), col("start").cast("string"),
+        col("end").cast("string"), col("events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    try {
+      // batch 1: u1's lone event — timeout armed at 10:10:00
+      in.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+      // batch 2: filler on another key pushes the watermark exactly TO
+      // the boundary (wm = 10:10:00 after this batch, lateness 0);
+      // the no-data flush batch then runs with that watermark
+      in.addData((9L, ts("2024-01-01 10:10:00"), 1.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        s"session emitted AT watermark == last + gap: ${rows()}")
+      // batch 3: one second past the boundary — u1's session is final
+      in.addData((9L, ts("2024-01-01 10:10:01"), 1.0))
+      q.processAllAvailable()
+      assert(rows().contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1L)),
+        s"session not emitted after watermark passage: ${rows()}")
+      // u9's own open session never fires in this drain (inside horizon)
+      assert(rows().size == 1, s"open-tail session leaked: ${rows()}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: matches across batches, late rows dropped after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val clicksIn = MemoryStream[(Timestamp, Long, Long)]
