@@ -167,6 +167,7 @@ object StreamingQueries {
     */
   def topologies: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_e2e" -> (tumblingTopo _),
+    "stream_update_e2e" -> (tumblingTopo _),
     "stream_session_e2e" -> (sessionTopo _),
     "stream_session_wm_e2e" -> (sessionWmTopo _),
     "stream_dedup_e2e" -> (dedupTopo _),
@@ -182,7 +183,8 @@ object StreamingQueries {
     * finalized state — without that flush batch an append-mode
     * aggregation would emit nothing in a one-batch drain.
     */
-  private def drain(s: SparkSession, df: DataFrame, sink: String): DataFrame = {
+  private def drain(s: SparkSession, df: DataFrame, sink: String,
+      mode: String = "append"): DataFrame = {
     s.catalog.dropTempView(sink) // re-runs in the same session (Bench reps)
     // Streaming STATE partitions are sized at query start from the
     // session's shuffle-partition conf and are a deployment throughput
@@ -199,7 +201,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = df.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(sink)
@@ -237,6 +239,41 @@ object StreamingQueries {
              |GROUP BY 1, 2
              |HAVING CAST(DATE_TRUNC('hour', MIN(ts)) AS TIMESTAMP)
              |         + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+             |ORDER BY ws, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // stream_update_e2e ★ (new r9) — the SAME tumbling-agg topology as
+    // stream_tumbling_e2e drained in UPDATE mode: the output-mode
+    // semantics pair. Append emits a window exactly once, when the
+    // watermark finalizes it — so the tumbling row's answer EXCLUDES
+    // the unfinalized tail windows. Update emits each group's current
+    // value in every batch where it changed — in a one-file
+    // AvailableNow drain (single data batch; the no-data flush batch
+    // changes no group) that is EVERY window exactly once, at its
+    // final value, tail included. So this row's oracle is the plain
+    // batch GROUP BY with NO finalization predicate, and the PAIR of
+    // rows pins the append/update distinction end-to-end through the
+    // engine (same plan, same state store, different sink contract).
+    // On a live stream update mode re-emits amended windows per batch —
+    // the changelog-consumer shape; the memory sink's row list is the
+    // changelog, which is why the one-batch drain is the deterministic
+    // observation point.
+    QueryDef(
+      "stream_update_e2e",
+      (s: SparkSession, dir: String) => {
+        drain(s, tumblingTopo(s, dir), "graft_stream_update", mode = "update")
+          .select(col("ws"), col("event_type"), col("n"),
+            col("sum_value").cast("long").as("sum_cents"))
+          .orderBy("ws", "event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
+             |  event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM e
+             |GROUP BY 1, 2
              |ORDER BY ws, event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
