@@ -58,6 +58,42 @@ class DedupSpec extends SparkSpec {
     assert(got(0) == 620445648566982762L) // the r5 cross-engine constant
   }
 
+  test("randomized fidelity sweep: SimHash64 / Fnv64 / Shingles vs plain-Scala references on unicode corpora (r9)") {
+    // Seeded-random property sweep (the repo's JavaHashSpec pattern —
+    // the scalatestplus scalacheck bridge isn't in the offline cache):
+    // 200 random docs over a mixed ASCII/accented/CJK/emoji alphabet,
+    // lengths 0-30 tokens incl. repeats, pushed through the codegen'd
+    // expressions in one DataFrame pass and compared element-wise to
+    // the plain-Scala references. Covers the edge cases fixed docs
+    // can't enumerate: empty docs, width-1/width-2 docs (no 3-gram),
+    // high multiplicity, multi-byte boundaries inside shingle joins.
+    import graft.functions.Fnv64.fnv64
+    import graft.functions.Shingles
+    val alphabet = Vector("a", "bb", "héllo", "日本", "🙂", "x1", "straße",
+      "中文", "Ω", "tok")
+    val rng = new scala.util.Random(1234)
+    val docs = Seq.fill(200) {
+      Seq.fill(rng.nextInt(31))(alphabet(rng.nextInt(alphabet.size))).mkString(" ")
+    }
+    val got = docs.map(Tuple1(_)).toDF("text")
+      .select(SimHash64.simHash64(split(col("text"), " ")).as("sh"),
+        fnv64(col("text")).as("h"),
+        Shingles.shingles(split(col("text"), " "), 3).as("d3"),
+        Shingles.shinglesAll(split(col("text"), " "), 3).as("a3"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toSeq,
+        r.getSeq[String](3).toSeq))
+      .toSeq
+    val want = docs.map { d =>
+      val toks = d.split(" ", -1).toSeq
+      val all = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      (SimHash64.hashTokens(toks),
+        SimHash64.fnv1a64(org.apache.spark.unsafe.types.UTF8String.fromString(d).getBytes),
+        all.distinct, all)
+    }
+    assert(got == want)
+  }
+
   test("identical token arrays → identical simhash; disjoint vocab → distant") {
     val a = SimHash64.hashTokens(Seq("alpha", "beta", "gamma", "delta"))
     val b = SimHash64.hashTokens(Seq("alpha", "beta", "gamma", "delta"))
