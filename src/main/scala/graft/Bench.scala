@@ -114,14 +114,18 @@ object Bench {
       // flake through the `flaky` counter instead of discarding the row
       // as failed (r7 advice).
       // Short-circuit a deterministically-failing query (r8 advice): once
-      // every rep so far has failed, re-running it can only double the
-      // wasted wall time (a slow failure — minutes of spill before the
-      // throw — is the expensive case). A query with at least one
-      // SUCCESSFUL rep keeps running its remaining reps so min-of-reps
-      // and the flaky counter stay meaningful.
+      // TWO consecutive reps have failed, re-running it can only double
+      // the wasted wall time (a slow failure — minutes of spill before
+      // the throw — is the expensive case). The two-failure floor (r9
+      // advice) keeps a single-rep flake eligible for its retry: a query
+      // that flakes on rep 1 but succeeds on rep 2 reports
+      // flaky-with-a-valid-min, not failed=-1 — the r7 accounting. A
+      // query with at least one SUCCESSFUL rep keeps running its
+      // remaining reps so min-of-reps and the flaky counter stay
+      // meaningful.
       val times = Iterator.continually(timeOne(fn, name))
         .scanLeft(Seq.empty[Double])(_ :+ _).drop(1)
-        .find(ts => ts.size == reps || ts.forall(_ < 0)).get
+        .find(ts => ts.size == reps || (ts.size >= 2 && ts.forall(_ < 0))).get
       val good = times.filter(_ >= 0)
       val best = if (good.isEmpty) -1.0 else good.min
       val spread = if (best <= 0) -1.0 else good.max / best
@@ -153,9 +157,18 @@ object Bench {
     // Anchored path + loud failure (r8 advice): a cwd-relative write with
     // a swallowed Throwable silently dropped the full per-query record
     // whenever Bench ran outside the repo root. SPARK_GRAFT_REPO
-    // overrides; the default is the repo the class was built in.
-    val benchLast = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "dev", "bench_last.json")
+    // overrides; otherwise prefer a cwd that looks like a repo checkout
+    // (has a dev/ dir), falling back to cwd itself (r9 advice: no
+    // machine-specific absolute path baked into source — on a foreign
+    // checkout the write lands next to where Bench ran, and a failure
+    // is already loud below).
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", {
+      val cwd = java.nio.file.Paths.get("").toAbsolutePath
+      cwd.toString
+    })
+    val benchLast = java.nio.file.Paths.get(repoRoot, "dev", "bench_last.json")
+    try java.nio.file.Files.createDirectories(benchLast.getParent)
+    catch { case _: Throwable => () }
     try java.nio.file.Files.writeString(benchLast, fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"WARN: could not write $benchLast: $e") }
