@@ -864,9 +864,12 @@ object RelationalQueries {
     // REAL at every SF (67/846/8215 zero-order customers at
     // sf0.001/0.01/0.1; without it P(no qualifying order) ≈ e⁻⁸ ≈ 0 on
     // this ~10-orders-per-customer fixture and the outer join would be
-    // inner in all but name). Filters must NOT be pushed below the
-    // outer join's null-supplying side — SqlFunctionsSpec pins one
-    // LeftOuter and the ON-clause filter surviving inside the join.
+    // inner in all but name). The ON-clause filters must not be HOISTED
+    // above the join as post-join WHERE filters (that would drop the
+    // null-padded customers the zero bucket counts); pushing them DOWN
+    // into the orders scan is semantics-preserving and is the desired
+    // plan — SqlFunctionsSpec pins one LeftOuter with the filter below
+    // the join on the orders side.
     // At 100 TB: the filtered o_custkey projection of orders and
     // customer shuffle once on the key (no corpus-sized broadcast);
     // agg 1 is co-partitioned with the join (no extra exchange); agg 2
@@ -1070,7 +1073,12 @@ object RelationalQueries {
     // replaced by the scale-free exact-integer form
     // val_c · count > 2 · total — "parts above twice the mean share" —
     // which stays populated at every SF (12/46/644 rows) and crosses no
-    // float boundary. Both scalar reductions must stay once-executed
+    // float boundary. The comparison multiplies two BIGINTs, so it runs
+    // in DECIMAL(38,0) on BOTH sides (r9 advice): Spark non-ANSI would
+    // silently wrap past 2^63 where DuckDB promotes — a latent
+    // cross-engine divergence; in DECIMAL both engines are exact to
+    // 10^38, unreachable (val_c·count < 10^15 even at sf100).
+    // Both scalar reductions must stay once-executed
     // scalar subqueries (spec-pinned, as q_sql_q22/q15). At 100 TB:
     // one region-filtered lineitem⋈supplier⋈nation pass grouped on
     // l_partkey, then two 1-row reductions of that vocabulary-sized
@@ -1090,8 +1098,8 @@ object RelationalQueries {
             WHERE n_regionkey = 1
             GROUP BY l_partkey)
           SELECT l_partkey, val_c FROM val
-          WHERE val_c * (SELECT COUNT(*) FROM val) >
-                2 * (SELECT SUM(val_c) FROM val)
+          WHERE CAST(val_c AS DECIMAL(38,0)) * (SELECT COUNT(*) FROM val) >
+                2 * CAST((SELECT SUM(val_c) FROM val) AS DECIMAL(38,0))
           ORDER BY val_c DESC, l_partkey""")
       },
       Some("""WITH val AS (
@@ -1104,8 +1112,9 @@ object RelationalQueries {
              |  WHERE n_regionkey = 1
              |  GROUP BY l_partkey)
              |SELECT l_partkey, val_c FROM val
-             |WHERE val_c * (SELECT COUNT(*) FROM val) >
-             |      2 * (SELECT CAST(SUM(val_c) AS BIGINT) FROM val)
+             |WHERE CAST(val_c AS DECIMAL(38,0)) * (SELECT COUNT(*) FROM val) >
+             |      2 * CAST((SELECT CAST(SUM(val_c) AS BIGINT) FROM val)
+             |               AS DECIMAL(38,0))
              |ORDER BY val_c DESC, l_partkey""".stripMargin)),
 
     // ------------------------------------------------------------------
