@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** Every declared query of the engine (SURVEY.md §2 Part B). */
   def allQueries: Seq[QueryDef] =
-    CoreQueries.entries ++ RelationalQueries.entries ++ WindowQueries.entries ++
+    CoreQueries.entries ++ RelationalQueries.entries ++ TpchQueries.entries ++
+      WindowQueries.entries ++
       TypesQueries.entries ++ TextQueries.entries ++ DedupQueries.entries ++
       SimilarityQueries.entries ++ IngestQueries.entries ++ MultimodalQueries.entries ++
       AdvancedQueries.entries ++ ProfileQueries.entries ++ GraphQueries.entries ++

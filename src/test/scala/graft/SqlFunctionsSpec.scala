@@ -383,6 +383,144 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(opt.indexOf("l_quantity", joinIdx) > joinIdx, s"no lineitem-side derived filter:\n$opt")
   }
 
+  test("q_sql_q6: pure scan-agg — every predicate reaches the parquet scan, no join") {
+    val df = SparkEntry.queries("q_sql_q6")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Join"), s"Q6 must be join-free:\n$opt")
+    // all three predicate families land in the scan's PushedFilters:
+    // the shipdate band, the discount band, the quantity cap
+    val phys = df.queryExecution.executedPlan.toString
+    val pushedIdx = phys.indexOf("PushedFilters")
+    assert(pushedIdx >= 0, s"no PushedFilters in:\n$phys")
+    val pushed = phys.substring(pushedIdx, (pushedIdx + 600).min(phys.length))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed to the scan: $pushed"))
+    // cross-check the single row against a hand-built filter-agg
+    val want = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+      .filter(col("l_quantity") < 24.0)
+      .agg(count(lit(1)),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          round(col("l_discount") * 100).cast("long")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(got == want && got._1 > 0)
+  }
+
+  test("q_sql_q7: two nation copies stay equi-joins; the cross-copy OR is a post-join filter, no cartesian") {
+    val df = SparkEntry.queries("q_sql_q7")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Cartesian") && !opt.contains("BroadcastNestedLoop"),
+      s"nation-pair OR defeated the equi-join plan:\n$opt")
+    // five equi joins (supplier, orders, customer, nation x2) — the two
+    // nation copies must NOT have been collapsed or cross-joined
+    assert("Join Inner".r.findAllIn(opt).size == 5, s"expected 5 inner joins:\n$opt")
+    // both directions of the region pair carry rows (the OR is live)
+    val dirs = df.collect().map(_.getString(0).split("_")(1).toInt % 5).toSet
+    assert(dirs == Set(1, 2), s"one OR branch empty: $dirs")
+  }
+
+  test("q_sql_q8: one-pass CASE-sum share; the date band sits below the join tree") {
+    val df = SparkEntry.queries("q_sql_q8")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Cartesian") && !opt.contains("BroadcastNestedLoop"),
+      s"non-equi shape in:\n$opt")
+    // numerator and denominator come from ONE aggregate (no self-join
+    // of the snowflake, no second scan for the share)
+    assert("Aggregate".r.findAllIn(opt).size == 1, s"expected one Aggregate:\n$opt")
+    // the order-date band is below the topmost join in tree print
+    // order — i.e. pushed toward the orders scan, not post-join
+    val joinIdx = opt.indexOf("Join Inner")
+    assert(joinIdx >= 0 && opt.indexOf("o_orderdate", joinIdx) > joinIdx,
+      s"date band not below the join tree:\n$opt")
+    // shares are sane e4 fractions and nation_e4 <= total_e4
+    val rows = df.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.forall { case (n, t, s) =>
+      n >= 0 && n <= t && s >= 0 && s <= 10000 })
+  }
+
+  test("q_sql_q9: the part LIKE probe is pushed below the joins; profit arithmetic is exact") {
+    val df = SparkEntry.queries("q_sql_q9")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val joinIdx = opt.indexOf("Join Inner")
+    // Contains(p_name, ring) appears below the join tree (tree print
+    // order), i.e. it filters the part dim before any fact join
+    val likeIdx = opt.indexOf("Contains(p_name")
+    assert(joinIdx >= 0 && likeIdx > joinIdx,
+      s"part LIKE not pushed below the joins:\n$opt")
+    // and it reaches the part SCAN as a pushed StringContains
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("StringContains(p_name,ring)") ||
+      phys.contains("StringContains(p_name, ring)"),
+      s"LIKE not in PushedFilters:\n${phys.take(4000)}")
+    // profit really is rev - cost: recheck one group against raw tables
+    val got = df.collect().map(r =>
+      ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val want = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part").filter(col("p_name").contains("ring")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+          round(col("p_retailprice") * 100).cast("long") *
+            round(col("l_quantity") * 100).cast("long")).as("p"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q_sql_q10: top-k plans TakeOrderedAndProject, both fact filters pushed") {
+    val df = SparkEntry.queries("q_sql_q10")(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    // a LIMIT 20 under a total ORDER BY must be per-partition heaps +
+    // driver merge — never a global sort of the per-customer frame
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n${phys.take(3000)}")
+    // returnflag prunes lineitem at its scan; the quarter band prunes
+    // orders at its scan
+    assert(phys.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed:\n${phys.take(4000)}")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(phys).isDefined,
+      s"quarter band not pushed to orders:\n${phys.take(4000)}")
+    assert(df.collect().length == 20)
+  }
+
+  test("q_sql_q12: conditional agg in one pass, one join, ship-year band pushed") {
+    val df = SparkEntry.queries("q_sql_q12")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("Join Inner".r.findAllIn(opt).size == 1, s"expected one join:\n$opt")
+    assert("Aggregate".r.findAllIn(opt).size == 1, s"expected one Aggregate:\n$opt")
+    val joinIdx = opt.indexOf("Join Inner")
+    assert(opt.indexOf("l_shipdate", joinIdx) > joinIdx,
+      s"ship-year band not below the join:\n$opt")
+    // high + low partition the joined rows exactly
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val joined = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    assert(rows.map(r => r._2 + r._3).sum == joined.count())
+  }
+
+  test("q_sql_q14: single-row CASE-sum ratio; the month band prunes lineitem at the scan") {
+    val df = SparkEntry.queries("q_sql_q14")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("Aggregate".r.findAllIn(opt).size == 1, s"expected one Aggregate:\n$opt")
+    val phys = df.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(phys).isDefined,
+      s"month band not pushed to the lineitem scan:\n${phys.take(4000)}")
+    val Array(row) = df.collect()
+    val (promo, total, share) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(promo > 0 && promo < total, s"degenerate promo split: $promo/$total")
+    // the DECIMAL DIV really floors: share == promo*10000 / total in
+    // exact Long arithmetic (in-range at this SF)
+    assert(share == promo * 10000L / total, s"share $share != ${promo * 10000L / total}")
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
