@@ -139,6 +139,13 @@ object StreamingQueries {
         col("c_cents"), col("b_cents"))
   }
 
+  private def joinAggTopo(s: SparkSession, dir: String): DataFrame =
+    ssJoinTopo("inner")(s, dir)
+      .select(col("c_ts"), (col("c_cents") + col("b_cents")).as("pair_cents"))
+      .groupBy(window(col("c_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"), sum("pair_cents").as("sum_cents"))
+      .select(col("window.start").as("ws"), col("n_pairs"), col("sum_cents"))
+
   private def ssFullTopo(s: SparkSession, dir: String): DataFrame = {
     val clicks = eventsStream(s, dir)
       .filter(col("event_type") === "click")
@@ -166,6 +173,7 @@ object StreamingQueries {
     * transforms run in foreachBatch on BATCH plans, spec-covered.)
     */
   def topologies: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join_agg_e2e" -> (joinAggTopo _),
     "stream_tumbling_e2e" -> (tumblingTopo _),
     "stream_update_e2e" -> (tumblingTopo _),
     "stream_session_e2e" -> (sessionTopo _),
@@ -516,6 +524,64 @@ object StreamingQueries {
              |   OR c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
              |ORDER BY user_id, c_ts, b_ts NULLS FIRST,
              |  c_cents, b_cents NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // stream_join_agg_e2e ★ (new r10) — TWO CHAINED STATEFUL OPERATORS
+    // in one topology: the stream-stream inner interval join (the
+    // stream_ss_join_e2e attribution shape) feeding a watermarked
+    // tumbling aggregation — revenue per click-hour of converted pairs.
+    // This is the production attribution-pipeline topology and the one
+    // streaming semantics no prior row covered: Spark supports multiple
+    // stateful operators with correct cross-operator watermark
+    // propagation since 3.4, and the propagation rule is the thing
+    // under test — the join DELAYS the event-time watermark of the
+    // c_ts column by the join window (state for clicks must live until
+    // wm − 30 min, so the join's OUTPUT watermark is wm − 30 min), and
+    // the downstream agg finalizes a window only when THAT delayed
+    // watermark passes its end. Emitted set in a one-file-per-side
+    // AvailableNow drain (boundary pinned in StreamOpsSpec with
+    // controlled batches — STRICT at the delayed watermark, no emission
+    // when wend equals it, emission one second past): pairs' hour
+    // windows with wend < min(max c_ts, max b_ts) − 10 min − 30 min.
+    // The oracle is the batch interval join + hour group restricted by
+    // exactly that predicate. Inner-join emissions are
+    // watermark-independent (r5 row), so the only watermark dependence
+    // is the finalization cut — deterministic in the one-batch drain;
+    // the fixture's window ends sit far from the cut at every SF
+    // (measured min |wend − delayed wm|: 1230659 / 2698 / 2491 s at
+    // sf0.001/0.01/0.1), so the strict boundary carries no tie risk. Scale: state bounds are
+    // the join's eviction horizons plus one open hour window per key —
+    // both watermark-bounded; the chained shape adds no unbounded
+    // state.
+    QueryDef(
+      "stream_join_agg_e2e",
+      (s: SparkSession, dir: String) => {
+        drain(s, joinAggTopo(s, dir), "graft_stream_joinagg")
+          .orderBy("ws")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |c AS (SELECT user_id, ts AS c_ts, cents AS c_cents
+             |      FROM e WHERE event_type = 'click'),
+             |b AS (SELECT user_id AS b_user, ts AS b_ts, cents AS b_cents
+             |      FROM e WHERE event_type = 'purchase'),
+             |wm AS (SELECT LEAST((SELECT MAX(c_ts) FROM c),
+             |                    (SELECT MAX(b_ts) FROM b))
+             |         - INTERVAL 10 MINUTE - INTERVAL 30 MINUTE AS w),
+             |j AS (
+             |  SELECT c.c_ts, c.c_cents + b.b_cents AS pair_cents
+             |  FROM c JOIN b ON c.user_id = b.b_user
+             |    AND b.b_ts >= c.c_ts
+             |    AND b.b_ts <= c.c_ts + INTERVAL 30 MINUTE)
+             |SELECT CAST(DATE_TRUNC('hour', c_ts) AS TIMESTAMP) AS ws,
+             |  COUNT(*) AS n_pairs, CAST(SUM(pair_cents) AS BIGINT) AS sum_cents
+             |FROM j
+             |GROUP BY 1
+             |HAVING CAST(DATE_TRUNC('hour', MIN(c_ts)) AS TIMESTAMP)
+             |         + INTERVAL 1 HOUR < (SELECT w FROM wm)
+             |ORDER BY ws""".stripMargin)),
 
     // ------------------------------------------------------------------
     // stream_ss_full_e2e ★ (new r9) — stream-stream FULL OUTER interval

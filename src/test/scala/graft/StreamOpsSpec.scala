@@ -218,4 +218,67 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows().size == 2, s"open-tail click leaked: ${rows()}")
     } finally q.stop()
   }
+
+  test("chained join→agg: the interval join DELAYS the downstream watermark by the join window") {
+    // The stream_join_agg_e2e topology reduced to a controlled corpus:
+    // inner interval join (30-min window, 10-min lateness) feeding a
+    // 1-hour tumbling agg on c_ts. The pin: the agg's window does NOT
+    // finalize when the plain watermark (max ts − lateness) passes its
+    // end — only when the JOIN-DELAYED watermark (wm − 30 min) does.
+    // This is the cross-operator propagation rule the declared oracle
+    // encodes (wend ≤ wm − lateness − join window); without the delay
+    // the engine could emit an hour window while a late-but-admissible
+    // purchase could still create a pair inside it.
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Timestamp, Long, Long)]
+    val buysIn = MemoryStream[(Timestamp, Long, Long)]
+    val joined = StreamOps.intervalJoin(
+      clicksIn.toDF().toDF("c_ts", "user_id", "c_cents"), "user_id", "c_ts",
+      buysIn.toDF().toDF("b_ts", "b_user", "b_cents"), "b_user", "b_ts",
+      window = "30 minutes", lateness = "10 minutes", joinType = "inner")
+      .select(col("c_ts"), (col("c_cents") + col("b_cents")).as("pair_cents"))
+      .groupBy(window(col("c_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"), sum("pair_cents").as("sum_cents"))
+      .select(col("window.start").cast("string").as("ws"),
+        col("n_pairs"), col("sum_cents"))
+    val q = joined.writeStream.format("memory").queryName("joinagg")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def rows() = spark.table("joinagg").as[(String, Long, Long)].collect().toSet
+    try {
+      // batch 1: one converted pair in the hour-10 window
+      clicksIn.addData((ts("2024-01-01 10:05:00"), 1L, 100L))
+      buysIn.addData((ts("2024-01-01 10:10:00"), 1L, 500L))
+      q.processAllAvailable()
+      assert(rows().isEmpty, s"window emitted at wm 0: ${rows()}")
+      // batch 2: both watermarks → 11:15 (rows at 11:25, non-matching
+      // users). The PLAIN watermark has passed the window end (11:00 ≤
+      // 11:15) — an agg fed directly would finalize here — but the
+      // join-delayed watermark is 10:45 < 11:00, and a purchase at
+      // 11:15 ∈ [c_ts, c_ts+30m] of a 10:59 click could still land in
+      // this window, so it must NOT emit
+      clicksIn.addData((ts("2024-01-01 11:25:00"), 3L, 1L))
+      buysIn.addData((ts("2024-01-01 11:25:00"), 9L, 1L))
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        s"hour-10 window emitted while join state could still feed it: ${rows()}")
+      // batch 3: watermarks → 11:30 exactly; delayed wm = 11:00 = wend.
+      // Finalization is STRICT past the delayed watermark (measured —
+      // the propagated watermark sits at (wm − join window) with the
+      // engine emitting only wend strictly below it), so the boundary
+      // batch must NOT emit; the declared oracle therefore uses <,
+      // not ≤
+      clicksIn.addData((ts("2024-01-01 11:40:00"), 4L, 1L))
+      buysIn.addData((ts("2024-01-01 11:40:00"), 9L, 1L))
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        s"emission AT the delayed-watermark boundary — the oracle's strict < " +
+          s"no longer matches the engine: ${rows()}")
+      // batch 4: one second past — unambiguously final
+      clicksIn.addData((ts("2024-01-01 11:40:01"), 5L, 1L))
+      buysIn.addData((ts("2024-01-01 11:40:01"), 9L, 1L))
+      q.processAllAvailable()
+      assert(rows() == Set(("2024-01-01 10:00:00", 1L, 600L)),
+        s"pair window missing past the delayed watermark: ${rows()}")
+    } finally q.stop()
+  }
 }
