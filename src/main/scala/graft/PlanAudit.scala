@@ -223,6 +223,84 @@ object PlanAudit {
         }
     }
 
+  /** EXECUTED-plan streaming sweep (r10 — the r9 verdict's residual #4):
+    * [[sweepStreaming]] sees only the ANALYZED pre-start plan
+    * (optimization and physical planning require `start()`), so
+    * physical-only hazards inside a stream — a cartesian/BNLJ the
+    * per-batch planner chose, a single-task analytic window, or a
+    * stateful operator whose state landed in ONE partition — were
+    * reviewed, not machine-checked. This sweep DRAINS each registered
+    * topology into a throwaway memory sink (AvailableNow, the same
+    * 8-state-partition conf the declared drains use) and walks
+    * `lastExecution.executedPlan` — the physical plan of the final
+    * micro-batch, the one that performed watermark finalization — with
+    * the batch sweep's physical checks plus a state-distribution sanity
+    * check (a StatefulOperator with numPartitions == 1 means ALL
+    * streaming state serializes through one task — the streaming analog
+    * of the single-task window). Flags carry a `streamx:` prefix so a
+    * finding can never be satisfied by a batch or analyzed-plan
+    * allowlist entry.
+    */
+  def auditExecutedTopology(spark: SparkSession, name: String,
+      df: org.apache.spark.sql.DataFrame): Seq[Finding] = {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    val sink = s"plan_audit_${name.replaceAll("[^A-Za-z0-9_]", "_")}"
+    spark.catalog.dropTempView(sink)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+      if (exec == null)
+        Seq(Finding(name, "streamx:NO EXECUTION", documented = false))
+      else {
+        val plan = exec.executedPlan
+        val s = plan.toString
+        val singleTaskState = plan.collect {
+          case p: org.apache.spark.sql.execution.SparkPlan
+              with org.apache.spark.sql.execution.streaming.operators
+                .stateful.StatefulOperator
+              if p.stateInfo.exists(_.numPartitions == 1) => p
+        }.nonEmpty
+        val globalWin = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        Seq(
+          "streamx:cartesianJoin" -> s.contains("CartesianProduct"),
+          "streamx:bnlJoin" -> s.contains("BroadcastNestedLoopJoin"),
+          "streamx:globalWindow" -> globalWin,
+          "streamx:singleTaskState" -> singleTaskState)
+          .collect { case (f, true) =>
+            Finding(name, f, documented.contains((name, f))) }
+      }
+    } catch { case e: Throwable =>
+      Seq(Finding(name,
+        s"streamx:PLAN ERROR ${Option(e.getMessage).getOrElse(e.toString).take(100)}",
+        documented = false))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.streams.active.filter(q => Option(q.name).contains(sink))
+        .foreach(_.stop())
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
+  /** Run [[auditExecutedTopology]] over every registered topology. */
+  def sweepStreamingExecuted(spark: SparkSession, dir: String): Seq[Finding] =
+    graft.queries.StreamingQueries.topologies.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try auditExecutedTopology(spark, name, fn(spark, dir))
+        catch { case e: Throwable =>
+          Seq(Finding(name,
+            s"streamx:PLAN ERROR ${Option(e.getMessage).getOrElse(e.toString).take(100)}",
+            documented = false))
+        }
+    }
+
   /** Sweep every declared query's physical plan. Pure analysis — builds
     * each plan without executing it (e2e queries still run their setup
     * side effects, which is why sweeps run at sf0.001). Any thrown plan
@@ -286,7 +364,8 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val findings = sweep(spark, dir) ++ sweepStreaming(spark, dir)
+    val findings = sweep(spark, dir) ++ sweepStreaming(spark, dir) ++
+      sweepStreamingExecuted(spark, dir)
     findings.foreach { f =>
       println(s"${f.query}: ${f.flag}${if (f.documented) " (documented)" else "  <-- UNDOCUMENTED"}")
     }

@@ -22,7 +22,8 @@ class PlanAuditSpec extends SparkSpec {
   // (and runs the e2e queries' setup side effects), so running it twice
   // would double the suite's cost for no information.
   private lazy val findings =
-    PlanAudit.sweep(spark, sfDir) ++ PlanAudit.sweepStreaming(spark, sfDir)
+    PlanAudit.sweep(spark, sfDir) ++ PlanAudit.sweepStreaming(spark, sfDir) ++
+      PlanAudit.sweepStreamingExecuted(spark, sfDir)
 
   test("plan sweep over all declared queries finds no undocumented anti-pattern") {
     val undocumented = findings.filterNot(_.documented)
@@ -72,6 +73,30 @@ class PlanAuditSpec extends SparkSpec {
     // and the hint-free topology stays clean
     val clean = stream.join(dim, Seq("user_id"))
     assert(PlanAudit.unboundedHintCount(clean.queryExecution.analyzed) == 0)
+  }
+
+  test("sharpness: the EXECUTED-plan sweep catches a planted physical nested-loop inside a drained stream (r10)") {
+    // The analyzed-plan sweep can only see what analysis shows; this
+    // plants a hazard that exists ONLY physically — a stream-static
+    // join with no equi key, which the per-batch planner must render as
+    // a BroadcastNestedLoopJoin — drains it for real, and asserts the
+    // executed-plan walk flags it. A sweep that can't catch this would
+    // make the streamx: checks decorative.
+    import org.apache.spark.sql.functions._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select("event_id", "user_id")
+    val dim = spark.read.parquet(s"$sfDir/region.parquet")
+    val planted = stream.join(dim, col("user_id") =!= col("r_regionkey"))
+    val fs = PlanAudit.auditExecutedTopology(spark, "planted_bnlj", planted)
+    assert(fs.exists(f => !f.documented &&
+      (f.flag == "streamx:bnlJoin" || f.flag == "streamx:cartesianJoin")),
+      s"planted physical nested-loop not flagged: $fs")
+    // and a real registered topology audits clean through the same path
+    val clean = PlanAudit.auditExecutedTopology(spark, "clean_probe",
+      graft.queries.StreamingQueries.topologies("stream_tumbling_e2e")(spark, sfDir))
+    assert(clean.isEmpty, s"clean topology flagged: $clean")
   }
 
   test("sharpness: a condition-less join inside a streaming topology is caught") {
