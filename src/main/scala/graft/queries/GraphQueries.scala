@@ -95,14 +95,34 @@ object GraphQueries {
     * read (measured at gen-sf1: battery 333 s → 166 s, PERF_NOTES r10).
     */
   private def undEdges(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Paths.get(
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val path = Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_edges_${edgeTableKey(dir)}")
     edgeTableLock.synchronized {
-      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+      if (!Files.exists(path.resolve("_SUCCESS"))) {
+        // Build into a unique sibling dir, then atomically rename into
+        // place: the in-JVM lock can't cover a concurrent Verify/Bench
+        // PROCESS pair, and two writers overwriting one live directory
+        // would corrupt it for both. rename(2) either installs this
+        // build or fails because a racer won — in which case the
+        // racer's (identical) table is used and ours is discarded.
+        val tmp = Paths.get(s"$path.tmp-${java.util.UUID.randomUUID()}")
         pairStream(Tables(s, dir, "documents"))
           .groupBy("w1", "w2").agg(count(lit(1)).as("sup"))
           .filter(col("sup") >= 3L).select("w1", "w2")
-          .write.mode("overwrite").parquet(path.toString)
+          .write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          // lost the race (or non-atomic fs): keep the winner's table
+          import scala.jdk.CollectionConverters._
+          if (Files.exists(path.resolve("_SUCCESS"))) {
+            Files.walk(tmp)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala
+              .foreach(p => try Files.deleteIfExists(p) catch {
+                case _: Exception => () })
+          } else Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
+        }
       }
     }
     s.read.parquet(path.toString)
