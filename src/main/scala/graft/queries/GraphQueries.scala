@@ -46,16 +46,8 @@ object GraphQueries {
     * the materialized edge table): path + size + mtime-millis, so a
     * regenerated corpus at the same path gets a fresh table.
     */
-  private[queries] def edgeTableKey(dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val a = java.nio.file.Files.readAttributes(
-      src, classOf[java.nio.file.attribute.BasicFileAttributes])
-    val id = s"${src.toAbsolutePath}:${a.size}:${a.lastModifiedTime.toMillis}"
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-  }
-
-  private val edgeTableLock = new Object
+  private[queries] def edgeTableKey(dir: String): String =
+    CorpusTable.corpusKey(dir)
 
   /** The graph battery's SHARED edge definition (r8): undirected token
     * co-occurrence edges with SUPPORT ≥ 3 documents. Support
@@ -94,39 +86,12 @@ object GraphQueries {
     * the first graph query in a run pays the build, the other three
     * read (measured at gen-sf1: battery 333 s → 166 s, PERF_NOTES r10).
     */
-  private def undEdges(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val path = Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_edges_${edgeTableKey(dir)}")
-    edgeTableLock.synchronized {
-      if (!Files.exists(path.resolve("_SUCCESS"))) {
-        // Build into a unique sibling dir, then atomically rename into
-        // place: the in-JVM lock can't cover a concurrent Verify/Bench
-        // PROCESS pair, and two writers overwriting one live directory
-        // would corrupt it for both. rename(2) either installs this
-        // build or fails because a racer won — in which case the
-        // racer's (identical) table is used and ours is discarded.
-        val tmp = Paths.get(s"$path.tmp-${java.util.UUID.randomUUID()}")
-        pairStream(Tables(s, dir, "documents"))
-          .groupBy("w1", "w2").agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 3L).select("w1", "w2")
-          .write.mode("overwrite").parquet(tmp.toString)
-        try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          // lost the race (or non-atomic fs): keep the winner's table
-          import scala.jdk.CollectionConverters._
-          if (Files.exists(path.resolve("_SUCCESS"))) {
-            Files.walk(tmp)
-              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator().asScala
-              .foreach(p => try Files.deleteIfExists(p) catch {
-                case _: Exception => () })
-          } else Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
-        }
-      }
+  private def undEdges(s: SparkSession, dir: String): DataFrame =
+    CorpusTable.materialized(s, dir, "graft_edges") {
+      pairStream(Tables(s, dir, "documents"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 3L).select("w1", "w2")
     }
-    s.read.parquet(path.toString)
-  }
 
   /** Both directions of [[undEdges]] — the symmetric directed edge
     * frame the PageRank family iterates. */
