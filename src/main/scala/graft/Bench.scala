@@ -163,8 +163,12 @@ object Bench {
     // checkout the write lands next to where Bench ran, and a failure
     // is already loud below).
     val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", {
+      // walk up from cwd to the nearest dir that already has dev/
+      // (a repo checkout); fall back to cwd itself
       val cwd = java.nio.file.Paths.get("").toAbsolutePath
-      cwd.toString
+      Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+        .find(p => java.nio.file.Files.isDirectory(p.resolve("dev")))
+        .getOrElse(cwd).toString
     })
     val benchLast = java.nio.file.Paths.get(repoRoot, "dev", "bench_last.json")
     try java.nio.file.Files.createDirectories(benchLast.getParent)

@@ -252,7 +252,13 @@ object PlanAudit {
       val q = df.writeStream.format("memory").queryName(sink)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // bounded wait: a stalled AvailableNow drain (source
+      // misconfiguration) must yield a finding, not hang the sweep
+      val drained = q.awaitTermination(300000L)
+      if (!drained) {
+        try q.stop() catch { case _: Exception => () }
+        return Seq(Finding(name, "streamx:TIMEOUT", documented = false))
+      }
       val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
       if (exec == null)
         Seq(Finding(name, "streamx:NO EXECUTION", documented = false))

@@ -50,21 +50,34 @@ object CorpusTable {
     lock.synchronized {
       if (!Files.exists(path.resolve("_SUCCESS"))) {
         val tmp = Paths.get(s"$path.tmp-${java.util.UUID.randomUUID()}")
-        build.write.mode("overwrite").parquet(tmp.toString)
-        try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          // lost the race (or non-atomic fs): keep the winner's table
-          import scala.jdk.CollectionConverters._
-          if (Files.exists(path.resolve("_SUCCESS"))) {
-            Files.walk(tmp)
-              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator().asScala
-              .foreach(p => try Files.deleteIfExists(p) catch {
-                case _: Exception => () })
-          } else Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
-        }
+        var installed = false
+        try {
+          build.write.mode("overwrite").parquet(tmp.toString)
+          try { Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE); installed = true }
+          catch { case _: java.nio.file.FileSystemException =>
+            // lost the race (or non-atomic fs): keep the winner's table
+            if (!Files.exists(path.resolve("_SUCCESS"))) {
+              // no winner — a stale/partial table (no _SUCCESS) blocks the
+              // rename; REPLACE_EXISTING cannot replace a non-empty dir, so
+              // clear it first
+              deleteRecursively(path)
+              Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
+              installed = true
+            }
+          }
+        } finally if (!installed) deleteRecursively(tmp)
       }
     }
     s.read.parquet(path.toString)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(q => try Files.deleteIfExists(q) catch { case _: Exception => () })
   }
 }

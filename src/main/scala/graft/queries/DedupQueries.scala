@@ -292,31 +292,19 @@ object DedupQueries {
     * materialized relation is THE SAME relation each query built inline
     * (DuckDB's oracle still derives it from the same threshold rule
     * inside each query), which the per-query hash-matches prove. The
-    * build's corpus-linear per-doc persist is released as soon as the
-    * table is written (`persistReg`) — nothing reads it again.
+    * build's corpus-linear per-doc persist is released once
+    * `materialized` returns — by then the table is written (or was
+    * already cached and the build never ran), and nothing reads the
+    * persist again.
     */
-  private def jacPairTable(s: SparkSession, dir: String): DataFrame =
-    CorpusTable.materialized(s, dir, "graft_jacpairs") {
-      val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
-      val out = jaccardPairs(shingleText(s, dir), minJacE4 = 6000L,
+  private def jacPairTable(s: SparkSession, dir: String): DataFrame = {
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = CorpusTable.materialized(s, dir, "graft_jacpairs") {
+      jaccardPairs(shingleText(s, dir), minJacE4 = 6000L,
         persistReg = Some(persisted))
-      // materialized() writes `out` before returning control, but the
-      // unpersist must run AFTER that write — wrap via a mapPartitions
-      // no-op? No: materialized() evaluates `build` lazily only to call
-      // .write on it, so schedule the release on a completion hook is
-      // overkill; instead return the frame and release in the caller of
-      // write. CorpusTable evaluates build once, writes, then returns —
-      // release here would be too early. Handled below.
-      PairBuildRelease.set(persisted)
-      out
     }
-
-  /** Holder releasing the pair build's per-doc persist once the
-    * materialized write completes (see [[jacPairTable]]). */
-  private object PairBuildRelease {
-    private var frames: Seq[DataFrame] = Nil
-    def set(f: Seq[DataFrame]): Unit = frames = f
-    def release(): Unit = { frames.foreach(_.unpersist()); frames = Nil }
+    persisted.foreach(_.unpersist())
+    out
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -328,7 +316,7 @@ object DedupQueries {
     QueryDef(
       "q_dedup_ngram",
       (s: SparkSession, dir: String) =>
-        jaccardPairs(shingleText(s, dir), minJacE4 = 6000L)
+        jacPairTable(s, dir)
           .orderBy("d1", "d2"),
       Some(s"""WITH $ShSql,
               |$JacSql
@@ -362,8 +350,7 @@ object DedupQueries {
       "q_dedup_groups",
       (s: SparkSession, dir: String) =>
         connectedComponents(s,
-          jaccardPairs(shingleText(s, dir), minJacE4 = 6000L)
-            .select(col("d1"), col("d2"))),
+          jacPairTable(s, dir).select(col("d1"), col("d2"))),
       Some(s"""WITH RECURSIVE $ShSql,
               |$JacSql,
               |dup AS MATERIALIZED (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
@@ -395,8 +382,7 @@ object DedupQueries {
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window
         val labels = connectedComponents(s,
-          jaccardPairs(shingleText(s, dir), minJacE4 = 6000L)
-            .select(col("d1"), col("d2")))
+          jacPairTable(s, dir).select(col("d1"), col("d2")))
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
         val ranked = labels.join(toks, "doc_id")

@@ -1,0 +1,96 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+/** Pins for the per-corpus materialization seam itself (r11): the happy
+  * path is exercised implicitly by every graph/dedup query, so this
+  * covers the recovery paths the r10 advice flagged — a stale partial
+  * table (no `_SUCCESS`) squatting on the target path used to crash the
+  * fallback move with `DirectoryNotEmptyException`, and a failed build
+  * used to leak its `*.tmp-UUID` dir.
+  */
+class CorpusTableSpec extends graft.SparkSpec {
+
+  private def tablePath(prefix: String) = Paths.get(
+    System.getProperty("java.io.tmpdir"),
+    s"${prefix}_${CorpusTable.corpusKey(sfDir)}")
+
+  private def deleteAll(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(q => Files.deleteIfExists(q))
+  }
+
+  test("materialized recovers from a stale partial table (no _SUCCESS) at the target path") {
+    val path = tablePath("graft_teststale")
+    deleteAll(path)
+    Files.createDirectories(path)
+    Files.writeString(path.resolve("junk.parquet"), "not parquet")
+    try {
+      val df = CorpusTable.materialized(spark, sfDir, "graft_teststale") {
+        spark.range(5).toDF("v")
+      }
+      assert(df.count() == 5)
+      assert(Files.exists(path.resolve("_SUCCESS")),
+        "stale dir was not replaced by a completed table")
+      assert(!Files.exists(path.resolve("junk.parquet")),
+        "stale content survived the replace")
+    } finally deleteAll(path)
+  }
+
+  test("a failed build leaves no tmp dir and no table") {
+    val path = tablePath("graft_testfail")
+    deleteAll(path)
+    intercept[RuntimeException] {
+      CorpusTable.materialized(spark, sfDir, "graft_testfail") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!Files.exists(path), "failed build installed a table")
+    import scala.jdk.CollectionConverters._
+    val leaked = Files.list(Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("graft_testfail"))
+      .toSeq
+    assert(leaked.isEmpty, s"leaked tmp dirs: $leaked")
+  }
+
+  test("dedup trio flows through ONE materialized pair table per corpus (r11 amortization pin)") {
+    val path = tablePath("graft_jacpairs")
+    deleteAll(path)
+    // constructing q_dedup_ngram builds the table (materialized is eager)
+    val pairs = graft.SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+    assert(Files.exists(path.resolve("_SUCCESS")),
+      "q_dedup_ngram did not build the per-corpus pair table")
+    // the consumer plan READS the table — no inline PPJoin rebuild (a
+    // shingle re-explode would show up as a Generate node)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_jacpairs"),
+      s"q_dedup_ngram does not scan the materialized pair table:\n$plan")
+    assert(!plan.contains("Generate"),
+      "consumer plan re-explodes shingles — the corpus pass leaked into the consumer")
+    // the other two consumers reuse the SAME table without rebuilding it
+    val mtime = Files.getLastModifiedTime(path.resolve("_SUCCESS"))
+    assert(graft.SparkEntry.queries("q_dedup_groups")(spark, sfDir).count() > 0)
+    assert(graft.SparkEntry.queries("q_dedup_canonical")(spark, sfDir).count() > 0)
+    assert(Files.getLastModifiedTime(path.resolve("_SUCCESS")) == mtime,
+      "a consumer rebuilt the pair table instead of reading it")
+  }
+
+  test("second call reads the cached table without re-running the build") {
+    val path = tablePath("graft_testcache")
+    deleteAll(path)
+    try {
+      var builds = 0
+      def make() = CorpusTable.materialized(spark, sfDir, "graft_testcache") {
+        builds += 1
+        spark.range(3).toDF("v")
+      }
+      assert(make().count() == 3)
+      assert(make().count() == 3)
+      assert(builds == 1, s"build ran $builds times — cache miss on second call")
+    } finally deleteAll(path)
+  }
+}
