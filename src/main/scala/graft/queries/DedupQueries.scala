@@ -214,7 +214,8 @@ object DedupQueries {
     * (DedupSpec forces the distributed path with driverMaxEdges = 0).
     */
   def connectedComponents(s: SparkSession, pairs: DataFrame,
-      driverMaxEdges: Long = 1000000L): DataFrame = {
+      driverMaxEdges: Long = 1000000L,
+      persistReg: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -270,6 +271,12 @@ object DedupQueries {
         throw new IllegalStateException(
           s"connectedComponents: label propagation not converged after $rounds rounds")
     }
+    // both paths are done with the edge cache here: the driver path
+    // consumed it in the collect, and the distributed loop's final label
+    // cache is already filled (each round's convergence aggregate
+    // materialized it)
+    edges.unpersist()
+    persistReg.foreach(_ += labels)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("d").as("doc_id"), col("lbl").as("cluster_id"),
@@ -301,6 +308,26 @@ object DedupQueries {
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = CorpusTable.materialized(s, dir, "graft_jacpairs") {
       jaccardPairs(shingleText(s, dir), minJacE4 = 6000L,
+        persistReg = Some(persisted))
+    }
+    persisted.foreach(_.unpersist())
+    out
+  }
+
+  /** The dedup battery's shared CLUSTER relation — connected components
+    * over [[jacPairTable]] — materialized once per corpus for the same
+    * reason as the pair table: both `q_dedup_groups` (the labels
+    * themselves) and `q_dedup_canonical` (survivor policy over them)
+    * need the identical label frame, and the CC iteration is the
+    * second-largest shared cost after the pair build. Component-linear
+    * (one row per clustered doc), always ≪ corpus. Oracles still derive
+    * the clustering inline via the recursive CTE, so the per-query
+    * hash-matches keep proving equivalence.
+    */
+  private def ccLabelTable(s: SparkSession, dir: String): DataFrame = {
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = CorpusTable.materialized(s, dir, "graft_jaccc") {
+      connectedComponents(s, jacPairTable(s, dir).select(col("d1"), col("d2")),
         persistReg = Some(persisted))
     }
     persisted.foreach(_.unpersist())
@@ -349,8 +376,7 @@ object DedupQueries {
     QueryDef(
       "q_dedup_groups",
       (s: SparkSession, dir: String) =>
-        connectedComponents(s,
-          jacPairTable(s, dir).select(col("d1"), col("d2"))),
+        ccLabelTable(s, dir).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $ShSql,
               |$JacSql,
               |dup AS MATERIALIZED (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
@@ -381,8 +407,7 @@ object DedupQueries {
       "q_dedup_canonical",
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window
-        val labels = connectedComponents(s,
-          jacPairTable(s, dir).select(col("d1"), col("d2")))
+        val labels = ccLabelTable(s, dir)
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
         val ranked = labels.join(toks, "doc_id")

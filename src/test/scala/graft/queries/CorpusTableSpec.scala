@@ -73,10 +73,23 @@ class CorpusTableSpec extends graft.SparkSpec {
       "consumer plan re-explodes shingles — the corpus pass leaked into the consumer")
     // the other two consumers reuse the SAME table without rebuilding it
     val mtime = Files.getLastModifiedTime(path.resolve("_SUCCESS"))
-    assert(graft.SparkEntry.queries("q_dedup_groups")(spark, sfDir).count() > 0)
+    val ccPath = tablePath("graft_jaccc")
+    deleteAll(ccPath)
+    // q_dedup_groups builds the shared CC label table off the pair table
+    val labels = graft.SparkEntry.queries("q_dedup_groups")(spark, sfDir)
+    assert(labels.count() > 0)
+    assert(Files.exists(ccPath.resolve("_SUCCESS")),
+      "q_dedup_groups did not build the per-corpus label table")
+    val labelPlan = labels.queryExecution.executedPlan.toString
+    assert(labelPlan.contains("graft_jaccc"),
+      s"q_dedup_groups does not scan the materialized label table:\n$labelPlan")
+    // q_dedup_canonical reuses BOTH tables without rebuilding either
+    val ccMtime = Files.getLastModifiedTime(ccPath.resolve("_SUCCESS"))
     assert(graft.SparkEntry.queries("q_dedup_canonical")(spark, sfDir).count() > 0)
     assert(Files.getLastModifiedTime(path.resolve("_SUCCESS")) == mtime,
       "a consumer rebuilt the pair table instead of reading it")
+    assert(Files.getLastModifiedTime(ccPath.resolve("_SUCCESS")) == ccMtime,
+      "q_dedup_canonical rebuilt the label table instead of reading it")
   }
 
   test("second call reads the cached table without re-running the build") {
