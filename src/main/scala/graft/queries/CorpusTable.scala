@@ -39,14 +39,19 @@ object CorpusTable {
 
   private val lock = new Object
 
-  /** Read the materialized table at `<tmpdir>/<prefix>_<corpusKey>`,
+  /** Read the materialized table at `<tableDir>/<prefix>_<corpusKey>`,
     * building it first (once per corpus, process-race-safe) if absent.
+    * `tableDir` comes from `spark.graft.corpusTableDir` (a deployment
+    * points it at shared storage — the lake location every executor and
+    * every job can read); default is the local tmpdir, right for this
+    * single-machine harness.
     */
   private[queries] def materialized(s: SparkSession, dir: String, prefix: String)(
       build: => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val path = Paths.get(
-      System.getProperty("java.io.tmpdir"), s"${prefix}_${corpusKey(dir)}")
+    val tableDir = s.conf.getOption("spark.graft.corpusTableDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val path = Paths.get(tableDir, s"${prefix}_${corpusKey(dir)}")
     lock.synchronized {
       if (!Files.exists(path.resolve("_SUCCESS"))) {
         val tmp = Paths.get(s"$path.tmp-${java.util.UUID.randomUUID()}")

@@ -92,6 +92,23 @@ class CorpusTableSpec extends graft.SparkSpec {
       "q_dedup_canonical rebuilt the label table instead of reading it")
   }
 
+  test("spark.graft.corpusTableDir relocates the table store (deployment knob)") {
+    val alt = Files.createTempDirectory("graft_tabledir_test")
+    spark.conf.set("spark.graft.corpusTableDir", alt.toString)
+    try {
+      val df = CorpusTable.materialized(spark, sfDir, "graft_testloc") {
+        spark.range(7).toDF("v")
+      }
+      assert(df.count() == 7)
+      val at = alt.resolve(s"graft_testloc_${CorpusTable.corpusKey(sfDir)}")
+      assert(Files.exists(at.resolve("_SUCCESS")),
+        s"table not installed under the configured dir: $at")
+    } finally {
+      spark.conf.unset("spark.graft.corpusTableDir")
+      deleteAll(alt)
+    }
+  }
+
   test("second call reads the cached table without re-running the build") {
     val path = tablePath("graft_testcache")
     deleteAll(path)
