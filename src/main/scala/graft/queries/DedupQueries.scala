@@ -817,31 +817,45 @@ object DedupQueries {
     // spell-variant / near-key matching kernel of entity resolution
     // ("Acme Corp" vs "Acme Corp.") and of OCR/typo normalization in a
     // training-data pipeline. The all-pairs levenshtein is made
-    // sub-quadratic by LENGTH-BAND BLOCKING, complete by construction:
-    // ed ≤ 2 forces |len(a) − len(b)| ≤ 2, so the probe side explodes
-    // each word to its 5 admissible length keys and the build side
-    // keys on its own length — every qualifying pair meets on exactly
-    // one key (build length is unique), no dedup needed, and only
-    // near-length candidates ever reach the (codegen'd built-in)
-    // levenshtein. Plan: one corpus→vocabulary agg (map-side combined),
-    // then a vocabulary-sized blocked self-join — never corpus²; at
-    // 100 TB vocabulary ≪ corpus and the band join is a few hash
-    // partitions. The canonical column implements the merge direction
-    // (variant → most frequent form) a normalization pass applies.
+    // sub-quadratic by SYMSPELL DELETION-NEIGHBORHOOD BLOCKING
+    // (r11; was length-band blocking): ed ≤ 2 forces the two words to
+    // share a common ≤2-deletion variant (pigeonhole over an optimal
+    // alignment — proof in [[graft.functions.DeletionVariants]]), so
+    // each vocabulary word explodes to its 1 + L + L(L−1)/2 deletion
+    // keys and candidates are an equi-join on the key. Length bands
+    // kept ~(V/bands)² pairs per band — every near-length pair reached
+    // the levenshtein (measured gen-sf1: 145.8 s, ~10⁸ candidates);
+    // deletion keys are selective (a bucket is the words that SHARE a
+    // subsequence, not a length), and only genuine near-neighbors plus
+    // rare same-key impostors reach the verify. A pair can share many
+    // keys, so candidates dedup on the bare word pair BEFORE the
+    // verify (the jaccardPairs lesson: dedup thin rows, join wide data
+    // back after — here c1/c2 ride along, vocabulary-sized either
+    // way). Plan: one corpus→vocabulary agg (map-side combined,
+    // persisted — both join branches consume it), then a
+    // vocabulary-sized key join — never corpus²; at 100 TB vocabulary
+    // ≪ corpus and both key-join sides shuffle vocabulary-scale rows.
+    // The canonical column implements the merge direction (variant →
+    // most frequent form) a normalization pass applies.
     QueryDef(
       "q_fuzzy_match",
       (s: SparkSession, dir: String) => {
-        val v = Tables(s, dir, "documents")
+        val vLazy = Tables(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c"))
-        val probe = v.select(col("w").as("w1"), col("c").as("c1"),
-          explode(sequence(length(col("w")) - 2, length(col("w")) + 2))
-            .as("bk"))
-        val build = v.select(col("w").as("w2"), col("c").as("c2"),
-          length(col("w")).as("bk"))
-        probe.join(build, "bk")
-          .filter(col("w1") < col("w2") &&
-            levenshtein(col("w1"), col("w2")) <= 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val v = { vLazy.count(); vLazy }
+        val keyed = v.select(col("w"), col("c"),
+          explode(graft.functions.DeletionVariants.deletionVariants(col("w"), 2))
+            .as("k"))
+        val cand = keyed.as("a")
+          .join(keyed.as("b"),
+            col("a.k") === col("b.k") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("w1"), col("a.c").as("c1"),
+            col("b.w").as("w2"), col("b.c").as("c2"))
+          .distinct()
+        cand
+          .filter(levenshtein(col("w1"), col("w2")) <= 2)
           .select(col("w1"), col("w2"),
             levenshtein(col("w1"), col("w2")).as("dist"),
             col("c1"), col("c2"),

@@ -12,6 +12,36 @@ import graft.functions.SimHash64
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("DeletionVariants: exact variant set, code-point deletions, completeness (r11)") {
+    import graft.functions.DeletionVariants
+    def variants(w: String, k: Int): Set[String] = {
+      val df = Seq(Tuple1(w)).toDF("w")
+        .select(DeletionVariants.deletionVariants(col("w"), k))
+      df.collect()(0).getSeq[String](0).toSet
+    }
+    assert(variants("abc", 2) == Set("abc", "bc", "ac", "ab", "c", "b", "a"))
+    assert(variants("aa", 2) == Set("aa", "a", ""))  // duplicates collapse
+    assert(variants("ab", 0) == Set("ab"))
+    // code-point semantics: one deletion removes the whole non-BMP char
+    assert(variants("a😀", 1) == Set("a😀", "😀", "a"))
+    // completeness property (the SymSpell invariant the blocking rests
+    // on): every pair within levenshtein <= 2 shares a variant
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val words = Seq("join", "jon", "jion", "joins", "joint", "hash", "hsah",
+      "bash", "ash", "a", "", "ab", "ba", "abcd", "badc", "merge", "mergee")
+    for (a <- words; b <- words if a < b && lev(a, b) <= 2)
+      assert(variants(a, 2).intersect(variants(b, 2)).nonEmpty,
+        s"no shared deletion variant for ($a, $b) at distance ${lev(a, b)}")
+  }
+
   test("SimHash64 expression == plain-Scala reference hash") {
     val docs = Seq("the quick brown fox", "the quick brown fox",
       "pack my box with five dozen jugs", "", "single")
