@@ -33,6 +33,7 @@ object PlanAudit {
     // 1-row broadcast total joined with no key — nested-loop over 1 row
     ("q_mix_weights", "BroadcastNestedLoopJoin"),
     ("q_tfidf", "BroadcastNestedLoopJoin"),
+    ("q_bm25", "BroadcastNestedLoopJoin"),  // 1-row D + 1-row T broadcasts
     ("q_collocation_pmi", "BroadcastNestedLoopJoin"), // 1-row bigram total
     ("q_pagerank_iter", "BroadcastNestedLoopJoin"),   // 1-row node count
     ("q_pagerank3", "BroadcastNestedLoopJoin"),       // 1-row node count ×3 steps

@@ -1432,6 +1432,98 @@ object SimilarityQueries {
              |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id,
              |  CAST(score_e6 AS BIGINT) AS score_e6,
              |  CAST(pool_e6 AS BIGINT) AS pool_e6
-             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
+             |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_semdedup ★ (new r11) — SEMANTIC dedup by cluster-partitioned
+    // similarity (Abbas et al. 2023, "SemDeDup"): every vector is
+    // assigned to its nearest of 16 centroids (q_embed_cluster's exact
+    // assignment — argmax margin ≥ 1.1e-5, measured there), pairwise
+    // cosine runs ONLY within each cluster, and each vector reports its
+    // max similarity to any cluster-mate plus a prune flag (≥ 0.5 to a
+    // LOWER-id mate — the paper's "keep one representative" made
+    // deterministic by keeping the smallest id; pair-local, no CC
+    // iteration — q_dedup_groups owns the transitive-closure variant).
+    // This is the third dedup-candidate geometry next to
+    // q_embed_dedup's exact blocked n² and q_embed_dedup_lsh's sign-LSH
+    // buckets: FLOPs drop from n²/2 to Σ n_c²/2 ≈ n²/(2k), and the
+    // shuffle is ONE equi-join keyed on cluster id. The price, BY
+    // DESIGN, is cross-cluster blindness: on this fixture 3 of the 14
+    // corpus-wide cos ≥ 0.5 pairs co-cluster at sf0.1 (measured) —
+    // at the noise-floor threshold this corpus operates at, cluster
+    // boundaries cut through the dup band; the paper's regime
+    // (near-identical dups, cos ≥ 0.9) co-clusters almost surely and k
+    // grows with the corpus (n/k vectors per cluster ⇒ per-task work
+    // constant). Fixed k = 16 head-of-corpus centroids keep the oracle
+    // expressible, as in q_embed_cluster.
+    // ORACLE-CHECKED: assignment margins per q_embed_cluster; every
+    // within-cluster pair cosine is ≥ 1.6e-3 from the 0.5 cut
+    // (measured: 7.2e-3 at sf0.01, 1.6e-3 at sf0.1 — the corpus-wide
+    // q_embed_dedup margin, inherited by the subset); exported max is
+    // order-insensitive and its e6 rounding margin is asserted in
+    // SimilaritySpec. Zero-norm vectors are dropped in both engines
+    // (zero-norm guard, file header).
+    QueryDef(
+      "q_semdedup",
+      (s: SparkSession, dir: String) => {
+        val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
+        val crows = e.filter(col("vec_id") < 16).orderBy("vec_id").collect()
+        val cents: Seq[Seq[Float]] = crows.map(_.getSeq[Float](1).toSeq).toSeq
+        val centIds = array(crows.map(r => lit(r.getLong(0))): _*)
+        val asg = e.select(col("vec_id"), col("embedding"),
+          element_at(centIds,
+            nearestCentroids(col("embedding"), cents, 1)(0) + 1).as("cid"))
+        val nbr = asg.as("a").join(asg.as("b"),
+            col("a.cid") === col("b.cid") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb"),
+            cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        val agg = nbr.groupBy("vec_id")
+          .agg(max("cos").as("max_cos"),
+            max(when(col("cos") >= 0.5 && col("nb") < col("vec_id"), 1L)
+              .otherwise(0L)).as("pruned"))
+        asg.select(col("vec_id"), col("cid").cast("int").as("cluster_id"))
+          .join(agg, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster_id"),
+            round(col("max_cos") * 1000000).cast("long").as("max_sim_e6"),
+            coalesce(col("pruned"), lit(0L)).as("pruned"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+             |scored AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])) /
+             |      (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             |       sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS cos
+             |  FROM e CROSS JOIN c),
+             |best AS (
+             |  SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+             |  FROM scored),
+             |av AS (
+             |  SELECT b.vec_id, b.cid, e.v
+             |  FROM best b JOIN e ON b.vec_id = e.vec_id WHERE b.rk = 1),
+             |p AS (
+             |  SELECT a.vec_id, b.vec_id AS nb,
+             |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
+             |      (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             |       sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+             |  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+             |agg AS (
+             |  SELECT vec_id, MAX(cos) AS mx,
+             |    MAX(CASE WHEN cos >= 0.5 AND nb < vec_id THEN 1 ELSE 0 END)
+             |      AS pruned
+             |  FROM p GROUP BY 1)
+             |SELECT av.vec_id, CAST(av.cid AS INTEGER) AS cluster_id,
+             |  CAST(round(mx * 1000000) AS BIGINT) AS max_sim_e6,
+             |  CAST(COALESCE(pruned, 0) AS BIGINT) AS pruned
+             |FROM av LEFT JOIN agg ON av.vec_id = agg.vec_id
+             |ORDER BY av.vec_id""".stripMargin))
   )
 }

@@ -1144,6 +1144,111 @@ object TextQueries {
              |    AS n_oov_types,
              |  CAST((SUM(oov) * 20000 + COUNT(*)) // (COUNT(*) * 2) AS BIGINT)
              |    AS oov_e4
-             |FROM t GROUP BY source ORDER BY source""".stripMargin))
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_bm25 ★ (new r11) — BM25 document ranking, the canonical lexical
+    // retrieval scorer (Robertson & Sparck Jones' Okapi BM25): the five
+    // benchmark query documents (doc_id < 5, mirroring the similarity
+    // family's fixed vec_id < 5 query set) each retrieve their top-10
+    // most-relevant OTHER documents. This is the ranker q_tfidf's raw
+    // salience is not: BM25 SATURATES term frequency (k1) and
+    // normalizes by document length (b) — the two effects that make it
+    // the default lexical baseline every hybrid-retrieval stack (and
+    // q_hybrid_rrf in miniature) fuses against.
+    // ENGINE-EXACT integer scoring, same discipline as q_tfidf: with
+    // k1 = 6/5 and b = 3/4 (the standard 1.2/0.75 as exact rationals),
+    // avgdl = T/D (T corpus tokens, D docs) kept as a fraction, the
+    // per-(term, doc) saturated tf weight
+    //   tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl)
+    // multiplies out to the all-integer 22·T·tf / (10·T·tf + 3·T +
+    // 9·dl·D), exported in e4; the log idf is replaced by the raw
+    // rarity ratio D/df (monotone-equivalent per term, the q_tfidf
+    // substitution), composed as a second floor-div. The summed score
+    //   Σ_t (tfnorm_e4(t,d) · D) // df(t)
+    // is a pure integer function of counts — bit-identical in any
+    // engine. Headroom: 22·T·tf·1e4 needs T·tf < 4.2e13 — ample per
+    // shard; a 1e13-token corpus scores per-shard or drops the shared
+    // 1e4 scale to 1e2.
+    // NO df-cut, deliberately: BM25's idf already crushes common terms
+    // (D/df → 1), and on this fixture's 31-word closed vocabulary a
+    // Bayardo-style cut (see dfCutWeights) removes EVERY query term —
+    // the degenerate case the cut's own scaladoc documents. Candidate
+    // volume is Σ_{t∈q} df(t) ≤ |q_terms|·D — the classic pre-WAND
+    // posting-scan bound, corpus-LINEAR for a fixed query set; at
+    // index scale the standard next lever is impact-ordered postings +
+    // WAND early termination, which changes candidate ENUMERATION,
+    // not this scoring.
+    // Plan: tf/df/dl are the inverted-index aggregations (map-side
+    // combined); T and D ride in as 1-row broadcasts; candidates come
+    // from the query-term equi-join; per-(q, d) accumulation is one
+    // hash agg; top-10 is the heapTopK per-partition pre-reduce (exact
+    // long scores < 2^53 are lossless as doubles) + a window over the
+    // ≤ k·partitions survivors — the corpus is never globally sorted.
+    QueryDef(
+      "q_bm25",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = docs.select(col("doc_id"), explode(toks).as("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count() // eager: tf/dl/T all reuse it (PERF_NOTES race rule)
+        val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val dl = pairs.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val tt = pairs.agg(count(lit(1)).as("t_tokens"))
+        val weights = tf.join(df_, "term").join(dl, "doc_id")
+          .crossJoin(broadcast(nd)).crossJoin(broadcast(tt))
+          .select(col("doc_id"), col("term"),
+            floorDivL(
+              floorDivL(col("tf") * 22L * col("t_tokens") * 10000L,
+                col("tf") * 10L * col("t_tokens") + lit(3L) * col("t_tokens")
+                  + lit(9L) * col("dl") * col("n_docs")) * col("n_docs"),
+              col("df")).as("w"))
+        val qterms = tf.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), col("term"))
+        val scored = qterms.join(weights, "term")
+          .filter(col("doc_id") =!= col("q_id"))
+          .groupBy("q_id", "doc_id").agg(sum("w").as("score"))
+        val pre = SimilarityQueries.heapTopK(
+          scored.select(col("q_id"), col("doc_id"),
+            col("score").cast("double").as("s")), 10)
+          .select(col("q_id"), col("id").as("doc_id"),
+            col("score").cast("long").as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+        pre.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("rk").cast("long").as("rk"),
+            col("doc_id"), col("score"))
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM p GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM p GROUP BY 1),
+             |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |tt AS (SELECT COUNT(*) AS t_tokens FROM p),
+             |w AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    ((tf.tf * 22 * t_tokens * 10000) //
+             |       (tf.tf * 10 * t_tokens + 3 * t_tokens + 9 * dl.dl * n_docs)
+             |     * n_docs) // df.df AS w
+             |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN nd CROSS JOIN tt),
+             |q AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 5),
+             |sc AS (
+             |  SELECT q.q_id, w.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+             |  FROM q JOIN w USING (term)
+             |  WHERE w.doc_id != q.q_id GROUP BY 1, 2),
+             |r AS (
+             |  SELECT q_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY score DESC, doc_id) AS rk
+             |  FROM sc)
+             |SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, score
+             |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin))
   )
 }

@@ -266,6 +266,51 @@ class SimilaritySpec extends SparkSpec {
     assert(clus == want)
   }
 
+  test("q_semdedup == driver-side cluster-blocked reference; margins clear cut and rounding (r11)") {
+    val all = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val cents = all.filter(_._1 < 16)
+    val asg: Map[Long, Long] = all.map { case (id, v) =>
+      id -> cents.maxBy { case (cid, cv) => (cos(v, cv), -cid) }._1
+    }.toMap
+    val byC = all.groupBy { case (id, _) => asg(id) }
+    val simsOf = (id: Long, v: Seq[Float]) =>
+      byC(asg(id)).filter(_._1 != id).map { case (nb, nv) => (nb, cos(v, nv)) }
+    val want = all.map { case (id, v) =>
+      val sims = simsOf(id, v)
+      val mx = if (sims.isEmpty) None
+        else Some(math.round(sims.map(_._2).max * 1000000d))
+      val pruned =
+        if (sims.exists { case (nb, c) => c >= 0.5 && nb < id }) 1L else 0L
+      (id, asg(id).toInt, mx, pruned)
+    }
+    val got = SparkEntry.queries("q_semdedup")(spark, sfDir)
+      .as[(Long, Int, Option[Long], Long)].collect().toSeq
+    assert(got == want)
+    // Margin assertions backing the oracle-exactness claims in the
+    // scaladoc: every within-cluster pair cosine clears the 0.5 prune
+    // cut, and every exported max clears its e6 round-half boundary,
+    // both by >> the ~1e-9 (e6-units) cross-engine double noise.
+    val pairSims = all.flatMap { case (id, v) => simsOf(id, v).map(_._2) }
+    assert(pairSims.nonEmpty)
+    pairSims.foreach(c =>
+      assert(math.abs(c - 0.5) > 1e-4, s"prune-cut margin too thin: $c"))
+    all.foreach { case (id, v) =>
+      val sims = simsOf(id, v)
+      if (sims.nonEmpty) {
+        val f = sims.map(_._2).max * 1000000d
+        val d = math.abs(f - math.floor(f) - 0.5)
+        assert(d > 1e-6, s"e6 round-half margin too thin for vec $id")
+      }
+    }
+  }
+
   test("q_kmeans_iter: occupancy matches q_embed_cluster; qsums conserve mass") {
     val got = SparkEntry.queries("q_kmeans_iter")(spark, sfDir)
       .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq

@@ -136,6 +136,48 @@ class TextSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_bm25 matches a driver-side exact-integer BM25 fold (r11)") {
+    val all = docs
+    val nDocs = all.size.toLong
+    val tokMap: Map[Long, Seq[String]] =
+      all.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val tTokens = tokMap.values.map(_.size.toLong).sum
+    val tf: Map[(Long, String), Long] = tokMap.toSeq
+      .flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val df: Map[String, Long] = tf.keys.toSeq.map(_.swap)
+      .groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
+    val dl: Map[Long, Long] = tokMap.map { case (id, ts) => id -> ts.size.toLong }
+    def weight(d: Long, t: String): Long = {
+      val f = tf((d, t))
+      val num = f * 22L * tTokens * 10000L
+      val den = f * 10L * tTokens + 3L * tTokens + 9L * dl(d) * nDocs
+      (num / den) * nDocs / df(t)
+    }
+    val want = all.map(_._1).filter(_ < 5).sorted.flatMap { q =>
+      val qts = tokMap(q).distinct
+      val cands = all.map(_._1).filter(_ != q).flatMap { d =>
+        val shared = qts.filter(t => tf.contains((d, t)))
+        if (shared.isEmpty) None else Some(d -> shared.map(t => weight(d, t)).sum)
+      }
+      cands.sortBy { case (d, sc) => (-sc, d) }.take(10)
+        .zipWithIndex.map { case ((d, sc), i) => (q, i + 1L, d, sc) }
+    }
+    val got = SparkEntry.queries("q_bm25")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // saturation sanity: no score exceeds (k1+1)·1e4·D·Σ(1/df) headroom,
+    // and every tfnorm stays below the k1+1 = 2.2 asymptote in e4 units
+    all.map(_._1).foreach { d =>
+      tokMap(d).distinct.foreach { t =>
+        val f = tf((d, t))
+        val tfn = (f * 22L * tTokens * 10000L) /
+          (f * 10L * tTokens + 3L * tTokens + 9L * dl(d) * nDocs)
+        assert(tfn >= 0L && tfn <= 22000L)
+      }
+    }
+  }
+
   test("q_bpe_pairs matches a driver-side weighted pair-count fold (r5)") {
     val wf = docs.flatMap(_._2.split(" ")).filter(_.length >= 2)
       .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
