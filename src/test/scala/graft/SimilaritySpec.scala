@@ -311,6 +311,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q_knn_graph == driver-side cluster-blocked top-3; rank margins clear (r11)") {
+    val all = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val cents = all.filter(_._1 < 16)
+    val asg: Map[Long, Long] = all.map { case (id, v) =>
+      id -> cents.maxBy { case (cid, cv) => (cos(v, cv), -cid) }._1
+    }.toMap
+    val byC = all.groupBy { case (id, _) => asg(id) }
+    val simsOf = (id: Long, v: Seq[Float]) =>
+      byC(asg(id)).filter(_._1 != id).map { case (nb, nv) => (nb, cos(v, nv)) }
+    val want = all.flatMap { case (id, v) =>
+      simsOf(id, v).sortBy { case (nb, c) => (-c, nb) }.take(3)
+        .zipWithIndex.map { case ((nb, c), i) =>
+          (id, i + 1L, nb, math.round(c * 1000000d)) }
+    }
+    val got = SparkEntry.queries("q_knn_graph")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // Margin assertions backing the scaladoc: around the k=3 cut and
+    // within the kept head, adjacent ranked cosines are separated by
+    // >> the ~1.4e-14 cross-engine fold noise, and kept cosines clear
+    // their e6 round-half boundary.
+    all.foreach { case (id, v) =>
+      val s = simsOf(id, v).map(_._2).sorted(Ordering[Double].reverse)
+      s.take(4).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a - b > 1e-9, s"rank gap too thin for vec $id: ${a - b}")
+        case _ => ()
+      }
+      s.take(3).foreach { c =>
+        val f = c * 1000000d
+        assert(math.abs(f - math.floor(f) - 0.5) > 1e-6,
+          s"e6 round-half margin too thin for vec $id")
+      }
+    }
+  }
+
   test("q_kmeans_iter: occupancy matches q_embed_cluster; qsums conserve mass") {
     val got = SparkEntry.queries("q_kmeans_iter")(spark, sfDir)
       .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
