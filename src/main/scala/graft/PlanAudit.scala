@@ -25,6 +25,7 @@ object PlanAudit {
     // tiny broadcast side × non-equi predicate (vec_id != q_id): BNLJ
     // over a 5-row broadcast IS the intended stream-the-corpus plan
     ("q_sim_topk", "BroadcastNestedLoopJoin"),
+    ("q_ann_recall", "BroadcastNestedLoopJoin"), // exactTop10's query-set nested loop
     // same shape: 8-row query-token bag / 5-row query set broadcast,
     // non-equi self-exclusion predicate, corpus streams once
     ("q_maxsim", "BroadcastNestedLoopJoin"),
@@ -107,6 +108,7 @@ object PlanAudit {
     // cardinality × a rank cut, never corpus-sized
     "q_sim_topk" -> 1,
     "q_sim_ann" -> 1,
+    "q_ann_recall" -> 2, // both rankers' query-set broadcasts in one plan
     "q_sim_ivf" -> 1,
     "q_hybrid_rrf" -> 2, // query vectors + ≤5-query-doc sparse term bag
     // (counts are HINT-NODE OCCURRENCES in the analyzed tree: reusing a

@@ -142,6 +142,112 @@ object SimilarityQueries {
       |       sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
       |  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id != b.vec_id)""".stripMargin
 
+  /** DuckDB twin of [[annTop10]]'s ranking — a WITH body ending in
+    * `ranked(q_id, vec_id, cos, rank)` over the guarded corpus `e`,
+    * shared by the q_sim_ann and q_ann_recall oracles (one copy of the
+    * plane/code/probe chain, so the declared ANN and its eval can
+    * never diverge).
+    */
+  private lazy val AnnRankedSql: String =
+    s"""e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |p AS (
+      |  SELECT LEAST(20, GREATEST(4, length(bin(COUNT(*) - 1)) - 3)) AS bits FROM e),
+      |pl AS (
+      |  SELECT pr.range AS p, dr.range AS i,
+      |    CASE WHEN ('0x' || substring(md5(pr.range || '_' || dr.range), 1, 1))::INT < 8
+      |         THEN 1.0 ELSE -1.0 END AS s
+      |  FROM range(0, 20) pr, range(0, $Dim) dr, p WHERE pr.range < p.bits),
+      |dots AS (
+      |  SELECT e.vec_id, pl.p, SUM(e.v[pl.i + 1] * pl.s) AS dot
+      |  FROM e, pl GROUP BY 1, 2),
+      |codes AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS code
+      |  FROM dots GROUP BY 1),
+      |flips AS (
+      |  SELECT 0::BIGINT AS f
+      |  UNION ALL
+      |  SELECT (1::BIGINT << b.range) FROM range(0, 20) b, p WHERE b.range < p.bits
+      |  UNION ALL
+      |  SELECT (1::BIGINT << i.range) | (1::BIGINT << j.range)
+      |    FROM range(0, 20) i, range(0, 20) j, p
+      |    WHERE i.range < j.range AND j.range < p.bits),
+      |probes AS (
+      |  SELECT c.vec_id AS q_id, xor(c.code, f.f) AS probe_code
+      |  FROM codes c, flips f WHERE c.vec_id < 5),
+      |cand AS (
+      |  SELECT pr.q_id, c.vec_id
+      |  FROM probes pr JOIN codes c ON c.code = pr.probe_code
+      |  WHERE c.vec_id != pr.q_id),
+      |scored AS (
+      |  SELECT cand.q_id, cand.vec_id, list_sum(list_transform(range(1, len(qe.v)+1), i -> qe.v[i]*e.v[i])) / (sqrt(list_sum(list_transform(qe.v, x -> x*x))) * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+      |  FROM cand JOIN e ON e.vec_id = cand.vec_id
+      |  JOIN e qe ON qe.vec_id = cand.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)""".stripMargin
+
+  /** Exact brute-force top-10 per benchmark query — q_sim_topk's body,
+    * shared with q_ann_recall (the eval needs the ground-truth ranking
+    * and the declared query must be THE SAME computation or the metric
+    * is meaningless). Columns (q_id, rank, vec_id, cos_e6), unordered.
+    */
+  private def exactTop10(s: SparkSession, dir: String): DataFrame = {
+    val q = broadcast(queriesDf(s, dir))
+    val scored = guarded(s, dir).join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .filter(col("cos").isNotNull)
+    // Local top-k pre-reduce: [[heapTopK]] — zero shuffle of the
+    // corpus; local survivors are a superset of the global top-k.
+    val k = 10
+    val pre = heapTopK(scored, k)
+      .select(col("q_id"), col("id").as("vec_id"), col("score").as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    pre.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos") * 1000000).cast("long").as("cos_e6"))
+  }
+
+  /** Radius-2 multi-probe sign-LSH top-10 per benchmark query —
+    * q_sim_ann's body, shared with q_ann_recall for the same
+    * same-computation reason as [[exactTop10]]. Columns
+    * (q_id, rank, vec_id, cos_e6), unordered.
+    */
+  private def annTop10(s: SparkSession, dir: String): DataFrame = {
+    val bits = annPlanes(guarded(s, dir).count())
+    val planes = hashPlanes(bits, Dim)
+    val coded = guarded(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        lshCode(col("embedding"), planes).as("code"))
+    val flips = (0L +: (0 until bits).map(b => 1L << b)) ++
+      (for (i <- 0 until bits; j <- i + 1 until bits) yield (1L << i) | (1L << j))
+    val probes = array(flips.map(lit): _*)
+    val qProbed = broadcast(queriesDf(s, dir)
+      .select(col("q_id"), col("q_emb"),
+        lshCode(col("q_emb"), planes).as("q_code"))
+      .select(col("q_id"), col("q_emb"),
+        col("q_code"), explode(probes).as("flip"))
+      .select(col("q_id"), col("q_emb"),
+        col("flip").bitwiseXOR(col("q_code")).as("probe_code")))
+    val cand = coded.join(qProbed,
+      col("code") === col("probe_code") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos") * 1000000).cast("long").as("cos_e6"))
+  }
+
   /** Per-partition constant-size-heap top-k pre-reduce over (q_id, id,
     * score) rows — the q_sim_topk kernel, shared with q_hybrid_rrf so
     * the eviction tie-break (which MUST mirror the global rank order —
@@ -309,24 +415,8 @@ object SimilarityQueries {
     // in cos). Same double-fold cosine SQL q_embed_dedup validated.
     QueryDef(
       "q_sim_topk",
-      (s: SparkSession, dir: String) => {
-        val q = broadcast(queriesDf(s, dir))
-        val scored = guarded(s, dir).join(q, col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            cosine(col("q_emb"), col("embedding")).as("cos"))
-          .filter(col("cos").isNotNull)
-        // Local top-k pre-reduce: [[heapTopK]] — zero shuffle of the
-        // corpus; local survivors are a superset of the global top-k.
-        val k = 10
-        val pre = heapTopK(scored, k)
-          .select(col("q_id"), col("id").as("vec_id"), col("score").as("cos"))
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-        pre.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select(col("q_id"), col("rank"), col("vec_id"),
-            round(col("cos") * 1000000).cast("long").as("cos_e6"))
-          .orderBy("q_id", "rank")
-      },
+      (s: SparkSession, dir: String) =>
+        exactTop10(s, dir).orderBy("q_id", "rank"),
       Some("""WITH e AS (
              |  SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -372,76 +462,9 @@ object SimilarityQueries {
     // property hash-based sampling has over rand().
     QueryDef(
       "q_sim_ann",
-      (s: SparkSession, dir: String) => {
-        val bits = annPlanes(guarded(s, dir).count())
-        val planes = hashPlanes(bits, Dim)
-        val coded = guarded(s, dir)
-          .select(col("vec_id"), col("embedding"),
-            lshCode(col("embedding"), planes).as("code"))
-        val flips = (0L +: (0 until bits).map(b => 1L << b)) ++
-          (for (i <- 0 until bits; j <- i + 1 until bits) yield (1L << i) | (1L << j))
-        val probes = array(flips.map(lit): _*)
-        val qProbed = broadcast(queriesDf(s, dir)
-          .select(col("q_id"), col("q_emb"),
-            lshCode(col("q_emb"), planes).as("q_code"))
-          .select(col("q_id"), col("q_emb"),
-            col("q_code"), explode(probes).as("flip"))
-          .select(col("q_id"), col("q_emb"),
-            col("flip").bitwiseXOR(col("q_code")).as("probe_code")))
-        val cand = coded.join(qProbed,
-          col("code") === col("probe_code") && col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            cosine(col("q_emb"), col("embedding")).as("cos"))
-          .distinct()
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-        cand.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
-          .select(col("q_id"), col("rank"), col("vec_id"),
-            round(col("cos") * 1000000).cast("long").as("cos_e6"))
-          .orderBy("q_id", "rank")
-      },
-      Some(s"""WITH e AS (
-             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings
-             |  WHERE list_sum(list_transform(embedding,
-             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
-             |p AS (
-             |  SELECT LEAST(20, GREATEST(4, length(bin(COUNT(*) - 1)) - 3)) AS bits FROM e),
-             |pl AS (
-             |  SELECT pr.range AS p, dr.range AS i,
-             |    CASE WHEN ('0x' || substring(md5(pr.range || '_' || dr.range), 1, 1))::INT < 8
-             |         THEN 1.0 ELSE -1.0 END AS s
-             |  FROM range(0, 20) pr, range(0, $Dim) dr, p WHERE pr.range < p.bits),
-             |dots AS (
-             |  SELECT e.vec_id, pl.p, SUM(e.v[pl.i + 1] * pl.s) AS dot
-             |  FROM e, pl GROUP BY 1, 2),
-             |codes AS (
-             |  SELECT vec_id,
-             |    CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS code
-             |  FROM dots GROUP BY 1),
-             |flips AS (
-             |  SELECT 0::BIGINT AS f
-             |  UNION ALL
-             |  SELECT (1::BIGINT << b.range) FROM range(0, 20) b, p WHERE b.range < p.bits
-             |  UNION ALL
-             |  SELECT (1::BIGINT << i.range) | (1::BIGINT << j.range)
-             |    FROM range(0, 20) i, range(0, 20) j, p
-             |    WHERE i.range < j.range AND j.range < p.bits),
-             |probes AS (
-             |  SELECT c.vec_id AS q_id, xor(c.code, f.f) AS probe_code
-             |  FROM codes c, flips f WHERE c.vec_id < 5),
-             |cand AS (
-             |  SELECT pr.q_id, c.vec_id
-             |  FROM probes pr JOIN codes c ON c.code = pr.probe_code
-             |  WHERE c.vec_id != pr.q_id),
-             |scored AS (
-             |  SELECT cand.q_id, cand.vec_id, list_sum(list_transform(range(1, len(qe.v)+1), i -> qe.v[i]*e.v[i])) / (sqrt(list_sum(list_transform(qe.v, x -> x*x))) * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
-             |  FROM cand JOIN e ON e.vec_id = cand.vec_id
-             |  JOIN e qe ON qe.vec_id = cand.q_id),
-             |ranked AS (
-             |  SELECT q_id, vec_id, cos,
-             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-             |  FROM scored)
+      (s: SparkSession, dir: String) =>
+        annTop10(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH $AnnRankedSql
              |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id,
              |  CAST(round(cos*1000000) AS BIGINT) AS cos_e6
              |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
@@ -1610,6 +1633,66 @@ object SimilarityQueries {
              |  FROM p)
              |SELECT vec_id, CAST(r AS BIGINT) AS rk, nb,
              |  CAST(round(cos * 1000000) AS BIGINT) AS cos_e6
-             |FROM rk WHERE r <= 3 ORDER BY vec_id, rk""".stripMargin))
+             |FROM rk WHERE r <= 3 ORDER BY vec_id, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_ann_recall ★ (new r11) — IN-ENGINE retrieval evaluation:
+    // recall@10 of the declared ANN path (q_sim_ann's radius-2
+    // multi-probe sign-LSH, via the SHARED [[annTop10]]) against the
+    // exact ground truth (q_sim_topk via the shared [[exactTop10]]),
+    // per query: (q_id, n_exact, n_hit, recall_e4). This is the metric
+    // every production ANN deployment monitors continuously — index
+    // drift, plane/codebook regressions, and corpus shift all surface
+    // as recall drops — and computing it IN the engine (one 50-row
+    // join of two top-k relations; the cost is the two underlying
+    // rankings, whose plans are the declared queries' own) is how a
+    // pipeline runs it at scale: no exporting rankings to a driver
+    // script. Both rankings' top-10 SETS are already margin-pinned by
+    // their own queries' measured rank gaps, so the eval adds NO new
+    // float decision — intersection counts and the half-up e4 ratio
+    // are exact integers. On this near-random corpus recall ≈ 0.5
+    // (the SimilaritySpec-measured LSH operating point); the spec
+    // cross-checks the declared row against a driver-side set
+    // intersection of the two declared rankings.
+    QueryDef(
+      "q_ann_recall",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val x = exactTop10(s, dir).select(col("q_id"), col("vec_id"))
+        val a = annTop10(s, dir).select(col("q_id"), col("vec_id"))
+          .withColumn("hit", lit(1L))
+        x.join(a, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("q_id"), col("n_exact"), col("n_hit"),
+            ExactMath.divTrunc(col("n_hit") * 20000L + col("n_exact"),
+              col("n_exact") * 2L).as("recall_e4"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $AnnRankedSql,
+             |xscored AS (
+             |  SELECT q.vec_id AS q_id, e.vec_id,
+             |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.v[i])) /
+             |      (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             |       sqrt(list_sum(list_transform(q.v, x -> x*x)))) AS cos
+             |  FROM e CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 5) q
+             |  WHERE e.vec_id != q.vec_id),
+             |xranked AS (
+             |  SELECT q_id, vec_id,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM xscored),
+             |ax AS (SELECT q_id, vec_id FROM ranked WHERE rank <= 10),
+             |xx AS (SELECT q_id, vec_id FROM xranked WHERE rank <= 10),
+             |j AS (
+             |  SELECT xx.q_id, COUNT(*) AS n_exact,
+             |    CAST(SUM(CASE WHEN ax.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_hit
+             |  FROM xx LEFT JOIN ax ON ax.q_id = xx.q_id AND ax.vec_id = xx.vec_id
+             |  GROUP BY 1)
+             |SELECT q_id, CAST(n_exact AS BIGINT) AS n_exact, n_hit,
+             |  CAST((n_hit * 20000 + n_exact) // (n_exact * 2) AS BIGINT)
+             |    AS recall_e4
+             |FROM j ORDER BY q_id""".stripMargin))
   )
 }

@@ -354,6 +354,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q_ann_recall == driver-side set intersection of the two declared rankings (r11)") {
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = SparkEntry.queries("q_sim_ann")(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = exact.toSeq.sortBy(_._1).map { case (q, xs) =>
+      val hits = xs.intersect(ann.getOrElse(q, Set.empty)).size.toLong
+      (q, xs.size.toLong, hits, (hits * 20000L + xs.size) / (xs.size * 2L))
+    }
+    val got = SparkEntry.queries("q_ann_recall")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the metric must be live: full ground truth per query, recall in
+    // (0, 1] — an all-zero or empty eval row would be vacuous
+    assert(got.size == 5)
+    got.foreach { case (_, ne, nh, r) =>
+      assert(ne == 10L && nh <= ne && r >= 0L && r <= 10000L)
+    }
+    assert(got.map(_._3).sum > 0L, "ANN recall identically zero — probe path broken")
+  }
+
   test("q_kmeans_iter: occupancy matches q_embed_cluster; qsums conserve mass") {
     val got = SparkEntry.queries("q_kmeans_iter")(spark, sfDir)
       .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
