@@ -170,6 +170,32 @@ class DedupSpec extends SparkSpec {
     assert(mh == jac, s"minhash=${mh.size} ngram=${jac.size}")
   }
 
+  test("q_minhash_recall == driver-side band recall of the two declared relations (r11)") {
+    val truth = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .select("d1", "d2", "jac_e4").as[(Long, Long, Long)].collect().toSeq
+    // truth ⊆ {jac ≥ 0.6}, so truth ∩ band-candidates = truth ∩
+    // q_minhash_dup's verified output — the eval is recomputable from
+    // the two DECLARED relations alone
+    val mh = SparkEntry.queries("q_minhash_dup")(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val want = truth.groupBy(_._3 / 1000L).toSeq.sortBy(_._1).map {
+      case (band, rows) =>
+        val hits = rows.count(r => mh.contains((r._1, r._2))).toLong
+        (band, rows.size.toLong, hits,
+          (hits * 20000L + rows.size) / (rows.size * 2L))
+    }
+    val got = SparkEntry.queries("q_minhash_recall")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // live-metric guards: bands partition the full truth set; recall
+    // bounded; not identically zero (a dead candidate path would be)
+    assert(got.nonEmpty && got.map(_._2).sum == truth.size.toLong)
+    got.foreach { case (_, nt, nh, r) =>
+      assert(nt > 0 && nh <= nt && r >= 0L && r <= 10000L)
+    }
+    assert(got.map(_._3).sum > 0L, "minhash candidate recall identically zero")
+  }
+
   test("q_dedup_groups: exact connected components of the pair graph") {
     val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
       .select("d1", "d2").as[(Long, Long)].collect()
