@@ -513,6 +513,71 @@ object DedupQueries {
               |FROM rkd GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_split_leakage_safe ★ (new r11) — CLUSTER-AWARE train/val/test
+    // split: q_split_assign's deterministic hash split, made leakage-
+    // safe. Hashing each doc_id independently puts ~86% of near-dup
+    // PAIRS across split boundaries (0.9·0.9+0.05·0.05+0.05·0.05 keeps
+    // only ~81.5% + 0.25% + 0.25% together) — i.e. plain hash splitting
+    // leaks near-copies of training docs into eval. Here the split key
+    // is the doc's ≥0.6-Jaccard CLUSTER canonical id (min doc_id, from
+    // the shared [[ccLabelTable]]; unclustered docs key on their own
+    // id), so every cluster lands wholly in one split BY CONSTRUCTION —
+    // the property the spec re-checks edge-by-edge. Membership stays a
+    // pure function of ids (reproducible across runs/engines/cluster
+    // sizes); with ingest-ordered ids a growing corpus never flips an
+    // existing cluster's canonical id (new ids are larger than the min).
+    //
+    // Scale shape: the label frame is dup-cluster-sized (≪ corpus —
+    // auto-broadcast here; a shuffled equi-join on doc_id at 100 TB),
+    // the assignment is map-only on top of the join, and the output agg
+    // is (source × split)-sized. The heavy inputs (pair table, CC
+    // labels) are the SAME materialized corpus tables the rest of the
+    // dedup battery amortizes — this query adds no corpus-scale pass.
+    // Oracle: DuckDB recomputes the clusters via the recursive-CTE CC
+    // and the identical md5-mod-100 rule — exact integers end to end.
+    QueryDef(
+      "q_split_leakage_safe",
+      (s: SparkSession, dir: String) => {
+        val lbl = ccLabelTable(s, dir).select(col("doc_id"), col("cluster_id"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        val key = coalesce(col("cluster_id"), col("doc_id"))
+        val h = pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(100L))
+        docs.join(lbl, Seq("doc_id"), "left")
+          .select(col("source"),
+            when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"),
+            col("toks"),
+            when(col("cluster_id").isNotNull, 1L).otherwise(0L).as("clustered"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+            sum("clustered").as("n_clustered"))
+          .orderBy("source", "split")
+      },
+      Some(s"""WITH RECURSIVE $ShSql,
+              |$JacSql,
+              |dup AS MATERIALIZED (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
+              |edges AS (SELECT d1, d2 FROM dup UNION ALL SELECT d2, d1 FROM dup),
+              |reach(d, r) AS (
+              |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
+              |  UNION
+              |  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.d = e.d2),
+              |lbl AS (SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY d),
+              |a AS (
+              |  SELECT d.source,
+              |    CASE WHEN ('0x' || substring(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+              |         WHEN ('0x' || substring(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+              |         ELSE 'test' END AS split,
+              |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+              |    CASE WHEN l.cluster_id IS NOT NULL THEN 1 ELSE 0 END AS clustered
+              |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+              |SELECT source, split, COUNT(*) AS n_docs,
+              |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(clustered) AS BIGINT) AS n_clustered
+              |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_decontaminate ★ — train/eval contamination check, the
     // decontamination step of a training-data pipeline: for each doc of
     // the held-out set (doc_id < 20 stands in for the benchmark), the

@@ -217,6 +217,68 @@ object TextQueries {
              |FROM m ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_quality_adaptive ★ (new r11) — PER-SOURCE adaptive quality
+    // filter: keep each source's best 75% by stopword-ratio rank
+    // instead of q_text_quality's one global fixed rule. Fixed
+    // thresholds over-prune clean domains and under-prune noisy ones
+    // (the reason production pipelines set per-domain cutoffs); a
+    // rank quota adapts the effective threshold to each source's own
+    // score distribution, and selection by (score, doc_id) rank keeps
+    // the kept-set exact and engine-reproducible — no percentile
+    // interpolation, no float threshold. Output per source: doc/kept
+    // counts, kept-token total (what the loader actually samples), and
+    // the realized cutoff score (max kept stop_ratio_e4 — the
+    // per-domain threshold the quota implies).
+    //
+    // Scale shape: one map pass for the per-doc score, one rank window
+    // PARTITIONED BY SOURCE (shuffle keyed on source — domains are
+    // high-cardinality in web corpora; a pathologically hot source
+    // would salt into a two-level rank the same way q_join_salted
+    // does), one source-sized agg. Exact integers end to end.
+    QueryDef(
+      "q_quality_adaptive",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("n_tokens"),
+            size(expr("filter(split(text,' '), x -> x = 'the' or x = 'a')"))
+              .cast("long").as("n_stop"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            ratioE4(col("n_stop"), col("n_tokens")).as("score"))
+        val bySrc = Window.partitionBy("source")
+        val rk = row_number().over(bySrc.orderBy(col("score"), col("doc_id")))
+        d.select(col("source"), col("n_tokens"), col("score"),
+            rk.as("rk"), count(lit(1)).over(bySrc).as("n"))
+          .withColumn("keep", col("rk") * 4L <= col("n") * 3L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+            max(when(col("keep"), col("score"))).as("cut_score_e4"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS BIGINT) AS n_stop
+             |  FROM documents),
+             |sc AS (
+             |  SELECT source, n_tokens,
+             |    (n_stop*20000 + n_tokens) // (n_tokens*2) AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY (n_stop*20000 + n_tokens) // (n_tokens*2), doc_id) AS rk,
+             |    COUNT(*) OVER (PARTITION BY source) AS n
+             |  FROM m)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN rk*4 <= n*3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN rk*4 <= n*3 THEN n_tokens ELSE 0 END) AS BIGINT)
+             |    AS kept_tokens,
+             |  CAST(MAX(CASE WHEN rk*4 <= n*3 THEN score END) AS BIGINT)
+             |    AS cut_score_e4
+             |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_text_lang_id ★ — n-gram/marker-word language scoring → a
     // (actual, predicted) confusion matrix. Marker counting is
     // `regexp_count` with \b-bounded alternations — fully codegen'd,

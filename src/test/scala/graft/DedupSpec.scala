@@ -346,4 +346,43 @@ class DedupSpec extends SparkSpec {
     // containment is a fraction of the smaller side: ≤ 1e6
     got.foreach(r => assert(r._6 <= 1000000L))
   }
+
+  test("q_split_leakage_safe: no near-dup pair straddles a split; agg matches a driver fold (r11)") {
+    // the md5-mod-100 rule, recomputed driver-side (java MD5 == both engines')
+    def split100(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16) % 100L
+      if (h < 90) "train" else if (h < 95) "val" else "test"
+    }
+    val lbl = SparkEntry.queries("q_dedup_groups")(spark, sfDir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    def splitOf(id: Long): String = split100(lbl.getOrElse(id, id))
+    // leakage safety, edge by edge: every declared near-dup pair lands
+    // in ONE split (the property plain per-doc hashing violates)
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles splits")
+    }
+    // and the fixture is live: at least one cluster member would have
+    // landed elsewhere under plain per-doc hashing
+    assert(lbl.exists { case (d, c) => split100(d) != split100(c) },
+      "fixture never exercises the cluster-key rerouting")
+    // full-agg equivalence against a driver-side fold over documents
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+    val want = docs.groupBy(d => (d._2, splitOf(d._1))).toSeq.map {
+      case ((src, sp), rows) =>
+        (src, sp, rows.size.toLong, rows.map(_._3).sum,
+          rows.count(r => lbl.contains(r._1)).toLong)
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_split_leakage_safe")(spark, sfDir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
 }

@@ -353,4 +353,32 @@ class TextSpec extends SparkSpec {
     // the coverage question is live: OOV mass exists but is not total
     assert(got.exists(r => r._3 > 0) && got.forall(r => r._3 < r._2))
   }
+
+  test("q_quality_adaptive == plain-Scala per-source rank-quota reference (r11)") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    val scored = docs.map { case (id, src, t) =>
+      val w = t.split(" ", -1)
+      val n = w.length.toLong
+      val stop = w.count(x => x == "the" || x == "a").toLong
+      (id, src, n, (stop * 20000L + n) / (n * 2L))
+    }
+    val want = scored.groupBy(_._2).toSeq.map { case (src, ds) =>
+      val ranked = ds.sortBy(d => (d._4, d._1))
+      val nKeep = ranked.size * 3 / 4
+      val kept = ranked.take(nKeep)
+      (src, ds.size.toLong, kept.size.toLong, kept.map(_._3).sum,
+        kept.map(_._4).max)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_quality_adaptive")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // adaptivity is live: the realized per-source cutoffs differ — a
+    // single global threshold could not reproduce this kept-set
+    assert(got.map(_._5).distinct.size > 1,
+      "all sources share one cutoff; the adaptive case is untested")
+    // quota honored exactly
+    got.foreach(r => assert(r._3 == r._2 * 3 / 4))
+  }
 }
