@@ -192,6 +192,49 @@ object SimilarityQueries {
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
       |  FROM scored)""".stripMargin
 
+  /** DuckDB CTE fragment: the IVF candidate relation (`scored`:
+    * q_id, vec_id, probe_rank, cos), probing each query's `probeLimit`
+    * nearest lists — shared by the q_sim_ivf and q_ivf_recall oracles
+    * (one copy of the quantizer/assign/probe chain, same sharing rule
+    * as [[AnnRankedSql]]). `probeLimit` references columns of `p`
+    * (k, nprobe, jmax). probe_rank is 1-BASED here (row_number), so
+    * `probe_rank <= j` selects the j nearest lists — matching the
+    * Spark side's 0-based `probe_rank < j`.
+    */
+  private def ivfCandSql(probeLimit: String): String =
+    s"""e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |p AS (
+      |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) AS k,
+      |    GREATEST(1, (GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) + 3) // 4) AS nprobe,
+      |    LEAST(8, GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER))) AS jmax
+      |  FROM e),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e, p WHERE vec_id < p.k),
+      |ac AS (
+      |  SELECT e.vec_id, c.cid, list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])) / (sqrt(list_sum(list_transform(e.v, x -> x*x))) * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS cos
+      |  FROM e CROSS JOIN c),
+      |asg AS (
+      |  SELECT vec_id, cid AS list_id FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+      |    FROM ac) WHERE rk = 1),
+      |qp AS (
+      |  SELECT t.vec_id AS q_id, t.cid AS list_id, t.rk AS probe_rank FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+      |    FROM ac WHERE vec_id < 5) t, p WHERE t.rk <= $probeLimit),
+      |cand AS (
+      |  SELECT qp.q_id, a.vec_id, qp.probe_rank
+      |  FROM qp JOIN asg a ON a.list_id = qp.list_id
+      |  WHERE a.vec_id != qp.q_id),
+      |scored AS (
+      |  SELECT cand.q_id, cand.vec_id, cand.probe_rank, list_sum(list_transform(range(1, len(qe.v)+1), i -> qe.v[i]*e.v[i])) / (sqrt(list_sum(list_transform(qe.v, x -> x*x))) * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
+      |  FROM cand JOIN e ON e.vec_id = cand.vec_id
+      |  JOIN e qe ON qe.vec_id = cand.q_id)""".stripMargin
+
   /** Exact brute-force top-10 per benchmark query — q_sim_topk's body,
     * shared with q_ann_recall (the eval needs the ground-truth ranking
     * and the declared query must be THE SAME computation or the metric
@@ -246,6 +289,37 @@ object SimilarityQueries {
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("rank"), col("vec_id"),
         round(col("cos") * 1000000).cast("long").as("cos_e6"))
+  }
+
+  /** The IVF candidate stream (q_id, vec_id, probe_rank, cos) for the
+    * first `probes(k)` probed lists per query, k = ⌈√n⌉ — q_sim_ivf's
+    * assign/probe/score body, extracted so q_ivf_recall evaluates THE
+    * SAME computation (one copy of the quantizer, the assignment, and
+    * the probe order — the declared index and its eval can never
+    * diverge; same rule as [[exactTop10]]/[[annTop10]]). `probe_rank`
+    * is the 0-based probe position, so `probe_rank < j` selects the j
+    * nearest lists. Returns the candidate frame and k.
+    */
+  private def ivfCandidates(s: SparkSession, dir: String,
+      probes: Int => Int): (DataFrame, Int) = {
+    val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val k = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val m = math.min(k, probes(k))
+    val cents: Seq[Seq[Float]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      nearestCentroids(col("embedding"), cents, 1)(0).as("list_id"))
+    val qProbed = broadcast(queriesDf(s, dir)
+      .select(col("q_id"), col("q_emb"),
+        posexplode(nearestCentroids(col("q_emb"), cents, m))
+          .as(Seq("probe_rank", "list_id"))))
+    val cand = assigned.join(qProbed,
+      assigned("list_id") === qProbed("list_id") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("probe_rank"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    (cand, k)
   }
 
   /** Per-partition constant-size-heap top-k pre-reduce over (q_id, id,
@@ -503,22 +577,9 @@ object SimilarityQueries {
     QueryDef(
       "q_sim_ivf",
       (s: SparkSession, dir: String) => {
-        val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
-        val n = e.count()
-        val k = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
-        val nprobe = math.max(1, (k + 3) / 4)
-        val cents: Seq[Seq[Float]] = e.filter(col("vec_id") < k)
-          .orderBy("vec_id").collect()
-          .map(_.getSeq[Float](1).toSeq).toSeq
-        val assigned = e.select(col("vec_id"), col("embedding"),
-          nearestCentroids(col("embedding"), cents, 1)(0).as("list_id"))
-        val qProbed = broadcast(queriesDf(s, dir)
-          .select(col("q_id"), col("q_emb"),
-            explode(nearestCentroids(col("q_emb"), cents, nprobe)).as("list_id")))
-        val cand = assigned.join(qProbed,
-          assigned("list_id") === qProbed("list_id") && col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            cosine(col("q_emb"), col("embedding")).as("cos"))
+        // assign/probe/score via the SHARED [[ivfCandidates]] (r11:
+        // extracted so q_ivf_recall evaluates the same computation)
+        val (cand, _) = ivfCandidates(s, dir, kk => math.max(1, (kk + 3) / 4))
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
         cand.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 10)
@@ -526,37 +587,7 @@ object SimilarityQueries {
             round(col("cos") * 1000000).cast("long").as("cos_e6"))
           .orderBy("q_id", "rank")
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings
-             |  WHERE list_sum(list_transform(embedding,
-             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
-             |p AS (
-             |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) AS k,
-             |    GREATEST(1, (GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) + 3) // 4) AS nprobe
-             |  FROM e),
-             |c AS (SELECT vec_id AS cid, v AS cv FROM e, p WHERE vec_id < p.k),
-             |ac AS (
-             |  SELECT e.vec_id, c.cid, list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])) / (sqrt(list_sum(list_transform(e.v, x -> x*x))) * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS cos
-             |  FROM e CROSS JOIN c),
-             |asg AS (
-             |  SELECT vec_id, cid AS list_id FROM (
-             |    SELECT vec_id, cid,
-             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-             |    FROM ac) WHERE rk = 1),
-             |qp AS (
-             |  SELECT t.vec_id AS q_id, t.cid AS list_id FROM (
-             |    SELECT vec_id, cid,
-             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-             |    FROM ac WHERE vec_id < 5) t, p WHERE t.rk <= p.nprobe),
-             |cand AS (
-             |  SELECT qp.q_id, a.vec_id
-             |  FROM qp JOIN asg a ON a.list_id = qp.list_id
-             |  WHERE a.vec_id != qp.q_id),
-             |scored AS (
-             |  SELECT cand.q_id, cand.vec_id, list_sum(list_transform(range(1, len(qe.v)+1), i -> qe.v[i]*e.v[i])) / (sqrt(list_sum(list_transform(qe.v, x -> x*x))) * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS cos
-             |  FROM cand JOIN e ON e.vec_id = cand.vec_id
-             |  JOIN e qe ON qe.vec_id = cand.q_id),
+      Some(s"""WITH ${ivfCandSql("p.nprobe")},
              |ranked AS (
              |  SELECT q_id, vec_id, cos,
              |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
@@ -1693,6 +1724,88 @@ object SimilarityQueries {
              |SELECT q_id, CAST(n_exact AS BIGINT) AS n_exact, n_hit,
              |  CAST((n_hit * 20000 + n_exact) // (n_exact * 2) AS BIGINT)
              |    AS recall_e4
-             |FROM j ORDER BY q_id""".stripMargin))
+             |FROM j ORDER BY q_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_ivf_recall ★ (new r11) — the IVF TUNING CURVE: recall@10 of
+    // the declared IVF path (the SHARED [[ivfCandidates]] — q_sim_ivf's
+    // own quantizer, assignment, and probe order) against the exact
+    // ground truth ([[exactTop10]]), per (nprobe, query) for nprobe ∈
+    // {1,2,4,8} ∩ [1,k]. THE metric an IVF deployment is tuned with:
+    // nprobe trades scan fraction (≈ nprobe/k of the corpus) for
+    // recall, and the operating point is read off this curve — in the
+    // engine, not in a driver script. ONE candidate pass at the
+    // largest nprobe serves every curve point (a j-probe candidate set
+    // is a PREFIX of the jmax-probe set — filter on probe_rank, no
+    // second corpus scan), one rank window per (nprobe, query)
+    // partition over the candidate-sized stream, and a
+    // 10·|js|·|queries|-row join against the exact relation. The
+    // set-intersection counts add NO new float decision (both
+    // rankings' top-10 sets are margin-pinned by their own queries);
+    // counts and the half-up e4 ratio are exact integers. The curve is
+    // LIVE on this corpus: recall rises with nprobe and sits strictly
+    // below 1.0 at the low end (spec-pinned monotone + live).
+    QueryDef(
+      "q_ivf_recall",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val (cand, k) = ivfCandidates(s, dir, _ => 8)
+        val js = Seq(1L, 2L, 4L, 8L).filter(_ <= k)
+        val candJ = cand
+          .select(col("q_id"), col("vec_id"), col("probe_rank"), col("cos"),
+            explode(typedLit(js)).as("nprobe"))
+          .filter(col("probe_rank") < col("nprobe"))
+        val w = Window.partitionBy("nprobe", "q_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        val top = candJ.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("nprobe"), col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        val xj = exactTop10(s, dir)
+          .select(col("q_id"), col("vec_id"), explode(typedLit(js)).as("nprobe"))
+        xj.join(top, Seq("nprobe", "q_id", "vec_id"), "left")
+          .groupBy("nprobe", "q_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("nprobe"), col("q_id"), col("n_exact"), col("n_hit"),
+            ExactMath.divTrunc(col("n_hit") * 20000L + col("n_exact"),
+              col("n_exact") * 2L).as("recall_e4"))
+          .orderBy("nprobe", "q_id")
+      },
+      Some(s"""WITH ${ivfCandSql("p.jmax")},
+             |js AS (SELECT js.j FROM (SELECT unnest([1,2,4,8]) AS j) js, p WHERE js.j <= p.k),
+             |cj AS (
+             |  SELECT js.j AS nprobe, s.q_id, s.vec_id, s.cos
+             |  FROM scored s, js WHERE s.probe_rank <= js.j),
+             |rkd AS (
+             |  SELECT nprobe, q_id, vec_id,
+             |    row_number() OVER (PARTITION BY nprobe, q_id
+             |      ORDER BY cos DESC, vec_id) AS rank
+             |  FROM cj),
+             |ax AS (SELECT nprobe, q_id, vec_id FROM rkd WHERE rank <= 10),
+             |xscored AS (
+             |  SELECT q.vec_id AS q_id, e.vec_id,
+             |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.v[i])) /
+             |      (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+             |       sqrt(list_sum(list_transform(q.v, x -> x*x)))) AS cos
+             |  FROM e CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 5) q
+             |  WHERE e.vec_id != q.vec_id),
+             |xranked AS (
+             |  SELECT q_id, vec_id,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM xscored),
+             |xx AS (
+             |  SELECT js.j AS nprobe, q_id, vec_id FROM xranked, js WHERE rank <= 10),
+             |agg AS (
+             |  SELECT xx.nprobe, xx.q_id, COUNT(*) AS n_exact,
+             |    CAST(SUM(CASE WHEN ax.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_hit
+             |  FROM xx LEFT JOIN ax ON ax.nprobe = xx.nprobe
+             |    AND ax.q_id = xx.q_id AND ax.vec_id = xx.vec_id
+             |  GROUP BY 1, 2)
+             |SELECT CAST(nprobe AS BIGINT) AS nprobe, q_id,
+             |  CAST(n_exact AS BIGINT) AS n_exact, n_hit,
+             |  CAST((n_hit * 20000 + n_exact) // (n_exact * 2) AS BIGINT)
+             |    AS recall_e4
+             |FROM agg ORDER BY nprobe, q_id""".stripMargin))
   )
 }

@@ -732,4 +732,56 @@ class SimilaritySpec extends SparkSpec {
     info(f"min pooled-cosine rounding margin: $minPoolMargin%.2e e6-units")
     assert(minPoolMargin > 1e-6, s"pooled rounding margin too thin: $minPoolMargin")
   }
+  test("q_ivf_recall == plain-Scala IVF curve reference; monotone and live (r11)") {
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .filter(_._2.exists(_ != 0f)).sortBy(_._1).toSeq
+    val n = vecs.length
+    val k = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val js = Seq(1L, 2L, 4L, 8L).filter(_ <= k)
+    val cents = vecs.filter(_._1 < k).map(_._2.map(_.toDouble))
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // probe order = centroid indices by (cos desc, index) — ranking-
+    // equivalent to nearestCentroids' normalized-dot order (|v| scales
+    // every centroid's score equally); assignment margins measured
+    // >= 3e-5 at q_sim_ivf cover the float noise between the two forms
+    def centRanks(v: Seq[Double]): Seq[Int] =
+      cents.indices.sortBy(i => (-cosD(v, cents(i)), i))
+    val assign: Map[Long, Int] =
+      vecs.map { case (id, v) => id -> centRanks(v.map(_.toDouble)).head }.toMap
+    val queries = vecs.filter(_._1 < 5)
+    def top10(qid: Long, qd: Seq[Double], pool: Seq[(Long, Seq[Float])]): Set[Long] =
+      pool.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosD(qd, v.map(_.toDouble))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val want = (for {
+      j <- js; q <- queries
+    } yield {
+      val qd = q._2.map(_.toDouble)
+      val probed = centRanks(qd).take(j.toInt).toSet
+      val ivf = top10(q._1, qd, vecs.filter(v => probed(assign(v._1))))
+      val ex = top10(q._1, qd, vecs)
+      val hit = ex.intersect(ivf).size.toLong
+      (j, q._1, ex.size.toLong, hit, (hit * 20000L + ex.size) / (ex.size * 2L))
+    }).sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_ivf_recall")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the curve is monotone per query (candidate sets are nested) ...
+    got.groupBy(_._2).values.foreach { rows =>
+      rows.sortBy(_._1).map(_._5).sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b, "recall fell as nprobe grew")
+        case _ =>
+      }
+    }
+    // ... and LIVE: imperfect at nprobe=1, nonzero somewhere
+    assert(got.filter(_._1 == 1L).exists(_._5 < 10000L),
+      "nprobe=1 already perfect; the curve exercises nothing")
+    assert(got.map(_._4).sum > 0L, "IVF recall identically zero")
+  }
 }
+
