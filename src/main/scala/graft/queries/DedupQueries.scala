@@ -107,11 +107,23 @@ object DedupQueries {
           explode(graft.functions.Shingles.shingles(split(col("text"), " "), 3)).as("s")),
       minJacE4 = 6000L)
 
-  private def jaccardPairs(shText: DataFrame, minJacE4: Long,
-      persistReg: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
+  /** `probeMinD2`: restrict the PROBE (d2) side of the prefix join to
+    * doc_id ≥ the bound — the incremental-dedup shape (q_dedup_incremental):
+    * the index side stays the full corpus (per-doc sets are corpus-linear,
+    * at rest in production), but candidate emission and verify — the
+    * quadratic-shaped stages — run only for the new batch. Lossless for
+    * pairs whose LATER doc is in the batch (d1 < d2 always holds here).
+    */
+  /** The per-doc ranked-shingle-set frame (doc_id, n, hs, prefix) —
+    * the PPJoin INDEX side: corpus-linear, the thing a production
+    * incremental pipeline keeps at rest (q_dedup_incremental
+    * materializes it per corpus via [[CorpusTable]]; the batch callers
+    * persist it for the duration of one pair build).
+    */
+  private def jacSetsFrame(shText: DataFrame, minJacE4: Long): DataFrame = {
     val sh = shText.select(col("doc_id"), hash60(col("s")).as("h"))
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val setsLazy = sh.join(dfreq, "h")
+    sh.join(dfreq, "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"),
         count(lit(1)).as("n"))
@@ -121,6 +133,12 @@ object DedupQueries {
         slice(col("hs"), lit(1),
           (col("n") - ceilDiv(col("n") * minJacE4, lit(10000L)) + 1L).cast("int"))
           .as("prefix"))
+  }
+
+  private def jaccardPairs(shText: DataFrame, minJacE4: Long,
+      persistReg: Option[scala.collection.mutable.Buffer[DataFrame]] = None,
+      probeMinD2: Option[Long] = None): DataFrame = {
+    val setsLazy = jacSetsFrame(shText, minJacE4)
       // persisted AND eagerly materialized: BOTH sides of the prefix
       // self-join consume this, and without a filled cache each branch
       // recomputes scan → explode → md5 → df-join → collect_list
@@ -132,9 +150,15 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistReg.foreach(_ += setsLazy)
     val sets = { setsLazy.count(); setsLazy }
-    // the full hash set rides along through the prefix join, so the
-    // verify needs no re-join back to `sets` (whose aggregate would be
-    // recomputed once per consumer)
+    pairsFromSets(sets, minJacE4, probeMinD2)
+  }
+
+  /** The PPJoin candidate+verify stages over a prebuilt [[jacSetsFrame]]
+    * relation — split out so q_dedup_incremental can run them against
+    * the at-rest materialized index without rebuilding it.
+    */
+  private def pairsFromSets(sets: DataFrame, minJacE4: Long,
+      probeMinD2: Option[Long]): DataFrame = {
     // explicit-N repartition on the join key: the prefix frame is
     // bytes-tiny (16-byte rows) so AQE coalesces its exchange to ~1
     // partition and the Σdf² candidate emission serializes onto one
@@ -142,14 +166,18 @@ object DedupQueries {
     // 61 s); explicit counts are exempt from coalescing, and keying by
     // h co-partitions both sides of the self-join (same finding as
     // q_mm_ahash / q_interval_join, r6 scale curve)
-    val nPart = shText.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPart = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val pref = sets.select(col("doc_id"), col("n"), col("hs"),
       posexplode(col("prefix")).as(Seq("pos", "h")))
       .repartition(nPart, col("h"))
     // required overlap for jac >= t: alpha = ceil(t/(1+t) * (nx+ny))
     val alpha = ceilDiv((col("a.n") + col("b.n")) * minJacE4, lit(10000L + minJacE4))
+    // incremental probe: the b side (always the LATER doc of a pair)
+    // shrinks to the new batch BEFORE the join — old×old candidates
+    // are never emitted, old×old verifies never run
+    val prefB = probeMinD2.fold(pref)(t => pref.filter(col("doc_id") >= lit(t)))
     val cand = pref.as("a")
-      .join(pref.as("b"),
+      .join(prefB.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           // length filter: jac >= t forces t*nx <= ny (and symmetrically)
           col("b.n") * 10000L >= col("a.n") * minJacE4 &&
@@ -511,6 +539,74 @@ object DedupQueries {
               |  CAST(SUM(CASE WHEN rk != 1 THEN n_tokens ELSE 0 END) AS BIGINT)
               |    AS dropped_tokens
               |FROM rkd GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_dedup_incremental ★ (new r11) — INCREMENTAL batch dedup, the
+    // shape a crawl pipeline actually runs: dedup only the NEW ingest
+    // batch (the top 20% of doc_ids here — ids are ingest-ordered)
+    // against everything earlier, never re-deduping the at-rest corpus
+    // against itself. Per new doc: keep/drop plus its best ≥0.6-Jaccard
+    // match among ALL earlier docs (old corpus or earlier-in-batch),
+    // by (jac desc, id) — the pair-screen rule; the cluster-correct
+    // variant is q_dedup_canonical over the union when transitive
+    // chains matter.
+    //
+    // Scale shape — the point of the query: the PPJoin INDEX (per-doc
+    // ranked shingle sets, corpus-linear) is MATERIALIZED per corpus
+    // ([[CorpusTable]] `graft_jacsets` — "the index at rest"), and the
+    // probe side (`probeMinD2`) restricts the prefix join's b side to
+    // the batch BEFORE the join — so a warm run pays only batch-sized
+    // candidate emission and verifies plus one at-rest index read,
+    // never a corpus-scale rebuild (measured: gen-sf1 14.7 s rebuild
+    // → 2.0 s warm, dev/PERF_NOTES r11). The batch bound is one scalar
+    // agg collected driver-side (a bounded 1-row collect, house rule).
+    // Oracle: DuckDB derives the same relation by filtering the full
+    // pair CTE — the lossless-restriction proof of the probe filter
+    // (d1 < d2 always, so every pair with a batch doc as its LATER
+    // side survives).
+    QueryDef(
+      "q_dedup_incremental",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val t = (4L * (maxId + 1L)) / 5L
+        val sets = CorpusTable.materialized(s, dir, "graft_jacsets")(
+          jacSetsFrame(shingleText(s, dir), 6000L))
+        val pairs = pairsFromSets(sets, 6000L, probeMinD2 = Some(t))
+        val w = Window.partitionBy("d2").orderBy(col("jac_e4").desc, col("d1"))
+        val best = pairs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("d2").as("doc_id"), col("d1").as("best_match"),
+            col("jac_e4").as("best_jac_e4"))
+        docs.filter(col("doc_id") >= t).select(col("doc_id"))
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("best_match").isNotNull, lit("drop"))
+              .otherwise(lit("keep")).as("action"),
+            col("best_match"), col("best_jac_e4"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ShSql,
+              |$JacSql,
+              |tt AS (SELECT (4*(MAX(doc_id)+1))//5 AS t FROM documents),
+              |inc AS (
+              |  SELECT d1, d2, jac_e4 FROM jac, tt
+              |  WHERE jac_e4 >= 6000 AND d2 >= tt.t),
+              |best AS (
+              |  SELECT d2 AS doc_id, d1 AS best_match, jac_e4 AS best_jac_e4
+              |  FROM (
+              |    SELECT d1, d2, jac_e4,
+              |      row_number() OVER (PARTITION BY d2
+              |        ORDER BY jac_e4 DESC, d1) AS rk
+              |    FROM inc) WHERE rk = 1),
+              |nd AS (SELECT doc_id FROM documents, tt WHERE doc_id >= tt.t)
+              |SELECT nd.doc_id,
+              |  CASE WHEN b.best_match IS NOT NULL THEN 'drop' ELSE 'keep' END
+              |    AS action,
+              |  b.best_match, CAST(b.best_jac_e4 AS BIGINT) AS best_jac_e4
+              |FROM nd LEFT JOIN best b ON b.doc_id = nd.doc_id
+              |ORDER BY nd.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_split_leakage_safe ★ (new r11) — CLUSTER-AWARE train/val/test

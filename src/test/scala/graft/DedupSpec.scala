@@ -347,6 +347,32 @@ class DedupSpec extends SparkSpec {
     got.foreach(r => assert(r._6 <= 1000000L))
   }
 
+  test("q_dedup_incremental == driver fold over the declared pair relation (r11)") {
+    val ids = Tables(spark, sfDir, "documents").select("doc_id")
+      .as[Long].collect().toSeq
+    val t = (4L * (ids.max + 1L)) / 5L
+    // the probe-filtered pair relation must be EXACTLY the full declared
+    // pair relation restricted to batch-side d2 (losslessness of the
+    // incremental probe), so the fold derives from q_dedup_ngram alone
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val best = pairs.filter(_._2 >= t).groupBy(_._2).map { case (d2, ps) =>
+      val b = ps.minBy(p => (-p._3, p._1))
+      d2 -> (b._1, b._3)
+    }
+    val want = ids.filter(_ >= t).sorted.map { id =>
+      best.get(id) match {
+        case Some((m, j)) => (id, "drop", Some(m), Some(j))
+        case None         => (id, "keep", None, None)
+      }
+    }
+    val got = SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSeq
+    assert(got == want)
+    // live fixture: the batch both drops and keeps
+    assert(got.exists(_._2 == "drop") && got.exists(_._2 == "keep"))
+  }
+
   test("q_split_leakage_safe: no near-dup pair straddles a split; agg matches a driver fold (r11)") {
     // the md5-mod-100 rule, recomputed driver-side (java MD5 == both engines')
     def split100(id: Long): String = {
