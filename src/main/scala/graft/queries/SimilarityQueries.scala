@@ -192,6 +192,25 @@ object SimilarityQueries {
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
       |  FROM scored)""".stripMargin
 
+  /** DuckDB CTE fragment: the exact brute-force per-query ranking
+    * (`xranked`: q_id, vec_id, rank) — [[exactTop10]]'s SQL twin,
+    * shared by the q_ann_recall and q_ivf_recall oracles (one copy of
+    * the ground-truth definition, same sharing rule as
+    * [[AnnRankedSql]]/[[ivfCandSql]]). Requires `e` in scope.
+    */
+  private val ExactRankedSql: String =
+    """xscored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id,
+      |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.v[i])) /
+      |      (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
+      |       sqrt(list_sum(list_transform(q.v, x -> x*x)))) AS cos
+      |  FROM e CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 5) q
+      |  WHERE e.vec_id != q.vec_id),
+      |xranked AS (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM xscored)""".stripMargin
+
   /** DuckDB CTE fragment: the IVF candidate relation (`scored`:
     * q_id, vec_id, probe_rank, cos), probing each query's `probeLimit`
     * nearest lists — shared by the q_sim_ivf and q_ivf_recall oracles
@@ -210,7 +229,8 @@ object SimilarityQueries {
       |p AS (
       |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) AS k,
       |    GREATEST(1, (GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) + 3) // 4) AS nprobe,
-      |    LEAST(8, GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER))) AS jmax
+      |    CASE WHEN GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) >= 8
+      |         THEN 8 ELSE 4 END AS jmax
       |  FROM e),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e, p WHERE vec_id < p.k),
       |ac AS (
@@ -1702,17 +1722,7 @@ object SimilarityQueries {
           .orderBy("q_id")
       },
       Some(s"""WITH $AnnRankedSql,
-             |xscored AS (
-             |  SELECT q.vec_id AS q_id, e.vec_id,
-             |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.v[i])) /
-             |      (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
-             |       sqrt(list_sum(list_transform(q.v, x -> x*x)))) AS cos
-             |  FROM e CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 5) q
-             |  WHERE e.vec_id != q.vec_id),
-             |xranked AS (
-             |  SELECT q_id, vec_id,
-             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-             |  FROM xscored),
+             |$ExactRankedSql,
              |ax AS (SELECT q_id, vec_id FROM ranked WHERE rank <= 10),
              |xx AS (SELECT q_id, vec_id FROM xranked WHERE rank <= 10),
              |j AS (
@@ -1749,7 +1759,11 @@ object SimilarityQueries {
       "q_ivf_recall",
       (s: SparkSession, dir: String) => {
         import graft.functions.ExactMath
-        val (cand, k) = ivfCandidates(s, dir, _ => 8)
+        // probe only as wide as the largest USABLE curve point (k in
+        // 4..7 → 4, not min(k,8)): candidates past it are filtered by
+        // every curve point and would be scored for nothing
+        val (cand, k) = ivfCandidates(s, dir,
+          kk => Seq(1, 2, 4, 8).filter(_ <= kk).max)
         val js = Seq(1L, 2L, 4L, 8L).filter(_ <= k)
         val candJ = cand
           .select(col("q_id"), col("vec_id"), col("probe_rank"), col("cos"),
@@ -1782,17 +1796,7 @@ object SimilarityQueries {
              |      ORDER BY cos DESC, vec_id) AS rank
              |  FROM cj),
              |ax AS (SELECT nprobe, q_id, vec_id FROM rkd WHERE rank <= 10),
-             |xscored AS (
-             |  SELECT q.vec_id AS q_id, e.vec_id,
-             |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.v[i])) /
-             |      (sqrt(list_sum(list_transform(e.v, x -> x*x))) *
-             |       sqrt(list_sum(list_transform(q.v, x -> x*x)))) AS cos
-             |  FROM e CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 5) q
-             |  WHERE e.vec_id != q.vec_id),
-             |xranked AS (
-             |  SELECT q_id, vec_id,
-             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-             |  FROM xscored),
+             |$ExactRankedSql,
              |xx AS (
              |  SELECT js.j AS nprobe, q_id, vec_id FROM xranked, js WHERE rank <= 10),
              |agg AS (

@@ -368,11 +368,13 @@ class TextSpec extends SparkSpec {
       val ranked = ds.sortBy(d => (d._4, d._1))
       val nKeep = ranked.size * 3 / 4
       val kept = ranked.take(nKeep)
+      // a 1-doc source keeps nothing (⌊3/4⌋ = 0) → NULL cutoff; decode
+      // as Option so the fold and the row agree instead of crashing
       (src, ds.size.toLong, kept.size.toLong, kept.map(_._3).sum,
-        kept.map(_._4).max)
+        kept.map(_._4).maxOption)
     }.sortBy(_._1)
     val got = SparkEntry.queries("q_quality_adaptive")(spark, sfDir)
-      .as[(String, Long, Long, Long, Long)].collect().toSeq
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
     assert(got == want)
     // adaptivity is live: the realized per-source cutoffs differ — a
     // single global threshold could not reproduce this kept-set
