@@ -227,6 +227,24 @@ object DedupQueries {
       |  SELECT d1, d2, (common*10000) // (x.n + y.n - common) AS jac_e4
       |  FROM pairs JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2)""".stripMargin
 
+  /** DuckDB CTE fragment: connected components over the ≥0.6-Jaccard
+    * pair graph (`lbl`: doc_id, cluster_id = min reachable id) — the
+    * recursive min-label CC shared by the q_dedup_groups,
+    * q_dedup_canonical and q_split_leakage_safe oracles (all three must
+    * cluster identically or their relations drift). Requires `jac`
+    * (from [[JacSql]]) in scope and a `WITH RECURSIVE` opener.
+    * `dup AS MATERIALIZED` is load-bearing at scale — see
+    * q_dedup_groups' scaladoc.
+    */
+  private val CcSql =
+    """dup AS MATERIALIZED (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
+      |edges AS (SELECT d1, d2 FROM dup UNION ALL SELECT d2, d1 FROM dup),
+      |reach(d, r) AS (
+      |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
+      |  UNION
+      |  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.d = e.d2),
+      |lbl AS (SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY d)""".stripMargin
+
   /** DuckDB CTE fragment: the MinHash(8) + LSH(4 bands × 2 rows) band
     * CANDIDATE pair relation (`cand`), shared by the q_minhash_dup and
     * q_minhash_recall oracles — the identical affine-permutation
@@ -477,13 +495,7 @@ object DedupQueries {
         ccLabelTable(s, dir).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $ShSql,
               |$JacSql,
-              |dup AS MATERIALIZED (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
-              |edges AS (SELECT d1, d2 FROM dup UNION ALL SELECT d2, d1 FROM dup),
-              |reach(d, r) AS (
-              |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
-              |  UNION
-              |  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.d = e.d2),
-              |lbl AS (SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY d),
+              |$CcSql,
               |csz AS (SELECT cluster_id AS c, COUNT(*) AS cluster_size FROM lbl GROUP BY 1)
               |SELECT doc_id, cluster_id, cluster_size
               |FROM lbl JOIN csz ON lbl.cluster_id = csz.c
@@ -522,13 +534,7 @@ object DedupQueries {
       },
       Some(s"""WITH RECURSIVE $ShSql,
               |$JacSql,
-              |dup AS MATERIALIZED (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
-              |edges AS (SELECT d1, d2 FROM dup UNION ALL SELECT d2, d1 FROM dup),
-              |reach(d, r) AS (
-              |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
-              |  UNION
-              |  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.d = e.d2),
-              |lbl AS (SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY d),
+              |$CcSql,
               |tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
               |       FROM documents),
               |rkd AS (
@@ -658,13 +664,7 @@ object DedupQueries {
       },
       Some(s"""WITH RECURSIVE $ShSql,
               |$JacSql,
-              |dup AS MATERIALIZED (SELECT d1, d2 FROM jac WHERE jac_e4 >= 6000),
-              |edges AS (SELECT d1, d2 FROM dup UNION ALL SELECT d2, d1 FROM dup),
-              |reach(d, r) AS (
-              |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
-              |  UNION
-              |  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.d = e.d2),
-              |lbl AS (SELECT d AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY d),
+              |$CcSql,
               |a AS (
               |  SELECT d.source,
               |    CASE WHEN ('0x' || substring(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
