@@ -952,16 +952,23 @@ object AdvancedQueries {
     // |users| × span grid, and the grid needs no join at all. The r5
     // form (dense grid → left join back → running last(ignoreNulls)
     // over the grid) sorted and joined the full grid: measured gen-sf1
-    // 14.8 → 2.9 s. Hour keys are LONG epoch-hours (sequence() over
-    // longs is a plain numeric range; under the pinned UTC session
-    // epoch-hour bins ARE date_trunc('hour') bins — the grid itself
-    // never needs a timestamp value). All integer cents → engine-exact.
+    // 14.8 → 2.9 s. Hour keys are LONG epoch-hours binned with FLOOR
+    // division — Spark's DIV truncates toward zero, so a bare
+    // `t DIV 3600` would bin a pre-1970 timestamp one hour high while
+    // DuckDB's date_trunc('hour') floors; the explicit negative-
+    // remainder correction below makes the Spark bin floorDiv(t, 3600)
+    // for ALL timestamps, not just ts >= 0 (sequence() over longs is a
+    // plain numeric range; under the pinned UTC session epoch-hour
+    // bins ARE date_trunc('hour') bins — the grid itself never needs a
+    // timestamp value). All integer cents → engine-exact.
     QueryDef(
       "q_resample_locf",
       (s: SparkSession, dir: String) => {
         val hourly = Tables(s, dir, "events")
           .groupBy(col("user_id"),
-            expr("CAST(ts AS LONG) DIV 3600").as("h"))
+            expr("CAST(ts AS LONG) DIV 3600" +
+              " - (CASE WHEN CAST(ts AS LONG) % 3600 < 0 THEN 1 ELSE 0 END)")
+              .as("h"))
           .agg(sum(round(col("value") * 100).cast("long")).as("c"))
         val wLead = Window.partitionBy("user_id").orderBy("h")
         val spans = hourly.withColumn("h_end",

@@ -45,6 +45,14 @@ object CorpusTable {
     * points it at shared storage — the lake location every executor and
     * every job can read); default is the local tmpdir, right for this
     * single-machine harness.
+    *
+    * Stale-table recovery never deletes the target in place: a dir
+    * without `_SUCCESS` that blocks our rename is moved ASIDE with an
+    * atomic rename to a unique graveyard name first — so a racer that
+    * just installed a good table can never have its part-files deleted
+    * out from under it — and the install is retried against the freed
+    * slot; any _SUCCESS appearing mid-retry means a racer won and we
+    * adopt its table.
     */
   private[queries] def materialized(s: SparkSession, dir: String, prefix: String)(
       build: => DataFrame): DataFrame = {
@@ -53,27 +61,72 @@ object CorpusTable {
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val path = Paths.get(tableDir, s"${prefix}_${corpusKey(dir)}")
     lock.synchronized {
+      gcExpired(Paths.get(tableDir), prefix, s)
       if (!Files.exists(path.resolve("_SUCCESS"))) {
         val tmp = Paths.get(s"$path.tmp-${java.util.UUID.randomUUID()}")
         var installed = false
         try {
           build.write.mode("overwrite").parquet(tmp.toString)
-          try { Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE); installed = true }
-          catch { case _: java.nio.file.FileSystemException =>
-            // lost the race (or non-atomic fs): keep the winner's table
-            if (!Files.exists(path.resolve("_SUCCESS"))) {
-              // no winner — a stale/partial table (no _SUCCESS) blocks the
-              // rename; REPLACE_EXISTING cannot replace a non-empty dir, so
-              // clear it first
-              deleteRecursively(path)
-              Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
-              installed = true
+          var attempts = 0
+          while (!installed && !Files.exists(path.resolve("_SUCCESS")) &&
+              attempts < 8) {
+            attempts += 1
+            try { Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE); installed = true }
+            catch { case _: java.nio.file.FileSystemException =>
+              if (!Files.exists(path.resolve("_SUCCESS"))) {
+                // a stale/partial dir blocks the slot: atomically rename it
+                // aside (a racer that completes between our check and this
+                // move keeps its table — the move takes the WHOLE dir, never
+                // individual part-files), GC the orphan, retry the install
+                val aside = Paths.get(s"$path.stale-${java.util.UUID.randomUUID()}")
+                try Files.move(path, aside, StandardCopyOption.ATOMIC_MOVE)
+                catch { case _: java.nio.file.FileSystemException => () }
+                deleteRecursively(aside)
+              }
             }
           }
+          if (!installed && !Files.exists(path.resolve("_SUCCESS")))
+            throw new IllegalStateException(
+              s"CorpusTable: could not install $path after $attempts attempts")
         } finally if (!installed) deleteRecursively(tmp)
       }
+      // refresh the TTL clock on every use so active corpora never expire
+      try Files.setLastModifiedTime(path,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: Exception => () }
     }
     s.read.parquet(path.toString)
+  }
+
+  /** GC for the table store (r11 verdict #5): installed tables for this
+    * prefix whose mtime is older than `spark.graft.corpusTableTtlHours`
+    * (default 7 days) are deleted — regenerated corpora change the key,
+    * so superseded tables otherwise accumulate forever — and orphaned
+    * `.tmp-`/`.stale-` build dirs older than one hour (a crashed build;
+    * live builds finish in seconds) are swept. Active tables survive:
+    * every [[materialized]] read touches its table's mtime.
+    */
+  private def gcExpired(tableDir: java.nio.file.Path, prefix: String,
+      s: SparkSession): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(tableDir)) return
+    val ttlMs = s.conf.getOption("spark.graft.corpusTableTtlHours")
+      .map(_.toLong).getOrElse(7L * 24) * 3600L * 1000L
+    val now = System.currentTimeMillis()
+    val stream = Files.list(tableDir)
+    try stream.iterator().asScala.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(s"${prefix}_")) {
+        val age = now - (try Files.getLastModifiedTime(p).toMillis
+                         catch { case _: Exception => now })
+        val isBuildLeftover =
+          name.contains(".tmp-") || name.contains(".stale-")
+        if ((isBuildLeftover && age > 3600L * 1000L) ||
+            (!isBuildLeftover && age > ttlMs))
+          deleteRecursively(p)
+      }
+    } finally stream.close()
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

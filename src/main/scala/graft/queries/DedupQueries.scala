@@ -631,8 +631,16 @@ object DedupQueries {
     // id), so every cluster lands wholly in one split BY CONSTRUCTION —
     // the property the spec re-checks edge-by-edge. Membership stays a
     // pure function of ids (reproducible across runs/engines/cluster
-    // sizes); with ingest-ordered ids a growing corpus never flips an
-    // existing cluster's canonical id (new ids are larger than the min).
+    // sizes). Stability under growth holds for single-cluster
+    // EXTENSION only: with ingest-ordered ids, a new doc joining one
+    // existing cluster can't lower its min-id canonical. But a new doc
+    // BRIDGING two existing clusters merges them, and the merged
+    // members inherit the smaller cluster id — those docs can move to
+    // a different split. That reassignment is the leakage-safe choice
+    // (keeping the old splits would leave a near-dup pair straddling
+    // the train/eval line); a deployment that must pin docs to their
+    // first-assigned split instead records assignments and accepts the
+    // residual leakage on merge edges.
     //
     // Scale shape: the label frame is dup-cluster-sized (≪ corpus —
     // auto-broadcast here; a shuffled equi-join on doc_id at 100 TB),

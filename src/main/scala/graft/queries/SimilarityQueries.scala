@@ -370,6 +370,33 @@ object SimilarityQueries {
     }.toDF("q_id", "id", "score")
   }
 
+  /** Long-scored twin of [[heapTopK]] for exact-integer scores (q_bm25):
+    * the payload stays Long end to end, so ranking is exact at ANY score
+    * magnitude — no reliance on the < 2^53 double-precision window that
+    * the Double variant would need a cast-guard for. Same eviction
+    * tie-break contract: score desc, id asc, mirroring the global rank
+    * order so local survivors remain a superset of the global top-k.
+    */
+  private[graft] def heapTopKLong(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored.as[(Long, Long, Long)].mapPartitions { it =>
+      val worstFirst = new Ordering[(Long, Long)] {
+        def compare(x: (Long, Long), y: (Long, Long)): Int = {
+          val c = java.lang.Long.compare(y._2, x._2) // lower score = worse = greater
+          if (c != 0) c else java.lang.Long.compare(x._1, y._1) // higher id = worse
+        }
+      }
+      val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[(Long, Long)]]
+      it.foreach { case (qid, vid, score) =>
+        val h = heaps.getOrElseUpdate(qid, mutable.PriorityQueue.empty(worstFirst))
+        h.enqueue((vid, score))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map(t => (qid, t._1, t._2)) }
+    }.toDF("q_id", "id", "score")
+  }
+
   /** Default number of sign-LSH planes for a corpus of `n` vectors:
     * bucket count (2^planes) tracks corpus size so per-bucket occupancy
     * — and with it the candidate-pair count, Σ n_b²/2 ≈ n²/2^planes —

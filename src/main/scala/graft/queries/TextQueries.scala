@@ -1244,8 +1244,9 @@ object TextQueries {
     // Plan: tf/df/dl are the inverted-index aggregations (map-side
     // combined); T and D ride in as 1-row broadcasts; candidates come
     // from the query-term equi-join; per-(q, d) accumulation is one
-    // hash agg; top-10 is the heapTopK per-partition pre-reduce (exact
-    // long scores < 2^53 are lossless as doubles) + a window over the
+    // hash agg; top-10 is the heapTopKLong per-partition pre-reduce
+    // (the Long-payload twin — scores rank exactly at ANY magnitude,
+    // no 2^53 double-precision assumption) + a window over the
     // ≤ k·partitions survivors — the corpus is never globally sorted.
     QueryDef(
       "q_bm25",
@@ -1272,11 +1273,9 @@ object TextQueries {
         val scored = qterms.join(weights, "term")
           .filter(col("doc_id") =!= col("q_id"))
           .groupBy("q_id", "doc_id").agg(sum("w").as("score"))
-        val pre = SimilarityQueries.heapTopK(
-          scored.select(col("q_id"), col("doc_id"),
-            col("score").cast("double").as("s")), 10)
-          .select(col("q_id"), col("id").as("doc_id"),
-            col("score").cast("long").as("score"))
+        val pre = SimilarityQueries.heapTopKLong(
+          scored.select(col("q_id"), col("doc_id"), col("score")), 10)
+          .select(col("q_id"), col("id").as("doc_id"), col("score"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
         pre.withColumn("rk", row_number().over(w))

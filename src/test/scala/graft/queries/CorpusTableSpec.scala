@@ -109,6 +109,55 @@ class CorpusTableSpec extends graft.SparkSpec {
     }
   }
 
+  test("GC removes expired same-prefix tables and crashed-build leftovers; the active table survives (r11 verdict #5)") {
+    val alt = Files.createTempDirectory("graft_tablegc_test")
+    spark.conf.set("spark.graft.corpusTableDir", alt.toString)
+    try {
+      // a superseded table (regenerated corpus → different key), 8 days old
+      val expired = alt.resolve("graft_testgc_deadbeefdeadbeef")
+      Files.createDirectories(expired)
+      Files.writeString(expired.resolve("_SUCCESS"), "")
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+      Files.setLastModifiedTime(expired, old)
+      // a crashed build's tmp dir, 2 hours old
+      val crashed = alt.resolve("graft_testgc_cafe.tmp-deadc0de")
+      Files.createDirectories(crashed)
+      Files.setLastModifiedTime(crashed,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 3600 * 1000))
+      // a DIFFERENT prefix's expired table must NOT be touched by this call
+      val otherPrefix = alt.resolve("graft_testother_deadbeefdeadbeef")
+      Files.createDirectories(otherPrefix)
+      Files.setLastModifiedTime(otherPrefix, old)
+
+      val df = CorpusTable.materialized(spark, sfDir, "graft_testgc") {
+        spark.range(4).toDF("v")
+      }
+      assert(df.count() == 4)
+      assert(!Files.exists(expired), "expired same-prefix table survived GC")
+      assert(!Files.exists(crashed), "crashed-build tmp dir survived GC")
+      assert(Files.exists(otherPrefix),
+        "GC crossed prefixes — another battery's table was deleted")
+      val active = alt.resolve(s"graft_testgc_${CorpusTable.corpusKey(sfDir)}")
+      assert(Files.exists(active.resolve("_SUCCESS")), "active table missing")
+      // every read refreshes the TTL clock, so a table read at least once
+      // per TTL window never expires (6 days old = within the 7-day TTL)
+      Files.setLastModifiedTime(active,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 6L * 24 * 3600 * 1000))
+      assert(CorpusTable.materialized(spark, sfDir, "graft_testgc") {
+        fail("build re-ran for a cached table"); spark.emptyDataFrame
+      }.count() == 4)
+      assert(Files.getLastModifiedTime(active).toMillis >
+        System.currentTimeMillis() - 60_000,
+        "read did not refresh the table's TTL mtime")
+    } finally {
+      spark.conf.unset("spark.graft.corpusTableDir")
+      deleteAll(alt)
+    }
+  }
+
   test("second call reads the cached table without re-running the build") {
     val path = tablePath("graft_testcache")
     deleteAll(path)
