@@ -1067,6 +1067,120 @@ object DedupQueries {
              |ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_substring_cross ★ (new r12) — CROSS-document exact-substring
+    // dedup, the missing member of the Lee et al. 2022 family (r11
+    // verdict #1): per document, the fraction of its distinct 13-token
+    // shingles whose hash appears in ≥ 2 DISTINCT documents, plus the
+    // widest ownership its spans reach (owners_max). q_substring_dedup
+    // (k=5) measures repeated spans WITHIN the corpus as a per-doc
+    // diagnostic; q_decontaminate (k=13) checks eval-vs-train only.
+    // This is the train-vs-train signal: a doc with high cross_frac_e4
+    // shares long verbatim spans (13 tokens ≈ the 50-token span's
+    // fixture-scale stand-in) with other TRAINING docs — boilerplate,
+    // mirrored articles, license headers — exactly what ExactSubstr
+    // dedup cuts before training.
+    //
+    // Plan (corpus-linear, NO pair stream): one codegen'd Shingles
+    // explode into per-doc-distinct (doc_id, hash60) rows (persisted —
+    // the ownership count and the per-doc rejoin both consume it), ONE
+    // corpus-wide count keyed on the 8-byte hash — per-doc-distinct
+    // shingles make that count the number of OWNING DOCS — then the
+    // equi-join back and one per-doc agg. Every shuffle is keyed on a
+    // long or doc_id; candidate enumeration never materializes a
+    // doc-pair. At 100 TB this is the scalable shape of ExactSubstr:
+    // the suffix-array approach is single-machine, the shingle-
+    // ownership approach is one map-side-combined hash agg.
+    //
+    // Oracle parity: both engines count by the md5-60 identity (long
+    // vs 15-hex prefix — equality-isomorphic) and DuckDB dedups the
+    // raw shingle STRING before hashing, exactly as the codegen'd
+    // Shingles(distinct=true) does — identical counts even under a
+    // 60-bit collision (the q_substring_dedup collision rule).
+    QueryDef(
+      "q_substring_cross",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shingles
+        val docs = Tables(s, dir, "documents")
+        val p = docs
+          .select(col("doc_id"),
+            explode(shingles(split(col("text"), " "), 13)).as("shs"))
+          .select(col("doc_id"), hash60(col("shs")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: owner counts + the rejoin both reuse it
+        val owners = p.groupBy("h").agg(count(lit(1)).as("owners"))
+        val d = p.join(owners, "h").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("owners") >= 2L, 1L).otherwise(0L)).as("n_cross"),
+            max("owners").as("owners_max"))
+        docs.select("doc_id").join(d, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_cross"), lit(0L)).as("n_cross"),
+            floorDiv(coalesce(col("n_cross"), lit(0L)) * 10000L,
+              greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)))
+              .as("cross_frac_e4"),
+            coalesce(col("owners_max"), lit(0L)).as("owners_max"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |p AS (
+             |  SELECT doc_id, substring(md5(shs), 1, 15) AS sh FROM (
+             |    SELECT DISTINCT doc_id, shs FROM (
+             |      SELECT doc_id, unnest(list_transform(range(1, len(ts)-11),
+             |        i -> array_to_string(ts[i:i+12], ' '))) AS shs
+             |      FROM t WHERE len(ts) >= 13))),
+             |c AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS owners FROM p GROUP BY 1),
+             |d AS (
+             |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             |    CAST(SUM(CASE WHEN owners >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_cross,
+             |    CAST(MAX(owners) AS BIGINT) AS owners_max
+             |  FROM p JOIN c ON p.sh = c.sh GROUP BY 1)
+             |SELECT t.doc_id AS doc_id, COALESCE(n_shingles, 0) AS n_shingles,
+             |  COALESCE(n_cross, 0) AS n_cross,
+             |  (COALESCE(n_cross, 0) * 10000) //
+             |    GREATEST(COALESCE(n_shingles, 0), 1) AS cross_frac_e4,
+             |  COALESCE(owners_max, 0) AS owners_max
+             |FROM t LEFT JOIN d ON t.doc_id = d.doc_id
+             |ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_substring_hist ★ (new r12) — the corpus-level companion of
+    // q_substring_cross: the OWNING-DOC COUNT HISTOGRAM of 13-token
+    // spans (for each ownership width w, how many distinct spans are
+    // held by exactly w documents). This is the curve a curation run
+    // reads before picking the ExactSubstr cut: a long tail of
+    // high-ownership spans = boilerplate to strip; owners = 1 mass =
+    // unique content. One Shingles explode, one hash-keyed ownership
+    // count (map-side combined), one (tiny) histogram agg — the
+    // whole query is two hash aggs over corpus-linear rows; output is
+    // max-ownership-sized.
+    QueryDef(
+      "q_substring_hist",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shingles
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(shingles(split(col("text"), " "), 13)).as("shs"))
+          .select(col("doc_id"), hash60(col("shs")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("owners"))
+          .groupBy("owners").agg(count(lit(1)).as("n_shingles"))
+          .orderBy("owners")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |p AS (
+             |  SELECT doc_id, substring(md5(shs), 1, 15) AS sh FROM (
+             |    SELECT DISTINCT doc_id, shs FROM (
+             |      SELECT doc_id, unnest(list_transform(range(1, len(ts)-11),
+             |        i -> array_to_string(ts[i:i+12], ' '))) AS shs
+             |      FROM t WHERE len(ts) >= 13))),
+             |c AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS owners FROM p GROUP BY 1)
+             |SELECT owners, CAST(COUNT(*) AS BIGINT) AS n_shingles
+             |FROM c GROUP BY owners ORDER BY owners""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_fuzzy_match ★ (new r5) — approximate-string record linkage over
     // the corpus vocabulary: every token pair within edit distance ≤ 2,
     // with corpus frequencies and the frequency-canonical form — the
