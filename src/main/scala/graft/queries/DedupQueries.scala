@@ -1181,6 +1181,137 @@ object DedupQueries {
              |FROM c GROUP BY owners ORDER BY owners""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_dedup_normalized ★ (new r12) — canonicalization-before-dedup
+    // (r11 verdict #2, the CCNet/Gopher normalize-then-hash step): the
+    // whole shingle battery hashes RAW whitespace tokens, so near-dups
+    // differing only in case / punctuation / digit literals evade every
+    // Jaccard/MinHash/SimHash row. This query measures exactly that
+    // blindness and its fix, on PLANTED variants built deterministically
+    // from the corpus (both engines build the identical plant): per doc,
+    // variant A appends a digit literal to every 13th token; variant B
+    // appends a DIFFERENT digit literal there, uppercases every 7th
+    // token, and suffixes a comma to every 11th — the realistic
+    // mirrored-article delta. ~29% of tokens differ between A and B, so
+    // their raw 3-gram Jaccard sits around 0.2: genuinely similar, but
+    // below EVERY battery threshold — the raw pipeline emits no
+    // candidate pair. Under [[graft.functions.NormalizeText]] (ASCII
+    // lowercase → strip punct → fold digit runs → collapse whitespace)
+    // the two variants become byte-identical, so normalized Jaccard is
+    // exactly 10000: planted variants are caught ONLY via
+    // normalization, which is the measured recall claim.
+    //
+    // Plan: the mangles are per-token index CASEs (an interpreted HOF
+    // transform — fixture scaffolding, not engine hot path; the hot
+    // path is NormalizeText + the codegen'd Shingles both variants
+    // feed). Pairs are 1:1 by doc_id, so Jaccard needs NO pair search:
+    // tag each variant's distinct shingle hashes, one (doc, hash)
+    // presence agg, one per-doc agg — corpus-linear, two hash
+    // shuffles, keyed on (doc_id, long). At 100 TB normalization is
+    // one codegen'd byte pass fused into the document scan; the dedup
+    // battery would simply shingle normalizeText(text) instead of
+    // text.
+    QueryDef(
+      "q_dedup_normalized",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shingles
+        import graft.functions.NormalizeText.normalizeText
+        val docs = Tables(s, dir, "documents")
+        val va = expr("concat_ws(' ', transform(split(text, ' '), (w, i) -> " +
+          "CASE WHEN i % 13 = 7 THEN concat(w, '9') ELSE w END))")
+        val vb = expr("concat_ws(' ', transform(split(text, ' '), (w, i) -> " +
+          "CASE WHEN i % 13 = 7 THEN concat(w, '123') " +
+          "WHEN i % 7 = 0 THEN upper(w) " +
+          "WHEN i % 11 = 3 THEN concat(w, ',') ELSE w END))")
+        def shset(textCol: Column, a: Long, b: Long): DataFrame = docs
+          .select(col("doc_id"),
+            explode(shingles(split(textCol, " "), 3)).as("shs"))
+          .select(col("doc_id"), hash60(col("shs")).as("h"),
+            lit(a).as("in_a"), lit(b).as("in_b"))
+        def jacOf(x: DataFrame, y: DataFrame, name: String): DataFrame =
+          x.union(y)
+            .groupBy("doc_id", "h")
+            .agg(max("in_a").as("a"), max("in_b").as("b"))
+            .groupBy("doc_id")
+            .agg(sum(col("a") * col("b")).as("inter"),
+              sum("a").as("na"), sum("b").as("nb"))
+            .select(col("doc_id"),
+              floorDiv(col("inter") * 10000L,
+                greatest(col("na") + col("nb") - col("inter"), lit(1L)))
+                .as(name))
+        val raw = jacOf(shset(va, 1L, 0L), shset(vb, 0L, 1L), "jac_raw_e4")
+        val norm = jacOf(shset(normalizeText(va), 1L, 0L),
+          shset(normalizeText(vb), 0L, 1L), "jac_norm_e4")
+        raw.join(norm, "doc_id")
+          .select(col("doc_id"), col("jac_raw_e4"), col("jac_norm_e4"),
+            when(col("jac_raw_e4") >= 6000L, 1L).otherwise(0L).as("caught_raw"),
+            when(col("jac_norm_e4") >= 6000L, 1L).otherwise(0L).as("caught_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |va AS (
+             |  SELECT doc_id, array_to_string(list_transform(range(1, len(ts)+1),
+             |    i -> CASE WHEN (i-1) % 13 = 7 THEN ts[i] || '9'
+             |              ELSE ts[i] END), ' ') AS txt FROM t),
+             |vb AS (
+             |  SELECT doc_id, array_to_string(list_transform(range(1, len(ts)+1),
+             |    i -> CASE WHEN (i-1) % 13 = 7 THEN ts[i] || '123'
+             |              WHEN (i-1) % 7 = 0 THEN upper(ts[i])
+             |              WHEN (i-1) % 11 = 3 THEN ts[i] || ','
+             |              ELSE ts[i] END), ' ') AS txt FROM t),
+             |nva AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             |  regexp_replace(lower(txt), '[[:punct:]]', '', 'g'),
+             |  '[0-9]+', '0', 'g'), '[[:space:]]+', ' ', 'g')) AS txt FROM va),
+             |nvb AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             |  regexp_replace(lower(txt), '[[:punct:]]', '', 'g'),
+             |  '[0-9]+', '0', 'g'), '[[:space:]]+', ' ', 'g')) AS txt FROM vb),
+             |sra AS (SELECT DISTINCT doc_id, substring(md5(shs),1,15) AS h FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, len(string_split(txt,' '))-1),
+             |    i -> array_to_string(string_split(txt,' ')[i:i+2], ' '))) AS shs
+             |  FROM va)),
+             |srb AS (SELECT DISTINCT doc_id, substring(md5(shs),1,15) AS h FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, len(string_split(txt,' '))-1),
+             |    i -> array_to_string(string_split(txt,' ')[i:i+2], ' '))) AS shs
+             |  FROM vb)),
+             |sna AS (SELECT DISTINCT doc_id, substring(md5(shs),1,15) AS h FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, len(string_split(txt,' '))-1),
+             |    i -> array_to_string(string_split(txt,' ')[i:i+2], ' '))) AS shs
+             |  FROM nva)),
+             |snb AS (SELECT DISTINCT doc_id, substring(md5(shs),1,15) AS h FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, len(string_split(txt,' '))-1),
+             |    i -> array_to_string(string_split(txt,' ')[i:i+2], ' '))) AS shs
+             |  FROM nvb)),
+             |jr AS (
+             |  SELECT doc_id,
+             |    (CAST(SUM(a*b) AS BIGINT) * 10000) // GREATEST(
+             |      CAST(SUM(a) + SUM(b) - SUM(a*b) AS BIGINT), 1) AS jac_raw_e4
+             |  FROM (SELECT doc_id, h, MAX(in_a) AS a, MAX(in_b) AS b FROM (
+             |    SELECT doc_id, h, 1 AS in_a, 0 AS in_b FROM sra
+             |    UNION ALL
+             |    SELECT doc_id, h, 0 AS in_a, 1 AS in_b FROM srb)
+             |   GROUP BY 1, 2) GROUP BY doc_id),
+             |jn AS (
+             |  SELECT doc_id,
+             |    (CAST(SUM(a*b) AS BIGINT) * 10000) // GREATEST(
+             |      CAST(SUM(a) + SUM(b) - SUM(a*b) AS BIGINT), 1) AS jac_norm_e4
+             |  FROM (SELECT doc_id, h, MAX(in_a) AS a, MAX(in_b) AS b FROM (
+             |    SELECT doc_id, h, 1 AS in_a, 0 AS in_b FROM sna
+             |    UNION ALL
+             |    SELECT doc_id, h, 0 AS in_a, 1 AS in_b FROM snb)
+             |   GROUP BY 1, 2) GROUP BY doc_id)
+             |SELECT jr.doc_id, jr.jac_raw_e4, jn.jac_norm_e4,
+             |  CAST(CASE WHEN jr.jac_raw_e4 >= 6000 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS caught_raw,
+             |  CAST(CASE WHEN jn.jac_norm_e4 >= 6000 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS caught_norm
+             |FROM jr JOIN jn USING (doc_id)
+             |ORDER BY jr.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_fuzzy_match ★ (new r5) — approximate-string record linkage over
     // the corpus vocabulary: every token pair within edit distance ≤ 2,
     // with corpus frequencies and the frequency-canonical form — the
