@@ -89,6 +89,58 @@ object TextQueries {
   private def floorDivL(a: Column, b: Column): Column =
     graft.functions.ExactMath.divTrunc(a, b)
 
+  /** Rounds for q_bpe_train: ≥ 3 per the r11 verdict; 5 exercises
+    * merged tokens participating in later rounds' pairs.
+    */
+  private[queries] val BpeTrainRounds = 5
+
+  /** The q_bpe_train oracle: the identical rounds UNROLLED as CTEs,
+    * generated from ONE (pair-count → argmax → greedy-apply) fragment
+    * so the round logic exists once (the CcSql rule). DuckDB's
+    * list_reduce reproduces BpeApply's greedy left-to-right
+    * non-overlap exactly: the accumulator is the merged-so-far token
+    * string (US-joined); a merge rewrites the tail token to t1‖t2,
+    * which can never equal t1 again (t2 nonempty), so a token produced
+    * this round never re-merges — the same invariant the Scala scan's
+    * skip-two enforces. An exhausted vocabulary degrades identically
+    * in both engines: an empty argmax empties every later round's CTE
+    * (Spark breaks out of the loop), so the branch just contributes no
+    * rows.
+    */
+  private val BpeTrainSql: String = {
+    def pairCte(r: Int) =
+      s"""p$r AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM (
+         |  SELECT wf, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || chr(31) || toks[i+1])) AS pair
+         |  FROM s${r - 1} WHERE len(toks) >= 2) GROUP BY 1),
+         |m$r AS (SELECT string_split(pair, chr(31))[1] AS t1,
+         |  string_split(pair, chr(31))[2] AS t2, n
+         |  FROM p$r ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+    def applyCte(r: Int) =
+      s"""s$r AS (SELECT w, wf, string_split(list_reduce(toks,
+         |  (acc, x) -> CASE WHEN x = m$r.t2 AND (acc = m$r.t1
+         |      OR ends_with(acc, chr(31) || m$r.t1))
+         |    THEN left(acc, length(acc) - length(m$r.t1)) || m$r.t1 || m$r.t2
+         |    ELSE acc || chr(31) || x END), chr(31)) AS toks
+         |  FROM s${r - 1}, m$r)""".stripMargin
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      if (r < BpeTrainRounds) pairCte(r) + ",\n" + applyCte(r)
+      else pairCte(r) // the final round's re-segmentation is never read
+    }.mkString(",\n")
+    val selects = (1 to BpeTrainRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, t1, t2, t1 || t2 AS merged, n FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT w, COUNT(*) AS wf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |s0 AS (SELECT w, wf, list_transform(range(1, length(w) + 1),
+       |  i -> substring(w, CAST(i AS INTEGER), 1)) AS toks FROM wf),
+       |$rounds
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
   /** DuckDB twin of [[repetitionMetrics]] — ONE copy of the metric CTE
     * chain, shared by both oracles exactly as the Scala side shares the
     * DataFrame builder (an edit to the metric definition hits both
@@ -768,6 +820,85 @@ object TextQueries {
              |  CAST(length(w) - n_merges AS BIGINT) AS len_after
              |FROM per_w
              |ORDER BY wf DESC, w LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_bpe_train ★ (new r12) — the MULTI-round BPE trainer (r11
+    // verdict #3): q_bpe_merge is one iteration; this is the actual
+    // tokenizer-training kernel — [[BpeTrainRounds]] rounds of
+    // (count adjacent token pairs over the current segmentation →
+    // argmax (count DESC, pair ASC) → apply the merge greedily
+    // left-to-right) starting from the character segmentation,
+    // exporting the MERGE TABLE (round, t1, t2, merged, n) — the
+    // artifact a BPE tokenizer ships.
+    //
+    // Orchestration is the q_pagerank3 driver-loop pattern: each round
+    // fetches ONE model row (the argmax pair — bounded driver data),
+    // bakes it into the next round's plan as a constant, and
+    // re-segments via the codegen'd [[graft.functions.BpeApply]]
+    // (greedy non-overlap: [a a a a] → [aa aa]). Everything distributed
+    // runs on the WORD-FREQUENCY table — corpus-compressed, the trick
+    // that makes BPE training feasible at 100 TB: the corpus is read
+    // once for the frequency agg; every round after that is
+    // vocabulary-sized (the adjacent-pair HOF here is interpreted but
+    // vocabulary-scale, never the corpus hot path). Each round's
+    // segmentation is persisted and materialized before the previous
+    // is released, so round r+1 never recomputes rounds 1..r.
+    //
+    // Pair identity is t1‖US‖t2 (US = chr(31), below every printable
+    // byte and absent from token text), so the single-string tiebreak
+    // order IS the (t1, t2) tuple order in both engines. Oracle: the
+    // identical rounds UNROLLED as CTEs — DuckDB's list_reduce
+    // reproduces the greedy left-to-right apply exactly (acc carries
+    // the merged-so-far tokens US-joined; a merge consumes the pair, so
+    // a produced token never re-merges within its round).
+    QueryDef(
+      "q_bpe_train",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.BpeApply.bpeApply
+        val words = Tables(s, dir, "documents")
+          .select(explode(toks).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("wf"))
+        var seg = words.select(col("w"), col("wf"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .as("toks"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        seg.count()
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String, Long)]
+        var r = 1
+        var exhausted = false
+        while (r <= BpeTrainRounds && !exhausted) {
+          // sequence(1, n) DESCENDS for n < 1 (the q_bpe_pairs trap):
+          // fully-merged single-token words must not reach the explode
+          val top = seg.filter(size(col("toks")) >= 2)
+            .select(col("wf"), explode(expr(
+              "transform(sequence(1, size(toks) - 1)," +
+                " i -> concat(toks[i-1], chr(31), toks[i]))")).as("pair"))
+            .groupBy("pair").agg(sum("wf").as("n"))
+            .orderBy(desc("n"), asc("pair")).limit(1)
+            .collect()
+          if (top.isEmpty) exhausted = true // vocabulary fully merged
+          else {
+            val Array(t1, t2) = top(0).getString(0).split('\u001f')
+            merges += ((r.toLong, t1, t2, top(0).getLong(1)))
+            val next = seg.select(col("w"), col("wf"),
+              bpeApply(col("toks"), t1, t2).as("toks"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            next.count() // materialize BEFORE releasing the parent
+            seg.unpersist()
+            seg = next
+            r += 1
+          }
+        }
+        seg.unpersist()
+        import s.implicits._
+        merges.toSeq.toDF("round", "t1", "t2", "n")
+          .select(col("round"), col("t1"), col("t2"),
+            concat(col("t1"), col("t2")).as("merged"), col("n"))
+          .orderBy("round")
+      },
+      Some(BpeTrainSql)),
 
     // ------------------------------------------------------------------
     // q_collocation_pmi ★ — top-50 two-word collocations ranked by

@@ -383,4 +383,54 @@ class TextSpec extends SparkSpec {
     // quota honored exactly
     got.foreach(r => assert(r._3 == r._2 * 3 / 4))
   }
+
+  test("BpeApply merges greedily left-to-right, non-overlapping (r12)") {
+    import graft.functions.BpeApply.bpeApply
+    def run(toks: Seq[String], t1: String, t2: String): Seq[String] =
+      Seq(toks).toDF("toks").select(bpeApply(col("toks"), t1, t2))
+        .as[Seq[String]].collect()(0)
+    // the canonical overlap cases: runs of the same char
+    assert(run(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(run(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // a token PRODUCED by the merge never re-merges within the round
+    assert(run(Seq("a", "a", "b"), "a", "b") == Seq("a", "ab"))
+    assert(run(Seq("x", "a", "b", "a", "b"), "a", "b") == Seq("x", "ab", "ab"))
+    // no match → identity; boundaries don't wrap
+    assert(run(Seq("b", "a"), "a", "b") == Seq("b", "a"))
+    assert(run(Seq("a"), "a", "a") == Seq("a"))
+    // multi-char (later-round) tokens merge like any other
+    assert(run(Seq("er", "s", "t"), "s", "t") == Seq("er", "st"))
+    assert(run(Seq("e", "r", "st"), "e", "r") == Seq("er", "st"))
+  }
+
+  test("q_bpe_train == plain-Scala greedy BPE trainer (r12)") {
+    val us = "\u001f" // sorts below every printable byte
+    val wf: Map[String, Long] = docs
+      .flatMap(_._2.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    var seg: Map[String, (Vector[String], Long)] =
+      wf.map { case (w, f) => w -> (w.map(_.toString).toVector, f) }
+    def applyMerge(ts: Vector[String], t1: String, t2: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == t1 && ts(i + 1) == t2) {
+          out += t1 + t2; i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.result()
+    }
+    val want = (1 to 5).map { r =>
+      val counts = seg.values.toSeq
+        .flatMap { case (ts, f) => ts.zip(ts.tail).map(p => (p, f)) }
+        .groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+      val ((t1, t2), n) = counts.minBy { case ((a, b), c) => (-c, a + us + b) }
+      seg = seg.map { case (w, (ts, f)) => w -> (applyMerge(ts, t1, t2), f) }
+      (r.toLong, t1, t2, t1 + t2, n)
+    }
+    val got = SparkEntry.queries("q_bpe_train")(spark, sfDir)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._4).distinct.size == 5, "merge table has duplicate entries")
+  }
 }
