@@ -276,7 +276,7 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one fuzzy pair")
   }
 
-  test("connectedComponents: distributed label propagation == driver union-find") {
+  test("connectedComponents: distributed star contraction == driver union-find") {
     // force the distributed path (driverMaxEdges = 0) on a graph with a
     // 5-node chain (multi-round propagation), a triangle, and a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
@@ -294,16 +294,46 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 2L), (21L, 20L, 2L)))
   }
 
+  test("connectedComponents: 120-hop chain converges distributed — the pre-r12 20-round diameter cap could not") {
+    // a single path graph 0–1–2–…–120: min-label propagation moves the
+    // min ONE hop per round (needs 120 rounds; the old implementation
+    // threw at 20); alternating large-star/small-star halves the
+    // remaining height per round and finishes in ~⌈log₂ 120⌉ + 1
+    val chain = spark.range(120L)
+      .select(col("id").as("d1"), (col("id") + 1).as("d2"))
+    val got = graft.queries.DedupQueries.connectedComponents(spark, chain,
+      driverMaxEdges = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == (0L to 120L).map(d => (d, 0L, 121L)).toSet)
+  }
+
+  test("connectedComponents: star contraction == union-find on a deterministic random graph (r12)") {
+    // 400 nodes, ~300 hash-derived edges (no RNG state): a mix of small
+    // components, chains, and merged blobs — the shapes the operator
+    // must agree with exact union-find on
+    val edges = (0 until 300).map { i =>
+      val a = math.abs((i * 2654435761L) % 400)
+      val b = math.abs((i * 40503L + 2147483647L) % 400)
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    val pairs = edges.toDF("d1", "d2")
+    val viaStars = graft.queries.DedupQueries.connectedComponents(spark, pairs,
+      driverMaxEdges = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaDriver = graft.queries.DedupQueries.connectedComponents(spark, pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaStars == viaDriver)
+  }
+
   test("connectedComponents: >1M-edge graph takes the distributed branch at the DEFAULT threshold and converges (r7)") {
     // The at-scale branch proven at scale, not just via a forced
     // threshold: 1.05M undirected pairs (> the 1M default
     // driverMaxEdges → 2.1M directed edges fail the 2·threshold gate,
-    // so the ADAPTIVE rule itself routes to label propagation — no
+    // so the ADAPTIVE rule itself routes to the star contraction — no
     // collect of the edge list ever happens) over a graph with KNOWN
     // components: 150k chains of 8 consecutive nodes (chains, not
-    // stars, so labels need diameter-many propagation rounds — 7 hops
-    // + 1 equal-sum detection round, comfortably under the 20-round
-    // diameter cap). Ground truth is analytic: node i belongs to the
+    // stars — the shape that needs multiple contraction rounds).
+    // Ground truth is analytic: node i belongs to the
     // component whose min (= cluster_id) is i - i % 8, size 8.
     val k = 8
     val n = 1200000L // 150k components × 8 → 1.05M within-chain pairs
