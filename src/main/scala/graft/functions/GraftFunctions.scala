@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL registration of the engine's custom codegen'd expressions, so a
   * pure-SQL user (`spark.sql(...)`) reaches the same primitives the
@@ -21,6 +22,8 @@ import org.apache.spark.sql.types.IntegerType
   * SELECT graft_quant_i8(embedding)                   -- int8 quant stats
   * SELECT graft_frame_energy(payload, 32)             -- frame byte energy
   * SELECT graft_frame_energies(payload, 32)           -- per-frame energy array
+  * SELECT graft_normalize_text(text)                  -- canonicalize (r12)
+  * SELECT graft_bpe_apply(toks, 'a', 'b')             -- one BPE merge (r12)
   * }}}
   *
   * Two registration paths sharing ONE builder list:
@@ -40,6 +43,12 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   /** (name, expression builder) — the single source for both paths. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (es => VectorOps.CosineSim(es(0), es(1))),
@@ -56,7 +65,11 @@ object GraftFunctions {
       FrameEnergy.FrameEnergiesExpr(es.head, intLit(es(1), "frame size"))),
     "graft_lsh_code" -> (es =>
       VectorOps.LshCode(es.head,
-        VectorOps.hashPlanes(intLit(es(1), "plane count"), intLit(es(2), "dim")))))
+        VectorOps.hashPlanes(intLit(es(1), "plane count"), intLit(es(2), "dim")))),
+    "graft_normalize_text" -> (es => NormalizeText(es.head)),
+    "graft_bpe_apply" -> (es =>
+      BpeApply(es.head, strLit(es(1), "merge pair left"),
+        strLit(es(2), "merge pair right"))))
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftFunctions.type].getName, name)

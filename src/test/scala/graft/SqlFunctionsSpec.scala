@@ -521,6 +521,28 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(share == promo * 10000L / total, s"share $share != ${promo * 10000L / total}")
   }
 
+  test("graft_normalize_text / graft_bpe_apply in SQL match the API (r12)") {
+    val docs = Seq("Hello, World! v1.2", "a b a b", "Version 15  beta")
+    docs.map(Tuple1(_)).toDF("text").createOrReplaceTempView("n_sql")
+    val sql = spark.sql(
+      """SELECT graft_normalize_text(text),
+        |  graft_bpe_apply(split(text, ' '), 'a', 'b')
+        |FROM n_sql""".stripMargin)
+      .as[(String, Seq[String])].collect().toSeq
+    val api = docs.map(Tuple1(_)).toDF("text")
+      .select(graft.functions.NormalizeText.normalizeText(col("text")),
+        graft.functions.BpeApply.bpeApply(split(col("text"), " "), "a", "b"))
+      .as[(String, Seq[String])].collect().toSeq
+    assert(sql == api)
+    assert(sql(0)._1 == "hello world v0")
+    assert(sql(1)._2 == Seq("ab", "ab"))
+    // static args must be literals — the same contract as shingle width
+    intercept[Exception] {
+      spark.sql("SELECT graft_bpe_apply(split(text,' '), text, 'b') FROM n_sql")
+        .collect()
+    }
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
