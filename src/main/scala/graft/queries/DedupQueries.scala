@@ -1223,6 +1223,104 @@ object DedupQueries {
              |FROM c GROUP BY owners ORDER BY owners""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_substring_prune ★ (new r12) — the APPLY step of ExactSubstr
+    // dedup (Lee et al. 2022 §3.2), completing the family: signal
+    // (q_substring_cross) → cut-curve (q_substring_hist) → PRUNE. Per
+    // document: how many tokens survive after removing every span
+    // covered by a 13-gram window whose shingle has an EARLIER owner
+    // (min owning doc_id < this doc) — the keep-first policy, so
+    // exactly one copy of each cross-document duplicated span survives
+    // corpus-wide, in its lowest-id (first-ingested) document.
+    // Within-doc repetition is deliberately out of scope here (that is
+    // q_substring_dedup / q_text_repetition's signal); this row prunes
+    // CROSS-document copies only.
+    //
+    // Plan: positions matter (pruning is a token-COVERAGE union, not a
+    // shingle count), so the explode is shinglesAll WITH posexplode —
+    // window i covers tokens [i, i+12]. One corpus-wide min-owner agg
+    // on the 8-byte hash (map-side combined), the equi-join back, then
+    // the union of overlapping windows per doc via gaps-and-islands:
+    // windows sorted by i merge while i − lag(i) < 14 (13-wide windows
+    // overlap or touch), each island covering max(i) − min(i) + 13
+    // tokens. The window function partitions by doc_id — per-doc
+    // sorts of ≤ doc-length rows, never a global sort; every shuffle
+    // is keyed on a long. Engine-exact integers throughout.
+    QueryDef(
+      "q_substring_prune",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shinglesAll
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val win = docs
+          .select(col("doc_id"),
+            posexplode(shinglesAll(split(col("text"), " "), 13))
+              .as(Seq("i0", "shs")))
+          .select(col("doc_id"), (col("i0") + 1).as("i"),
+            hash60(col("shs")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        win.count() // eager: min-owner agg + the rejoin both reuse it
+        val owners = win.groupBy("h").agg(min("doc_id").as("min_owner"))
+        val dup = win.join(owners, "h")
+          .filter(col("min_owner") < col("doc_id"))
+          .select(col("doc_id"), col("i"))
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val isl = dup
+          .withColumn("brk",
+            when(lag(col("i"), 1).over(w).isNull ||
+              col("i") - lag(col("i"), 1).over(w) >= 14, 1L).otherwise(0L))
+          .withColumn("isl", sum("brk").over(w))
+        val pruned = isl.groupBy("doc_id", "isl")
+          .agg((max(col("i")) - min(col("i")) + lit(13)).cast("long").as("cov"))
+          .groupBy("doc_id").agg(sum("cov").as("n_pruned"))
+        docs
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(pruned, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+            (col("n_tokens") - coalesce(col("n_pruned"), lit(0L))).as("n_kept"),
+            floorDiv(coalesce(col("n_pruned"), lit(0L)) * 10000L,
+              greatest(col("n_tokens"), lit(1L))).as("pruned_frac_e4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |p0 AS (
+             |  SELECT doc_id, unnest(range(1, len(ts)-11)) AS i, ts
+             |  FROM t WHERE len(ts) >= 13),
+             |p AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+             |    substring(md5(array_to_string(ts[i:i+12], ' ')), 1, 15) AS h
+             |  FROM p0),
+             |own AS (SELECT h, MIN(doc_id) AS mo FROM p GROUP BY h),
+             |dup AS (
+             |  SELECT p.doc_id, p.i FROM p JOIN own ON p.h = own.h
+             |  WHERE own.mo < p.doc_id),
+             |d2 AS (
+             |  SELECT doc_id, i,
+             |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+             |      OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) >= 14
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM dup),
+             |d3 AS (
+             |  SELECT doc_id, i,
+             |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+             |  FROM d2),
+             |cov AS (
+             |  SELECT doc_id, isl, MAX(i) - MIN(i) + 13 AS cov
+             |  FROM d3 GROUP BY 1, 2),
+             |pr AS (
+             |  SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS n_pruned
+             |  FROM cov GROUP BY 1)
+             |SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |  COALESCE(n_pruned, 0) AS n_pruned,
+             |  CAST(len(ts) AS BIGINT) - COALESCE(n_pruned, 0) AS n_kept,
+             |  (COALESCE(n_pruned, 0) * 10000) //
+             |    GREATEST(CAST(len(ts) AS BIGINT), 1) AS pruned_frac_e4
+             |FROM t LEFT JOIN pr ON t.doc_id = pr.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_dedup_normalized ★ (new r12) — canonicalization-before-dedup
     // (r11 verdict #2, the CCNet/Gopher normalize-then-hash step): the
     // whole shingle battery hashes RAW whitespace tokens, so near-dups

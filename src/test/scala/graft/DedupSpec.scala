@@ -348,6 +348,38 @@ class DedupSpec extends SparkSpec {
     assert(labels.count() == n)
   }
 
+  test("q_substring_prune == plain-Scala keep-first coverage fold (r12)") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    // min owner per 13-gram across the corpus
+    val minOwner = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, t) =>
+      val w = t.split(" ", -1)
+      if (w.length >= 13) w.sliding(13).map(_.mkString(" ")).foreach { g =>
+        if (!minOwner.contains(g) || minOwner(g) > id) minOwner(g) = id
+      }
+    }
+    val want = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val covered = Array.fill(w.length)(false)
+      if (w.length >= 13)
+        w.sliding(13).zipWithIndex.foreach { case (g, i) =>
+          if (minOwner(g.mkString(" ")) < id)
+            (i until i + 13).foreach(covered(_) = true)
+        }
+      val np = covered.count(identity).toLong
+      val n = w.length.toLong
+      (id, n, np, n - np, np * 10000L / math.max(n, 1L))
+    }
+    val got = SparkEntry.queries("q_substring_prune")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the plant is live: some doc is pruned, and the min-owner of every
+    // pruned span keeps its copy (no doc prunes spans it owns first)
+    assert(got.exists(_._3 > 0), "no doc pruned — fixture has no cross-doc spans")
+    assert(got.filter(_._3 > 0).forall(r => r._4 < r._2))
+  }
+
   test("q_contamination_matrix matches a driver-side shingle fold (r5)") {
     val docs = Tables(spark, sfDir, "documents")
       .select("source", "text").as[(String, String)].collect().toSeq
