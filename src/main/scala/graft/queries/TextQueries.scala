@@ -107,38 +107,100 @@ object TextQueries {
     * (Spark breaks out of the loop), so the branch just contributes no
     * rows.
     */
-  private val BpeTrainSql: String = {
-    def pairCte(r: Int) =
-      s"""p$r AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM (
-         |  SELECT wf, unnest(list_transform(range(1, len(toks)),
-         |    i -> toks[i] || chr(31) || toks[i+1])) AS pair
-         |  FROM s${r - 1} WHERE len(toks) >= 2) GROUP BY 1),
-         |m$r AS (SELECT string_split(pair, chr(31))[1] AS t1,
-         |  string_split(pair, chr(31))[2] AS t2, n
-         |  FROM p$r ORDER BY n DESC, pair LIMIT 1)""".stripMargin
-    def applyCte(r: Int) =
-      s"""s$r AS (SELECT w, wf, string_split(list_reduce(toks,
-         |  (acc, x) -> CASE WHEN x = m$r.t2 AND (acc = m$r.t1
-         |      OR ends_with(acc, chr(31) || m$r.t1))
-         |    THEN left(acc, length(acc) - length(m$r.t1)) || m$r.t1 || m$r.t2
-         |    ELSE acc || chr(31) || x END), chr(31)) AS toks
-         |  FROM s${r - 1}, m$r)""".stripMargin
+  private def bpePairCte(r: Int) =
+    s"""p$r AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM (
+       |  SELECT wf, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || chr(31) || toks[i+1])) AS pair
+       |  FROM s${r - 1} WHERE len(toks) >= 2) GROUP BY 1),
+       |m$r AS (SELECT string_split(pair, chr(31))[1] AS t1,
+       |  string_split(pair, chr(31))[2] AS t2, n
+       |  FROM p$r ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+
+  private def bpeApplyCte(r: Int) =
+    s"""s$r AS (SELECT w, wf, string_split(list_reduce(toks,
+       |  (acc, x) -> CASE WHEN x = m$r.t2 AND (acc = m$r.t1
+       |      OR ends_with(acc, chr(31) || m$r.t1))
+       |    THEN left(acc, length(acc) - length(m$r.t1)) || m$r.t1 || m$r.t2
+       |    ELSE acc || chr(31) || x END), chr(31)) AS toks
+       |  FROM s${r - 1}, m$r)""".stripMargin
+
+  /** Shared WITH-prefix of the two BPE oracles: word frequencies, the
+    * character segmentation, and [[BpeTrainRounds]] (pair-count →
+    * argmax → greedy list_reduce apply) round CTEs. `finalApply` keeps
+    * the last round's re-segmentation (the encode oracle reads it; the
+    * train oracle only reads the m_r argmax rows).
+    */
+  private def bpeRoundsSql(finalApply: Boolean): String = {
     val rounds = (1 to BpeTrainRounds).map { r =>
-      if (r < BpeTrainRounds) pairCte(r) + ",\n" + applyCte(r)
-      else pairCte(r) // the final round's re-segmentation is never read
+      if (r < BpeTrainRounds || finalApply) bpePairCte(r) + ",\n" + bpeApplyCte(r)
+      else bpePairCte(r)
     }.mkString(",\n")
-    val selects = (1 to BpeTrainRounds).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS round, t1, t2, t1 || t2 AS merged, n FROM m$r"
-    }.mkString("\nUNION ALL ")
     s"""WITH wf AS (
        |  SELECT w, COUNT(*) AS wf FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) >= 2 GROUP BY w),
        |s0 AS (SELECT w, wf, list_transform(range(1, length(w) + 1),
        |  i -> substring(w, CAST(i AS INTEGER), 1)) AS toks FROM wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val BpeTrainSql: String = {
+    val selects = (1 to BpeTrainRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, t1, t2, t1 || t2 AS merged, n FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"""${bpeRoundsSql(finalApply = false)}
        |$selects
        |ORDER BY round""".stripMargin
+  }
+
+  /** Shared BPE trainer core (q_bpe_train + q_bpe_encode): runs
+    * [[BpeTrainRounds]] driver-orchestrated rounds (pair-count → argmax
+    * → codegen'd greedy apply) over the corpus-compressed word-frequency
+    * table from the character segmentation, returning the merge table
+    * rows and the FINAL segmentation (w, wf, toks) — left persisted for
+    * the caller (train discards it; encode joins the corpus against it;
+    * Verify/Bench clearCache reclaims per file convention).
+    */
+  private def bpeTrainCore(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    import graft.functions.BpeApply.bpeApply
+    val words = Tables(s, dir, "documents")
+      .select(explode(toks).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    var seg = words.select(col("w"), col("wf"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    seg.count()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= BpeTrainRounds && !exhausted) {
+      // sequence(1, n) DESCENDS for n < 1 (the q_bpe_pairs trap):
+      // fully-merged single-token words must not reach the explode
+      val top = seg.filter(size(col("toks")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(toks[i-1], chr(31), toks[i]))")).as("pair"))
+        .groupBy("pair").agg(sum("wf").as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // vocabulary fully merged
+      else {
+        val Array(t1, t2) = top(0).getString(0).split('\u001f')
+        merges += ((r.toLong, t1, t2, top(0).getLong(1)))
+        val next = seg.select(col("w"), col("wf"),
+          bpeApply(col("toks"), t1, t2).as("toks"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize BEFORE releasing the parent
+        seg.unpersist()
+        seg = next
+        r += 1
+      }
+    }
+    (merges.toSeq, seg)
   }
 
   /** DuckDB twin of [[repetitionMetrics]] — ONE copy of the metric CTE
@@ -854,51 +916,69 @@ object TextQueries {
     QueryDef(
       "q_bpe_train",
       (s: SparkSession, dir: String) => {
-        import graft.functions.BpeApply.bpeApply
-        val words = Tables(s, dir, "documents")
-          .select(explode(toks).as("w"))
-          .filter(length(col("w")) >= 2)
-          .groupBy("w").agg(count(lit(1)).as("wf"))
-        var seg = words.select(col("w"), col("wf"),
-          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-            .as("toks"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        seg.count()
-        val merges = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, String, String, Long)]
-        var r = 1
-        var exhausted = false
-        while (r <= BpeTrainRounds && !exhausted) {
-          // sequence(1, n) DESCENDS for n < 1 (the q_bpe_pairs trap):
-          // fully-merged single-token words must not reach the explode
-          val top = seg.filter(size(col("toks")) >= 2)
-            .select(col("wf"), explode(expr(
-              "transform(sequence(1, size(toks) - 1)," +
-                " i -> concat(toks[i-1], chr(31), toks[i]))")).as("pair"))
-            .groupBy("pair").agg(sum("wf").as("n"))
-            .orderBy(desc("n"), asc("pair")).limit(1)
-            .collect()
-          if (top.isEmpty) exhausted = true // vocabulary fully merged
-          else {
-            val Array(t1, t2) = top(0).getString(0).split('\u001f')
-            merges += ((r.toLong, t1, t2, top(0).getLong(1)))
-            val next = seg.select(col("w"), col("wf"),
-              bpeApply(col("toks"), t1, t2).as("toks"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            next.count() // materialize BEFORE releasing the parent
-            seg.unpersist()
-            seg = next
-            r += 1
-          }
-        }
-        seg.unpersist()
+        val (merges, seg) = bpeTrainCore(s, dir)
+        seg.unpersist() // train ships the merge table, not the segmentation
         import s.implicits._
-        merges.toSeq.toDF("round", "t1", "t2", "n")
+        merges.toDF("round", "t1", "t2", "n")
           .select(col("round"), col("t1"), col("t2"),
             concat(col("t1"), col("t2")).as("merged"), col("n"))
           .orderBy("round")
       },
       Some(BpeTrainSql)),
+
+    // ------------------------------------------------------------------
+    // q_bpe_encode ★ (new r12) — the tokenizer APPLY at corpus scale,
+    // q_bpe_train's other half: segment the corpus with the trained
+    // merge table and report per-document subword counts + the
+    // chars-per-subword compression the tokenizer actually bought —
+    // the number every data pipeline needs per doc (token budgets,
+    // packing, mixture weights are all in TOKENS, not words). The
+    // at-scale trick restated: the merges are applied to the
+    // VOCABULARY (the same [[bpeTrainCore]] final segmentation the
+    // trainer produced — one shared loop, no second implementation to
+    // drift), and the corpus is segmented by ONE equi-join of the
+    // exploded token stream against the vocabulary-sized
+    // (word → subword count) frame (broadcast at 100 TB: vocab ≪
+    // corpus) — the corpus text is never re-scanned per merge round.
+    // Words outside the trained vocabulary (< 2 chars) fall back to
+    // character segmentation (n_sub = length). Oracle: the shared
+    // round CTEs with the FINAL apply kept, then the identical left
+    // join + per-doc agg.
+    QueryDef(
+      "q_bpe_encode",
+      (s: SparkSession, dir: String) => {
+        val (_, seg) = bpeTrainCore(s, dir)
+        val vocab = seg.select(col("w"),
+          size(col("toks")).cast("long").as("n_sub"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("w"))
+          .join(vocab, Seq("w"), "left")
+          .select(col("doc_id"), length(col("w")).cast("long").as("n_chars"),
+            coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_chars").as("n_chars"),
+            sum("n_sub").as("n_bpe"))
+          .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe"),
+            floorDivL(col("n_chars") * 10000L, greatest(col("n_bpe"), lit(1L)))
+              .as("compression_e4"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${bpeRoundsSql(finalApply = true)},
+              |v AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub
+              |      FROM s$BpeTrainRounds),
+              |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |        FROM documents),
+              |enc AS (
+              |  SELECT tok.doc_id, CAST(length(tok.w) AS BIGINT) AS n_chars,
+              |    COALESCE(v.n_sub, length(tok.w)) AS n_sub
+              |  FROM tok LEFT JOIN v ON tok.w = v.w)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+              |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+              |  CAST(SUM(n_sub) AS BIGINT) AS n_bpe,
+              |  (CAST(SUM(n_chars) AS BIGINT) * 10000) //
+              |    GREATEST(CAST(SUM(n_sub) AS BIGINT), 1) AS compression_e4
+              |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_collocation_pmi ★ — top-50 two-word collocations ranked by

@@ -432,5 +432,23 @@ class TextSpec extends SparkSpec {
       .as[(Long, String, String, String, Long)].collect().toSeq
     assert(got == want)
     assert(got.map(_._4).distinct.size == 5, "merge table has duplicate entries")
+
+    // q_bpe_encode: the corpus segmented with the SAME trained merges —
+    // reference reuses this test's final `seg` (the trainer state after
+    // round 5) so the two rows are pinned against one model
+    val segSizes: Map[String, Long] =
+      seg.map { case (w, (ts, _)) => w -> ts.size.toLong }
+    val wantEnc = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val nSub = ws.map(w => segSizes.getOrElse(w, w.length.toLong)).sum
+      val nChars = ws.map(_.length.toLong).sum
+      (id, ws.length.toLong, nChars, nSub,
+        nChars * 10000L / math.max(nSub, 1L))
+    }.sortBy(_._1)
+    val gotEnc = SparkEntry.queries("q_bpe_encode")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotEnc == wantEnc)
+    // the tokenizer bought real compression on at least some docs
+    assert(gotEnc.exists(_._5 > 10000L), "no doc compressed below char level")
   }
 }
