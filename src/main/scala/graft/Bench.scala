@@ -57,7 +57,10 @@ object Bench {
     val loadAtStart = load1
     var quietWaitSec = 0
     if (!sys.env.contains("SPARK_GRAFT_NO_QUIET_WAIT")) {
-      val maxWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_MAX", "180").toInt
+      // 300 s default: a 1-min loadavg decays ~exp(-t/60), so even the
+      // driver's own just-finished 32-thread verify phase (load ≈ 16-32
+      // → below 1.0 in ~170-210 s) clears the gate instead of timing out
+      val maxWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_MAX", "300").toInt
       while (load1 >= 1.0 && quietWaitSec < maxWait) {
         Thread.sleep(10000L)
         quietWaitSec += 10
