@@ -198,6 +198,64 @@ object SimilarityQueries {
     * the ground-truth definition, same sharing rule as
     * [[AnnRankedSql]]/[[ivfCandSql]]). Requires `e` in scope.
     */
+  /** DuckDB CTE fragment: the PQ-ADC ranking (`adcranked`: q_id,
+    * vec_id, rank, score_e6) — [[adcTop10]]'s SQL twin, shared by the
+    * q_pq_adc and q_pq_recall oracles (one copy of the codebook,
+    * sub-assignment, lookup table, and ADC sum — same sharing rule as
+    * [[ExactRankedSql]]). DEFINES `e` (the zero-norm-guarded
+    * double-cast embedding view), so compose it FIRST; fragments that
+    * require `e` ([[ExactRankedSql]]) can follow.
+    */
+  private val AdcRankedSql: String = {
+    val codeCtes = (1 to 4).map { j =>
+      val off = (j - 1) * 16
+      s"""s$j AS (
+         |  SELECT e.vec_id, ci.idx,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, 17),
+         |        i -> e.v[$off + i] * ci.cv[$off + i])) /
+         |      sqrt(list_sum(list_transform(range(1, 17),
+         |        i -> ci.cv[$off + i] * ci.cv[$off + i]))) DESC,
+         |      ci.idx) AS rk
+         |  FROM e CROSS JOIN cidx ci),
+         |t$j AS (
+         |  SELECT q.vec_id AS q_id, ci.idx AS code,
+         |    CAST(floor(
+         |      list_sum(list_transform(range(1, 17),
+         |        i -> q.v[$off + i] * ci.cv[$off + i])) /
+         |      sqrt(list_sum(list_transform(range(1, 17),
+         |        i -> ci.cv[$off + i] * ci.cv[$off + i]))) * 1000000 + 0.5)
+         |      AS BIGINT) AS dot_e6
+         |  FROM qv q CROSS JOIN cidx ci),
+         |sc$j AS (
+         |  SELECT s$j.vec_id, t$j.q_id, t$j.dot_e6
+         |  FROM s$j JOIN t$j ON s$j.idx = t$j.code WHERE s$j.rk = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |cidx AS (
+       |  SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS idx,
+       |    cv FROM c),
+       |qv AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+       |$codeCtes,
+       |alls AS (
+       |  SELECT * FROM sc1 UNION ALL SELECT * FROM sc2
+       |  UNION ALL SELECT * FROM sc3 UNION ALL SELECT * FROM sc4),
+       |adcagg AS (
+       |  SELECT q_id, vec_id, CAST(SUM(dot_e6) AS BIGINT) AS score_e6
+       |  FROM alls WHERE vec_id != q_id GROUP BY 1, 2),
+       |adcranked AS (
+       |  SELECT q_id, vec_id, score_e6,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_e6 DESC, vec_id) AS rank
+       |  FROM adcagg)""".stripMargin
+  }
+
   private val ExactRankedSql: String =
     """xscored AS (
       |  SELECT q.vec_id AS q_id, e.vec_id,
@@ -309,6 +367,56 @@ object SimilarityQueries {
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("rank"), col("vec_id"),
         round(col("cos") * 1000000).cast("long").as("cos_e6"))
+  }
+
+  /** The PQ-ADC top-10 per benchmark query — q_pq_adc's body
+    * (codebooks, driver-side e6 lookup table, map-only code
+    * assignment, broadcast join + sum), extracted (r12) so
+    * q_pq_recall evaluates THE SAME computation — one copy of the
+    * codebook and the ADC scoring, same rule as
+    * [[exactTop10]]/[[annTop10]]/[[ivfCandidates]]. Columns
+    * (q_id, rank, vec_id, score_e6), unordered.
+    */
+  private def adcTop10(s: SparkSession, dir: String): DataFrame = {
+    val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
+    val crows = e.filter(col("vec_id") < 16).orderBy("vec_id").collect()
+    val cents: Seq[Seq[Float]] = crows.map(_.getSeq[Float](1).toSeq).toSeq
+    val qrows = e.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+    val sub = Dim / 4
+    // driver-side lookup table, DuckDB-identical arithmetic
+    def dotE6(q: Seq[Float], c: Seq[Float], j: Int): Long = {
+      var dot = 0.0; var nc = 0.0
+      var i = j * sub
+      while (i < (j + 1) * sub) {
+        dot += q(i).toDouble * c(i).toDouble
+        nc += c(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      math.floor(dot / math.sqrt(nc) * 1000000d + 0.5d).toLong
+    }
+    import s.implicits._
+    val table = (for {
+      qr <- qrows; j <- 0 until 4; ci <- cents.indices
+    } yield (qr.getLong(0), j, ci,
+      dotE6(qr.getSeq[Float](1), cents(ci), j))).toSeq
+      .toDF("q_id", "j", "code", "dot_e6")
+    val codeCols = (0 until 4).map { j =>
+      val subCents = cents.map(_.slice(j * sub, (j + 1) * sub))
+      nearestCentroids(slice(col("embedding"), j * sub + 1, sub), subCents, 1)(0)
+        .as(s"c${j + 1}")
+    }
+    val codes = e.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"),
+        posexplode(array(col("c1"), col("c2"), col("c3"), col("c4"))))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "code")
+    val scored = codes.join(broadcast(table), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("dot_e6").as("score_e6"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score_e6").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score_e6"))
   }
 
   /** The IVF candidate stream (q_id, vec_id, probe_rank, cos) for the
@@ -1041,99 +1149,12 @@ object SimilarityQueries {
     // ADC ranking itself, exactly reproduced).
     QueryDef(
       "q_pq_adc",
-      (s: SparkSession, dir: String) => {
-        val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
-        val crows = e.filter(col("vec_id") < 16).orderBy("vec_id").collect()
-        val cents: Seq[Seq[Float]] = crows.map(_.getSeq[Float](1).toSeq).toSeq
-        val qrows = e.filter(col("vec_id") < 5).orderBy("vec_id").collect()
-        val sub = Dim / 4
-        // driver-side lookup table, DuckDB-identical arithmetic
-        def dotE6(q: Seq[Float], c: Seq[Float], j: Int): Long = {
-          var dot = 0.0; var nc = 0.0
-          var i = j * sub
-          while (i < (j + 1) * sub) {
-            dot += q(i).toDouble * c(i).toDouble
-            nc += c(i).toDouble * c(i).toDouble
-            i += 1
-          }
-          math.floor(dot / math.sqrt(nc) * 1000000d + 0.5d).toLong
-        }
-        import s.implicits._
-        val table = (for {
-          qr <- qrows; j <- 0 until 4; ci <- cents.indices
-        } yield (qr.getLong(0), j, ci,
-          dotE6(qr.getSeq[Float](1), cents(ci), j))).toSeq
-          .toDF("q_id", "j", "code", "dot_e6")
-        val codeCols = (0 until 4).map { j =>
-          val subCents = cents.map(_.slice(j * sub, (j + 1) * sub))
-          nearestCentroids(slice(col("embedding"), j * sub + 1, sub), subCents, 1)(0)
-            .as(s"c${j + 1}")
-        }
-        val codes = e.select(col("vec_id") +: codeCols: _*)
-          .select(col("vec_id"),
-            posexplode(array(col("c1"), col("c2"), col("c3"), col("c4"))))
-          .withColumnRenamed("pos", "j").withColumnRenamed("col", "code")
-        val scored = codes.join(broadcast(table), Seq("j", "code"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .groupBy("q_id", "vec_id").agg(sum("dot_e6").as("score_e6"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("score_e6").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
-          .select(col("q_id"), col("rank"), col("vec_id"), col("score_e6"))
-          .orderBy("q_id", "rank")
-      },
-      Some {
-        val codeCtes = (1 to 4).map { j =>
-          val off = (j - 1) * 16
-          s"""s$j AS (
-             |  SELECT e.vec_id, ci.idx,
-             |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |      list_sum(list_transform(range(1, 17),
-             |        i -> e.v[$off + i] * ci.cv[$off + i])) /
-             |      sqrt(list_sum(list_transform(range(1, 17),
-             |        i -> ci.cv[$off + i] * ci.cv[$off + i]))) DESC,
-             |      ci.idx) AS rk
-             |  FROM e CROSS JOIN cidx ci),
-             |t$j AS (
-             |  SELECT q.vec_id AS q_id, ci.idx AS code,
-             |    CAST(floor(
-             |      list_sum(list_transform(range(1, 17),
-             |        i -> q.v[$off + i] * ci.cv[$off + i])) /
-             |      sqrt(list_sum(list_transform(range(1, 17),
-             |        i -> ci.cv[$off + i] * ci.cv[$off + i]))) * 1000000 + 0.5)
-             |      AS BIGINT) AS dot_e6
-             |  FROM qv q CROSS JOIN cidx ci),
-             |sc$j AS (
-             |  SELECT s$j.vec_id, t$j.q_id, t$j.dot_e6
-             |  FROM s$j JOIN t$j ON s$j.idx = t$j.code WHERE s$j.rk = 1)"""
-            .stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings
-           |  WHERE list_sum(list_transform(embedding,
-           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
-           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-           |cidx AS (
-           |  SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS idx,
-           |    cv FROM c),
-           |qv AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-           |$codeCtes,
-           |alls AS (
-           |  SELECT * FROM sc1 UNION ALL SELECT * FROM sc2
-           |  UNION ALL SELECT * FROM sc3 UNION ALL SELECT * FROM sc4),
-           |agg AS (
-           |  SELECT q_id, vec_id, CAST(SUM(dot_e6) AS BIGINT) AS score_e6
-           |  FROM alls WHERE vec_id != q_id GROUP BY 1, 2),
-           |ranked AS (
-           |  SELECT q_id, vec_id, score_e6,
-           |    row_number() OVER (PARTITION BY q_id
-           |      ORDER BY score_e6 DESC, vec_id) AS rank
-           |  FROM agg)
-           |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score_e6
-           |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
-      }),
+      (s: SparkSession, dir: String) =>
+        adcTop10(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH $AdcRankedSql
+              |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score_e6
+              |FROM adcranked WHERE rank <= 10
+              |ORDER BY q_id, rank""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_pca_power ★ (new r5) — one COVARIANCE-FREE PCA power-iteration
@@ -1837,6 +1858,49 @@ object SimilarityQueries {
              |  CAST(n_exact AS BIGINT) AS n_exact, n_hit,
              |  CAST((n_hit * 20000 + n_exact) // (n_exact * 2) AS BIGINT)
              |    AS recall_e4
-             |FROM agg ORDER BY nprobe, q_id""".stripMargin))
+             |FROM agg ORDER BY nprobe, q_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_pq_recall ★ (new r12) — recall@10 of the PQ-ADC ranking (the
+    // SHARED [[adcTop10]] — q_pq_adc's own codebooks, sub-assignment,
+    // and e6 lookup-table scoring) against the exact ground truth
+    // ([[exactTop10]]), per query — completing the retrieval-eval
+    // family (ann/ivf/minhash/pq): PQ trades 128× memory for recall,
+    // and THIS number is what the trade costs on this corpus, measured
+    // in the engine from the same bodies the declared queries run (no
+    // second implementation to drift). The eval adds NO new float
+    // decision — both top-10 sets are margin-pinned by their own
+    // queries; intersection counts and the half-up e4 ratio are exact
+    // integers. Cost: the two underlying rankings + a 50-row join.
+    QueryDef(
+      "q_pq_recall",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val x = exactTop10(s, dir).select(col("q_id"), col("vec_id"))
+        val a = adcTop10(s, dir).select(col("q_id"), col("vec_id"))
+          .withColumn("hit", lit(1L))
+        x.join(a, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("q_id"), col("n_exact"), col("n_hit"),
+            ExactMath.divTrunc(col("n_hit") * 20000L + col("n_exact"),
+              col("n_exact") * 2L).as("recall_e4"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $AdcRankedSql,
+             |$ExactRankedSql,
+             |ax AS (SELECT q_id, vec_id FROM adcranked WHERE rank <= 10),
+             |xx AS (SELECT q_id, vec_id FROM xranked WHERE rank <= 10),
+             |j AS (
+             |  SELECT xx.q_id, COUNT(*) AS n_exact,
+             |    CAST(SUM(CASE WHEN ax.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_hit
+             |  FROM xx LEFT JOIN ax ON ax.q_id = xx.q_id AND ax.vec_id = xx.vec_id
+             |  GROUP BY 1)
+             |SELECT q_id, CAST(n_exact AS BIGINT) AS n_exact, n_hit,
+             |  CAST((n_hit * 20000 + n_exact) // (n_exact * 2) AS BIGINT)
+             |    AS recall_e4
+             |FROM j ORDER BY q_id""".stripMargin))
   )
 }

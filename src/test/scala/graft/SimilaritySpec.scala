@@ -377,6 +377,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3).sum > 0L, "ANN recall identically zero — probe path broken")
   }
 
+  test("q_pq_recall == driver-side set intersection of q_sim_topk and q_pq_adc (r12)") {
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = SparkEntry.queries("q_pq_adc")(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = exact.toSeq.sortBy(_._1).map { case (q, xs) =>
+      val hits = xs.intersect(adc.getOrElse(q, Set.empty)).size.toLong
+      (q, xs.size.toLong, hits, (hits * 20000L + xs.size) / (xs.size * 2L))
+    }
+    val got = SparkEntry.queries("q_pq_recall")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.size == 5)
+    got.foreach { case (_, ne, nh, r) =>
+      assert(ne == 10L && nh <= ne && r >= 0L && r <= 10000L)
+    }
+    // PQ is lossy BY DESIGN: recall must be live but strictly below
+    // perfect somewhere at this codebook size, or the eval is vacuous
+    assert(got.map(_._3).sum > 0L, "ADC recall identically zero — scoring broken")
+    assert(got.exists(_._4 < 10000L), "ADC recall perfect everywhere — suspicious")
+  }
+
   test("q_kmeans_iter: occupancy matches q_embed_cluster; qsums conserve mass") {
     val got = SparkEntry.queries("q_kmeans_iter")(spark, sfDir)
       .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
