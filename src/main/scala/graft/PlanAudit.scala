@@ -27,6 +27,7 @@ object PlanAudit {
     ("q_sim_topk", "BroadcastNestedLoopJoin"),
     ("q_ann_recall", "BroadcastNestedLoopJoin"), // exactTop10's query-set nested loop
     ("q_ivf_recall", "BroadcastNestedLoopJoin"), // same exactTop10 ground-truth leg
+    ("q_pq_recall", "BroadcastNestedLoopJoin"),  // same exactTop10 ground-truth leg
     // same shape: 8-row query-token bag / 5-row query set broadcast,
     // non-equi self-exclusion predicate, corpus streams once
     ("q_maxsim", "BroadcastNestedLoopJoin"),
@@ -112,6 +113,7 @@ object PlanAudit {
     "q_ann_recall" -> 2, // both rankers' query-set broadcasts in one plan
     "q_sim_ivf" -> 1,
     "q_ivf_recall" -> 2, // ivfCandidates' probed query set + exactTop10's query set
+    "q_pq_recall" -> 1,  // exactTop10's query set (the ADC lookup table is a bounded local relation)
     "q_hybrid_rrf" -> 2, // query vectors + ≤5-query-doc sparse term bag
     // (counts are HINT-NODE OCCURRENCES in the analyzed tree: reusing a
     // hinted frame at two join sites counts twice — q_sim_rerank's
