@@ -42,32 +42,82 @@ object Bench {
       .trim.split(" ")(0).toDouble
     catch { case _: Throwable => 0.0 }
 
+  /** (busy, total) jiffies from /proc/stat's aggregate `cpu` line.
+    * iowait counts as IDLE: on this box uninterruptible-I/O tasks hold
+    * the 1-min loadavg at 2-3 while the CPU is 93%+ free
+    * (dev/PERF_NOTES.md r12), which is exactly the state the old
+    * loadavg<1.0 gate mis-read as contention and burned its full wait
+    * on (r12 verdict #5 / ADVICE #4).
+    */
+  private def cpuStat: Option[(Long, Long)] =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      val total = f.sum
+      val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
+      Some((total - idle, total))
+    } catch { case _: Throwable => None }
+
+  /** CPU busy %% sampled over `ms`, or -1.0 where /proc/stat doesn't
+    * exist (non-Linux) — callers fall back to the loadavg gate there. */
+  private def busyPct(ms: Long): Double = {
+    val a = cpuStat
+    Thread.sleep(ms)
+    val b = cpuStat
+    (a, b) match {
+      case (Some((b0, t0)), Some((b1, t1))) if t1 > t0 =>
+        100.0 * (b1 - b0) / (t1 - t0)
+      case _ => -1.0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Quiet-window gate (r11 verdict #4): the r10 stream failures and
-    // r11's 1.5× inflated official total were both ambient load
-    // overlapping the bench (loadavg_before 3.98 → per-row spread up to
-    // 1380%). min-of-reps absorbs one transient spike, not sustained
-    // contention — so if the box is busy at start, WAIT (bounded) for
-    // the 1-min loadavg to decay below 1.0 before timing anything, and
-    // record the pre-wait load + wait length in the artifact so an
-    // inflated run is adjudicable. SPARK_GRAFT_NO_QUIET_WAIT=1 skips
-    // (dev sweeps where ambient load is the measurement's own context).
+    // Quiet-window gate (r11 verdict #4, reworked r13 per r12 verdict #5
+    // / ADVICE #4): the r10 stream failures and r11's 1.5× inflated
+    // official total were both ambient load overlapping the bench.
+    // min-of-reps absorbs one transient spike, not sustained contention
+    // — so if the box is busy at start, WAIT (bounded) before timing
+    // anything, and record the pre-wait state in the artifact so an
+    // inflated run is adjudicable. The r11-r12 gate read /proc/loadavg,
+    // which counts D-state (uninterruptible-I/O) tasks: this box idles
+    // at loadavg 2-3 with the CPU 93%+ free, so a genuinely quiet run
+    // burned the full wait and emitted a spurious warning while r12's
+    // driver bench started 15% inflated anyway. Gate on /proc/stat CPU
+    // busy%% instead (iowait = idle), threshold SPARK_GRAFT_QUIET_BUSY_PCT
+    // (default 20); where /proc/stat is unreadable fall back to loadavg
+    // with the threshold knob SPARK_GRAFT_QUIET_LOAD (default 1.0).
+    // SPARK_GRAFT_NO_QUIET_WAIT=1 skips (dev sweeps where ambient load
+    // is the measurement's own context).
     val loadAtStart = load1
-    var quietWaitSec = 0
+    val busyAtStart = busyPct(1000)
+    var quietWaitSec = 1
+    var busyAtGate = busyAtStart
     if (!sys.env.contains("SPARK_GRAFT_NO_QUIET_WAIT")) {
-      // 300 s default: a 1-min loadavg decays ~exp(-t/60), so even the
-      // driver's own just-finished 32-thread verify phase (load ≈ 16-32
-      // → below 1.0 in ~170-210 s) clears the gate instead of timing out
       val maxWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_MAX", "300").toInt
-      while (load1 >= 1.0 && quietWaitSec < maxWait) {
-        Thread.sleep(10000L)
-        quietWaitSec += 10
+      if (busyAtStart >= 0) {
+        val thr = sys.env.getOrElse("SPARK_GRAFT_QUIET_BUSY_PCT", "20").toDouble
+        while (busyAtGate > thr && quietWaitSec < maxWait) {
+          Thread.sleep(3000L)
+          busyAtGate = busyPct(2000) // fresh 2 s sample, no decay lag
+          quietWaitSec += 5
+        }
+        if (busyAtGate > thr)
+          System.err.println(s"WARN: CPU still ${busyAtGate}%% busy after " +
+            s"${quietWaitSec}s quiet wait — timings below may be contention-inflated")
+      } else {
+        // non-Linux fallback: the old loadavg gate, threshold now a knob
+        val thr = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "1.0").toDouble
+        while (load1 >= thr && quietWaitSec < maxWait) {
+          Thread.sleep(10000L)
+          quietWaitSec += 10
+        }
+        if (load1 >= thr)
+          System.err.println(s"WARN: loadavg still ${load1} after ${quietWaitSec}s " +
+            "quiet wait — timings below may be contention-inflated")
       }
-      if (load1 >= 1.0)
-        System.err.println(s"WARN: loadavg still ${load1} after ${quietWaitSec}s " +
-          "quiet wait — timings below may be contention-inflated")
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -183,7 +233,7 @@ object Bench {
     // spread-percent arrays aligned to the query names sorted ascending
     // (the order above), with names_md5 = md5 of the comma-joined sorted
     // names so a decoder can confirm alignment.
-    val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"flaky":$flaky,"loadavg_at_start":${fmt(loadAtStart, 2)},"quiet_wait_sec":$quietWaitSec,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg":$loadAfter,"sf":"$sfDir","queries":$qs,"rep_spread":$spreads}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"flaky":$flaky,"loadavg_at_start":${fmt(loadAtStart, 2)},"cpu_busy_at_start":${fmt(busyAtStart, 1)},"cpu_busy_at_gate":${fmt(busyAtGate, 1)},"quiet_wait_sec":$quietWaitSec,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"loadavg":$loadAfter,"sf":"$sfDir","queries":$qs,"rep_spread":$spreads}"""
     // Anchored path + loud failure (r8 advice): a cwd-relative write with
     // a swallowed Throwable silently dropped the full per-query record
     // whenever Bench ran outside the repo root. SPARK_GRAFT_REPO
@@ -216,7 +266,7 @@ object Bench {
       java.security.MessageDigest.getInstance("MD5")
         .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     }
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"failed":$failed,"flaky":$flaky,"loadavg_at_start":${fmt(loadAtStart, 2)},"quiet_wait_sec":$quietWaitSec,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir","order":"names-sorted-asc","names_md5":"$namesMd5","t_ms":$tMs,"spread_pct":$spreadPct}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"failed":$failed,"flaky":$flaky,"loadavg_at_start":${fmt(loadAtStart, 2)},"cpu_busy_at_start":${fmt(busyAtStart, 1)},"cpu_busy_at_gate":${fmt(busyAtGate, 1)},"quiet_wait_sec":$quietWaitSec,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir","order":"names-sorted-asc","names_md5":"$namesMd5","t_ms":$tMs,"spread_pct":$spreadPct}""")
     spark.stop()
   }
 }

@@ -53,20 +53,27 @@ case class BpeApply(child: Expression, t1: String, t2: String)
 
 object BpeApply {
 
-  /** Called from generated code. Null tokens never match (the
-    * segmentations feeding this are split() output — no nulls).
+  /** Called from generated code. The declared contract is split()
+    * output — array<string> with NO null elements (dataType says
+    * containsNull=false) — so a null element is a caller bug, and the
+    * r12 behavior of silently rewriting it to "" corrupted tokens
+    * instead of failing (r12 ADVICE). Throw loudly.
     */
   def make(arr: ArrayData, t1: UTF8String, t2: UTF8String): ArrayData = {
     val n = arr.numElements()
     val out = new java.util.ArrayList[Any](n)
     var i = 0
     while (i < n) {
-      if (i + 1 < n && !arr.isNullAt(i) && !arr.isNullAt(i + 1) &&
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"bpe_apply: null token at index $i — input must be array<string> " +
+            "with no null elements (split() output)")
+      if (i + 1 < n && !arr.isNullAt(i + 1) &&
           arr.getUTF8String(i) == t1 && arr.getUTF8String(i + 1) == t2) {
         out.add(UTF8String.concat(t1, t2))
         i += 2
       } else {
-        out.add(if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i))
+        out.add(arr.getUTF8String(i))
         i += 1
       }
     }

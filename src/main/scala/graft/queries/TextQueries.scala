@@ -103,9 +103,12 @@ object TextQueries {
     * which can never equal t1 again (t2 nonempty), so a token produced
     * this round never re-merges — the same invariant the Scala scan's
     * skip-two enforces. An exhausted vocabulary degrades identically
-    * in both engines: an empty argmax empties every later round's CTE
-    * (Spark breaks out of the loop), so the branch just contributes no
-    * rows.
+    * in both engines: an empty argmax m_r contributes no merge rows,
+    * and each apply CTE's NOT EXISTS branch carries s_{r-1} through
+    * unchanged (r12 ADVICE: without it an empty m_r cross join emptied
+    * every later s_r, so the encode oracle's vocabulary collapsed while
+    * Spark — which breaks out of the loop — kept the last real
+    * segmentation).
     */
   private def bpePairCte(r: Int) =
     s"""p$r AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM (
@@ -122,7 +125,10 @@ object TextQueries {
        |      OR ends_with(acc, chr(31) || m$r.t1))
        |    THEN left(acc, length(acc) - length(m$r.t1)) || m$r.t1 || m$r.t2
        |    ELSE acc || chr(31) || x END), chr(31)) AS toks
-       |  FROM s${r - 1}, m$r)""".stripMargin
+       |  FROM s${r - 1}, m$r
+       |  UNION ALL
+       |  SELECT w, wf, toks FROM s${r - 1}
+       |  WHERE NOT EXISTS (SELECT 1 FROM m$r))""".stripMargin
 
   /** Shared WITH-prefix of the two BPE oracles: word frequencies, the
     * character segmentation, and [[BpeTrainRounds]] (pair-count →

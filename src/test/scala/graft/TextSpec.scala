@@ -401,6 +401,19 @@ class TextSpec extends SparkSpec {
     // multi-char (later-round) tokens merge like any other
     assert(run(Seq("er", "s", "t"), "s", "t") == Seq("er", "st"))
     assert(run(Seq("e", "r", "st"), "e", "r") == Seq("er", "st"))
+    // a null element is a contract violation (input must be split()
+    // output) and must fail LOUDLY, not silently rewrite to "" (r12
+    // ADVICE: dataType declares containsNull=false)
+    val ex = intercept[Exception] {
+      Seq(Seq("a", null, "b")).toDF("toks")
+        .select(bpeApply(col("toks"), "a", "b")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("null token")),
+      s"expected a loud null-token error, got: $ex")
   }
 
   test("q_bpe_train == plain-Scala greedy BPE trainer (r12)") {
