@@ -159,16 +159,21 @@ object TextQueries {
        |ORDER BY round""".stripMargin
   }
 
-  /** Shared BPE trainer core (q_bpe_train + q_bpe_encode): runs
-    * [[BpeTrainRounds]] driver-orchestrated rounds (pair-count → argmax
-    * → codegen'd greedy apply) over the corpus-compressed word-frequency
-    * table from the character segmentation, returning the merge table
-    * rows and the FINAL segmentation (w, wf, toks) — left persisted for
-    * the caller (train discards it; encode joins the corpus against it;
-    * Verify/Bench clearCache reclaims per file convention).
+  /** Training-run counter, test-observable: TextSpec pins that running
+    * q_bpe_train AND q_bpe_encode on one corpus trains at most once
+    * (the [[bpeModel]] materialization — r12 verdict #2). */
+  private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Shared BPE trainer core: runs [[BpeTrainRounds]] driver-orchestrated
+    * rounds (pair-count → argmax → codegen'd greedy apply) over the
+    * corpus-compressed word-frequency table from the character
+    * segmentation, returning the merge table rows and the FINAL
+    * segmentation (w, wf, toks) — left persisted for the caller
+    * ([[bpeModel]] releases it once the model table is written).
     */
   private def bpeTrainCore(s: SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
+    bpeTrainRuns.incrementAndGet()
     import graft.functions.BpeApply.bpeApply
     val words = Tables(s, dir, "documents")
       .select(explode(toks).as("w"))
@@ -207,6 +212,46 @@ object TextQueries {
       }
     }
     (merges.toSeq, seg)
+  }
+
+  /** The trained BPE model, MATERIALIZED once per corpus through the
+    * [[CorpusTable]] seam (r12 verdict #2 / finding #3): q_bpe_train
+    * and q_bpe_encode each used to invoke the full [[BpeTrainRounds]]
+    * trainer, i.e. every Verify/Bench pass trained TWICE — at 100 TB, a
+    * duplicate full training run. The model is the same kind of shared
+    * corpus-keyed derived table as the dedup battery's pair/CC tables:
+    * vocabulary-sized (always ≪ corpus), paid once, read at rest by
+    * every consumer.
+    *
+    * ONE table holds both halves of the model — kind='m' rows are the
+    * merge table (round, t1, t2, n), kind='s' rows the final vocabulary
+    * segmentation (w, wf, toks) — because CorpusTable installs with a
+    * single atomic rename: two separate tables could be split by a
+    * crash between the installs, leaving an encode vocabulary from a
+    * different training run than the published merges.
+    */
+  private def bpeModel(s: SparkSession, dir: String): DataFrame = {
+    var segRelease: DataFrame = null
+    val model = CorpusTable.materialized(s, dir, "bpemodel") {
+      val (merges, seg) = bpeTrainCore(s, dir)
+      segRelease = seg
+      import s.implicits._
+      val m = merges.toDF("round", "t1", "t2", "n")
+        .select(lit("m").as("kind"), col("round"), col("t1"), col("t2"),
+          col("n"), lit(null).cast("string").as("w"),
+          lit(null).cast("long").as("wf"),
+          lit(null).cast("array<string>").as("toks"))
+      val v = seg.select(lit("s").as("kind"),
+        lit(null).cast("long").as("round"),
+        lit(null).cast("string").as("t1"), lit(null).cast("string").as("t2"),
+        lit(null).cast("long").as("n"), col("w"), col("wf"), col("toks"))
+      m.unionByName(v)
+    }
+    // the trainer's per-round persist is only needed while the model
+    // table is being written; if the table already existed the build
+    // thunk never ran and there is nothing to release
+    if (segRelease != null) segRelease.unpersist()
+    model
   }
 
   /** DuckDB twin of [[repetitionMetrics]] — ONE copy of the metric CTE
@@ -919,17 +964,17 @@ object TextQueries {
     // reproduces the greedy left-to-right apply exactly (acc carries
     // the merged-so-far tokens US-joined; a merge consumes the pair, so
     // a produced token never re-merges within its round).
+    //
+    // r13: the trained model is MATERIALIZED per corpus ([[bpeModel]],
+    // the CorpusTable seam) — this row and q_bpe_encode share ONE
+    // training run per corpus instead of each invoking the trainer.
     QueryDef(
       "q_bpe_train",
-      (s: SparkSession, dir: String) => {
-        val (merges, seg) = bpeTrainCore(s, dir)
-        seg.unpersist() // train ships the merge table, not the segmentation
-        import s.implicits._
-        merges.toDF("round", "t1", "t2", "n")
+      (s: SparkSession, dir: String) =>
+        bpeModel(s, dir).filter(col("kind") === "m")
           .select(col("round"), col("t1"), col("t2"),
             concat(col("t1"), col("t2")).as("merged"), col("n"))
-          .orderBy("round")
-      },
+          .orderBy("round"),
       Some(BpeTrainSql)),
 
     // ------------------------------------------------------------------
@@ -940,8 +985,9 @@ object TextQueries {
     // the number every data pipeline needs per doc (token budgets,
     // packing, mixture weights are all in TOKENS, not words). The
     // at-scale trick restated: the merges are applied to the
-    // VOCABULARY (the same [[bpeTrainCore]] final segmentation the
-    // trainer produced — one shared loop, no second implementation to
+    // VOCABULARY (the kind='s' half of the materialized [[bpeModel]] —
+    // the trainer's own final segmentation, read AT REST since r13:
+    // one shared training run, no second implementation to
     // drift), and the corpus is segmented by ONE equi-join of the
     // exploded token stream against the vocabulary-sized
     // (word → subword count) frame (broadcast at 100 TB: vocab ≪
@@ -953,9 +999,8 @@ object TextQueries {
     QueryDef(
       "q_bpe_encode",
       (s: SparkSession, dir: String) => {
-        val (_, seg) = bpeTrainCore(s, dir)
-        val vocab = seg.select(col("w"),
-          size(col("toks")).cast("long").as("n_sub"))
+        val vocab = bpeModel(s, dir).filter(col("kind") === "s")
+          .select(col("w"), size(col("toks")).cast("long").as("n_sub"))
         Tables(s, dir, "documents")
           .select(col("doc_id"), explode(toks).as("w"))
           .join(vocab, Seq("w"), "left")

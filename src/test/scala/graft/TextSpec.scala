@@ -417,6 +417,7 @@ class TextSpec extends SparkSpec {
   }
 
   test("q_bpe_train == plain-Scala greedy BPE trainer (r12)") {
+    val runsBefore = graft.queries.TextQueries.bpeTrainRuns.get()
     val us = "\u001f" // sorts below every printable byte
     val wf: Map[String, Long] = docs
       .flatMap(_._2.split(" ", -1)).filter(_.length >= 2)
@@ -463,5 +464,13 @@ class TextSpec extends SparkSpec {
     assert(gotEnc == wantEnc)
     // the tokenizer bought real compression on at least some docs
     assert(gotEnc.exists(_._5 > 10000L), "no doc compressed below char level")
+    // r13: the model is materialized per corpus — train + encode above
+    // shared AT MOST one training run (0 if a prior run of this suite
+    // already installed the table for this corpus key); without the
+    // bpeModel seam the two queries would have trained twice here
+    val runsAfter = graft.queries.TextQueries.bpeTrainRuns.get()
+    assert(runsAfter - runsBefore <= 1,
+      s"bpeTrainCore ran ${runsAfter - runsBefore}× for train+encode — " +
+        "the materialized model is not being shared")
   }
 }
