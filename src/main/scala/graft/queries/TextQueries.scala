@@ -89,6 +89,67 @@ object TextQueries {
   private def floorDivL(a: Column, b: Column): Column =
     graft.functions.ExactMath.divTrunc(a, b)
 
+  // --------------------------------------------------------------------
+  // Learned quality classifier (r12 verdict #1): the CCNet/DCLM/FineWeb
+  // curation stage the heuristic gates (q_quality_gate,
+  // q_quality_adaptive) don't cover — a LINEAR scorer over hashed token
+  // features. Features are q_feature_hash's md5-mod-256 vectorizer;
+  // weights and bias are HASH-DERIVED integers in e6 units (the
+  // annPlanes trick: md5("qw"+dim) — no RNG state, so both engines
+  // rebuild the identical model from indices alone, and the APPLY is
+  // exact integer end-to-end).
+
+  /** 60-bit md5-derived value for a seed string — driver-side twin of
+    * the oracle's ('0x' || substring(md5(seed), 1, 15))::BIGINT. */
+  private def h60(seed: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** e6-unit weight per hashed feature dim: md5("qw"+d) folded into
+    * [-100000, 100000] (i.e. [-0.1, 0.1]). */
+  private[graft] lazy val qcWeights: IndexedSeq[Long] =
+    (0 until 256).map(d => h60("qw" + d) % 200001L - 100000L)
+
+  /** e6-unit bias, same derivation family. */
+  private[graft] lazy val qcBias: Long = h60("qwb") % 200001L - 100000L
+
+  /** Feature dim of a token — q_feature_hash's exact scheme. */
+  private def qcDim(t: Column): Column =
+    pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(256L))
+
+  /** Per-document linear score in e6 units, MAP-ONLY: one fold over
+    * the token array (functions.aggregate — no explode, no doc_id
+    * shuffle), each token contributing its dim's weight. The weight
+    * vector rides as a 256-long foldable array literal — the degenerate
+    * ideal of a broadcast: a plan constant shipped inside the task
+    * binary. At 100 TB this pass runs at scan speed.
+    */
+  private def qcScoreE6: Column = {
+    val wArr = array(qcWeights.map(lit(_)): _*)
+    aggregate(split(col("text"), " "), lit(qcBias),
+      (acc, t) => acc + element_at(wArr, qcDim(t).cast("int") + 1))
+  }
+
+  /** Shared oracle prefix: the weight table, per-token dims, and the
+    * per-doc score — interpolated into both consumers' SQL so the
+    * scheme is SHARED TEXT (the DfCutWeightsSql rule). Ends in
+    * sc(doc_id, source, z). */
+  private lazy val QcScoreSql: String =
+    s"""w AS (SELECT CAST(d AS INTEGER) AS d,
+       |  (('0x' || substring(md5('qw' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+       |    % 200001) - 100000 AS w
+       |  FROM range(0, 256) t(d)),
+       |tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+       |        FROM documents),
+       |dims AS (SELECT doc_id, source,
+       |  CAST(('0x' || substring(md5(t), 1, 15))::BIGINT % 256 AS INTEGER) AS d
+       |  FROM tok),
+       |sc AS (SELECT doc_id, source,
+       |  $qcBias + CAST(SUM(w.w) AS BIGINT) AS z
+       |  FROM dims JOIN w USING (d) GROUP BY doc_id, source)""".stripMargin
+
   /** Rounds for q_bpe_train: ≥ 3 per the r11 verdict; 5 exercises
     * merged tokens participating in later rounds' pairs.
     */
@@ -1030,6 +1091,112 @@ object TextQueries {
               |  (CAST(SUM(n_chars) AS BIGINT) * 10000) //
               |    GREATEST(CAST(SUM(n_sub) AS BIGINT), 1) AS compression_e4
               |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_quality_classifier ★ (new r13) — LEARNED quality filtering, the
+    // modern curation stage (CCNet's wiki-vs-crawl scorer, DCLM's
+    // fastText filter, FineWeb-Edu's classifier) that the heuristic
+    // gates don't cover: every document scored by a linear model over
+    // hashed token features and kept iff score ≥ 0; declared output is
+    // the per-source keep rate + exact score mass, the table a curation
+    // run reads to see what the filter is doing to each source.
+    //
+    // The whole APPLY is exact integer e6 — weights/bias are
+    // hash-derived plan constants ([[qcWeights]]), features are token
+    // counts, score = bias + Σ w[dim(token)] — so the oracle matches by
+    // construction, no float anywhere. Plan shape is the 100 TB shape:
+    // per-doc scoring is ONE map-only fold over the token array (no
+    // explode, no doc_id shuffle — [[qcScoreE6]]); the only exchange in
+    // the plan is the final ~20-group source agg after map-side
+    // combine, then the mandated sort. A production retrain swaps the
+    // weight literal for a broadcast variable; nothing else changes.
+    QueryDef(
+      "q_quality_classifier",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .select(col("source"), qcScoreE6.as("z"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("z") >= 0, 1L).otherwise(0L)).as("n_keep"),
+            sum("z").as("score_sum_e6"))
+          .select(col("source"), col("n_docs"), col("n_keep"),
+            floorDivL(col("n_keep") * 10000L, col("n_docs")).as("keep_rate_e4"),
+            col("score_sum_e6"))
+          .orderBy("source"),
+      Some(s"""WITH $QcScoreSql
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              |  (CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+              |    // CAST(COUNT(*) AS BIGINT) AS keep_rate_e4,
+              |  CAST(SUM(z) AS BIGINT) AS score_sum_e6
+              |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_quality_grad ★ (new r13) — ONE logistic-regression gradient
+    // step for the classifier above, as a SUFFICIENT-STATISTICS
+    // aggregation (the q_kmeans_iter pattern): the full batch gradient
+    // of log-loss w.r.t. every weight, ∂L/∂w_d = Σ_docs (σ(z)−y)·x_d,
+    // shipped as 257 exact longs (dim −1 = bias). Pseudo-labels are the
+    // CCNet-style distillation move: y = a cheap heuristic gate
+    // (≥ 10 tokens AND ≥ half the tokens distinct), so the linear
+    // scorer learns to imitate a gate that at production scale would be
+    // an expensive teacher (an LLM judge or reference-corpus LM).
+    //
+    // Exactness: z is exact integer e6; σ runs in double and the
+    // residual is quantized ONCE per doc — r = floor((σ(z)−y)·1e6+0.5),
+    // after which every distributed sum is a commutative LONG sum
+    // (partition-order-independent, map-side combined — the same
+    // argument as q_kmeans_iter's e6 coordinate sums). Cross-engine σ
+    // differs only in exp's final ulps (≤ ~1e-15 on p, ~1e-9 e6-units);
+    // measured min distance of (σ(z)−y)·1e6+0.5 to an integer boundary:
+    // 7.6e-4 / 6.3e-4 / 1.0e-6 e6-units at sf0.001/0.01/0.1
+    // (dev/PERF_NOTES.md r13) — ≥ 10³ × the noise at every SF, no
+    // exact ties. Plan: the map-only score fold, then ONE token explode
+    // → 256-group agg (map-side combine; dims are uniform by
+    // construction — no skew), plus a 1-row bias agg broadcast-unioned;
+    // gradient DESCENT at 100 TB is this exact query once per step.
+    QueryDef(
+      "q_quality_grad",
+      (s: SparkSession, dir: String) => {
+        val t = split(col("text"), " ")
+        val y = when(size(array_distinct(t)) * 2 >= size(t) &&
+          size(t) >= 10, 1L).otherwise(0L)
+        val p = lit(1.0) / (lit(1.0) +
+          exp(-(col("z").cast("double") / lit(1000000.0))))
+        val perDoc = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), qcScoreE6.as("z"), y.as("y"))
+          .select(col("doc_id"), col("text"),
+            floor((p - col("y").cast("double")) * lit(1000000.0) + lit(0.5))
+              .cast("long").as("r"))
+        val dimG = perDoc
+          .select(explode(split(col("text"), " ")).as("tk"), col("r"))
+          .select(qcDim(col("tk")).cast("int").as("dim"), col("r"))
+          .groupBy("dim")
+          .agg(sum("r").as("g_e6"), count(lit(1)).as("n_terms"))
+        val biasG = perDoc
+          .agg(sum("r").as("g_e6"), count(lit(1)).as("n_terms"))
+          .select(lit(-1).as("dim"), col("g_e6"), col("n_terms"))
+        biasG.unionByName(dimG).orderBy("dim")
+      },
+      Some(s"""WITH $QcScoreSql,
+              |y AS (SELECT doc_id,
+              |  CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+              |         >= len(string_split(text, ' '))
+              |       AND len(string_split(text, ' ')) >= 10
+              |    THEN 1 ELSE 0 END AS y
+              |  FROM documents),
+              |r AS (SELECT sc.doc_id,
+              |  CAST(floor((1.0 / (1.0 + exp(-(CAST(sc.z AS DOUBLE) / 1000000.0)))
+              |    - CAST(y.y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS r
+              |  FROM sc JOIN y USING (doc_id)),
+              |g AS (SELECT dims.d AS dim, CAST(SUM(r.r) AS BIGINT) AS g_e6,
+              |  CAST(COUNT(*) AS BIGINT) AS n_terms
+              |  FROM dims JOIN r USING (doc_id) GROUP BY 1)
+              |SELECT CAST(-1 AS INTEGER) AS dim, CAST(SUM(r) AS BIGINT) AS g_e6,
+              |  CAST(COUNT(*) AS BIGINT) AS n_terms FROM r
+              |UNION ALL
+              |SELECT * FROM g
+              |ORDER BY dim""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_collocation_pmi ★ — top-50 two-word collocations ranked by

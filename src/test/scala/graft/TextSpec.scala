@@ -416,6 +416,85 @@ class TextSpec extends SparkSpec {
       s"expected a loud null-token error, got: $ex")
   }
 
+  test("q_quality_classifier / q_quality_grad: exact scorer, exact gradient, " +
+      "and one descent step decreases the log-loss (r13)") {
+    import graft.queries.TextQueries.{qcWeights, qcBias}
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dimOf(t: String): Int =
+      (BigInt(md5hex(t).take(15), 16) % 256).toInt
+    val corpus = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+
+    // ---- driver-side scorer reference (exact integer e6)
+    def zOf(text: String): Long =
+      qcBias + text.split(" ", -1).map(t => qcWeights(dimOf(t))).sum
+    val wantApply = corpus.groupBy(_._2).map { case (src, ds) =>
+      val zs = ds.map(d => zOf(d._3))
+      val keep = zs.count(_ >= 0L).toLong
+      (src, ds.size.toLong, keep, keep * 10000L / ds.size, zs.sum)
+    }.toSeq.sortBy(_._1)
+    val gotApply = SparkEntry.queries("q_quality_classifier")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(gotApply == wantApply)
+    // non-degenerate: the filter actually separates (keeps some, drops some)
+    val (nAll, nKeep) = (gotApply.map(_._2).sum, gotApply.map(_._3).sum)
+    assert(nKeep > 0 && nKeep < nAll, s"degenerate filter: $nKeep/$nAll kept")
+
+    // ---- driver-side gradient reference: resid quantized exactly as the
+    // query does it (Math.exp — the same libm call Catalyst's Exp makes)
+    def yOf(text: String): Long = {
+      val ts = text.split(" ", -1)
+      if (ts.distinct.length * 2 >= ts.length && ts.length >= 10) 1L else 0L
+    }
+    def residOf(text: String): Long = {
+      val p = 1.0 / (1.0 + math.exp(-(zOf(text).toDouble / 1000000.0)))
+      math.floor((p - yOf(text).toDouble) * 1000000.0 + 0.5).toLong
+    }
+    val wantGrad = {
+      val perDim = corpus.flatMap { case (_, _, text) =>
+        val r = residOf(text)
+        text.split(" ", -1).map(t => (dimOf(t), r))
+      }
+      val dims = perDim.groupBy(_._1).map { case (d, rs) =>
+        (d, rs.map(_._2).sum, rs.size.toLong)
+      }.toSeq
+      val bias = (-1, corpus.map(d => residOf(d._3)).sum, corpus.size.toLong)
+      (bias +: dims).sortBy(_._1)
+    }
+    val gotGrad = SparkEntry.queries("q_quality_grad")(spark, sfDir)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(gotGrad == wantGrad)
+
+    // ---- one full-batch descent step decreases the training log-loss
+    def loss(w: IndexedSeq[Double], b: Double): Double =
+      corpus.map { case (_, _, text) =>
+        val z = b + text.split(" ", -1).map(t => w(dimOf(t))).sum
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val y = yOf(text).toDouble
+        // clamp for log stability; p never hits 0/1 on this fixture
+        -(y * math.log(p) + (1 - y) * math.log(1 - p))
+      }.sum / corpus.size
+    val w0 = qcWeights.map(_.toDouble / 1000000.0)
+    val b0 = qcBias.toDouble / 1000000.0
+    val g = gotGrad.map(r => r._1 -> (r._2.toDouble / 1000000.0)).toMap
+    // guaranteed-descent step: the sum-form logistic loss is L-smooth
+    // with L ≤ 0.25·trace(XᵀX) = 0.25·Σ_docs(Σ_d c_d² + 1), and a
+    // 1/L step strictly decreases any L-smooth f at a non-stationary
+    // point — no tuned constant to go stale as the fixture grows
+    val sumSq = corpus.map { case (_, _, text) =>
+      text.split(" ", -1).groupBy(dimOf).values
+        .map(c => c.length.toDouble * c.length).sum + 1.0
+    }.sum
+    val lr = 4.0 / sumSq
+    val w1 = w0.indices.map(d => w0(d) - lr * g.getOrElse(d, 0.0))
+    val b1 = b0 - lr * g(-1)
+    val (l0, l1) = (loss(w0, b0), loss(w1, b1))
+    assert(l1 < l0, s"gradient step did not decrease loss: $l0 -> $l1")
+  }
+
   test("q_bpe_train == plain-Scala greedy BPE trainer (r12)") {
     val runsBefore = graft.queries.TextQueries.bpeTrainRuns.get()
     val us = "\u001f" // sorts below every printable byte
