@@ -1586,6 +1586,50 @@ object TextQueries {
              |FROM t ORDER BY id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_normalize_unicode ★ (new r13) — the documented OPT-IN Unicode
+    // mode of [[graft.functions.NormalizeText]] (r12 verdict #3):
+    // code-point-level lowercase (Character.toLowerCase(int), the
+    // locale-INdependent simple mapping), strip Unicode P*∪S*, fold Nd
+    // digit runs, collapse isWhitespace∪isSpaceChar runs. The default
+    // byte mode stays the engine's normalization (ASCII-exact, one
+    // fixed-buffer pass); the modes agree byte-for-byte on pure-ASCII
+    // input (NormalizeTextSpec pins that over the whole sf0.001
+    // corpus). Cross-engine regex/ICU parity does NOT exist for these
+    // semantics (DuckDB has no Character.getType), so — the q_pii_scrub
+    // pattern — the oracle is a PINNED golden fixture: planted
+    // non-ASCII variants (accents, NBSP/em spaces, smart quotes,
+    // dashes, Turkish İ, Arabic-Indic digits, currency/math symbols,
+    // CJK, Greek) against hand-derived expected outputs, identical
+    // VALUES in both engines. What it pins is the normalization
+    // SEMANTICS, the part that silently diverges between runtimes.
+    QueryDef(
+      "q_normalize_unicode",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        import graft.functions.NormalizeText.normalizeTextUnicode
+        val rows = Seq(
+          (1L, "Héllo, Wörld — v2.5!"),
+          (2L, "“Smart” ‘quotes’ – and em spaces"),
+          (3L, "İstanbul ŞEHİR ٤٢ km²"),
+          (4L, "€99.99 ≠ ¥100 〜 50%"),
+          (5L, "The QUICK   brown-fox 42!!"),
+          (6L, "日本語 テスト 2024年"),
+          (7L, "ΑΣΔ Σοφός"))
+        rows.toDF("id", "raw")
+          .select(col("id"), normalizeTextUnicode(col("raw")).as("norm"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(id AS BIGINT) AS id, norm FROM (VALUES
+             |  (1, 'héllo wörld v0'),
+             |  (2, 'smart quotes and em spaces'),
+             |  (3, 'istanbul şehir 0 km²'),
+             |  (4, '0 0 0'),
+             |  (5, 'the quick brownfox 0'),
+             |  (6, '日本語 テスト 0年'),
+             |  (7, 'ασδ σοφός')) t(id, norm)
+             |ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_vocab_oov ★ (new r5) — tokenizer VOCABULARY COVERAGE: freeze
     // the top-16 terms by corpus frequency (tie-break term asc — the
     // fixed vocab a tokenizer ships with; 16 against this fixture's

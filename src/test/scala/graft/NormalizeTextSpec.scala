@@ -58,6 +58,46 @@ class NormalizeTextSpec extends SparkSpec {
     assert(bad.isEmpty, s"mismatch vs regex chain: ${bad.mkString("; ")}")
   }
 
+  test("unicode mode: planted non-ASCII variants are caught (r13)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def uni(s: String): String =
+      NormalizeText.makeUnicode(UTF8String.fromString(s)).toString
+    // accents lowercase, NBSP collapses, em dash strips, digits fold
+    assert(uni("Héllo, Wörld — v2.5!") == "héllo wörld v0")
+    // the byte pass is BLIND to all of those (É, NBSP, — pass through)
+    assert(norm("Héllo, Wörld — v2.5!") ==
+      "héllo wörld — v0")
+    // smart quotes (Pi/Pf), en dash (Pd), em/en spaces (Zs)
+    assert(uni("“Smart” ‘quotes’ – and em spaces")
+      == "smart quotes and em spaces")
+    // Turkish İ simple-lowercases to plain i (locale-INdependent
+    // Character.toLowerCase(int)); Arabic-Indic digits are Nd → fold;
+    // ² is No (not a digit, not punct) → passes through
+    assert(uni("İstanbul ŞEHİR ٤٢ km²")
+      == "istanbul şehir 0 km²")
+    // currency/math symbols (Sc/Sm) strip; wave dash (Pd) strips
+    assert(uni("€99.99 ≠ ¥100 〜 50%") == "0 0 0")
+    // CJK letters pass through; Greek lowercases (Σ → σ, final ς stays)
+    assert(uni("日本語 テスト 2024年")
+      == "日本語 テスト 0年")
+    assert(uni("ΑΣΔ Σοφός")
+      == "ασδ σοφός")
+    // degenerate inputs are total
+    assert(uni("") == ""); assert(uni("—“€") == "")
+  }
+
+  test("unicode mode == byte mode on pure-ASCII input (the whole sf0.001 corpus)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Tables(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    texts.foreach { t =>
+      assert(t.forall(_ < 0x80), "fixture unexpectedly non-ASCII")
+      assert(NormalizeText.makeUnicode(UTF8String.fromString(t)).toString == norm(t),
+        s"modes diverge on ASCII input: $t")
+    }
+  }
+
   test("null in, null out") {
     import spark.implicits._
     val r = Seq[Option[String]](None, Some("A b"))
