@@ -379,11 +379,32 @@ object DedupQueries {
     * min-label propagation needs L rounds (the regime the old 20-round
     * diameter cap aborted on — r11 verdict #6). Convergence is EXACT
     * set equality (equal counts + empty EXCEPT), never a checksum.
-    * Skewed star centers concentrate one groupBy key per component —
-    * at 100 TB the standard mitigation is the paper's per-round key
-    * salting of large-star, not needed at dup-pair edge counts.
+    *
+    * Skew (r12 verdict #6, now implemented): star centers concentrate
+    * one groupBy key per component — a mega-component at 100 TB puts
+    * its whole neighbor list under one reducer key each round. With
+    * `spark.graft.ccSaltBuckets` = S > 1 both per-key min aggregations
+    * run TWO-PHASE: partial min per (key, hash(value) mod S), then the
+    * S partials reduce to the true min — per-reducer-key fan-in drops
+    * from deg(center) to S, and min is associative so the result is
+    * bit-identical (DedupSpec forces S=8 on a planted mega-star and
+    * pins label equality vs union-find). Default S=1: Spark's map-side
+    * partial agg already caps per-key shuffle rows at #mapTasks, so the
+    * extra exchange only pays for itself in the many-thousands-of-tasks
+    * regime; the skewed equi-JOIN on the center key is AQE skew-join's
+    * job either way.
     */
   private def starContractLabels(edges: DataFrame): DataFrame = {
+    val salt = edges.sparkSession.conf
+      .getOption("spark.graft.ccSaltBuckets").map(_.toInt).getOrElse(1)
+    // two-phase (salted) per-key min: exact for any S because min is
+    // associative-commutative; S=1 is the plain single agg
+    def minPerKey(df: DataFrame, key: String, value: String, out: String): DataFrame =
+      if (salt <= 1) df.groupBy(key).agg(min(value).as(out))
+      else df
+        .groupBy(col(key), pmod(hash(col(value)), lit(salt)).as("_sb"))
+        .agg(min(value).as("_pm"))
+        .groupBy(key).agg(min("_pm").as(out))
     // eager localCheckpoint per round, NOT persist: each round's plan
     // references the previous frame ~12× (two symmetrizations, two
     // joins, two unions), so a lazily-nested lineage grows 12^rounds
@@ -404,12 +425,13 @@ object DedupQueries {
     while (!converged && rounds < 50) {
       val sym = e.select(col("hi").as("u"), col("lo").as("v"))
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
-      val mOf = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val mOf = minPerKey(sym, "u", "v", "mv")
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
       val ls = sym.join(mOf, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
-      val mS = ls.groupBy("hi").agg(min("lo").as("m"))
+      val mS = minPerKey(ls, "hi", "lo", "m")
       val ss = ls.join(mS, "hi")
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(mS.select(col("hi"), col("m").as("lo")))

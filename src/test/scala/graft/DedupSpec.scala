@@ -307,6 +307,28 @@ class DedupSpec extends SparkSpec {
     assert(got == (0L to 120L).map(d => (d, 0L, 121L)).toSet)
   }
 
+  test("connectedComponents: salted large-star (ccSaltBuckets=8) on a planted " +
+      "mega-star gives identical labels (r13)") {
+    // one component owns 90% of all edges: hub 1000 fans out to 900
+    // spokes (every round's min-agg concentrates on the hub key — the
+    // Kiveris skew regime), plus a 50-hop chain and a pair as controls;
+    // salting must be EXACTLY label-invariant, not approximately
+    val mega = (1L to 900L).map(i => (1000L, 2000L + i))
+    val chain = (0L until 50L).map(i => (3000L + i, 3001L + i))
+    val pairs = (mega ++ chain ++ Seq((7L, 8L))).toDF("d1", "d2")
+    spark.conf.set("spark.graft.ccSaltBuckets", "8")
+    val salted =
+      try graft.queries.DedupQueries.connectedComponents(spark, pairs,
+        driverMaxEdges = 0L).as[(Long, Long, Long)].collect().toSet
+      finally spark.conf.unset("spark.graft.ccSaltBuckets")
+    val viaDriver = graft.queries.DedupQueries.connectedComponents(spark, pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted == viaDriver)
+    // the mega component really is the 901-node star rooted at the hub
+    assert(salted.count(_._3 == 901L) == 901)
+    assert(salted.filter(_._3 == 901L).forall(_._2 == 1000L))
+  }
+
   test("connectedComponents: star contraction == union-find on a deterministic random graph (r12)") {
     // 400 nodes, ~300 hash-derived edges (no RNG state): a mix of small
     // components, chains, and merged blobs — the shapes the operator
