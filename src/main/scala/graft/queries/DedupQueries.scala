@@ -1600,6 +1600,137 @@ object DedupQueries {
              |    AS containment_e6
              |FROM p JOIN per pa ON p.src_a = pa.source
              |       JOIN per pb ON p.src_b = pb.source
-             |ORDER BY src_a, src_b""".stripMargin))
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // pipeline_e2e ★ (new r13) — the CURATION PIPELINE COMPOSED into
+    // one declared query (r12 verdict #7): normalize → quality gate →
+    // exact-dedup prune (canonicalize-then-hash, the q_dedup_normalized
+    // insight operationalized) → content-addressed leakage-safe split →
+    // 512-token sequence packing, with the stage funnel (docs/tokens
+    // surviving each stage) and per-split pack counts as the declared
+    // output — the monitoring table a real 100 TB curation run emits,
+    // proving the stages compose with NO driver round-trip between
+    // them (one plan, submitted once).
+    //
+    // The at-scale move: the TEXT is projected away immediately after
+    // normalization — everything downstream (dedup identity, split
+    // assignment, packing) runs on (doc_id, md5 fingerprint, token
+    // counts), a ~60-byte row, and THAT narrow frame is what the
+    // multi-consumer persist holds (the PERF_NOTES race rule), never
+    // the corpus. Stages:
+    //  1. normalize: the codegen'd [[graft.functions.NormalizeText]]
+    //     byte pass, fused into the scan;
+    //  2. quality gate: ≥ 10 normalized tokens AND ≥ half distinct
+    //     (exact integers — the q_quality_grad pseudo-label rule);
+    //  3. dedup-prune: per near-dup CLUSTER ([[ccLabelTable]] — the
+    //     battery's shared ≥0.6-Jaccard CC relation, read AT REST, the
+    //     "reads the materialized tables" composition the verdict
+    //     asked for), keep the minimum-doc_id GATED member — survivor
+    //     policy restricted to gate survivors, so a cluster whose
+    //     canonical copy was dropped for quality still keeps exactly
+    //     one (its best-id) member;
+    //  4. split: 60-bit fingerprint mod 100 → 90/5/5 — CONTENT-
+    //     addressed, so identical content lands in one split across
+    //     corpus versions and re-runs, the leakage-safe property
+    //     (q_split_leakage_safe covers the assign-by-cluster variant);
+    //  5. pack: q_pack_sequences' rule (window prefix-sum, bin =
+    //     cum-before // 512) per split partition.
+    // Oracle: the identical five stages in SQL — normalization via the
+    // spec-pinned regex-chain equivalent of the byte pass, clustering
+    // via the battery's shared recursive-CTE fragment (CcSql), so the
+    // pipeline's cluster relation provably IS the battery's.
+    QueryDef(
+      "pipeline_e2e",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.NormalizeText.normalizeText
+        import org.apache.spark.sql.expressions.Window
+        val ts = split(col("nt"), " ")
+        val perDoc = Tables(s, dir, "documents")
+          .select(col("doc_id"), normalizeText(col("text")).as("nt"))
+          .select(col("doc_id"), md5(col("nt")).as("fp"),
+            size(ts).cast("long").as("toks"),
+            size(array_distinct(ts)).cast("long").as("dtoks"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        perDoc.count() // materialize once for the multi-stage consumers
+        val gated = perDoc
+          .filter(col("toks") >= 10 && col("dtoks") * 2 >= col("toks"))
+        val lbl = ccLabelTable(s, dir).select(col("doc_id"), col("cluster_id"))
+        val surv = gated.join(lbl, Seq("doc_id"), "left")
+          .withColumn("k", coalesce(col("cluster_id"), col("doc_id")))
+          .groupBy("k")
+          .agg(min(struct(col("doc_id"), col("toks"), col("fp"))).as("m"))
+          .select(col("m.doc_id").as("doc_id"), col("m.toks").as("toks"),
+            col("m.fp").as("fp"))
+        val h100 = pmod(
+          conv(substring(col("fp"), 1, 15), 16, 10).cast("long"), lit(100L))
+        val sp = surv.select(col("doc_id"), col("toks"),
+          when(h100 < 90, "train").when(h100 < 95, "val")
+            .otherwise("test").as("split"))
+        val w = Window.partitionBy("split").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val packed = sp.withColumn("cum", sum("toks").over(w))
+          .select(col("split"), col("toks"),
+            graft.functions.ExactMath
+              .divTrunc(col("cum") - col("toks"), lit(512L)).as("bin"))
+        val splitRows = packed.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+            (max("bin") + 1L).as("n_bins"))
+          .select(concat(lit("3_split_"), col("split")).as("stage"),
+            col("n_docs"), col("n_tokens"), col("n_bins"))
+        def funnel(df: DataFrame, stage: String) = df
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+          .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"),
+            lit(0L).as("n_bins"))
+        funnel(perDoc, "0_raw")
+          .unionByName(funnel(gated, "1_quality"))
+          .unionByName(funnel(surv, "2_dedup"))
+          .unionByName(splitRows)
+          .orderBy("stage")
+      },
+      Some(s"""WITH RECURSIVE $ShSql,
+             |$JacSql,
+             |$CcSql,
+             |nn AS (
+             |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+             |    regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+             |    '[0-9]+', '0', 'g'), '[[:space:]]+', ' ', 'g')) AS nt
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, md5(nt) AS fp,
+             |    CAST(len(string_split(nt, ' ')) AS BIGINT) AS toks,
+             |    CAST(len(list_distinct(string_split(nt, ' '))) AS BIGINT) AS dtoks
+             |  FROM nn),
+             |g AS (SELECT * FROM p WHERE toks >= 10 AND dtoks * 2 >= toks),
+             |sv AS (
+             |  SELECT COALESCE(lbl.cluster_id, g.doc_id) AS k,
+             |    g.doc_id, g.toks, g.fp
+             |  FROM g LEFT JOIN lbl ON g.doc_id = lbl.doc_id),
+             |s AS (SELECT MIN(doc_id) AS doc_id, arg_min(toks, doc_id) AS toks,
+             |        arg_min(fp, doc_id) AS fp
+             |      FROM sv GROUP BY k),
+             |sp AS (SELECT doc_id, toks,
+             |  CASE WHEN ('0x' || substring(fp, 1, 15))::BIGINT % 100 < 90 THEN 'train'
+             |       WHEN ('0x' || substring(fp, 1, 15))::BIGINT % 100 < 95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |  FROM s),
+             |pk AS (SELECT split, toks,
+             |  SUM(toks) OVER (PARTITION BY split ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM sp),
+             |sr AS (SELECT '3_split_' || split AS stage,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             |  CAST(MAX((cum - toks) // 512) + 1 AS BIGINT) AS n_bins
+             |  FROM pk GROUP BY split)
+             |SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(toks) AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_bins
+             |FROM p
+             |UNION ALL SELECT '1_quality', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(toks) AS BIGINT), CAST(0 AS BIGINT) FROM g
+             |UNION ALL SELECT '2_dedup', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(toks) AS BIGINT), CAST(0 AS BIGINT) FROM s
+             |UNION ALL SELECT * FROM sr
+             |ORDER BY stage""".stripMargin))
   )
 }
