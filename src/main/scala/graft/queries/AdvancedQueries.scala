@@ -538,23 +538,31 @@ object AdvancedQueries {
       "q_join_estimate",
       (s: SparkSession, dir: String) => {
         import graft.functions.ExactMath
-        val ev = Tables(s, dir, "events")
-        val o = ev.filter(col("event_type") === "error")
-          .select(col("user_id").as("k"))
-        val c = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("k"))
-        val mx = o.union(c).agg(max("k").as("mxk"))
-        def keyed(df: DataFrame) = df.crossJoin(broadcast(mx))
-          .select(ExactMath.divTrunc(col("k") * 20L, col("mxk") + 1L).as("b"),
+        // r13 (r12 verdict #4): the row's 1.9-2.2 s quiet cost reproduced
+        // and profiled to events.parquet I/O — the r12 shape scanned the
+        // fact table FOUR times (error + purchase legs for the max-key
+        // union, then again per keyed() side). Two scans now: one for
+        // the max key, one feeding a single (type, bucket, key) hash agg
+        // that both sides' histograms are filtered from; the persist
+        // holds that key-histogram-sized frame (same bound as the two
+        // per-side persists it replaces — never fact rows).
+        val both = Tables(s, dir, "events")
+          .filter(col("event_type").isin("error", "purchase"))
+          .select(col("event_type").as("t"), col("user_id").as("k"))
+        val mx = both.agg(max("k").as("mxk"))
+        val kab = both.crossJoin(broadcast(mx))
+          .select(col("t"),
+            ExactMath.divTrunc(col("k") * 20L, col("mxk") + 1L).as("b"),
             col("k"))
-          .groupBy("b", "k").agg(count(lit(1)).as("nk"))
-        val ka = keyed(o).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val kb = keyed(c).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ka.count(); kb.count() // eager: stats + exact both reuse them
+          .groupBy("t", "b", "k").agg(count(lit(1)).as("nk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kab.count() // eager: stats + exact both reuse it
+        val ka = kab.filter(col("t") === "error").select(col("b"), col("k"), col("nk"))
+        val kb = kab.filter(col("t") === "purchase").select(col("b"), col("k"), col("nk"))
         val sa = ka.groupBy("b").agg(sum("nk").as("na"), count(lit(1)).as("da"))
         val sb = kb.groupBy("b").agg(sum("nk").as("nb"), count(lit(1)).as("db"))
-        val exact = ka.join(kb, Seq("b", "k"))
-          .select(col("b"), (ka("nk") * kb("nk")).as("prod"))
+        val exact = ka.as("x").join(kb.as("y"), Seq("b", "k"))
+          .select(col("b"), (col("x.nk") * col("y.nk")).as("prod"))
           .groupBy("b").agg(sum("prod").as("exact"))
         sa.join(sb, Seq("b"), "full_outer")
           .join(exact, Seq("b"), "left")
