@@ -119,6 +119,51 @@ object TextQueries {
   private def qcDim(t: Column): Column =
     pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(256L))
 
+  /** Pseudo-label shared by q_quality_grad and q_quality_train: a cheap
+    * heuristic gate (≥ 10 tokens AND ≥ half distinct) — the CCNet-style
+    * distillation target a linear scorer learns to imitate. */
+  private def qcLabel: Column = {
+    val t = split(col("text"), " ")
+    when(size(array_distinct(t)) * 2 >= size(t) && size(t) >= 10, 1L)
+      .otherwise(0L)
+  }
+
+  /** The ONE double step of the classifier-training family, shared by
+    * q_quality_grad and q_quality_train: per-doc residual quantized to
+    * e6 — r = floor((s(z/1e6) − y)·1e6 + 0.5) with the RATIONAL
+    * squashing s(z) = 0.5 + z/(2·(1+|z|)) (the "fast sigmoid") instead
+    * of the libm logistic. Deliberate, and the reason the family is
+    * exact at ANY corpus size: σ = 1/(1+exp(−z)) differs between Java's
+    * and DuckDB's exp in the final ulps, and the min distance of
+    * (σ−y)·1e6+0.5 to a floor boundary SHRINKS as docs accumulate
+    * (measured: 7.6e-4 at 500 docs → 1.2e-10 at gen-sf1's 50k — AT the
+    * ~1e-9 libm noise floor, i.e. a coin-flip row). s needs only
+    * + − × ÷ abs — each IEEE-correctly-rounded with identical operand
+    * trees in both engines — so the quantized residual is BIT-IDENTICAL
+    * by construction, margins irrelevant. s is a monotone sigmoid with
+    * s' = 1/(2(1+|z|)²) ≤ ½; its integral loss is convex, so the
+    * descent guarantees carry over with smoothness ½·Σ‖x‖² (the 2/S
+    * step in q_quality_train). Everything after this one double
+    * expression is commutative long arithmetic. */
+  private def qcResidE6(z: Column, y: Column): Column = {
+    val zd = z.cast("double") / lit(1000000.0)
+    val sz = lit(0.5) + zd / (lit(2.0) * (lit(1.0) + abs(zd)))
+    floor((sz - y.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+  }
+
+  /** Oracle-side twin of the weight derivation — interpolated into
+    * every consumer so the formula is SHARED TEXT. */
+  private val QcWeightSqlExpr =
+    "(('0x' || substring(md5('qw' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 200001) - 100000"
+
+  /** Oracle-side twin of [[qcResidE6]] — the IDENTICAL operand tree
+    * (each IEEE op correctly rounded on the same inputs → bit-equal),
+    * interpolated so the formula is shared text. */
+  private def qcResidSqlExpr(z: String, y: String): String =
+    s"CAST(floor(((0.5 + (CAST($z AS DOUBLE) / 1000000.0)" +
+      s" / (2.0 * (1.0 + abs(CAST($z AS DOUBLE) / 1000000.0))))" +
+      s" - CAST($y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+
   /** Per-document linear score in e6 units, MAP-ONLY: one fold over
     * the token array (functions.aggregate — no explode, no doc_id
     * shuffle), each token contributing its dim's weight. The weight
@@ -138,8 +183,7 @@ object TextQueries {
     * sc(doc_id, source, z). */
   private lazy val QcScoreSql: String =
     s"""w AS (SELECT CAST(d AS INTEGER) AS d,
-       |  (('0x' || substring(md5('qw' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
-       |    % 200001) - 100000 AS w
+       |  $QcWeightSqlExpr AS w
        |  FROM range(0, 256) t(d)),
        |tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
        |        FROM documents),
@@ -149,6 +193,65 @@ object TextQueries {
        |sc AS (SELECT doc_id, source,
        |  $qcBias + CAST(SUM(w.w) AS BIGINT) AS z
        |  FROM dims JOIN w USING (d) GROUP BY doc_id, source)""".stripMargin
+
+  /** Gradient-descent steps for q_quality_train; 3 exercises weights
+    * updated from a PREVIOUS step's gradient feeding the next score. */
+  private[queries] val QcTrainSteps = 3
+
+  /** The q_quality_train oracle: the identical descent unrolled as
+    * generated CTEs (the BpeTrainSql rule — the step logic exists once).
+    * All distributed state lives on the (doc, dim, count) sufficient-
+    * statistics frame `cnt`; weights are 257-row CTEs (dim −1 = bias);
+    * the update w − (g·4) // S uses DuckDB `//` which TRUNCATES on
+    * mixed signs, exactly matching Scala Long division in the driver
+    * loop (ExactMath scaladoc: divTrunc ≡ `//`; floorDiv is NOT this).
+    */
+  private def qcTrainSql: String = {
+    val steps = (1 to QcTrainSteps).map { r =>
+      s"""z$r AS (SELECT cnt.doc_id,
+         |  (SELECT w FROM w${r - 1} WHERE d = -1)
+         |    + CAST(SUM(cnt.c * w.w) AS BIGINT) AS z
+         |  FROM cnt JOIN w${r - 1} w ON cnt.d = w.d GROUP BY cnt.doc_id),
+         |r$r AS (SELECT z$r.doc_id,
+         |  ${qcResidSqlExpr(s"z$r.z", "y.y")} AS r
+         |  FROM z$r JOIN y USING (doc_id)),
+         |g$r AS (
+         |  SELECT cnt.d, CAST(SUM(r$r.r * cnt.c) AS BIGINT) AS g
+         |  FROM cnt JOIN r$r USING (doc_id) GROUP BY cnt.d
+         |  UNION ALL
+         |  SELECT -1, CAST(SUM(r) AS BIGINT) FROM r$r),
+         |w$r AS (SELECT w.d,
+         |  w.w - (COALESCE(g.g, 0) * 2) // s2.s AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g ON w.d = g.d CROSS JOIN s2)""".stripMargin
+    }.mkString(",\n")
+    val finalCols = (0 to QcTrainSteps)
+      .map(r => s"w$r.w AS w${r}_e6").mkString(", ")
+    val finalJoins = (1 to QcTrainSteps)
+      .map(r => s"JOIN w$r ON w0.d = w$r.d").mkString(" ")
+    s"""WITH wh AS (SELECT CAST(d AS INTEGER) AS d,
+       |  $QcWeightSqlExpr AS w
+       |  FROM range(0, 256) t(d)),
+       |w0 AS (SELECT d, w FROM wh
+       |       UNION ALL SELECT CAST(-1 AS INTEGER), $qcBias),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents),
+       |cnt AS (SELECT doc_id,
+       |  CAST(('0x' || substring(md5(t), 1, 15))::BIGINT % 256 AS INTEGER) AS d,
+       |  CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |s2 AS (SELECT CAST(SUM(c * c) AS BIGINT)
+       |  + (SELECT COUNT(*) FROM documents) AS s FROM cnt),
+       |y AS (SELECT doc_id,
+       |  CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+       |         >= len(string_split(text, ' '))
+       |       AND len(string_split(text, ' ')) >= 10
+       |    THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |$steps
+       |SELECT w0.d AS dim, $finalCols
+       |FROM w0 $finalJoins
+       |ORDER BY dim""".stripMargin
+  }
 
   /** Rounds for q_bpe_train: ≥ 3 per the r11 verdict; 5 exercises
     * merged tokens participating in later rounds' pairs.
@@ -1132,42 +1235,36 @@ object TextQueries {
               |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q_quality_grad ★ (new r13) — ONE logistic-regression gradient
-    // step for the classifier above, as a SUFFICIENT-STATISTICS
-    // aggregation (the q_kmeans_iter pattern): the full batch gradient
-    // of log-loss w.r.t. every weight, ∂L/∂w_d = Σ_docs (σ(z)−y)·x_d,
-    // shipped as 257 exact longs (dim −1 = bias). Pseudo-labels are the
-    // CCNet-style distillation move: y = a cheap heuristic gate
+    // q_quality_grad ★ (new r13) — ONE full-batch gradient step for the
+    // classifier above, as a SUFFICIENT-STATISTICS aggregation (the
+    // q_kmeans_iter pattern): ∂L/∂w_d = Σ_docs (s(z)−y)·x_d shipped as
+    // 257 exact longs (dim −1 = bias), with s the rational fast-sigmoid
+    // of [[qcResidE6]] (see there for why NOT libm σ: the exp-based
+    // residual's floor margins shrink to the libm noise floor as the
+    // corpus grows; s is bit-identical cross-engine by construction at
+    // any scale, and its convex integral loss keeps the descent
+    // guarantee — TextSpec proves the step decreases it). Pseudo-labels
+    // are the CCNet-style distillation move: y = a cheap heuristic gate
     // (≥ 10 tokens AND ≥ half the tokens distinct), so the linear
     // scorer learns to imitate a gate that at production scale would be
     // an expensive teacher (an LLM judge or reference-corpus LM).
     //
-    // Exactness: z is exact integer e6; σ runs in double and the
-    // residual is quantized ONCE per doc — r = floor((σ(z)−y)·1e6+0.5),
-    // after which every distributed sum is a commutative LONG sum
+    // Exactness: z is exact integer e6; the residual is quantized ONCE
+    // per doc — r = floor((s(z)−y)·1e6+0.5), bit-equal in both engines
+    // — after which every distributed sum is a commutative LONG sum
     // (partition-order-independent, map-side combined — the same
-    // argument as q_kmeans_iter's e6 coordinate sums). Cross-engine σ
-    // differs only in exp's final ulps (≤ ~1e-15 on p, ~1e-9 e6-units);
-    // measured min distance of (σ(z)−y)·1e6+0.5 to an integer boundary:
-    // 7.6e-4 / 6.3e-4 / 1.0e-6 e6-units at sf0.001/0.01/0.1
-    // (dev/PERF_NOTES.md r13) — ≥ 10³ × the noise at every SF, no
-    // exact ties. Plan: the map-only score fold, then ONE token explode
+    // argument as q_kmeans_iter's e6 coordinate sums).
+    // Plan: the map-only score fold, then ONE token explode
     // → 256-group agg (map-side combine; dims are uniform by
     // construction — no skew), plus a 1-row bias agg broadcast-unioned;
     // gradient DESCENT at 100 TB is this exact query once per step.
     QueryDef(
       "q_quality_grad",
       (s: SparkSession, dir: String) => {
-        val t = split(col("text"), " ")
-        val y = when(size(array_distinct(t)) * 2 >= size(t) &&
-          size(t) >= 10, 1L).otherwise(0L)
-        val p = lit(1.0) / (lit(1.0) +
-          exp(-(col("z").cast("double") / lit(1000000.0))))
         val perDoc = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text"), qcScoreE6.as("z"), y.as("y"))
+          .select(col("doc_id"), col("text"), qcScoreE6.as("z"), qcLabel.as("y"))
           .select(col("doc_id"), col("text"),
-            floor((p - col("y").cast("double")) * lit(1000000.0) + lit(0.5))
-              .cast("long").as("r"))
+            qcResidE6(col("z"), col("y")).as("r"))
         val dimG = perDoc
           .select(explode(split(col("text"), " ")).as("tk"), col("r"))
           .select(qcDim(col("tk")).cast("int").as("dim"), col("r"))
@@ -1186,8 +1283,7 @@ object TextQueries {
               |    THEN 1 ELSE 0 END AS y
               |  FROM documents),
               |r AS (SELECT sc.doc_id,
-              |  CAST(floor((1.0 / (1.0 + exp(-(CAST(sc.z AS DOUBLE) / 1000000.0)))
-              |    - CAST(y.y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS r
+              |  ${qcResidSqlExpr("sc.z", "y.y")} AS r
               |  FROM sc JOIN y USING (doc_id)),
               |g AS (SELECT dims.d AS dim, CAST(SUM(r.r) AS BIGINT) AS g_e6,
               |  CAST(COUNT(*) AS BIGINT) AS n_terms
@@ -1197,6 +1293,75 @@ object TextQueries {
               |UNION ALL
               |SELECT * FROM g
               |ORDER BY dim""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_quality_train ★ (new r13) — the classifier family's TRAINER:
+    // [[QcTrainSteps]] full-batch gradient-descent steps, driver-
+    // orchestrated like q_bpe_train/q_pagerank3 — each step fetches one
+    // bounded model frame (257 gradient longs), updates the weights in
+    // exact integer arithmetic (w ← w − (g·2)/S, truncating division
+    // matching DuckDB `//`; S = Σ_docs(Σ_d c_d² + 1) and the
+    // fast-sigmoid's slope bound is ½, so 2/S is the 1/L-smoothness
+    // step — descent guaranteed, no tuned constant), and bakes them
+    // into the next step's plan as literals. Declared output is the
+    // weight TRAJECTORY (dim, w0..w3 in e6) — the artifact a filtering
+    // run ships.
+    //
+    // The at-scale shape: the corpus is read ONCE to build the
+    // (doc, dim, count) sufficient-statistics frame (bounded by
+    // docs × 256) and the per-doc label frame; every step after that is
+    // statistics-sized — z is one agg over cnt with the weights as a
+    // 257-long plan constant (no join), residuals join the doc-sized
+    // label frame, gradients are one 256-group agg. Exactly the BPE
+    // corpus-compression trick applied to model training; at 100 TB
+    // each step costs one pass over the fingerprint-sized statistics,
+    // never the text. Residuals are the bit-exact rational fast-sigmoid
+    // ([[qcResidE6]] — no libm, no margins to defend, at any SF and
+    // any step). Oracle: the identical descent unrolled as generated
+    // CTEs; DuckDB `//` truncates on mixed signs exactly like the
+    // driver's Scala Long division.
+    QueryDef(
+      "q_quality_train",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables(s, dir, "documents")
+        val cnt = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+          .select(col("doc_id"), qcDim(col("tk")).cast("int").as("d"))
+          .groupBy("doc_id", "d").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val yf = docs.select(col("doc_id"), qcLabel.as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sumC2 = cnt.agg(sum(col("c") * col("c"))).collect()(0).getLong(0)
+        val sVal = sumC2 + yf.count() // + Σ_docs 1² (the bias feature)
+        var w = qcWeights.toArray
+        var b = qcBias
+        val hist = scala.collection.mutable.ArrayBuffer((w.clone(), b))
+        for (_ <- 1 to QcTrainSteps) {
+          val wArr = array(w.toIndexedSeq.map(lit(_)): _*)
+          val z = cnt.groupBy("doc_id")
+            .agg((lit(b) + sum(col("c") * element_at(wArr, col("d") + 1)))
+              .as("z"))
+          val rs = z.join(yf, "doc_id")
+            .select(col("doc_id"), qcResidE6(col("z"), col("y")).as("r"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val g = cnt.join(rs, "doc_id")
+            .groupBy("d").agg(sum(col("r") * col("c")).as("g"))
+            .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+          val gb = rs.agg(coalesce(sum("r"), lit(0L))).collect()(0).getLong(0)
+          rs.unpersist()
+          w = Array.tabulate(256)(d => w(d) - g.getOrElse(d, 0L) * 2L / sVal)
+          b = b - gb * 2L / sVal
+          hist += ((w.clone(), b))
+        }
+        cnt.unpersist(); yf.unpersist()
+        import s.implicits._
+        val rows = (-1 until 256).map { d =>
+          def at(step: Int) =
+            if (d < 0) hist(step)._2 else hist(step)._1(d)
+          (d, at(0), at(1), at(2), at(3))
+        }
+        rows.toDF("dim", "w0_e6", "w1_e6", "w2_e6", "w3_e6").orderBy("dim")
+      },
+      Some(qcTrainSql)),
 
     // ------------------------------------------------------------------
     // q_collocation_pmi ★ — top-50 two-word collocations ranked by

@@ -443,16 +443,19 @@ class TextSpec extends SparkSpec {
     val (nAll, nKeep) = (gotApply.map(_._2).sum, gotApply.map(_._3).sum)
     assert(nKeep > 0 && nKeep < nAll, s"degenerate filter: $nKeep/$nAll kept")
 
-    // ---- driver-side gradient reference: resid quantized exactly as the
-    // query does it (Math.exp — the same libm call Catalyst's Exp makes)
+    // ---- driver-side gradient reference: resid quantized exactly as
+    // the query does it (the rational fast-sigmoid — no libm, so this
+    // reference is bit-exact against BOTH engines at any scale)
     def yOf(text: String): Long = {
       val ts = text.split(" ", -1)
       if (ts.distinct.length * 2 >= ts.length && ts.length >= 10) 1L else 0L
     }
-    def residOf(text: String): Long = {
-      val p = 1.0 / (1.0 + math.exp(-(zOf(text).toDouble / 1000000.0)))
-      math.floor((p - yOf(text).toDouble) * 1000000.0 + 0.5).toLong
+    def residOfZ(zE6: Long, y: Long): Long = {
+      val z = zE6.toDouble / 1000000.0
+      val s = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+      math.floor((s - y.toDouble) * 1000000.0 + 0.5).toLong
     }
+    def residOf(text: String): Long = residOfZ(zOf(text), yOf(text))
     val wantGrad = {
       val perDim = corpus.flatMap { case (_, _, text) =>
         val r = residOf(text)
@@ -468,31 +471,70 @@ class TextSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSeq
     assert(gotGrad == wantGrad)
 
-    // ---- one full-batch descent step decreases the training log-loss
+    // ---- one full-batch descent step decreases the training loss.
+    // The loss is the fast-sigmoid's convex integral:
+    //   L̃(z,y) = z/2 + sign(z)·(|z| − ln(1+|z|))/2 − y·z,
+    // whose z-derivative is exactly s(z) − y (the query's residual), so
+    // the query output IS ∇L̃ up to e6 quantization.
     def loss(w: IndexedSeq[Double], b: Double): Double =
       corpus.map { case (_, _, text) =>
         val z = b + text.split(" ", -1).map(t => w(dimOf(t))).sum
-        val p = 1.0 / (1.0 + math.exp(-z))
         val y = yOf(text).toDouble
-        // clamp for log stability; p never hits 0/1 on this fixture
-        -(y * math.log(p) + (1 - y) * math.log(1 - p))
+        z / 2.0 + math.signum(z) * (math.abs(z) - math.log1p(math.abs(z))) / 2.0 - y * z
       }.sum / corpus.size
     val w0 = qcWeights.map(_.toDouble / 1000000.0)
     val b0 = qcBias.toDouble / 1000000.0
     val g = gotGrad.map(r => r._1 -> (r._2.toDouble / 1000000.0)).toMap
-    // guaranteed-descent step: the sum-form logistic loss is L-smooth
-    // with L ≤ 0.25·trace(XᵀX) = 0.25·Σ_docs(Σ_d c_d² + 1), and a
-    // 1/L step strictly decreases any L-smooth f at a non-stationary
-    // point — no tuned constant to go stale as the fixture grows
+    // guaranteed-descent step: s' ≤ ½, so the sum-form loss is L-smooth
+    // with L ≤ 0.5·trace(XᵀX) = 0.5·Σ_docs(Σ_d c_d² + 1), and a 1/L
+    // step strictly decreases any L-smooth f at a non-stationary point
+    // — no tuned constant to go stale as the fixture grows
     val sumSq = corpus.map { case (_, _, text) =>
       text.split(" ", -1).groupBy(dimOf).values
         .map(c => c.length.toDouble * c.length).sum + 1.0
     }.sum
-    val lr = 4.0 / sumSq
+    val lr = 2.0 / sumSq
     val w1 = w0.indices.map(d => w0(d) - lr * g.getOrElse(d, 0.0))
     val b1 = b0 - lr * g(-1)
     val (l0, l1) = (loss(w0, b0), loss(w1, b1))
     assert(l1 < l0, s"gradient step did not decrease loss: $l0 -> $l1")
+
+    // ---- q_quality_train: the 3-step integer descent trajectory,
+    // replicated exactly driver-side (Scala Long division truncates
+    // like DuckDB //), and the loss decreases at EVERY step
+    val cnts: Seq[(Map[Int, Long], Long)] = corpus.map { case (_, _, text) =>
+      (text.split(" ", -1).groupBy(dimOf).map { case (d, o) => d -> o.length.toLong },
+        yOf(text))
+    }
+    val sVal = cnts.map { case (c, _) => c.values.map(v => v * v).sum + 1L }.sum
+    var wI = qcWeights.toArray
+    var bI = qcBias
+    val hist = scala.collection.mutable.ArrayBuffer((wI.clone(), bI))
+    for (_ <- 1 to 3) {
+      val rs = cnts.map { case (c, y) =>
+        (c, residOfZ(bI + c.map { case (d, n) => n * wI(d) }.sum, y))
+      }
+      val gd = Array.fill(256)(0L)
+      rs.foreach { case (c, r) => c.foreach { case (d, n) => gd(d) += r * n } }
+      val gb = rs.map(_._2).sum
+      wI = Array.tabulate(256)(d => wI(d) - gd(d) * 2L / sVal)
+      bI = bI - gb * 2L / sVal
+      hist += ((wI.clone(), bI))
+    }
+    val wantTraj = (-1 until 256).map { d =>
+      def at(i: Int) = if (d < 0) hist(i)._2 else hist(i)._1(d)
+      (d, at(0), at(1), at(2), at(3))
+    }
+    val gotTraj = SparkEntry.queries("q_quality_train")(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(gotTraj == wantTraj)
+    val stepLosses = hist.map { case (wv, bv) =>
+      loss(wv.map(_.toDouble / 1000000.0).toIndexedSeq, bv.toDouble / 1000000.0)
+    }
+    assert(stepLosses.sliding(2).forall(p => p(1) < p(0)),
+      s"loss not strictly decreasing across steps: $stepLosses")
+    // the trained weights actually moved
+    assert(hist.last._1.toSeq != hist.head._1.toSeq)
   }
 
   test("q_bpe_train == plain-Scala greedy BPE trainer (r12)") {
