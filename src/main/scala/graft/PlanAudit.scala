@@ -52,6 +52,7 @@ object PlanAudit {
     ("q_simhash_dup", "BroadcastNestedLoopJoin"),     // 1-row n_docs for idf weight
     ("q_trend_ols", "BroadcastNestedLoopJoin"),       // 1-row corpus min day
     ("q_vocab_growth", "BroadcastNestedLoopJoin"),    // 1-row max doc_id
+    ("q_dsir", "BroadcastNestedLoopJoin"),            // 1-row L(R)−L(T) normalizer
     // windows over the USER table / the ≤10-row growth-curve frame,
     // not the corpus (see each query's scaladoc)
     ("q_rfm", "globalWindow"),
@@ -95,6 +96,10 @@ object PlanAudit {
     "q_outlier_fences" -> 1,
     // per-lang frame: 5-value closed domain
     "q_sample_weighted" -> 1,
+    // DSIR bucket model: b = md5(token) % 512 — a 512-value closed
+    // domain by construction, the broadcastable "model table" of the
+    // hashed-n-gram generative model (persists at rest at 100 TB)
+    "q_dsir" -> 1,
     // per-source frames: 20-value closed domain, joined once per pair side
     "q_contamination_matrix" -> 2,
     // hour-bucket frames: time-span-sized (~720 rows for the 30-day

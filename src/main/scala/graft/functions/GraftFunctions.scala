@@ -24,6 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT graft_frame_energies(payload, 32)           -- per-frame energy array
   * SELECT graft_normalize_text(text)                  -- canonicalize (r12)
   * SELECT graft_bpe_apply(toks, 'a', 'b')             -- one BPE merge (r12)
+  * SELECT graft_log2e20(n)                            -- exact fixed-point log2 (r13)
   * }}}
   *
   * Two registration paths sharing ONE builder list:
@@ -69,7 +70,8 @@ object GraftFunctions {
     "graft_normalize_text" -> (es => NormalizeText(es.head)),
     "graft_bpe_apply" -> (es =>
       BpeApply(es.head, strLit(es(1), "merge pair left"),
-        strLit(es(2), "merge pair right"))))
+        strLit(es(2), "merge pair right"))),
+    "graft_log2e20" -> (es => ExactMath.Log2E20Expr(es.head)))
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftFunctions.type].getName, name)

@@ -203,7 +203,7 @@ object MultimodalQueries {
           .select(col("doc_id"),
             graft.functions.ByteDist.byteEntropyE6(col("payload")).as("entropy_e6"))
           .orderBy("doc_id"),
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
              |p AS (SELECT doc_id, encode(text) AS payload FROM documents),
              |h AS (
              |  SELECT doc_id, hex(payload) AS hx,
@@ -218,19 +218,7 @@ object MultimodalQueries {
              |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s FROM cnt GROUP BY 1),
              |dom AS (SELECT DISTINCT v FROM
              |        (SELECT c AS v FROM cnt UNION ALL SELECT s AS v FROM tot)),
-             |init AS (SELECT v, CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS e
-             |         FROM dom),
-             |it AS (
-             |  SELECT v, e, 0 AS i, (v << 30) >> e AS x, CAST(0 AS BIGINT) AS frac
-             |  FROM init
-             |  UNION ALL
-             |  SELECT v, e, i + 1,
-             |    CASE WHEN ((x * x) >> 30) >= (CAST(2 AS BIGINT) << 30)
-             |         THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
-             |    CASE WHEN ((x * x) >> 30) >= (CAST(2 AS BIGINT) << 30)
-             |         THEN (frac << 1) | 1 ELSE (frac << 1) END
-             |  FROM it WHERE i < 20),
-             |lg AS (SELECT v, (e << 20) | frac AS l FROM it WHERE i = 20),
+             |${Log2Sql.cte},
              |ent AS (
              |  SELECT t.doc_id,
              |    t.s * ls.l - CAST(SUM(c.c * lc.l) AS BIGINT) AS num, t.s AS s

@@ -1948,6 +1948,125 @@ object TextQueries {
              |      ORDER BY score DESC, doc_id) AS rk
              |  FROM sc)
              |SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, score
-             |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin))
+             |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_dsir ★ (new r13) — Data Selection via Importance Resampling
+    // (Xie et al. 2023, "Data Selection for Language Models via
+    // Importance Resampling"): the modern LEARNED selection stage that
+    // upsamples raw documents matching a target domain. Feature space =
+    // hashed unigram counts in B=512 buckets (the DSIR paper's hashed
+    // n-gram generative model; md5-mod hashing is the q_feature_hash
+    // idiom, identical in every engine). Target here = the lang='en'
+    // slice (the paper's "formal text" target stand-in); raw = the full
+    // corpus. Per-document log importance weight, EXACT in e20 units
+    // via the fixed-point log₂ (ExactMath.log2e20 — the q_mm_entropy
+    // arithmetic, so the score is bit-identical cross-engine, never a
+    // libm ln):
+    //   logw_e20(d) = Σ_b c_d[b]·(L(t_b) − L(r_b)) + n_d·(L(R) − L(T))
+    // with Laplace counts t_b = 1 + target tokens in b, r_b = 1 + raw
+    // tokens in b, T = Σt_b, R = Σr_b, L = floor(2²⁰log₂·). Selection
+    // is the paper's deterministic top-k variant with per-source
+    // budgets: keep the top 25% per source by (logw DESC, doc_id).
+    // Headroom: log2e20's domain needs r_b, R < 2³³ ≈ 8.6e9 tokens —
+    // per-shard scale; a 1e13-token corpus buckets counts per shard or
+    // widens the recurrence to Q30/128-bit (same table, more rounds).
+    // Σ c·ΔL ≤ n_d·33·2²⁰ ≈ 3.5e7·n_d — no overflow for any real doc.
+    // Plan shape at 100 TB: explode → ONE (doc, bucket) hash agg with
+    // map-side combine (the only corpus-keyed shuffle) → broadcast join
+    // of the 512-row model table (t/r bucket log-ratios — persists at
+    // rest like the IVF centroids) → per-doc agg; scalars ride in as
+    // 1-row broadcasts; the keep-window partitions by source. Buckets
+    // absent from the corpus need no domain completion: they cannot
+    // appear in any document, and the totals fold them in as
+    // T = target_tokens + B, R = raw_tokens + B exactly.
+    QueryDef(
+      "q_dsir",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath.log2e20
+        val B = 512L
+        val docs = Tables(s, dir, "documents")
+        val cb = docs
+          .select(col("doc_id"), col("source"), col("lang"), explode(toks).as("t"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+              lit(B)).as("b"))
+          .groupBy("doc_id", "source", "lang", "b").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cb.count() // eager: model, scalars, and the per-doc join all reuse it
+        val rb = cb.groupBy("b").agg((sum("c") + lit(1L)).as("rv"))
+        val tb = cb.filter(col("lang") === "en")
+          .groupBy("b").agg((sum("c") + lit(1L)).as("tv"))
+        // Bucket model: ΔL(b) = L(t_b) − L(r_b); absent target bucket →
+        // t_b = 1 → L = 0 (log2e20(null) is null, coalesced to 0).
+        val model = rb.join(tb, Seq("b"), "left")
+          .select(col("b"),
+            (coalesce(log2e20(col("tv")), lit(0L)) - log2e20(col("rv"))).as("dl"))
+        val norm = cb.agg(
+          (sum("c") + lit(B)).as("rtot"),
+          (sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))) + lit(B))
+            .as("ttot"))
+          .select((log2e20(col("rtot")) - log2e20(col("ttot"))).as("norm"))
+        val perDoc = cb.join(broadcast(model), "b")
+          .groupBy("doc_id", "source")
+          .agg(sum("c").as("n_tokens"), sum(col("c") * col("dl")).as("ssum"))
+          .crossJoin(broadcast(norm))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            (col("ssum") + col("n_tokens") * col("norm")).as("logw_e20"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("logw_e20").desc, col("doc_id"))
+        val cw = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        perDoc
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("ns", count(lit(1)).over(cw))
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("logw_e20"),
+            when(col("rk") * 4L <= col("ns"), lit(1L)).otherwise(lit(0L)).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+             |tok AS (
+             |  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS t
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, lang,
+             |    ('0x' || substring(md5(t), 1, 15))::BIGINT % 512 AS b,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM tok GROUP BY 1, 2, 3, 4),
+             |rb AS (SELECT b, CAST(SUM(c) + 1 AS BIGINT) AS rv FROM c GROUP BY 1),
+             |tb AS (SELECT b, CAST(SUM(c) + 1 AS BIGINT) AS tv
+             |       FROM c WHERE lang = 'en' GROUP BY 1),
+             |sc AS (SELECT CAST(SUM(c) + 512 AS BIGINT) AS rtot,
+             |         CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) + 512
+             |           AS BIGINT) AS ttot
+             |       FROM c),
+             |dom AS (SELECT DISTINCT v FROM (
+             |  SELECT rv AS v FROM rb UNION ALL SELECT tv FROM tb
+             |  UNION ALL SELECT rtot FROM sc UNION ALL SELECT ttot FROM sc)),
+             |${Log2Sql.cte},
+             |model AS (
+             |  SELECT rb.b, COALESCE(lt.l, 0) - lr.l AS dl
+             |  FROM rb JOIN lg lr ON lr.v = rb.rv
+             |  LEFT JOIN tb ON tb.b = rb.b
+             |  LEFT JOIN lg lt ON lt.v = tb.tv),
+             |norm AS (
+             |  SELECT lgr.l - lgt.l AS norm FROM sc
+             |  JOIN lg lgr ON lgr.v = sc.rtot
+             |  JOIN lg lgt ON lgt.v = sc.ttot),
+             |pd AS (
+             |  SELECT c.doc_id, c.source, CAST(SUM(c.c) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(c.c * model.dl) AS BIGINT) AS ssum
+             |  FROM c JOIN model ON model.b = c.b GROUP BY 1, 2),
+             |wgt AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    ssum + n_tokens * norm AS logw_e20
+             |  FROM pd CROSS JOIN norm),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY source
+             |      ORDER BY logw_e20 DESC, doc_id) AS rk,
+             |    COUNT(*) OVER (PARTITION BY source) AS ns
+             |  FROM wgt)
+             |SELECT doc_id, source, n_tokens, logw_e20,
+             |  CAST(CASE WHEN rk * 4 <= ns THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

@@ -61,6 +61,20 @@ class ExactMathSpec extends SparkSpec {
     }
   }
 
+  test("log2e20 column == Multimodal.log2e20 across the domain; null in → null out (r13)") {
+    val rnd = new scala.util.Random(13)
+    val vs: Seq[Long] = Seq(1L, 2L, 3L, 511L, 512L, 513L, (1L << 33) - 1) ++
+      Seq.fill(400)(1L + (rnd.nextLong() & ((1L << 33) - 1)) % ((1L << 33) - 1))
+    val got = vs.toDF("v")
+      .select(graft.functions.ExactMath.log2e20(col("v")).as("l"))
+      .as[Long].collect().toSeq
+    assert(got == vs.map(graft.multimodal.Multimodal.log2e20))
+    val nullGot = Seq[Option[Long]](Some(7L), None).toDF("v")
+      .select(graft.functions.ExactMath.log2e20(col("v")).as("l"))
+      .as[Option[Long]].collect().toSeq
+    assert(nullGot == Seq(Some(graft.multimodal.Multimodal.log2e20(7L)), None))
+  }
+
   test("shinglesAll keeps every window with multiplicity; shingles dedups") {
     val rnd = new scala.util.Random(7)
     val docs = Seq.tabulate(50) { _ =>

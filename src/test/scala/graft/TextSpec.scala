@@ -594,4 +594,50 @@ class TextSpec extends SparkSpec {
       s"bpeTrainCore ran ${runsAfter - runsBefore}× for train+encode — " +
         "the materialized model is not being shared")
   }
+
+  test("q_dsir == plain-Scala DSIR fold: hashed-unigram log-ratio weights, " +
+    "per-source top-25% keep (r13)") {
+    import graft.multimodal.Multimodal.log2e20
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(t: String): Long =
+      java.lang.Long.parseLong(md5hex(t).substring(0, 15), 16) % 512L
+    val rows = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)].collect().toSeq
+    val perDoc = rows.map { case (id, src, lang, text) =>
+      val bs = text.split(" ", -1).toSeq.map(bucket)
+      (id, src, lang, bs.groupBy(identity).map { case (b, o) => b -> o.size.toLong })
+    }
+    val raw = perDoc.flatMap(_._4).groupBy(_._1)
+      .map { case (b, o) => b -> (o.map(_._2).sum + 1L) }
+    val tgt = perDoc.filter(_._3 == "en").flatMap(_._4).groupBy(_._1)
+      .map { case (b, o) => b -> (o.map(_._2).sum + 1L) }
+    val rTot = perDoc.map(_._4.values.sum).sum + 512L
+    val tTot = perDoc.filter(_._3 == "en").map(_._4.values.sum).sum + 512L
+    val norm = log2e20(rTot) - log2e20(tTot)
+    val weighted = perDoc.map { case (id, src, _, cs) =>
+      val n = cs.values.sum
+      val s = cs.map { case (b, c) =>
+        c * (tgt.get(b).map(log2e20).getOrElse(0L) - log2e20(raw(b)))
+      }.sum
+      (id, src, n, s + n * norm)
+    }
+    val want = weighted.groupBy(_._2).toSeq.flatMap { case (_, grp) =>
+      val ranked = grp.sortBy { case (id, _, _, w) => (-w, id) }.zipWithIndex
+      ranked.map { case ((id, src, n, w), i) =>
+        (id, src, n, w, if ((i + 1) * 4 <= grp.size) 1L else 0L)
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_dsir")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the weights carry real signal: en docs score above the corpus mean
+    val byLang = perDoc.map(d => d._1 -> d._3).toMap
+    val en = weighted.filter(d => byLang(d._1) == "en").map(_._4)
+    val rest = weighted.filter(d => byLang(d._1) != "en").map(_._4)
+    assert(en.sum / en.size > rest.sum / rest.size,
+      "target-language docs do not outscore the rest on average")
+  }
 }
