@@ -473,6 +473,71 @@ object AdvancedQueries {
              |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_shard_pack ★ (new r13) — token-balanced shard assignment: the
+    // shard-writing step of a training pipeline, where documents must
+    // land in K output shards with near-equal token mass (a skewed
+    // shard becomes the stalled trailing task of every epoch).
+    // Deterministic snake/boustrophedon packing — per source, rank docs
+    // by (tokens DESC, doc_id), then walk K=8 shards left-to-right,
+    // right-to-left, … (rank r → shard r%8 on even passes, 7−r%8 on
+    // odd): the classic sorted-round-robin LPT approximation, a pure
+    // function of the corpus (no RNG, no driver state; a re-run or a
+    // different cluster size reproduces the same assignment). Output is
+    // the per-(source, shard) manifest: doc count, token mass, and
+    // load_e4 = shard_tokens·K·1e4 // source_tokens (1e4 = perfectly
+    // balanced) — exact integers, oracle engine-exact.
+    // Plan: one narrow projection (size of split — no explode), one
+    // rank window + one running-total window PARTITIONED BY SOURCE
+    // (never a global single-task sort), one (source, shard) hash agg.
+    // At 100 TB the unit of packing is the source/shard-group exactly
+    // as here; a single mega-source would sub-bucket by hash first and
+    // snake within sub-buckets — the same plan one level down.
+    QueryDef(
+      "q_shard_pack",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath.divTrunc
+        val w = Window.partitionBy("source")
+          .orderBy(col("toks").desc, col("doc_id"))
+        val sw = Window.partitionBy("source")
+        Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("rn", row_number().over(w).cast("long") - 1L)
+          .withColumn("shard",
+            when(divTrunc(col("rn"), lit(8L)) % 2L === 0L, col("rn") % 8L)
+              .otherwise(lit(7L) - col("rn") % 8L))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("shard_tokens"))
+          .withColumn("load_e4",
+            divTrunc(col("shard_tokens") * 8L * 10000L,
+              sum("shard_tokens").over(sw)))
+          .orderBy("source", "shard")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, toks,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY toks DESC, doc_id) - 1 AS rn
+             |  FROM d),
+             |a AS (
+             |  SELECT source, toks,
+             |    CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+             |         ELSE 7 - rn % 8 END AS shard
+             |  FROM r),
+             |g AS (
+             |  SELECT source, CAST(shard AS BIGINT) AS shard,
+             |    COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS shard_tokens
+             |  FROM a GROUP BY 1, 2)
+             |SELECT source, shard, n_docs, shard_tokens,
+             |  (shard_tokens * 8 * 10000) //
+             |    CAST(SUM(shard_tokens) OVER (PARTITION BY source) AS BIGINT)
+             |    AS load_e4
+             |FROM g ORDER BY source, shard""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_mix_weights ★ — the data-mixing table of a training pipeline:
     // per source, document count, token count, and the source's token
     // share of the corpus in exact integer e6 (the sampling weights a

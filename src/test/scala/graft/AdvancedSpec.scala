@@ -535,4 +535,31 @@ class AdvancedSpec extends SparkSpec {
       assert(est == na * nb / math.max(1L, math.max(da, db)))
     }
   }
+
+  test("q_shard_pack == plain-Scala snake fold; every shard within 25% of ideal (r13)") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("source", "doc_id", "text")
+      .as[(String, Long, String)].collect().toSeq
+      .map { case (src, id, t) => (src, id, t.split(" ", -1).length.toLong) }
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, grp) =>
+      val ranked = grp.sortBy { case (_, id, n) => (-n, id) }.zipWithIndex
+      val assigned = ranked.map { case ((_, _, n), r) =>
+        val shard = if ((r / 8) % 2 == 0) r % 8 else 7 - r % 8
+        (shard.toLong, n)
+      }
+      val tot = assigned.map(_._2).sum
+      assigned.groupBy(_._1).toSeq.map { case (sh, o) =>
+        val st = o.map(_._2).sum
+        (src, sh, o.size.toLong, st, st * 8L * 10000L / tot)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_shard_pack")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // snake packing on size-sorted docs: no shard strays far from the
+    // ideal K-way split (LPT-style bound; the fixture lands within ~1%)
+    got.foreach { case (src, sh, _, _, load) =>
+      assert(load > 7500L && load < 12500L, s"$src shard $sh load_e4=$load")
+    }
+  }
 }
