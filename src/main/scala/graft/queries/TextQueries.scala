@@ -418,6 +418,27 @@ object TextQueries {
     model
   }
 
+  /** Token stream encoded against the at-rest [[bpeModel]] vocabulary:
+    * one exploded (doc_id, lang, word) stream LEFT-joined to the
+    * vocabulary-sized (word → subword count) frame — broadcastable at
+    * 100 TB — yielding per-token n_chars, n_sub, and the
+    * char-fallback flag (word absent from the trained vocab, i.e.
+    * < 2 chars). Shared by q_bpe_encode (per-doc budgets) and
+    * q_bpe_fertility (per-lang tokenizer eval) so the encode semantics
+    * exist once.
+    */
+  private def bpeEncodedTokens(s: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeModel(s, dir).filter(col("kind") === "s")
+      .select(col("w"), size(col("toks")).cast("long").as("n_sub"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(toks).as("w"))
+      .join(vocab, Seq("w"), "left")
+      .select(col("doc_id"), col("lang"),
+        length(col("w")).cast("long").as("n_chars"),
+        when(col("n_sub").isNull, 1L).otherwise(0L).as("fallback"),
+        coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"))
+  }
+
   /** DuckDB twin of [[repetitionMetrics]] — ONE copy of the metric CTE
     * chain, shared by both oracles exactly as the Scala side shares the
     * DataFrame builder (an edit to the metric definition hits both
@@ -1162,14 +1183,8 @@ object TextQueries {
     // join + per-doc agg.
     QueryDef(
       "q_bpe_encode",
-      (s: SparkSession, dir: String) => {
-        val vocab = bpeModel(s, dir).filter(col("kind") === "s")
-          .select(col("w"), size(col("toks")).cast("long").as("n_sub"))
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(toks).as("w"))
-          .join(vocab, Seq("w"), "left")
-          .select(col("doc_id"), length(col("w")).cast("long").as("n_chars"),
-            coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"))
+      (s: SparkSession, dir: String) =>
+        bpeEncodedTokens(s, dir)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"),
             sum("n_chars").as("n_chars"),
@@ -1177,8 +1192,7 @@ object TextQueries {
           .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe"),
             floorDivL(col("n_chars") * 10000L, greatest(col("n_bpe"), lit(1L)))
               .as("compression_e4"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some(s"""${bpeRoundsSql(finalApply = true)},
               |v AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub
               |      FROM s$BpeTrainRounds),
@@ -1194,6 +1208,50 @@ object TextQueries {
               |  (CAST(SUM(n_chars) AS BIGINT) * 10000) //
               |    GREATEST(CAST(SUM(n_sub) AS BIGINT), 1) AS compression_e4
               |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_bpe_fertility ★ (new r13) — tokenizer EVALUATION per language:
+    // fertility (subwords per word) and chars-per-subword, the standard
+    // multilingual-tokenizer health metrics (a language with fertility
+    // ≫ the corpus mean pays more sequence length per sentence — the
+    // signal that drives vocab-size and training-mix decisions), plus
+    // the char-fallback word count (out-of-vocabulary words segmented
+    // to characters). Reads the SAME materialized [[bpeModel]] and the
+    // SAME [[bpeEncodedTokens]] join as q_bpe_encode — one encode
+    // semantics, two aggregations — so eval can never drift from the
+    // tokenizer it grades. All exact integer e4; the only exchange is
+    // the ≤5-group lang agg after map-side combine.
+    QueryDef(
+      "q_bpe_fertility",
+      (s: SparkSession, dir: String) =>
+        bpeEncodedTokens(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_chars").as("n_chars"),
+            sum("n_sub").as("n_bpe"),
+            sum("fallback").as("n_fallback"))
+          .select(col("lang"), col("n_words"), col("n_bpe"), col("n_fallback"),
+            floorDivL(col("n_bpe") * 10000L, col("n_words")).as("fertility_e4"),
+            floorDivL(col("n_chars") * 10000L, greatest(col("n_bpe"), lit(1L)))
+              .as("chars_per_sub_e4"))
+          .orderBy("lang"),
+      Some(s"""${bpeRoundsSql(finalApply = true)},
+              |v AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub
+              |      FROM s$BpeTrainRounds),
+              |tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              |        FROM documents),
+              |enc AS (
+              |  SELECT tok.lang, CAST(length(tok.w) AS BIGINT) AS n_chars,
+              |    CASE WHEN v.n_sub IS NULL THEN 1 ELSE 0 END AS fallback,
+              |    COALESCE(v.n_sub, length(tok.w)) AS n_sub
+              |  FROM tok LEFT JOIN v ON tok.w = v.w)
+              |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+              |  CAST(SUM(n_sub) AS BIGINT) AS n_bpe,
+              |  CAST(SUM(fallback) AS BIGINT) AS n_fallback,
+              |  (CAST(SUM(n_sub) AS BIGINT) * 10000) // COUNT(*) AS fertility_e4,
+              |  (CAST(SUM(n_chars) AS BIGINT) * 10000) //
+              |    GREATEST(CAST(SUM(n_sub) AS BIGINT), 1) AS chars_per_sub_e4
+              |FROM enc GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_quality_classifier ★ (new r13) — LEARNED quality filtering, the

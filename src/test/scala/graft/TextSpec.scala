@@ -593,6 +593,23 @@ class TextSpec extends SparkSpec {
     assert(runsAfter - runsBefore <= 1,
       s"bpeTrainCore ran ${runsAfter - runsBefore}× for train+encode — " +
         "the materialized model is not being shared")
+
+    // q_bpe_fertility: per-lang aggregation of the SAME segmentation —
+    // reference reuses this test's segSizes (r13)
+    val langOf = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val wantFert = docs.groupBy { case (id, _) => langOf(id) }.toSeq
+      .map { case (lang, grp) =>
+        val ws = grp.flatMap { case (_, t) => t.split(" ", -1) }
+        val nW = ws.size.toLong
+        val nB = ws.map(w => segSizes.getOrElse(w, w.length.toLong)).sum
+        val nC = ws.map(_.length.toLong).sum
+        val nF = ws.count(w => !segSizes.contains(w)).toLong
+        (lang, nW, nB, nF, nB * 10000L / nW, nC * 10000L / math.max(nB, 1L))
+      }.sortBy(_._1)
+    val gotFert = SparkEntry.queries("q_bpe_fertility")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotFert == wantFert)
   }
 
   test("q_dsir == plain-Scala DSIR fold: hashed-unigram log-ratio weights, " +
