@@ -439,6 +439,79 @@ object TextQueries {
         coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"))
   }
 
+  /** Per-document bigram-predictability frame (doc_id, n_bigrams,
+    * lm_score_e4) — the KenLM-style LM signal shared by q_ngram_lm
+    * (declared per-doc scores) and q_perplexity_bucket (the CCNet
+    * head/middle/tail cut), extracted r13 so the model definition
+    * exists once. See the q_ngram_lm scaladoc for the exact-integer
+    * scheme and the 100 TB plan argument (count tables = the model,
+    * persistable at rest). MATERIALIZED per corpus (the CorpusTable
+    * seam, same as bpeModel): the two consumers pay the bigram explode
+    * + count aggs once and read the doc-level scores at rest after.
+    */
+  private def lmScoreFrame(s: SparkSession, dir: String): DataFrame = {
+    var bgRelease: DataFrame = null
+    val out = CorpusTable.materialized(s, dir, "lmscore") {
+      import graft.functions.Shingles.shinglesAll
+      val docs = Tables(s, dir, "documents")
+      val bg = docs
+        .select(col("doc_id"), explode(shinglesAll(toks, 2)).as("bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bg.count() // eager: bgc + the occurrence join both reuse it
+      bgRelease = bg
+      val bgc = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      val pfx = bgc.groupBy(substring_index(col("bg"), " ", 1).as("p"))
+        .agg(sum("cbg").as("cp"))
+      val occ = bg.join(bgc, "bg")
+        .join(pfx, substring_index(col("bg"), " ", 1) === col("p"))
+        .select(col("doc_id"),
+          floorDivL(col("cbg") * 10000L, col("cp")).as("p_e4"))
+      val agg = occ.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("p_e4").as("sum_e4"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0L))
+            .otherwise(floorDivL(col("sum_e4"), col("n_bigrams")))
+            .as("lm_score_e4"))
+    }
+    // only needed while the table is being written; if it already
+    // existed the build thunk never ran
+    if (bgRelease != null) bgRelease.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[lmScoreFrame]] — ONE copy of the LM oracle CTE
+    * chain (the CcSql rule), shared by the q_ngram_lm and
+    * q_perplexity_bucket oracles. Ends in
+    * `lm(doc_id, n_bigrams, lm_score_e4)`.
+    */
+  private val NgramLmSql: String =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |    i -> array_to_string(ts[i:i+1], ' '))) AS bg
+      |  FROM t),
+      |bgc AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY 1),
+      |pfx AS (
+      |  SELECT string_split(bg, ' ')[1] AS p, CAST(SUM(cbg) AS BIGINT) AS cp
+      |  FROM bgc GROUP BY 1),
+      |occ AS (
+      |  SELECT b.doc_id, (bgc.cbg * 10000) // pfx.cp AS p_e4
+      |  FROM bg b
+      |  JOIN bgc ON b.bg = bgc.bg
+      |  JOIN pfx ON string_split(b.bg, ' ')[1] = pfx.p),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(p_e4) AS BIGINT) AS sum_e4
+      |  FROM occ GROUP BY 1),
+      |lm AS (
+      |  SELECT t.doc_id AS doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+      |    CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE sum_e4 // n_bigrams END AS lm_score_e4
+      |  FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id)""".stripMargin
+
   /** DuckDB twin of [[repetitionMetrics]] — ONE copy of the metric CTE
     * chain, shared by both oracles exactly as the Scala side shares the
     * DataFrame builder (an edit to the metric definition hits both
@@ -946,54 +1019,61 @@ object TextQueries {
     // rest exactly like the IVF centroids.
     QueryDef(
       "q_ngram_lm",
+      (s: SparkSession, dir: String) =>
+        lmScoreFrame(s, dir).orderBy("doc_id"),
+      Some(s"""WITH $NgramLmSql
+             |SELECT doc_id, n_bigrams, lm_score_e4 FROM lm
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_perplexity_bucket ★ (new r13) — the CCNet head/middle/tail
+    // partition (Wenzek et al. 2020 §4.3: score each document with a
+    // reference LM, split each language into three equal perplexity
+    // buckets; head+middle feed training, tail is dropped or
+    // down-weighted). The score is the SHARED [[lmScoreFrame]] bigram
+    // predictability (high = low perplexity — rank-equivalent to
+    // CCNet's ordering, exact integer instead of a libm log-prob sum);
+    // buckets are ntile(3) per lang over the total order
+    // (lm_score_e4 DESC, doc_id) — both engines define ntile by the
+    // same larger-buckets-first rule, so the cut is engine-exact.
+    // Declared output is the per-(lang, bucket) manifest a curation
+    // run consumes: doc/token mass + the score range of each bucket.
+    // Plan adds ONE narrow doc-level join + a lang-partitioned window
+    // over docs (never global) + a ≤15-group agg to the LM plan;
+    // at 100 TB the LM count tables persist at rest (IVF-centroid
+    // pattern) and the bucket boundaries per lang come off the same
+    // window.
+    QueryDef(
+      "q_perplexity_bucket",
       (s: SparkSession, dir: String) => {
-        import graft.functions.Shingles.shinglesAll
-        val docs = Tables(s, dir, "documents")
-        val bg = docs
-          .select(col("doc_id"), explode(shinglesAll(toks, 2)).as("bg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        bg.count() // eager: bgc + the occurrence join both reuse it
-        val bgc = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
-        val pfx = bgc.groupBy(substring_index(col("bg"), " ", 1).as("p"))
-          .agg(sum("cbg").as("cp"))
-        val occ = bg.join(bgc, "bg")
-          .join(pfx, substring_index(col("bg"), " ", 1) === col("p"))
-          .select(col("doc_id"),
-            floorDivL(col("cbg") * 10000L, col("cp")).as("p_e4"))
-        val agg = occ.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum("p_e4").as("sum_e4"))
-        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-            when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0L))
-              .otherwise(floorDivL(col("sum_e4"), col("n_bigrams")))
-              .as("lm_score_e4"))
-          .orderBy("doc_id")
+        val meta = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(toks).cast("long").as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("lm_score_e4").desc, col("doc_id"))
+        lmScoreFrame(s, dir).join(meta, "doc_id")
+          .withColumn("bucket", ntile(3).over(w).cast("long"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+            min("lm_score_e4").as("min_score_e4"),
+            max("lm_score_e4").as("max_score_e4"))
+          .orderBy("lang", "bucket")
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-             |bg AS (
-             |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
-             |    i -> array_to_string(ts[i:i+1], ' '))) AS bg
-             |  FROM t),
-             |bgc AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY 1),
-             |pfx AS (
-             |  SELECT string_split(bg, ' ')[1] AS p, CAST(SUM(cbg) AS BIGINT) AS cp
-             |  FROM bgc GROUP BY 1),
-             |occ AS (
-             |  SELECT b.doc_id, (bgc.cbg * 10000) // pfx.cp AS p_e4
-             |  FROM bg b
-             |  JOIN bgc ON b.bg = bgc.bg
-             |  JOIN pfx ON string_split(b.bg, ' ')[1] = pfx.p),
-             |agg AS (
-             |  SELECT doc_id, COUNT(*) AS n_bigrams,
-             |    CAST(SUM(p_e4) AS BIGINT) AS sum_e4
-             |  FROM occ GROUP BY 1)
-             |SELECT t.doc_id AS doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
-             |  CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN CAST(0 AS BIGINT)
-             |       ELSE sum_e4 // n_bigrams END AS lm_score_e4
-             |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
-             |ORDER BY t.doc_id""".stripMargin)),
+      Some(s"""WITH $NgramLmSql,
+             |meta AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |b AS (
+             |  SELECT meta.lang, meta.n_tokens, lm.lm_score_e4,
+             |    ntile(3) OVER (PARTITION BY meta.lang
+             |      ORDER BY lm.lm_score_e4 DESC, lm.doc_id) AS bucket
+             |  FROM lm JOIN meta USING (doc_id))
+             |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(MIN(lm_score_e4) AS BIGINT) AS min_score_e4,
+             |  CAST(MAX(lm_score_e4) AS BIGINT) AS max_score_e4
+             |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_bpe_pairs ★ (new r5) — the vocabulary-induction kernel of BPE

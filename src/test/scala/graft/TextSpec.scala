@@ -612,6 +612,45 @@ class TextSpec extends SparkSpec {
     assert(gotFert == wantFert)
   }
 
+  test("q_perplexity_bucket == plain-Scala ntile fold over the shared LM scores (r13)") {
+    // reference LM scores exactly as the q_ngram_lm test derives them
+    val bigramsOf = (text: String) =>
+      text.split(" ", -1).toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    val all = docs.flatMap { case (_, t) => bigramsOf(t) }
+    val cbg = all.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val cp = all.map(_.split(" ", -1).head)
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val score = docs.map { case (id, t) =>
+      val bs = bigramsOf(t)
+      id -> (if (bs.isEmpty) 0L
+             else bs.map(b => cbg(b) * 10000L / cp(b.split(" ", -1).head)).sum / bs.size)
+    }.toMap
+    val meta = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect().toSeq
+      .map { case (id, lang, t) => (id, lang, t.split(" ", -1).length.toLong) }
+    val want = meta.groupBy(_._2).toSeq.flatMap { case (lang, grp) =>
+      val ranked = grp.sortBy { case (id, _, _) => (-score(id), id) }
+      val n = ranked.size; val base = n / 3; val rem = n % 3
+      val sizes = (0 until 3).map(b => base + (if (b < rem) 1 else 0))
+      val cuts = sizes.scanLeft(0)(_ + _)
+      (0 until 3).flatMap { b =>
+        val slice = ranked.slice(cuts(b), cuts(b + 1))
+        if (slice.isEmpty) None
+        else Some((lang, (b + 1).toLong, slice.size.toLong,
+          slice.map(_._3).sum,
+          slice.map(d => score(d._1)).min, slice.map(d => score(d._1)).max))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_perplexity_bucket")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // head scores ≥ tail scores within every lang (the CCNet ordering)
+    got.groupBy(_._1).foreach { case (lang, bs) =>
+      val byB = bs.sortBy(_._2)
+      assert(byB.head._6 >= byB.last._5, s"$lang: head max < tail min")
+    }
+  }
+
   test("q_dsir == plain-Scala DSIR fold: hashed-unigram log-ratio weights, " +
     "per-source top-25% keep (r13)") {
     import graft.multimodal.Multimodal.log2e20
