@@ -1343,6 +1343,91 @@ object DedupQueries {
              |ORDER BY t.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_winnow ★ (new r13) — winnowing fingerprint selection (Schleimer,
+    // Wilkerson & Aiken 2003, the MOSS algorithm): the third classic
+    // fingerprinting family next to MinHash (q_minhash_dup) and full
+    // positional shingling (q_substring_*). Winnowing keeps, from every
+    // window of w=4 consecutive k=5-gram hashes, the MINIMUM (ties →
+    // rightmost position, the paper's rule), giving the GUARANTEE the
+    // other families lack: any shared run of ≥ w+k−1 = 8 tokens shares
+    // at least one selected fingerprint, with expected density
+    // 2/(w+1) = 0.4 — an index ~60% smaller than full shingling that
+    // still catches every 8-token copy. Declared output is the per-doc
+    // selection profile (gram/window/selected counts + density_e4) — a
+    // fingerprint INDEX build would keep the selected keys themselves.
+    // Tie-break is folded into the key: key = (h mod 2⁴⁰)·2²⁰ +
+    // (2²⁰−1−i), so ONE integer min is the paper's (min hash,
+    // rightmost) rule — engine-exact, no struct comparison. Headroom:
+    // positions < 2²⁰ (1M tokens/doc; longer docs winnow per 1M-token
+    // stripe with a w-overlap seam), key < 2⁶⁰.
+    // Plan: posexplode of the gram stream; ONE doc-partitioned window
+    // (ROWS CURRENT..3 FOLLOWING min — per-doc frames bounded by doc
+    // length, never global); count-distinct after. Corpus-linear, all
+    // shuffles keyed on doc_id.
+    QueryDef(
+      "q_winnow",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shinglesAll
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val toksD = split(col("text"), " ")
+        val grams = docs
+          .select(col("doc_id"),
+            posexplode(shinglesAll(toksD, 5)).as(Seq("i0", "sh")))
+          .select(col("doc_id"), (col("i0") + 1L).as("i"),
+            (pmod(hash60(col("sh")), lit(1L << 40)) * (1L << 20)
+              + (lit((1L << 20) - 1L) - col("i0") - 1L)).as("key"))
+        val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+        val cw = Window.partitionBy("doc_id")
+        val sel = grams
+          .withColumn("ng", count(lit(1)).over(cw))
+          .withColumn("mk", min("key").over(w))
+          .filter(col("i") <= col("ng") - 3L)
+          .groupBy("doc_id")
+          .agg(countDistinct("mk").as("n_selected"))
+        docs
+          .select(col("doc_id"),
+            greatest(size(toksD).cast("long") - 4L, lit(0L)).as("n_grams"))
+          .join(sel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            greatest(col("n_grams") - 3L, lit(0L)).as("n_windows"),
+            coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+            when(col("n_grams") > 3L,
+              floorDiv(coalesce(col("n_selected"), lit(0L)) * 10000L,
+                col("n_grams") - 3L)).otherwise(lit(0L)).as("density_e4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |g0 AS (
+             |  SELECT doc_id, unnest(range(1, len(ts) - 3)) AS i, ts
+             |  FROM t WHERE len(ts) >= 5),
+             |g AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+             |    CAST(len(ts) - 4 AS BIGINT) AS ng,
+             |    (('0x' || substring(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))
+             |       ::BIGINT % 1099511627776) * 1048576
+             |      + (1048575 - i) AS key
+             |  FROM g0),
+             |sel AS (
+             |  SELECT doc_id, i, ng,
+             |    min(key) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+             |  FROM g),
+             |agg AS (
+             |  SELECT doc_id, CAST(COUNT(DISTINCT mk) AS BIGINT) AS n_selected
+             |  FROM sel WHERE i <= ng - 3 GROUP BY 1)
+             |SELECT t.doc_id,
+             |  GREATEST(CAST(len(ts) - 4 AS BIGINT), 0) AS n_grams,
+             |  GREATEST(CAST(len(ts) - 7 AS BIGINT), 0) AS n_windows,
+             |  COALESCE(n_selected, 0) AS n_selected,
+             |  CASE WHEN len(ts) - 4 > 3 THEN
+             |    (COALESCE(n_selected, 0) * 10000) // CAST(len(ts) - 7 AS BIGINT)
+             |  ELSE 0 END AS density_e4
+             |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_dedup_normalized ★ (new r12) — canonicalization-before-dedup
     // (r11 verdict #2, the CCNet/Gopher normalize-then-hash step): the
     // whole shingle battery hashes RAW whitespace tokens, so near-dups

@@ -495,4 +495,46 @@ class DedupSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long)].collect().toSeq
     assert(got == want)
   }
+
+  test("q_winnow == plain-Scala winnow fold; ≥8-token shared runs share a fingerprint (r13)") {
+    // reference winnow: k=5 grams, keys fold (hash mod 2^40, rightmost-
+    // tie) into one integer, w=4 window minima — the query's exact rule
+    def keysOf(tokens: Seq[String]): Seq[Long] =
+      tokens.sliding(5).filter(_.size == 5).zipWithIndex.map { case (g, i0) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(15)
+        val hr = java.lang.Long.parseLong(hex, 16) % (1L << 40)
+        hr * (1L << 20) + ((1L << 20) - 1L - (i0 + 1L))
+      }.toSeq
+    def selected(tokens: Seq[String]): Set[Long] = {
+      val ks = keysOf(tokens)
+      (0 to ks.size - 4).map(j => ks.slice(j, j + 4).min).toSet
+    }
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val want = docs.map { case (id, t) =>
+      val ts = t.split(" ", -1).toSeq
+      val ng = math.max(ts.size - 4, 0).toLong
+      val nw = math.max(ng - 3, 0L)
+      val ns = if (nw == 0) 0L else selected(ts).size.toLong
+      (id, ng, nw, ns, if (ng > 3) ns * 10000L / (ng - 3) else 0L)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_winnow")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the paper's guarantee (Schleimer et al. §3): two docs sharing a
+    // run of ≥ w+k−1 = 8 tokens share at least one selected HASH —
+    // planted around disjoint prefixes/suffixes of deterministic junk
+    val run = "alpha beta gamma delta epsilon zeta eta theta".split(" ").toSeq
+    val a = (1 to 20).map(i => s"xa$i") ++ run ++ (1 to 9).map(i => s"ya$i")
+    val b = (1 to 7).map(i => s"xb$i") ++ run ++ (1 to 15).map(i => s"yb$i")
+    val hashesOf = (t: Seq[String]) => selected(t).map(_ >> 20)
+    assert((hashesOf(a) intersect hashesOf(b)).nonEmpty,
+      "8-token shared run produced no common fingerprint")
+    // density sanity on the corpus: mean within [0.3, 0.6] of windows
+    val dens = want.filter(_._3 > 0).map(_._5)
+    val mean = dens.sum / dens.size
+    assert(mean > 3000L && mean < 6000L, s"mean density_e4=$mean")
+  }
 }
