@@ -53,6 +53,7 @@ object PlanAudit {
     ("q_trend_ols", "BroadcastNestedLoopJoin"),       // 1-row corpus min day
     ("q_vocab_growth", "BroadcastNestedLoopJoin"),    // 1-row max doc_id
     ("q_dsir", "BroadcastNestedLoopJoin"),            // 1-row L(R)−L(T) normalizer
+    ("q_dsir_eval", "BroadcastNestedLoopJoin"),       // 1-row normalizer + 1-row×1-row scalar assembly
     // windows over the USER table / the ≤10-row growth-curve frame,
     // not the corpus (see each query's scaladoc)
     ("q_rfm", "globalWindow"),
@@ -100,6 +101,9 @@ object PlanAudit {
     // domain by construction, the broadcastable "model table" of the
     // hashed-n-gram generative model (persists at rest at 100 TB)
     "q_dsir" -> 1,
+    // eval instantiates dsirWeighted twice (keep set + mean-logw
+    // scalars) — the same 512-bucket model hint at each site
+    "q_dsir_eval" -> 2,
     // per-source frames: 20-value closed domain, joined once per pair side
     "q_contamination_matrix" -> 2,
     // hour-bucket frames: time-span-sized (~720 rows for the 30-day

@@ -12,18 +12,23 @@ package graft.queries
   * (the CcSql lesson: duplicated oracle fragments drift).
   */
 object Log2Sql {
-  val cte: String =
-    """init AS (SELECT v, CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS e
-      |         FROM dom),
-      |it AS (
+  /** `sfx` renames the emitted CTEs (`init$sfx`/`it$sfx`/`lg$sfx`,
+    * reading `dom$sfx`) so one oracle can carry TWO recurrence
+    * instances when a later value domain depends on results computed
+    * from an earlier one (q_dsir_eval: selection weights first, then
+    * logs of the kept-set counts the selection produced). */
+  def cte(sfx: String = ""): String =
+    s"""init$sfx AS (SELECT v, CAST(length(format('{:b}', v)) - 1 AS BIGINT) AS e
+      |         FROM dom$sfx),
+      |it$sfx AS (
       |  SELECT v, e, 0 AS i, (v << 30) >> e AS x, CAST(0 AS BIGINT) AS frac
-      |  FROM init
+      |  FROM init$sfx
       |  UNION ALL
       |  SELECT v, e, i + 1,
       |    CASE WHEN ((x * x) >> 30) >= (CAST(2 AS BIGINT) << 30)
       |         THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
       |    CASE WHEN ((x * x) >> 30) >= (CAST(2 AS BIGINT) << 30)
       |         THEN (frac << 1) | 1 ELSE (frac << 1) END
-      |  FROM it WHERE i < 20),
-      |lg AS (SELECT v, (e << 20) | frac AS l FROM it WHERE i = 20)""".stripMargin
+      |  FROM it$sfx WHERE i < 20),
+      |lg$sfx AS (SELECT v, (e << 20) | frac AS l FROM it$sfx WHERE i = 20)""".stripMargin
 }

@@ -218,7 +218,7 @@ object MultimodalQueries {
              |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s FROM cnt GROUP BY 1),
              |dom AS (SELECT DISTINCT v FROM
              |        (SELECT c AS v FROM cnt UNION ALL SELECT s AS v FROM tot)),
-             |${Log2Sql.cte},
+             |${Log2Sql.cte()},
              |ent AS (
              |  SELECT t.doc_id,
              |    t.s * ls.l - CAST(SUM(c.c * lc.l) AS BIGINT) AS num, t.s AS s

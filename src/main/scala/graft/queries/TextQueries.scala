@@ -481,6 +481,62 @@ object TextQueries {
     out
   }
 
+  /** DSIR hashed-unigram bucket counts (doc_id, source, lang, b, c),
+    * b = md5(token) mod 512 — the sufficient statistics of the DSIR
+    * generative model, MATERIALIZED per corpus (CorpusTable seam) and
+    * shared by q_dsir (select) and q_dsir_eval (grade): one corpus
+    * pass, two consumers, no drift. ~min(512, doc-tokens) rows per doc
+    * (always ≤ the token stream it compresses).
+    */
+  private def dsirBuckets(s: SparkSession, dir: String): DataFrame =
+    CorpusTable.materialized(s, dir, "dsirbuckets") {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), explode(toks).as("t"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+            lit(512L)).as("b"))
+        .groupBy("doc_id", "source", "lang", "b").agg(count(lit(1)).as("c"))
+    }
+
+  /** Per-document DSIR weights + keep decision (doc_id, source, lang,
+    * n_tokens, logw_e20, keep) over the at-rest [[dsirBuckets]] — the
+    * shared select logic of q_dsir and q_dsir_eval (see the q_dsir
+    * scaladoc for the arithmetic and the 100 TB plan argument).
+    */
+  private def dsirWeighted(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactMath.log2e20
+    val B = 512L
+    val cb = dsirBuckets(s, dir)
+    val rb = cb.groupBy("b").agg((sum("c") + lit(1L)).as("rv"))
+    val tb = cb.filter(col("lang") === "en")
+      .groupBy("b").agg((sum("c") + lit(1L)).as("tv"))
+    // Bucket model: ΔL(b) = L(t_b) − L(r_b); absent target bucket →
+    // t_b = 1 → L = 0 (log2e20(null) is null, coalesced to 0).
+    val model = rb.join(tb, Seq("b"), "left")
+      .select(col("b"),
+        (coalesce(log2e20(col("tv")), lit(0L)) - log2e20(col("rv"))).as("dl"))
+    val norm = cb.agg(
+      (sum("c") + lit(B)).as("rtot"),
+      (sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))) + lit(B))
+        .as("ttot"))
+      .select((log2e20(col("rtot")) - log2e20(col("ttot"))).as("norm"))
+    val perDoc = cb.join(broadcast(model), "b")
+      .groupBy("doc_id", "source", "lang")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("dl")).as("ssum"))
+      .crossJoin(broadcast(norm))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        (col("ssum") + col("n_tokens") * col("norm")).as("logw_e20"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("logw_e20").desc, col("doc_id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    perDoc
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("ns", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("logw_e20"),
+        when(col("rk") * 4L <= col("ns"), lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
   /** DuckDB twin of [[lmScoreFrame]] — ONE copy of the LM oracle CTE
     * chain (the CcSql rule), shared by the q_ngram_lm and
     * q_perplexity_bucket oracles. Ends in
@@ -2120,91 +2176,187 @@ object TextQueries {
     // T = target_tokens + B, R = raw_tokens + B exactly.
     QueryDef(
       "q_dsir",
-      (s: SparkSession, dir: String) => {
-        import graft.functions.ExactMath.log2e20
-        val B = 512L
-        val docs = Tables(s, dir, "documents")
-        val cb = docs
-          .select(col("doc_id"), col("source"), col("lang"), explode(toks).as("t"))
-          .select(col("doc_id"), col("source"), col("lang"),
-            pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
-              lit(B)).as("b"))
-          .groupBy("doc_id", "source", "lang", "b").agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cb.count() // eager: model, scalars, and the per-doc join all reuse it
-        val rb = cb.groupBy("b").agg((sum("c") + lit(1L)).as("rv"))
-        val tb = cb.filter(col("lang") === "en")
-          .groupBy("b").agg((sum("c") + lit(1L)).as("tv"))
-        // Bucket model: ΔL(b) = L(t_b) − L(r_b); absent target bucket →
-        // t_b = 1 → L = 0 (log2e20(null) is null, coalesced to 0).
-        val model = rb.join(tb, Seq("b"), "left")
-          .select(col("b"),
-            (coalesce(log2e20(col("tv")), lit(0L)) - log2e20(col("rv"))).as("dl"))
-        val norm = cb.agg(
-          (sum("c") + lit(B)).as("rtot"),
-          (sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))) + lit(B))
-            .as("ttot"))
-          .select((log2e20(col("rtot")) - log2e20(col("ttot"))).as("norm"))
-        val perDoc = cb.join(broadcast(model), "b")
-          .groupBy("doc_id", "source")
-          .agg(sum("c").as("n_tokens"), sum(col("c") * col("dl")).as("ssum"))
-          .crossJoin(broadcast(norm))
-          .select(col("doc_id"), col("source"), col("n_tokens"),
-            (col("ssum") + col("n_tokens") * col("norm")).as("logw_e20"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy(col("logw_e20").desc, col("doc_id"))
-        val cw = org.apache.spark.sql.expressions.Window.partitionBy("source")
-        perDoc
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .withColumn("ns", count(lit(1)).over(cw))
-          .select(col("doc_id"), col("source"), col("n_tokens"), col("logw_e20"),
-            when(col("rk") * 4L <= col("ns"), lit(1L)).otherwise(lit(0L)).as("keep"))
-          .orderBy("doc_id")
-      },
+      (s: SparkSession, dir: String) =>
+        dsirWeighted(s, dir)
+          .select("doc_id", "source", "n_tokens", "logw_e20", "keep")
+          .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE
-             |tok AS (
-             |  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS t
-             |  FROM documents),
-             |c AS (
-             |  SELECT doc_id, source, lang,
-             |    ('0x' || substring(md5(t), 1, 15))::BIGINT % 512 AS b,
-             |    CAST(COUNT(*) AS BIGINT) AS c
-             |  FROM tok GROUP BY 1, 2, 3, 4),
-             |rb AS (SELECT b, CAST(SUM(c) + 1 AS BIGINT) AS rv FROM c GROUP BY 1),
-             |tb AS (SELECT b, CAST(SUM(c) + 1 AS BIGINT) AS tv
-             |       FROM c WHERE lang = 'en' GROUP BY 1),
-             |sc AS (SELECT CAST(SUM(c) + 512 AS BIGINT) AS rtot,
-             |         CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) + 512
-             |           AS BIGINT) AS ttot
-             |       FROM c),
-             |dom AS (SELECT DISTINCT v FROM (
-             |  SELECT rv AS v FROM rb UNION ALL SELECT tv FROM tb
-             |  UNION ALL SELECT rtot FROM sc UNION ALL SELECT ttot FROM sc)),
-             |${Log2Sql.cte},
-             |model AS (
-             |  SELECT rb.b, COALESCE(lt.l, 0) - lr.l AS dl
-             |  FROM rb JOIN lg lr ON lr.v = rb.rv
-             |  LEFT JOIN tb ON tb.b = rb.b
-             |  LEFT JOIN lg lt ON lt.v = tb.tv),
-             |norm AS (
-             |  SELECT lgr.l - lgt.l AS norm FROM sc
-             |  JOIN lg lgr ON lgr.v = sc.rtot
-             |  JOIN lg lgt ON lgt.v = sc.ttot),
-             |pd AS (
-             |  SELECT c.doc_id, c.source, CAST(SUM(c.c) AS BIGINT) AS n_tokens,
-             |    CAST(SUM(c.c * model.dl) AS BIGINT) AS ssum
-             |  FROM c JOIN model ON model.b = c.b GROUP BY 1, 2),
-             |wgt AS (
-             |  SELECT doc_id, source, n_tokens,
-             |    ssum + n_tokens * norm AS logw_e20
-             |  FROM pd CROSS JOIN norm),
-             |r AS (
-             |  SELECT *, row_number() OVER (PARTITION BY source
-             |      ORDER BY logw_e20 DESC, doc_id) AS rk,
-             |    COUNT(*) OVER (PARTITION BY source) AS ns
-             |  FROM wgt)
+             |$DsirSql
              |SELECT doc_id, source, n_tokens, logw_e20,
              |  CAST(CASE WHEN rk * 4 <= ns THEN 1 ELSE 0 END AS BIGINT) AS keep
-             |FROM r ORDER BY doc_id""".stripMargin))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_dsir_eval ★ (new r13) — grades the selection q_dsir made, the
+    // eval leg that completes the DSIR family (the q_pq_recall pattern:
+    // the grader shares the graded query's exact bodies, so there is no
+    // second implementation to drift). Two metrics, two directions:
+    //  - mean importance weight (mlogw_raw/kept_e20): top-k per source
+    //    maximizes this by construction — the selection's own objective,
+    //    asserted kept > raw in the spec;
+    //  - KL(target ‖ set) over the hashed-unigram bucket distributions
+    //    for set = RAW vs set = KEPT — the DISTRIBUTION-match check.
+    //    On this fixture the verdict is honest and negative: the shared
+    //    synthetic vocabulary puts raw within ~0.002 bits of target, so
+    //    a fixed 25% top-k quota OVERSHOOTS (kl_kept ≈ 0.015-0.026 >
+    //    kl_raw) — precisely the concentration-vs-coverage number a
+    //    curation run must see before committing to a selection quota
+    //    (DSIR's premise is raw ≉ target; when raw already matches,
+    //    selecting hurts, and this row says so). Exact integers: with
+    // L = log2e20 and Laplace masses t_b/q_b over the FULL 512-bucket
+    // domain (unobserved buckets carry smoothing mass 1 — they MUST be
+    // counted, Σt_b = T),
+    //   2²⁰·T·KL(t‖q) ≈ Σ t_b·L(t_b) − Σ t_b·L(q_b) + T·(L(Q) − L(T))
+    // — every term a 64-bit integer, bit-identical in both engines;
+    // reported in e6 bits via the truncated-divisor scaling
+    // num // ((T·2²⁰) // 1e6) (divisor ≥ 5.4e8/1e6, exact-deterministic
+    // even though the constant truncates). The oracle carries TWO log₂
+    // recurrence instances (Log2Sql sfx="2"): selection weights first,
+    // then logs over the kept-set counts the selection produced.
+    // Plan: at-rest dsirBuckets → the shared dsirWeighted keep set →
+    // one doc-keyed equi-join + three 512-row model frames + 1-row
+    // scalar assembly. Corpus cost = the one (doc,bucket) pass, already
+    // materialized.
+    QueryDef(
+      "q_dsir_eval",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath.{divTrunc, log2e20}
+        val cb = dsirBuckets(s, dir)
+        val kept = dsirWeighted(s, dir)
+          .filter(col("keep") === 1L).select("doc_id")
+        val buckets = s.range(512).select(col("id").as("b"))
+        val rb = cb.groupBy("b").agg((sum("c") + lit(1L)).as("rv"))
+        val tbl = cb.filter(col("lang") === "en")
+          .groupBy("b").agg((sum("c") + lit(1L)).as("tv"))
+        val kc = cb.join(kept, "doc_id")
+          .groupBy("b").agg((sum("c") + lit(1L)).as("kv"))
+        val full = buckets
+          .join(tbl, Seq("b"), "left").join(rb, Seq("b"), "left")
+          .join(kc, Seq("b"), "left")
+          .select(
+            coalesce(col("tv"), lit(1L)).as("t"),
+            coalesce(col("rv"), lit(1L)).as("r"),
+            coalesce(col("kv"), lit(1L)).as("k"))
+        val terms = full.agg(
+          sum(col("t") * log2e20(col("t"))).as("stt"),
+          sum(col("t") * log2e20(col("r"))).as("str"),
+          sum(col("t") * log2e20(col("k"))).as("stk"),
+          sum("t").as("tt"), sum("r").as("rt"), sum("k").as("kt"))
+        val div = divTrunc(shiftleft(col("tt"), 20), lit(1000000L))
+        val ml = dsirWeighted(s, dir).agg(
+          divTrunc(sum("logw_e20"), count(lit(1))).as("mlogw_raw_e20"),
+          divTrunc(sum(when(col("keep") === 1L, col("logw_e20"))),
+            sum(when(col("keep") === 1L, 1L).otherwise(0L)))
+            .as("mlogw_kept_e20"))
+        terms.crossJoin(ml).select(
+          col("tt").as("target_mass"), col("rt").as("raw_mass"),
+          col("kt").as("kept_mass"),
+          divTrunc(col("stt") - col("str")
+            + col("tt") * (log2e20(col("rt")) - log2e20(col("tt"))), div)
+            .as("kl_raw_e6"),
+          divTrunc(col("stt") - col("stk")
+            + col("tt") * (log2e20(col("kt")) - log2e20(col("tt"))), div)
+            .as("kl_kept_e6"),
+          col("mlogw_raw_e20"), col("mlogw_kept_e20"))
+      },
+      Some(s"""WITH RECURSIVE
+             |$DsirSql,
+             |kept AS MATERIALIZED (SELECT doc_id FROM r WHERE rk * 4 <= ns),
+             |buckets AS (SELECT unnest(range(512)) AS b),
+             |kc AS (
+             |  SELECT c.b, CAST(SUM(c.c) + 1 AS BIGINT) AS kv
+             |  FROM c JOIN kept USING (doc_id) GROUP BY 1),
+             |fl AS MATERIALIZED (
+             |  SELECT COALESCE(tb.tv, 1) AS t, COALESCE(rb.rv, 1) AS rr,
+             |    COALESCE(kc.kv, 1) AS k
+             |  FROM buckets bk
+             |  LEFT JOIN tb ON tb.b = bk.b
+             |  LEFT JOIN rb ON rb.b = bk.b
+             |  LEFT JOIN kc ON kc.b = bk.b),
+             |tot AS (
+             |  SELECT CAST(SUM(t) AS BIGINT) AS tt, CAST(SUM(rr) AS BIGINT) AS rt,
+             |    CAST(SUM(k) AS BIGINT) AS kt
+             |  FROM fl),
+             |dom2 AS (SELECT DISTINCT v FROM (
+             |  SELECT t AS v FROM fl UNION ALL SELECT rr FROM fl
+             |  UNION ALL SELECT k FROM fl
+             |  UNION ALL SELECT tt FROM tot UNION ALL SELECT rt FROM tot
+             |  UNION ALL SELECT kt FROM tot)),
+             |${Log2Sql.cte("2")},
+             |terms AS (
+             |  SELECT CAST(SUM(f.t * lt.l) AS BIGINT) AS stt,
+             |    CAST(SUM(f.t * lr2.l) AS BIGINT) AS str,
+             |    CAST(SUM(f.t * lk.l) AS BIGINT) AS stk
+             |  FROM fl f
+             |  JOIN lg2 lt ON lt.v = f.t
+             |  JOIN lg2 lr2 ON lr2.v = f.rr
+             |  JOIN lg2 lk ON lk.v = f.k),
+             |ml AS (
+             |  SELECT CAST(SUM(logw_e20) AS BIGINT) // COUNT(*) AS mlogw_raw_e20,
+             |    CAST(SUM(CASE WHEN rk * 4 <= ns THEN logw_e20 END) AS BIGINT)
+             |      // CAST(SUM(CASE WHEN rk * 4 <= ns THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS mlogw_kept_e20
+             |  FROM r)
+             |SELECT tot.tt AS target_mass, tot.rt AS raw_mass,
+             |  tot.kt AS kept_mass,
+             |  (stt - str + tt * (lgr.l - lgt.l)) // ((tt << 20) // 1000000)
+             |    AS kl_raw_e6,
+             |  (stt - stk + tt * (lgk.l - lgt.l)) // ((tt << 20) // 1000000)
+             |    AS kl_kept_e6,
+             |  mlogw_raw_e20, mlogw_kept_e20
+             |FROM terms, ml, tot
+             |JOIN lg2 lgt ON lgt.v = tot.tt
+             |JOIN lg2 lgr ON lgr.v = tot.rt
+             |JOIN lg2 lgk ON lgk.v = tot.kt""".stripMargin))
   )
+
+  /** Shared DuckDB chain of the DSIR oracles (the CcSql rule): bucket
+    * counts `c`, smoothed target/raw bucket tables `tb`/`rb`, totals
+    * `sc`, the first log₂ recurrence (`lg` over `dom`), the bucket
+    * `model`, per-doc weights `wgt`, and the ranked frame `r` carrying
+    * (rk, ns) for the top-25%-per-source keep rule. Callers open with
+    * `WITH RECURSIVE` and read from `r` (and `c`/`tb`/`rb` for eval).
+    */
+  private lazy val DsirSql: String =
+    s"""tok AS (
+       |  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, source, lang,
+       |    ('0x' || substring(md5(t), 1, 15))::BIGINT % 512 AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2, 3, 4),
+       |rb AS (SELECT b, CAST(SUM(c) + 1 AS BIGINT) AS rv FROM c GROUP BY 1),
+       |tb AS (SELECT b, CAST(SUM(c) + 1 AS BIGINT) AS tv
+       |       FROM c WHERE lang = 'en' GROUP BY 1),
+       |sc AS (SELECT CAST(SUM(c) + 512 AS BIGINT) AS rtot,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) + 512
+       |           AS BIGINT) AS ttot
+       |       FROM c),
+       |dom AS (SELECT DISTINCT v FROM (
+       |  SELECT rv AS v FROM rb UNION ALL SELECT tv FROM tb
+       |  UNION ALL SELECT rtot FROM sc UNION ALL SELECT ttot FROM sc)),
+       |${Log2Sql.cte()},
+       |model AS (
+       |  SELECT rb.b, COALESCE(lt.l, 0) - lr.l AS dl
+       |  FROM rb JOIN lg lr ON lr.v = rb.rv
+       |  LEFT JOIN tb ON tb.b = rb.b
+       |  LEFT JOIN lg lt ON lt.v = tb.tv),
+       |norm AS (
+       |  SELECT lgr.l - lgt.l AS norm FROM sc
+       |  JOIN lg lgr ON lgr.v = sc.rtot
+       |  JOIN lg lgt ON lgt.v = sc.ttot),
+       |pd AS (
+       |  SELECT c.doc_id, c.source, CAST(SUM(c.c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(c.c * model.dl) AS BIGINT) AS ssum
+       |  FROM c JOIN model ON model.b = c.b GROUP BY 1, 2),
+       |wgt AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    ssum + n_tokens * norm AS logw_e20
+       |  FROM pd CROSS JOIN norm),
+       |r AS MATERIALIZED (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY logw_e20 DESC, doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS ns
+       |  FROM wgt)""".stripMargin
 }

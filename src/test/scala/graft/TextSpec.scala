@@ -695,5 +695,34 @@ class TextSpec extends SparkSpec {
     val rest = weighted.filter(d => byLang(d._1) != "en").map(_._4)
     assert(en.sum / en.size > rest.sum / rest.size,
       "target-language docs do not outscore the rest on average")
+
+    // q_dsir_eval: the grader recomputed from THIS test's fold state
+    val keptIds = want.filter(_._5 == 1L).map(_._1).toSet
+    val kcnt = perDoc.filter(d => keptIds(d._1)).flatMap(_._4).groupBy(_._1)
+      .map { case (b, o) => b -> (o.map(_._2).sum + 1L) }
+    def at(m: Map[Long, Long], b: Long): Long = m.getOrElse(b, 1L)
+    val dom = (0L until 512L).toSeq
+    val (stt, str, stk) = dom.foldLeft((0L, 0L, 0L)) { case ((a, b2, c), bk) =>
+      val t = at(tgt, bk)
+      (a + t * log2e20(t), b2 + t * log2e20(at(raw, bk)),
+        c + t * log2e20(at(kcnt, bk)))
+    }
+    val tt = dom.map(at(tgt, _)).sum
+    val rt = dom.map(at(raw, _)).sum
+    val kt = dom.map(at(kcnt, _)).sum
+    val div = (tt << 20) / 1000000L
+    val allW = weighted.map(_._4)
+    val keptW = weighted.filter(d => keptIds(d._1)).map(_._4)
+    val wantEval = (tt, rt, kt,
+      (stt - str + tt * (log2e20(rt) - log2e20(tt))) / div,
+      (stt - stk + tt * (log2e20(kt) - log2e20(tt))) / div,
+      allW.sum / allW.size, keptW.sum / keptW.size)
+    val gotEval = SparkEntry.queries("q_dsir_eval")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotEval == Seq(wantEval))
+    // the selection's own objective improved (guaranteed by top-k)...
+    assert(wantEval._7 > wantEval._6, "kept mean logw did not beat raw")
+    // ...and both KL columns are live non-negative measurements
+    assert(wantEval._4 >= 0L && wantEval._5 >= 0L)
   }
 }
