@@ -258,7 +258,8 @@ object PlanAudit {
     * allowlist entry.
     */
   def auditExecutedTopology(spark: SparkSession, name: String,
-      df: org.apache.spark.sql.DataFrame): Seq[Finding] = {
+      df: org.apache.spark.sql.DataFrame,
+      mode: String = "append"): Seq[Finding] = {
     import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
     val sink = s"plan_audit_${name.replaceAll("[^A-Za-z0-9_]", "_")}"
     spark.catalog.dropTempView(sink)
@@ -266,7 +267,7 @@ object PlanAudit {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = df.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       // bounded wait: a stalled AvailableNow drain (source
       // misconfiguration) must yield a finding, not hang the sweep
@@ -315,7 +316,8 @@ object PlanAudit {
   def sweepStreamingExecuted(spark: SparkSession, dir: String): Seq[Finding] =
     graft.queries.StreamingQueries.topologies.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try auditExecutedTopology(spark, name, fn(spark, dir))
+        try auditExecutedTopology(spark, name, fn(spark, dir),
+          graft.queries.StreamingQueries.topologyModes.getOrElse(name, "append"))
         catch { case e: Throwable =>
           Seq(Finding(name,
             s"streamx:PLAN ERROR ${Option(e.getMessage).getOrElse(e.toString).take(100)}",

@@ -164,6 +164,29 @@ object StreamingQueries {
         col("c_ts"), col("b_ts"), col("c_cents"), col("b_cents"))
   }
 
+  /** documents.parquet as a STREAM — the corpus arriving incrementally,
+    * the shape a production curation pipeline actually ingests. */
+  private def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** Streaming quality-classifier topology: the q_quality_classifier
+    * scorer (a stateless map — the weight vector is a plan constant,
+    * exactly as in batch) feeding a per-source running aggregate.
+    * State is bounded by GROUP CARDINALITY (one row per source, ~20),
+    * not stream length — the other state shape (besides
+    * watermark/timeout-bounded) that survives an unbounded stream.
+    */
+  private def qualityTopo(s: SparkSession, dir: String): DataFrame =
+    docsStream(s, dir)
+      .select(col("source"), TextQueries.qcScoreE6.as("z"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("z") >= 0, 1L).otherwise(0L)).as("n_keep"),
+        sum("z").as("score_sum_e6"))
+
   /** Pre-start streaming topologies keyed by declared query name, for
     * [[graft.PlanAudit.sweepStreaming]]. Every stream_* QueryDef below
     * drains EXACTLY the frame its builder returns, so sweeping these IS
@@ -182,7 +205,15 @@ object StreamingQueries {
     "stream_join_e2e" -> (joinTopo _),
     "stream_ss_join_e2e" -> ssJoinTopo("inner") _,
     "stream_ss_left_e2e" -> ssJoinTopo("leftOuter") _,
-    "stream_ss_full_e2e" -> (ssFullTopo _))
+    "stream_ss_full_e2e" -> (ssFullTopo _),
+    "stream_quality_e2e" -> (qualityTopo _))
+
+  /** Drain output mode per topology for the executed-plan sweep —
+    * topologies absent here drain in append (the suite default).
+    * stream_quality_e2e's unwatermarked group-bounded aggregate is
+    * only legal in complete/update. */
+  val topologyModes: Map[String, String] = Map(
+    "stream_quality_e2e" -> "complete")
 
   /** Drain `df` through a memory sink and return the sink table.
     * AvailableNow processes every pending file, then (because
@@ -216,6 +247,39 @@ object StreamingQueries {
   }
 
   val entries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // stream_quality_e2e ★ (new r13) — the CURATION stage running as a
+    // stream: the q_quality_classifier scorer (stateless map, weights a
+    // plan constant) feeding a per-source running keep-rate aggregate,
+    // drained in COMPLETE mode — which pins the THIRD output-mode
+    // contract (append = stream_tumbling, update = stream_update,
+    // complete = this row: the sink holds the full current result
+    // table every batch; after a one-file AvailableNow drain that is
+    // exactly the batch answer, so the oracle IS the batch
+    // classifier's oracle — shared text, zero drift). Complete mode is
+    // only legal for aggregations whose state the engine retains in
+    // full, which is honest here BECAUSE the state is group-bounded
+    // (~20 sources), the non-windowed state shape that survives an
+    // unbounded stream. Production would swap the memory sink for a
+    // foreachBatch lake upsert of the same ~20-row table.
+    QueryDef(
+      "stream_quality_e2e",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath.divTrunc
+        drain(s, qualityTopo(s, dir), "graft_stream_quality", mode = "complete")
+          .select(col("source"), col("n_docs"), col("n_keep"),
+            divTrunc(col("n_keep") * 10000L, col("n_docs")).as("keep_rate_e4"),
+            col("score_sum_e6"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${TextQueries.QcScoreSql}
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              |  (CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+              |    // CAST(COUNT(*) AS BIGINT) AS keep_rate_e4,
+              |  CAST(SUM(z) AS BIGINT) AS score_sum_e6
+              |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
 
     // ------------------------------------------------------------------
     // stream_tumbling_e2e ★ (new r5) — watermarked tumbling-window

@@ -171,7 +171,7 @@ object TextQueries {
     * ideal of a broadcast: a plan constant shipped inside the task
     * binary. At 100 TB this pass runs at scan speed.
     */
-  private def qcScoreE6: Column = {
+  private[queries] def qcScoreE6: Column = {
     val wArr = array(qcWeights.map(lit(_)): _*)
     aggregate(split(col("text"), " "), lit(qcBias),
       (acc, t) => acc + element_at(wArr, qcDim(t).cast("int") + 1))
@@ -181,7 +181,7 @@ object TextQueries {
     * per-doc score — interpolated into both consumers' SQL so the
     * scheme is SHARED TEXT (the DfCutWeightsSql rule). Ends in
     * sc(doc_id, source, z). */
-  private lazy val QcScoreSql: String =
+  private[queries] lazy val QcScoreSql: String =
     s"""w AS (SELECT CAST(d AS INTEGER) AS d,
        |  $QcWeightSqlExpr AS w
        |  FROM range(0, 256) t(d)),
