@@ -538,6 +538,98 @@ object AdvancedQueries {
              |FROM g ORDER BY source, shard""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_span_corrupt ★ (new r13) — span-corruption mask preparation,
+    // the T5/UL2 denoising-objective step a training-data pipeline runs
+    // ahead of batching (Raffel et al. 2020 §3.1.4: mask contiguous
+    // spans, ~15% of tokens, mean span ≈ 3). Deterministic variant —
+    // position i of doc d SEEDS a span iff md5(d‖':'‖i) mod 20 = 0
+    // (5% of positions, each covering [i, i+2] clipped to the doc →
+    // ≈ 14% masked after merges), so the mask is a pure function of
+    // (doc_id, position): reproducible across runs/engines/cluster
+    // sizes, and a re-shard can never re-mask differently (the
+    // q_split_assign determinism argument applied to the objective).
+    // Overlapping/adjacent spans merge via per-doc gaps-and-islands
+    // (seeds ≤ 2 apart share a span); declared output is the per-doc
+    // mask profile (seeds, merged spans, masked tokens, rate_e4).
+    // Plan: posexplode → codegen'd hash filter (the stream is 5% of
+    // tokens after it) → doc-partitioned windows (bounded by doc
+    // length) → one doc agg. Corpus-linear, shuffles keyed on doc_id.
+    QueryDef(
+      "q_span_corrupt",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath.divTrunc
+        val docs = Tables(s, dir, "documents")
+        val toksD = split(col("text"), " ")
+        val seeds = docs
+          .select(col("doc_id"), size(toksD).cast("long").as("n"),
+            posexplode(toksD).as(Seq("i0", "tk")))
+          .select(col("doc_id"), col("n"), (col("i0") + 1L).as("i"))
+          .filter(pmod(
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("i").cast("string"))), 1, 15), 16, 10).cast("long"),
+            lit(20L)) === 0L)
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val isl = seeds
+          .withColumn("brk",
+            when(lag(col("i"), 1).over(w).isNull ||
+              col("i") - lag(col("i"), 1).over(w) > 2L, 1L).otherwise(0L))
+          .withColumn("isl", sum("brk").over(w))
+        val spans = isl.groupBy("doc_id", "isl")
+          .agg(max("n").as("n"), count(lit(1)).as("n_seeds"),
+            (least(max(col("i")) + 2L, max("n")) - min(col("i")) + 1L)
+              .as("cov"))
+        val agg = spans.groupBy("doc_id")
+          .agg(sum("n_seeds").as("n_seeds"), count(lit(1)).as("n_spans"),
+            sum("cov").as("n_masked"))
+        docs.select(col("doc_id"), size(toksD).cast("long").as("n_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_seeds"), lit(0L)).as("n_seeds"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+            divTrunc(coalesce(col("n_masked"), lit(0L)) * 10000L,
+              greatest(col("n_tokens"), lit(1L))).as("mask_rate_e4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |p AS (
+             |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n,
+             |    unnest(range(1, len(ts) + 1)) AS i
+             |  FROM t),
+             |seeds AS (
+             |  SELECT doc_id, n, CAST(i AS BIGINT) AS i FROM p
+             |  WHERE ('0x' || substring(md5(doc_id || ':' || i), 1, 15))::BIGINT
+             |          % 20 = 0),
+             |d2 AS (
+             |  SELECT doc_id, n, i,
+             |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+             |      OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 2
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM seeds),
+             |d3 AS (
+             |  SELECT doc_id, n, i,
+             |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+             |  FROM d2),
+             |spans AS (
+             |  SELECT doc_id, isl, COUNT(*) AS n_seeds,
+             |    LEAST(MAX(i) + 2, MAX(n)) - MIN(i) + 1 AS cov
+             |  FROM d3 GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT doc_id, CAST(SUM(n_seeds) AS BIGINT) AS n_seeds,
+             |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+             |    CAST(SUM(cov) AS BIGINT) AS n_masked
+             |  FROM spans GROUP BY 1)
+             |SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |  COALESCE(n_seeds, 0) AS n_seeds,
+             |  COALESCE(n_spans, 0) AS n_spans,
+             |  COALESCE(n_masked, 0) AS n_masked,
+             |  (COALESCE(n_masked, 0) * 10000) //
+             |    GREATEST(CAST(len(ts) AS BIGINT), 1) AS mask_rate_e4
+             |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_mix_weights ★ — the data-mixing table of a training pipeline:
     // per source, document count, token count, and the source's token
     // share of the corpus in exact integer e6 (the sampling weights a

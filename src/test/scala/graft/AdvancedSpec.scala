@@ -536,6 +536,38 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q_span_corrupt == plain-Scala mask fold; corpus mask rate near the T5 15% (r13)") {
+    def seeded(docId: Long, i: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$docId:$i".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 20L == 0L
+    }
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val want = docs.map { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      val seeds = (1L to n).filter(seeded(id, _))
+      // merge seeds ≤ 2 apart into spans, each covering [i, i+2] ∩ doc
+      val spans = seeds.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, i) if acc.nonEmpty && i - acc.last._2 <= 2 =>
+          acc.init :+ ((acc.last._1, i))
+        case (acc, i) => acc :+ ((i, i))
+      }
+      val masked = spans.map { case (a, b) => math.min(b + 2, n) - a + 1 }.sum
+      (id, n, seeds.size.toLong, spans.size.toLong, masked,
+        masked * 10000L / math.max(n, 1L))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_span_corrupt")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // corpus-level mask rate lands near the objective's 15% target
+    val rate = want.map(_._5).sum * 10000L / want.map(_._2).sum
+    assert(rate > 1000L && rate < 2000L, s"corpus mask rate e4 = $rate")
+    // masks are live: some doc merged overlapping seeds into one span
+    assert(want.exists(r => r._4 < r._3), "no span merge ever occurred")
+  }
+
   test("q_shard_pack == plain-Scala snake fold; every shard within 25% of ideal (r13)") {
     val docs = Tables(spark, sfDir, "documents")
       .select("source", "doc_id", "text")
