@@ -1082,6 +1082,93 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_lm_holdout ★ (new r13) — HELD-OUT language-model evaluation:
+    // the bigram LM is trained on the TRAIN split only (q_split_assign's
+    // exact md5-mod-100 partition — train <90, val <95, test else) and
+    // scored on all three splits, producing the generalization table an
+    // LM-filter pipeline must read before trusting its scores: pooled
+    // conditional-probability score per split (train > held-out = the
+    // generalization gap) and the unseen-bigram (OOV) rate — 0 on train
+    // BY CONSTRUCTION (every train bigram is in the counts; the spec
+    // pins it), > 0 on val/test. Unseen bigrams score p = 0, the
+    // harshest-penalty convention, exact in integers (no smoothing
+    // constant to disagree on). Same count-table "model" plan as
+    // q_ngram_lm, restricted to the train slice; scoring is the same
+    // vocabulary-sized left join. Output: 3 rows.
+    QueryDef(
+      "q_lm_holdout",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shinglesAll
+        val split100 = pmod(conv(substring(md5(col("doc_id").cast("string")),
+          1, 15), 16, 10).cast("long"), lit(100L))
+        val sdocs = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            when(split100 < 90L, "train").when(split100 < 95L, "val")
+              .otherwise("test").as("split"),
+            col("text"))
+        val bg = sdocs
+          .select(col("split"), explode(shinglesAll(toks, 2)).as("bg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bg.count() // eager: the model build + the scoring join reuse it
+        val cbg = bg.filter(col("split") === "train")
+          .groupBy("bg").agg(count(lit(1)).as("cbg"))
+        val pfx = cbg.groupBy(substring_index(col("bg"), " ", 1).as("p"))
+          .agg(sum("cbg").as("cp"))
+        val occ = bg
+          .join(cbg, Seq("bg"), "left")
+          .join(pfx, substring_index(col("bg"), " ", 1) === col("p"), "left")
+          .select(col("split"),
+            when(col("cbg").isNull, 0L)
+              .otherwise(floorDivL(col("cbg") * 10000L, col("cp"))).as("p_e4"),
+            when(col("cbg").isNull, 1L).otherwise(0L).as("unseen"))
+        val sc = occ.groupBy("split")
+          .agg(count(lit(1)).as("n_bigrams"), sum("unseen").as("n_unseen"),
+            sum("p_e4").as("sum_e4"))
+        sdocs.groupBy("split").agg(count(lit(1)).as("n_docs"))
+          .join(sc, "split")
+          .select(col("split"), col("n_docs"), col("n_bigrams"),
+            col("n_unseen"),
+            floorDivL(col("n_unseen") * 10000L, col("n_bigrams")).as("oov_e4"),
+            floorDivL(col("sum_e4"), col("n_bigrams")).as("score_e4"))
+          .orderBy("split")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+             |         WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    string_split(text, ' ') AS ts
+             |  FROM documents),
+             |bg AS (
+             |  SELECT split, unnest(list_transform(range(1, len(ts)),
+             |    i -> array_to_string(ts[i:i+1], ' '))) AS bg
+             |  FROM d),
+             |cbg AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cbg
+             |        FROM bg WHERE split = 'train' GROUP BY 1),
+             |pfx AS (
+             |  SELECT string_split(bg, ' ')[1] AS p, CAST(SUM(cbg) AS BIGINT) AS cp
+             |  FROM cbg GROUP BY 1),
+             |occ AS (
+             |  SELECT b.split,
+             |    CASE WHEN cbg.cbg IS NULL THEN 0
+             |         ELSE (cbg.cbg * 10000) // pfx.cp END AS p_e4,
+             |    CASE WHEN cbg.cbg IS NULL THEN 1 ELSE 0 END AS unseen
+             |  FROM bg b
+             |  LEFT JOIN cbg ON b.bg = cbg.bg
+             |  LEFT JOIN pfx ON string_split(b.bg, ' ')[1] = pfx.p),
+             |sc AS (
+             |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |    CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+             |    CAST(SUM(p_e4) AS BIGINT) AS sum_e4
+             |  FROM occ GROUP BY 1),
+             |nd AS (SELECT split, COUNT(*) AS n_docs FROM d GROUP BY 1)
+             |SELECT nd.split, nd.n_docs, sc.n_bigrams, sc.n_unseen,
+             |  (sc.n_unseen * 10000) // sc.n_bigrams AS oov_e4,
+             |  sc.sum_e4 // sc.n_bigrams AS score_e4
+             |FROM nd JOIN sc ON nd.split = sc.split
+             |ORDER BY nd.split""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_perplexity_bucket ★ (new r13) — the CCNet head/middle/tail
     // partition (Wenzek et al. 2020 §4.3: score each document with a
     // reference LM, split each language into three equal perplexity
