@@ -54,6 +54,7 @@ object PlanAudit {
     ("q_vocab_growth", "BroadcastNestedLoopJoin"),    // 1-row max doc_id
     ("q_dsir", "BroadcastNestedLoopJoin"),            // 1-row L(R)−L(T) normalizer
     ("q_dsir_eval", "BroadcastNestedLoopJoin"),       // 1-row normalizer + 1-row×1-row scalar assembly
+    ("q_embed_ood", "BroadcastNestedLoopJoin"),       // 1-row vector count
     // windows over the USER table / the ≤10-row growth-curve frame,
     // not the corpus (see each query's scaladoc)
     ("q_rfm", "globalWindow"),
@@ -104,6 +105,9 @@ object PlanAudit {
     // eval instantiates dsirWeighted twice (keep set + mean-logw
     // scalars) — the same 512-bucket model hint at each site
     "q_dsir_eval" -> 2,
+    // 64-dim centroid frame: dimension-count-sized closed domain (the
+    // at-rest "model" exactly like the IVF codebook)
+    "q_embed_ood" -> 1,
     // per-source frames: 20-value closed domain, joined once per pair side
     "q_contamination_matrix" -> 2,
     // hour-bucket frames: time-span-sized (~720 rows for the 30-day

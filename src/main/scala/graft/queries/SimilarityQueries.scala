@@ -752,6 +752,62 @@ object SimilarityQueries {
              |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_embed_ood ★ (new r13) — embedding OUTLIER detection, the vector
+    // hygiene gate of a curation pipeline (corrupt encodes, wrong-modal
+    // rows, and truncation artifacts land far from the corpus mass and
+    // poison centroids/ANN recall if not dropped first): top-20 vectors
+    // by squared distance to the corpus centroid. EXACT integers: with
+    // q = floor(x·1e4 + 0.5) (the kmeans e-quantizer at e4) and per-dim
+    // sums S_d = Σ q(v_d), the rational mean never divides —
+    //   dist2n2(v) = Σ_d (n·q(v_d) − S_d)²  ( = n²·‖q(v)−mean‖² )
+    // ranks identically and is a pure integer in both engines.
+    // Headroom: |n·q| ≤ n·1e4·max|x|; per-dim square ×64 dims needs
+    // n·1e4 < 3.8e8 → n < 3.8e4 vectors per scored population — per
+    // shard/partition scale; a bigger corpus scores against the
+    // PRE-DIVIDED e4 mean (one rounding, same top-k in practice) or
+    // per-label strata. Plan: posexplode → one 64-row dim agg (the
+    // centroid "model", broadcast back, persisting at rest like the
+    // IVF codebook) → per-vec agg → TakeOrderedAndProject top-20
+    // (per-partition heaps + 20-row driver merge, no global sort).
+    QueryDef(
+      "q_embed_ood",
+      (s: SparkSession, dir: String) => {
+        val q = floor(col("x").cast("double") * 10000d + 0.5d).cast("long")
+        val xs = corpus(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("d", "x")))
+          .select(col("vec_id"), col("label"), col("d"), q.as("qv"))
+        val cen = xs.groupBy("d").agg(sum("qv").as("qsum"))
+        val n = corpus(s, dir).agg(count(lit(1)).as("n"))
+        xs.join(broadcast(cen), "d").crossJoin(broadcast(n))
+          .groupBy("vec_id", "label")
+          .agg(sum((col("n") * col("qv") - col("qsum"))
+            * (col("n") * col("qv") - col("qsum"))).as("dist2n2"))
+          .orderBy(col("dist2n2").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+             |      AS q
+             |  FROM embeddings),
+             |xs AS (
+             |  SELECT vec_id, label, unnest(range(1, len(q) + 1)) AS d, q
+             |  FROM e),
+             |x2 AS (SELECT vec_id, label, d, q[CAST(d AS INTEGER)] AS qv FROM xs),
+             |cen AS (SELECT d, CAST(SUM(qv) AS BIGINT) AS qsum FROM x2 GROUP BY 1),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+             |dist AS (
+             |  SELECT vec_id, label,
+             |    CAST(SUM((n.n * qv - qsum) * (n.n * qv - qsum)) AS BIGINT)
+             |      AS dist2n2
+             |  FROM x2 JOIN cen USING (d) CROSS JOIN n
+             |  GROUP BY 1, 2)
+             |SELECT vec_id, label, dist2n2 FROM dist
+             |ORDER BY dist2n2 DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_embed_quant ★ — symmetric int8 quantization stats per vector
     // (the storage play: float32 embeddings quantized 4× smaller for
     // the at-rest corpus, with |error| ≤ max|x|/254 per element). One

@@ -807,5 +807,29 @@ class SimilaritySpec extends SparkSpec {
       "nprobe=1 already perfect; the curve exercises nothing")
     assert(got.map(_._4).sum > 0L, "IVF recall identically zero")
   }
+
+  test("q_embed_ood == plain-Scala exact-integer centroid-distance fold (r13)") {
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Seq[Float])].collect().toSeq
+    def q(x: Float): Long = math.floor(x.toDouble * 10000d + 0.5d).toLong
+    val dims = vecs.head._3.size
+    val qv = vecs.map { case (id, lb, e) => (id, lb, e.map(q)) }
+    val qsum = (0 until dims).map(d => qv.map(_._3(d)).sum)
+    val n = qv.size.toLong
+    val dist = qv.map { case (id, lb, e) =>
+      (id, lb, (0 until dims).map { d =>
+        val diff = n * e(d) - qsum(d); diff * diff
+      }.sum)
+    }
+    val want = dist.sortBy { case (id, _, d2) => (-d2, id) }.take(20)
+    val got = SparkEntry.queries("q_embed_ood")(spark, sfDir)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == want)
+    // the cut is live: the #20 outlier strictly exceeds some excluded
+    // vector (there IS a tail below the top-20)
+    val excluded = dist.map(_._3).sorted(Ordering[Long].reverse).drop(20)
+    assert(excluded.nonEmpty && want.last._3 >= excluded.head)
+  }
 }
 
