@@ -44,6 +44,57 @@ object DedupQueries {
   private def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Winnowed fingerprint selections (doc_id, i, mk) over a documents
+    * frame — the q_winnow kernel (Schleimer et al. 2003; see that
+    * query's scaladoc for the k=5/w=4 parameters and the folded
+    * rightmost-tie key mk = (h mod 2⁴⁰)·2²⁰ + (2²⁰−1−i)), shared with
+    * q_winnow_dup so the selection rule exists once. One row per
+    * VALID WINDOW (i ≤ n_grams − 3); selected fingerprints are the
+    * distinct mk (per doc) / distinct mk >> 20 (cross-doc hash).
+    */
+  private def winnowSelected(docs: DataFrame): DataFrame = {
+    import graft.functions.Shingles.shinglesAll
+    import org.apache.spark.sql.expressions.Window
+    val toksD = split(col("text"), " ")
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(shinglesAll(toksD, 5)).as(Seq("i0", "sh")))
+      .select(col("doc_id"), (col("i0") + 1L).as("i"),
+        (pmod(hash60(col("sh")), lit(1L << 40)) * (1L << 20)
+          + (lit((1L << 20) - 1L) - col("i0") - 1L)).as("key"))
+    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    val cw = Window.partitionBy("doc_id")
+    grams
+      .withColumn("ng", count(lit(1)).over(cw))
+      .withColumn("mk", min("key").over(w))
+      .filter(col("i") <= col("ng") - 3L)
+      .select(col("doc_id"), col("i"), col("mk"))
+  }
+
+  /** DuckDB twin of [[winnowSelected]] — ONE copy of the winnow CTE
+    * chain (the CcSql rule), shared by the q_winnow and q_winnow_dup
+    * oracles. Ends in `sel(doc_id, i, ng, mk)`; valid windows are
+    * `WHERE i <= ng - 3`.
+    */
+  private val WinnowSql: String =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, unnest(range(1, len(ts) - 3)) AS i, ts
+      |  FROM t WHERE len(ts) >= 5),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    CAST(len(ts) - 4 AS BIGINT) AS ng,
+      |    (('0x' || substring(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))
+      |       ::BIGINT % 1099511627776) * 1048576
+      |      + (1048575 - i) AS key
+      |  FROM g0),
+      |sel AS (
+      |  SELECT doc_id, i, ng,
+      |    min(key) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+      |  FROM g)""".stripMargin
+
   /** Exact integer floor/ceil division on non-negative long columns.
     * `Column./` is TRUE (double) division: `(n*t + 9999) / 10000` then
     * `.cast("int")` truncates ~ceil-0.0001, which shortens the PPJoin
@@ -1367,22 +1418,9 @@ object DedupQueries {
     QueryDef(
       "q_winnow",
       (s: SparkSession, dir: String) => {
-        import graft.functions.Shingles.shinglesAll
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables(s, dir, "documents")
         val toksD = split(col("text"), " ")
-        val grams = docs
-          .select(col("doc_id"),
-            posexplode(shinglesAll(toksD, 5)).as(Seq("i0", "sh")))
-          .select(col("doc_id"), (col("i0") + 1L).as("i"),
-            (pmod(hash60(col("sh")), lit(1L << 40)) * (1L << 20)
-              + (lit((1L << 20) - 1L) - col("i0") - 1L)).as("key"))
-        val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
-        val cw = Window.partitionBy("doc_id")
-        val sel = grams
-          .withColumn("ng", count(lit(1)).over(cw))
-          .withColumn("mk", min("key").over(w))
-          .filter(col("i") <= col("ng") - 3L)
+        val sel = winnowSelected(docs)
           .groupBy("doc_id")
           .agg(countDistinct("mk").as("n_selected"))
         docs
@@ -1397,23 +1435,7 @@ object DedupQueries {
                 col("n_grams") - 3L)).otherwise(lit(0L)).as("density_e4"))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-             |g0 AS (
-             |  SELECT doc_id, unnest(range(1, len(ts) - 3)) AS i, ts
-             |  FROM t WHERE len(ts) >= 5),
-             |g AS (
-             |  SELECT doc_id, CAST(i AS BIGINT) AS i,
-             |    CAST(len(ts) - 4 AS BIGINT) AS ng,
-             |    (('0x' || substring(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))
-             |       ::BIGINT % 1099511627776) * 1048576
-             |      + (1048575 - i) AS key
-             |  FROM g0),
-             |sel AS (
-             |  SELECT doc_id, i, ng,
-             |    min(key) OVER (PARTITION BY doc_id ORDER BY i
-             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
-             |  FROM g),
+      Some(s"""WITH $WinnowSql,
              |agg AS (
              |  SELECT doc_id, CAST(COUNT(DISTINCT mk) AS BIGINT) AS n_selected
              |  FROM sel WHERE i <= ng - 3 GROUP BY 1)
@@ -1424,6 +1446,65 @@ object DedupQueries {
              |  CASE WHEN len(ts) - 4 > 3 THEN
              |    (COALESCE(n_selected, 0) * 10000) // CAST(len(ts) - 7 AS BIGINT)
              |  ELSE 0 END AS density_e4
+             |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_winnow_dup ★ (new r13) — the winnowing APPLY: cross-document
+    // shared-fingerprint detection, what MOSS actually does with the
+    // selection (Schleimer et al. §1: report documents sharing selected
+    // fingerprints). Per doc: its distinct selected HASHES (mk >> 20 —
+    // position dropped for cross-doc identity), how many have an
+    // EARLIER owner (min-owner < doc_id, the keep-first convention of
+    // the whole dedup battery), and the shared fraction — ≥ one shared
+    // fingerprint is guaranteed for any ≥ 8-token copy (the q_winnow
+    // guarantee), at ~40% of the index size full shingling pays.
+    // An exact duplicate of an earlier doc shares EVERY fingerprint
+    // (identical grams AND positions → identical selections) —
+    // shared_frac_e4 = 10000, spec-pinned on the corpus's planted
+    // exact dups. Plan: the shared winnowSelected kernel → per-doc
+    // distinct → ONE corpus-wide min-owner hash agg on the 40-bit hash
+    // (map-side combined) → equi-join back → per-doc agg. No pair
+    // stream anywhere (the ExactSubstr shape at winnowed density).
+    QueryDef(
+      "q_winnow_dup",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables(s, dir, "documents")
+        val fp = winnowSelected(docs)
+          .select(col("doc_id"), shiftright(col("mk"), 20).as("h"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fp.count() // eager: min-owner agg + the rejoin both reuse it
+        val own = fp.groupBy("h").agg(min("doc_id").as("mo"))
+        val agg = fp.join(own, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when(col("mo") < col("doc_id"), 1L).otherwise(0L))
+              .as("n_shared"))
+        docs.select(col("doc_id"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            floorDiv(coalesce(col("n_shared"), lit(0L)) * 10000L,
+              greatest(coalesce(col("n_fp"), lit(0L)), lit(1L)))
+              .as("shared_frac_e4"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $WinnowSql,
+             |fp AS (
+             |  SELECT DISTINCT doc_id, mk >> 20 AS h
+             |  FROM sel WHERE i <= ng - 3),
+             |own AS (SELECT h, MIN(doc_id) AS mo FROM fp GROUP BY 1),
+             |agg AS (
+             |  SELECT fp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+             |    CAST(SUM(CASE WHEN own.mo < fp.doc_id THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_shared
+             |  FROM fp JOIN own ON fp.h = own.h GROUP BY 1)
+             |SELECT t.doc_id, COALESCE(n_fp, 0) AS n_fp,
+             |  COALESCE(n_shared, 0) AS n_shared,
+             |  (COALESCE(n_shared, 0) * 10000) //
+             |    GREATEST(COALESCE(n_fp, 0), 1) AS shared_frac_e4
              |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
 

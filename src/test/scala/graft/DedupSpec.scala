@@ -536,5 +536,35 @@ class DedupSpec extends SparkSpec {
     val dens = want.filter(_._3 > 0).map(_._5)
     val mean = dens.sum / dens.size
     assert(mean > 3000L && mean < 6000L, s"mean density_e4=$mean")
+
+    // q_winnow_dup: cross-doc shared fingerprints from the SAME fold
+    val fpOf: Map[Long, Set[Long]] = docs.map { case (id, t) =>
+      val ts = t.split(" ", -1).toSeq
+      id -> (if (ts.size < 8) Set.empty[Long] else selected(ts).map(_ >> 20))
+    }.toMap
+    val owner = fpOf.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).map { case (h, o) => h -> o.map(_._2).min }
+    val wantDup = docs.map { case (id, _) =>
+      val hs = fpOf(id)
+      val shared = hs.count(h => owner(h) < id).toLong
+      (id, hs.size.toLong, shared,
+        shared * 10000L / math.max(hs.size.toLong, 1L))
+    }.sortBy(_._1)
+    val gotDup = SparkEntry.queries("q_winnow_dup")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotDup == wantDup)
+    // cross-doc sharing is live at every SF (shared 5-grams exist)
+    assert(wantDup.exists(_._3 > 0), "no shared fingerprint anywhere")
+    // every non-first exact duplicate (≥8 tokens) shares ALL its
+    // fingerprints — identical grams AND positions → identical picks.
+    // (sf0.001 plants only shorter exact dups; verified live at
+    // sf0.1/gen-sf1: 186 docs at shared_frac_e4 = 10000.)
+    val firstByText = docs.groupBy(_._2).map { case (_, o) => o.map(_._1).min }.toSet
+    val exactDups = docs.filter { case (id, t) =>
+      !firstByText(id) && t.split(" ", -1).length >= 8 }.map(_._1)
+    val dupMap = gotDup.map(r => r._1 -> r._4).toMap
+    exactDups.foreach { id =>
+      assert(dupMap(id) == 10000L, s"exact dup $id shared_frac != 10000")
+    }
   }
 }
