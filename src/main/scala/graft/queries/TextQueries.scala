@@ -1494,6 +1494,67 @@ object TextQueries {
     // the plan is the final ~20-group source agg after map-side
     // combine, then the mandated sort. A production retrain swaps the
     // weight literal for a broadcast variable; nothing else changes.
+    // ------------------------------------------------------------------
+    // q_token_budget ★ (new r13) — budget-constrained selection in
+    // TOKENS: the final curation cut of a training run, which buys data
+    // by token budget, not document count (the q_quality_adaptive
+    // rank-quota's other half — that row keeps the best 75% of DOCS per
+    // source; this one keeps the best-scored docs until 25% of each
+    // source's TOKEN mass is spent, so a source of long documents keeps
+    // fewer docs for the same budget). Greedy by the learned classifier
+    // score (qcScoreE6, shared with q_quality_classifier — one scorer,
+    // spec'd once), total order (z DESC, doc_id): keep while the
+    // running token sum fits the budget. All exact integers. Declared
+    // output is the per-source purchase manifest: docs/tokens kept vs
+    // budget + the marginal (cut) score a bigger budget would buy next.
+    // Plan: one scored projection (map-only fold), source-partitioned
+    // rank + prefix-sum windows (never global), one ~20-group agg.
+    QueryDef(
+      "q_token_budget",
+      (s: SparkSession, dir: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("z").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val sw = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(toks).cast("long").as("n_tokens"), qcScoreE6.as("z"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("budget", floorDivL(sum("n_tokens").over(sw), lit(4L)))
+          .withColumn("keep", when(col("cum") <= col("budget"), 1L).otherwise(0L))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"),
+            sum(when(col("keep") === 1L, col("n_tokens")).otherwise(0L))
+              .as("kept_tokens"),
+            max("budget").as("budget_tokens"),
+            coalesce(min(when(col("keep") === 1L, col("z"))), lit(0L))
+              .as("cut_score_e6"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $QcScoreSql,
+              |nt AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |r AS (
+              |  SELECT sc.source, sc.doc_id, nt.n_tokens, sc.z,
+              |    SUM(nt.n_tokens) OVER (PARTITION BY sc.source
+              |      ORDER BY sc.z DESC, sc.doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum,
+              |    CAST(SUM(nt.n_tokens) OVER (PARTITION BY sc.source) AS BIGINT)
+              |      // 4 AS budget
+              |  FROM sc JOIN nt ON sc.doc_id = nt.doc_id),
+              |k AS (SELECT *, CASE WHEN cum <= budget THEN 1 ELSE 0 END AS keep
+              |      FROM r)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+              |  CAST(SUM(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+              |    AS kept_tokens,
+              |  CAST(MAX(budget) AS BIGINT) AS budget_tokens,
+              |  COALESCE(MIN(CASE WHEN keep = 1 THEN z END), 0) AS cut_score_e6
+              |FROM k GROUP BY source ORDER BY source""".stripMargin)),
+
     QueryDef(
       "q_quality_classifier",
       (s: SparkSession, dir: String) =>

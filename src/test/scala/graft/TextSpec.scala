@@ -612,6 +612,40 @@ class TextSpec extends SparkSpec {
     assert(gotFert == wantFert)
   }
 
+  test("q_token_budget == plain-Scala greedy token-budget fold (r13)") {
+    import graft.queries.TextQueries.{qcBias, qcWeights}
+    def dim(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 256L).toInt
+    }
+    val rows = Tables(spark, sfDir, "documents")
+      .select("source", "doc_id", "text").as[(String, Long, String)]
+      .collect().toSeq.map { case (src, id, t) =>
+        val ts = t.split(" ", -1)
+        (src, id, ts.length.toLong, qcBias + ts.map(w => qcWeights(dim(w))).sum)
+      }
+    val want = rows.groupBy(_._1).toSeq.map { case (src, grp) =>
+      val budget = grp.map(_._3).sum / 4L
+      val ranked = grp.sortBy { case (_, id, _, z) => (-z, id) }
+      // keep while the RUNNING sum fits: once cum exceeds the budget it
+      // never recovers (token counts are ≥ 1), so filter == prefix-keep
+      var cum = 0L
+      val keep = ranked.filter { d => cum += d._3; cum <= budget }
+      (src, grp.size.toLong, keep.size.toLong, keep.map(_._3).sum,
+        budget, if (keep.isEmpty) 0L else keep.map(_._4).min)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_token_budget")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // budget semantics hold: kept tokens never exceed the budget, and
+    // the cut is live (some doc excluded in every source)
+    got.foreach { case (src, nd, nk, kt, b, _) =>
+      assert(kt <= b, s"$src kept $kt > budget $b")
+      assert(nk < nd, s"$src kept everything — budget never binds")
+    }
+  }
+
   test("q_lm_holdout == plain-Scala held-out fold; train OOV is 0, held-out gap live (r13)") {
     def md5mod100(id: Long): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
