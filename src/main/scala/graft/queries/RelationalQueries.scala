@@ -388,11 +388,16 @@ object RelationalQueries {
             require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
               s"bucketed join must be an exchange-free SMJ, got:\n$plan")
           } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBT)
+          // Total order is produced ON-ENGINE (.orderBy); the collect that
+          // follows only materializes the ≤|order-status| rows so the
+          // bucketed tables can be dropped before returning (eager
+          // protocol above) — it preserves the engine's order.
           joined
             .groupBy("o_orderstatus")
             .agg(count(lit(1)).as("n_items"),
               sum(cents(col("l_quantity"))).as("sum_qty_c"))
-            .as[(String, Long, Long)].collect().toSeq.sorted
+            .orderBy("o_orderstatus")
+            .as[(String, Long, Long)].collect().toSeq
             .toDF("o_orderstatus", "n_items", "sum_qty_c")
         } finally {
           s.sql(s"DROP TABLE IF EXISTS bj_li_$tag")

@@ -1124,12 +1124,23 @@ object TextQueries {
         val sc = occ.groupBy("split")
           .agg(count(lit(1)).as("n_bigrams"), sum("unseen").as("n_unseen"),
             sum("p_e4").as("sum_e4"))
+        // LEFT join + guarded divisors: a split whose docs are all
+        // single-token yields zero bigrams — it must still emit a row
+        // (n_bigrams=0, oov/score 0) rather than silently vanish, and
+        // the divisions must agree across engines (Spark null vs DuckDB
+        // error on /0) — hence coalesce + greatest(n_bigrams, 1).
         sdocs.groupBy("split").agg(count(lit(1)).as("n_docs"))
-          .join(sc, "split")
+          .join(sc, Seq("split"), "left")
+          .select(col("split"), col("n_docs"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+            coalesce(col("sum_e4"), lit(0L)).as("sum_e4"))
           .select(col("split"), col("n_docs"), col("n_bigrams"),
             col("n_unseen"),
-            floorDivL(col("n_unseen") * 10000L, col("n_bigrams")).as("oov_e4"),
-            floorDivL(col("sum_e4"), col("n_bigrams")).as("score_e4"))
+            floorDivL(col("n_unseen") * 10000L,
+              greatest(col("n_bigrams"), lit(1L))).as("oov_e4"),
+            floorDivL(col("sum_e4"),
+              greatest(col("n_bigrams"), lit(1L))).as("score_e4"))
           .orderBy("split")
       },
       Some("""WITH d AS (
@@ -1162,10 +1173,14 @@ object TextQueries {
              |    CAST(SUM(p_e4) AS BIGINT) AS sum_e4
              |  FROM occ GROUP BY 1),
              |nd AS (SELECT split, COUNT(*) AS n_docs FROM d GROUP BY 1)
-             |SELECT nd.split, nd.n_docs, sc.n_bigrams, sc.n_unseen,
-             |  (sc.n_unseen * 10000) // sc.n_bigrams AS oov_e4,
-             |  sc.sum_e4 // sc.n_bigrams AS score_e4
-             |FROM nd JOIN sc ON nd.split = sc.split
+             |SELECT nd.split, nd.n_docs,
+             |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  CAST(COALESCE(sc.n_unseen, 0) AS BIGINT) AS n_unseen,
+             |  (CAST(COALESCE(sc.n_unseen, 0) AS BIGINT) * 10000)
+             |    // GREATEST(CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT), 1) AS oov_e4,
+             |  CAST(COALESCE(sc.sum_e4, 0) AS BIGINT)
+             |    // GREATEST(CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT), 1) AS score_e4
+             |FROM nd LEFT JOIN sc ON nd.split = sc.split
              |ORDER BY nd.split""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -1506,7 +1521,9 @@ object TextQueries {
     // spec'd once), total order (z DESC, doc_id): keep while the
     // running token sum fits the budget. All exact integers. Declared
     // output is the per-source purchase manifest: docs/tokens kept vs
-    // budget + the marginal (cut) score a bigger budget would buy next.
+    // budget + cut_score_e6 = the score of the LAST doc the budget
+    // bought (MIN over kept docs — the purchase cutoff line, not the
+    // best excluded doc).
     // Plan: one scored projection (map-only fold), source-partitioned
     // rank + prefix-sum windows (never global), one ~20-group agg.
     QueryDef(
@@ -2391,10 +2408,16 @@ object TextQueries {
           sum(col("t") * log2e20(col("k"))).as("stk"),
           sum("t").as("tt"), sum("r").as("rt"), sum("k").as("kt"))
         val div = divTrunc(shiftleft(col("tt"), 20), lit(1000000L))
+        // Divisor guarded with greatest(·,1): a source with <4 docs keeps
+        // nothing (rk*4<=ns never holds), and an unguarded 0-divisor
+        // diverges across engines (Spark IntegralDivide → null, DuckDB
+        // // → error). With kept=0 the numerator sum is null → coalesce
+        // to 0 so both engines report mlogw_kept_e20 = 0.
         val ml = dsirWeighted(s, dir).agg(
           divTrunc(sum("logw_e20"), count(lit(1))).as("mlogw_raw_e20"),
-          divTrunc(sum(when(col("keep") === 1L, col("logw_e20"))),
-            sum(when(col("keep") === 1L, 1L).otherwise(0L)))
+          divTrunc(
+            coalesce(sum(when(col("keep") === 1L, col("logw_e20"))), lit(0L)),
+            greatest(sum(when(col("keep") === 1L, 1L).otherwise(0L)), lit(1L)))
             .as("mlogw_kept_e20"))
         terms.crossJoin(ml).select(
           col("tt").as("target_mass"), col("rt").as("raw_mass"),
@@ -2441,8 +2464,8 @@ object TextQueries {
              |  JOIN lg2 lk ON lk.v = f.k),
              |ml AS (
              |  SELECT CAST(SUM(logw_e20) AS BIGINT) // COUNT(*) AS mlogw_raw_e20,
-             |    CAST(SUM(CASE WHEN rk * 4 <= ns THEN logw_e20 END) AS BIGINT)
-             |      // CAST(SUM(CASE WHEN rk * 4 <= ns THEN 1 ELSE 0 END) AS BIGINT)
+             |    CAST(COALESCE(SUM(CASE WHEN rk * 4 <= ns THEN logw_e20 END), 0) AS BIGINT)
+             |      // GREATEST(CAST(SUM(CASE WHEN rk * 4 <= ns THEN 1 ELSE 0 END) AS BIGINT), 1)
              |      AS mlogw_kept_e20
              |  FROM r)
              |SELECT tot.tt AS target_mass, tot.rt AS raw_mass,
