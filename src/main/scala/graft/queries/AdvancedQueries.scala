@@ -538,6 +538,58 @@ object AdvancedQueries {
              |FROM g ORDER BY source, shard""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_epoch_order ★ (new r14) — deterministic epoch shuffle: the
+    // training-order materialization q_shard_pack leaves open. A
+    // training run must visit the corpus in a different order each
+    // epoch, yet the order must be REPRODUCIBLE across re-runs and
+    // cluster sizes (an elastic resize or a preempted re-run must not
+    // silently change data order under a fixed seed). So the
+    // permutation is a pure content function — sort key =
+    // md5(doc_id‖':'‖epoch), no RNG, no partition-dependent state —
+    // the q_split_assign/q_span_corrupt determinism argument applied
+    // to batch order. Each (epoch, doc) lands in shard = key mod 8 and
+    // takes pos = rank within its shard by (key, doc_id); md5 keying
+    // makes the 3 declared epochs' orders pairwise-independent and
+    // shard loads binomially even. Declared output is the full order
+    // manifest (epoch, shard, pos, doc_id) a loader consumes.
+    // Plan: map-only ×E explode (no join for the epoch axis), then ONE
+    // window per (epoch, shard) group — per-shard sorts of n/8 rows,
+    // never a global order. At 100 TB the same keys drive
+    // repartition(shard) + sortWithinPartitions into shard files; K
+    // scales with corpus so a shard fits a write task, and the
+    // content-derived key guarantees the files are byte-identical at
+    // any parallelism.
+    QueryDef(
+      "q_epoch_order",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("epoch", "shard")
+          .orderBy(col("k"), col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), lit(2L))).as("epoch"))
+          .withColumn("k",
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("epoch").cast("string"))), 1, 15), 16, 10)
+              .cast("long"))
+          .withColumn("shard", col("k") % 8L)
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+          .orderBy("epoch", "shard", "pos")
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents),
+             |k AS (
+             |  SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+             |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             |      CAST(epoch AS VARCHAR)), 1, 15))::BIGINT AS k
+             |  FROM e)
+             |SELECT epoch, k % 8 AS shard,
+             |  CAST(row_number() OVER (PARTITION BY epoch, k % 8
+             |    ORDER BY k, doc_id) AS BIGINT) AS pos,
+             |  doc_id
+             |FROM k ORDER BY epoch, shard, pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_span_corrupt ★ (new r13) — span-corruption mask preparation,
     // the T5/UL2 denoising-objective step a training-data pipeline runs
     // ahead of batching (Raffel et al. 2020 §3.1.4: mask contiguous

@@ -1897,6 +1897,88 @@ object DedupQueries {
              |UNION ALL SELECT '2_dedup', CAST(COUNT(*) AS BIGINT),
              |  CAST(SUM(toks) AS BIGINT), CAST(0 AS BIGINT) FROM s
              |UNION ALL SELECT * FROM sr
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_paragraph_dedup ★ (new r14) — CCNet STAGE 1 (Wenzek et al. 2020
+    // §3.1): before any document-level scoring, hash every PARAGRAPH
+    // and drop every duplicated paragraph corpus-wide, keeping only its
+    // first occurrence — the granularity that strips boilerplate
+    // (headers, nav bars, license blocks) which doc-level (q_dedup_*)
+    // and span-level (q_substring_prune) dedup straddle. Keep-first is
+    // the paper's rule: one copy of each paragraph survives, in its
+    // lowest-(doc_id, position) occurrence — folded into ONE long key
+    // ok = doc_id·2²⁰ + pid so a single MIN is the (doc, pos) lexmin
+    // (headroom: pid < 2²⁰ = 1M paragraphs/doc, doc_id < 2⁴³).
+    // Paragraph boundary: this fixture's text is single-line (no \n),
+    // so the unit is the deterministic 12-token non-overlapping chunk
+    // (the q_chunk_overlap boundary proxy); a newline-delimited corpus
+    // swaps split(text, '\n\n') into the same plan — everything below
+    // is boundary-agnostic. Declared output is the per-doc survival
+    // profile (paragraph/token counts kept vs dropped) a curation run
+    // reads before the doc-level stages; an APPLY would keep the
+    // surviving paragraph text itself.
+    // Plan: one corpus-linear chunk explode (≤⌈n/12⌉ rows/doc), one
+    // corpus-wide min agg on the 8-byte hash (map-side combined), the
+    // equi-join back, one doc-keyed agg — the q_substring_prune shape
+    // one level up, minus islands (paragraphs don't overlap). Every
+    // shuffle is keyed on a long; nothing quadratic anywhere.
+    QueryDef(
+      "q_paragraph_dedup",
+      (s: SparkSession, dir: String) => {
+        val paras = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .withColumn("start",
+            explode(sequence(lit(0), size(col("ts")) - 1, lit(12))))
+          .select(col("doc_id"),
+            (col("doc_id") * lit(1048576L)
+              + (col("start") / 12).cast("long")).as("ok"),
+            hash60(concat_ws(" ", slice(col("ts"), col("start") + 1, lit(12))))
+              .as("h"),
+            size(slice(col("ts"), col("start") + 1, lit(12))).cast("long")
+              .as("n_toks"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        paras.count() // eager: the min-owner agg + the rejoin reuse it
+        try {
+          val own = paras.groupBy("h").agg(min("ok").as("mo"))
+          paras.join(own, "h")
+            .withColumn("keep", when(col("ok") === col("mo"), 1L).otherwise(0L))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_paras"),
+              sum(lit(1L) - col("keep")).as("n_dup_paras"),
+              sum("n_toks").as("n_tokens"),
+              sum(col("keep") * col("n_toks")).as("n_tokens_kept"))
+            .withColumn("kept_frac_e4",
+              floorDiv(col("n_tokens_kept") * 10000L,
+                greatest(col("n_tokens"), lit(1L))))
+            .orderBy("doc_id")
+        } finally paras.unpersist(blocking = false)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |p0 AS (
+             |  SELECT doc_id, ts, unnest(range(0, len(ts), 12)) AS start
+             |  FROM t),
+             |p AS (
+             |  SELECT doc_id,
+             |    doc_id * 1048576 + CAST(start // 12 AS BIGINT) AS ok,
+             |    ('0x' || substring(md5(
+             |      array_to_string(ts[start+1:start+12], ' ')), 1, 15))::BIGINT
+             |      AS h,
+             |    CAST(len(ts[start+1:start+12]) AS BIGINT) AS n_toks
+             |  FROM p0),
+             |own AS (SELECT h, MIN(ok) AS mo FROM p GROUP BY 1)
+             |SELECT p.doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+             |  CAST(SUM(CASE WHEN ok = mo THEN 0 ELSE 1 END) AS BIGINT)
+             |    AS n_dup_paras,
+             |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN ok = mo THEN n_toks ELSE 0 END) AS BIGINT)
+             |    AS n_tokens_kept,
+             |  (CAST(SUM(CASE WHEN ok = mo THEN n_toks ELSE 0 END) AS BIGINT)
+             |    * 10000) // GREATEST(CAST(SUM(n_toks) AS BIGINT), 1)
+             |    AS kept_frac_e4
+             |FROM p JOIN own ON p.h = own.h
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -594,4 +594,32 @@ class AdvancedSpec extends SparkSpec {
       assert(load > 7500L && load < 12500L, s"$src shard $sh load_e4=$load")
     }
   }
+
+  test("q_epoch_order: content-keyed permutation — bijective per epoch, " +
+    "dense per shard, epoch-distinct, partitioning-invariant (r14)") {
+    val got = SparkEntry.queries("q_epoch_order")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val allDocs = Tables(spark, sfDir, "documents")
+      .select("doc_id").as[Long].collect().toSet
+    val byEpoch = got.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (e, rows) =>
+      // bijection: every doc appears exactly once per epoch
+      assert(rows.map(_._4).toSet == allDocs && rows.size == allDocs.size,
+        s"epoch $e is not a permutation")
+      // pos is dense 1..n within each shard
+      rows.groupBy(_._2).foreach { case (sh, sr) =>
+        assert(sr.map(_._3).sorted == (1L to sr.size.toLong),
+          s"epoch $e shard $sh pos not dense")
+      }
+    }
+    // distinct epochs visit the corpus in a different order
+    def order(e: Long) = byEpoch(e).sortBy(r => (r._2, r._3)).map(_._4)
+    assert(order(0L) != order(1L) && order(1L) != order(2L))
+    // the permutation is a pure content function: recomputing it must be
+    // byte-identical (no RNG / partition-dependent state in the key)
+    val again = SparkEntry.queries("q_epoch_order")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }

@@ -567,4 +567,57 @@ class DedupSpec extends SparkSpec {
       assert(dupMap(id) == 10000L, s"exact dup $id shared_frac != 10000")
     }
   }
+
+  test("q_paragraph_dedup: planted boilerplate paragraph drops everywhere " +
+    "but its first occurrence; matches a plain-Scala fold (r14)") {
+    import spark.implicits._
+    // Planted fixture: a 12-token boilerplate block heads docs 1/3/5
+    // (and doc 3 repeats it mid-text); every body is otherwise unique.
+    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    def body(id: Long, n: Int) = (1 to n).map(i => s"u${id}w$i").mkString(" ")
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> body(0, 30),
+      1L -> s"$boiler ${body(1, 17)}",
+      2L -> body(2, 5), // short doc: single ragged paragraph
+      3L -> s"$boiler ${body(3, 12)} $boiler",
+      4L -> body(4, 24),
+      5L -> s"$boiler ${body(5, 3)}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdedup_").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // plain-Scala fold of the CCNet keep-first rule on 12-token chunks
+    val paras = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).grouped(12).zipWithIndex.map { case (ch, pid) =>
+        (id, id * 1048576L + pid, ch.mkString(" "), ch.length.toLong)
+      }
+    }
+    val minOwner = paras.groupBy(_._3).map { case (p, o) => p -> o.map(_._2).min }
+    val want = paras.groupBy(_._1).toSeq.map { case (id, ps) =>
+      val kept = ps.filter(p => minOwner(p._3) == p._2)
+      val nt = ps.map(_._4).sum
+      val ntk = kept.map(_._4).sum
+      (id, ps.size.toLong, (ps.size - kept.size).toLong, nt, ntk,
+        ntk * 10000L / math.max(nt, 1L))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_paragraph_dedup")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 1 (lowest id with the plant) keeps all its paragraphs
+    assert(byId(1L)._3 == 0L)
+    // docs 3 and 5 drop the boilerplate block; doc 3 drops BOTH copies
+    // (the plant sits at chunk boundaries 0 and 24: 12-token prefix +
+    // 12-token body + trailing copy)
+    assert(byId(3L)._3 == 2L && byId(3L)._5 == byId(3L)._4 - 24L)
+    assert(byId(5L)._3 == 1L)
+    // untouched docs survive whole
+    Seq(0L, 2L, 4L).foreach(id => assert(byId(id)._6 == 10000L))
+    // and on the real fixture the profile is total + token-conserving
+    val sf = SparkEntry.queries("q_paragraph_dedup")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sf.size == Tables(spark, sfDir, "documents").count())
+    assert(sf.forall(r => r._5 <= r._4 && r._6 <= 10000L))
+  }
 }
