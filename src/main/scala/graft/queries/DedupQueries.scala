@@ -1979,6 +1979,138 @@ object DedupQueries {
              |    * 10000) // GREATEST(CAST(SUM(n_toks) AS BIGINT), 1)
              |    AS kept_frac_e4
              |FROM p JOIN own ON p.h = own.h
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_source_manifest ★ (new r14) — the FineWeb-style per-source
+    // DECISION TABLE: every curation signal the battery computes,
+    // rolled up to the grain a curation run actually makes decisions at
+    // (keep/drop/down-weight a SOURCE). One row per source joining:
+    //   keep_e4   — learned-classifier keep rate (qcScoreE6 ≥ 0, the
+    //               q_quality_classifier rule);
+    //   dup_e4    — near-dup rate: docs that are cluster
+    //               NON-representatives in the materialized ≥0.6-Jaccard
+    //               CC relation (q_dedup_canonical's survivor policy);
+    //   head_e4   — share of docs in the CCNet head bucket (ntile(3)
+    //               per lang over lm_score_e4, q_perplexity_bucket's
+    //               cut);
+    //   contam_e4 — decontamination: share of TRAIN docs (doc_id ≥ 20,
+    //               q_decontaminate's eval proxy) sharing ≥1 distinct
+    //               13-gram with the eval set.
+    // Every input is a SHARED kernel (qcScoreE6 / lmScoreFrame /
+    // ccLabelTable / the 13-gram scheme) — this row adds no new
+    // semantics, it proves the signals compose into one manifest, at
+    // rest: the classifier fold is map-only, the CC and LM frames read
+    // materialized corpus tables, and the only new work is doc-keyed
+    // equi-joins + one ~20-group agg. At 100 TB each flag column
+    // already exists as a doc-level table; the manifest is a single
+    // scan-join-agg over them — nothing quadratic, nothing global but
+    // the ≤|sources| sort.
+    QueryDef(
+      "q_source_manifest",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.Shingles.shingles
+        import graft.queries.TextQueries.{lmScoreFrame, qcScoreE6}
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val base = docs.select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          qcScoreE6.as("z"))
+        val lbl = ccLabelTable(s, dir)
+        val dupDocs = lbl
+          .withColumn("rep", min("doc_id")
+            .over(Window.partitionBy("cluster_id")))
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("doc_id"), lit(1L).as("is_dup"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("lm_score_e4").desc, col("doc_id"))
+        val head = lmScoreFrame(s, dir)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"),
+            when(ntile(3).over(w) === 1, 1L).otherwise(0L).as("is_head"))
+        def sh13(df: DataFrame) = df
+          .select(col("doc_id"),
+            explode(shingles(split(col("text"), " "), 13)).as("g"))
+          .select(col("doc_id"), hash60(col("g")).as("h"))
+        val evalH = sh13(docs.filter(col("doc_id") < 20))
+          .select("h").distinct()
+        val contam = sh13(docs.filter(col("doc_id") >= 20))
+          .join(broadcast(evalH), "h")
+          .select("doc_id").distinct()
+          .withColumn("is_contam", lit(1L))
+        base
+          .join(dupDocs, Seq("doc_id"), "left")
+          .join(head, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+            sum(when(col("z") >= 0L, 1L).otherwise(0L)).as("qc_keep"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
+            sum(coalesce(col("is_head"), lit(0L))).as("n_head"),
+            sum(when(col("doc_id") >= 20, 1L).otherwise(0L)).as("n_train"),
+            sum(coalesce(col("is_contam"), lit(0L))).as("n_contam"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            floorDiv(col("qc_keep") * 10000L, col("n_docs")).as("keep_e4"),
+            floorDiv(col("n_dup") * 10000L, col("n_docs")).as("dup_e4"),
+            floorDiv(col("n_head") * 10000L, col("n_docs")).as("head_e4"),
+            floorDiv(col("n_contam") * 10000L,
+              greatest(col("n_train"), lit(1L))).as("contam_e4"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $ShSql,
+             |$JacSql,
+             |$CcSql,
+             |${graft.queries.TextQueries.QcScoreSql},
+             |${graft.queries.TextQueries.NgramLmSql},
+             |mf_base AS (
+             |  SELECT doc_id, source, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |mf_dup AS (
+             |  SELECT doc_id FROM (
+             |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY cluster_id)
+             |      AS rep
+             |    FROM lbl) WHERE doc_id <> rep),
+             |mf_head AS (
+             |  SELECT lm.doc_id,
+             |    CASE WHEN ntile(3) OVER (PARTITION BY b.lang
+             |      ORDER BY lm.lm_score_e4 DESC, lm.doc_id) = 1
+             |      THEN 1 ELSE 0 END AS is_head
+             |  FROM lm JOIN mf_base b ON lm.doc_id = b.doc_id),
+             |mf_g13 AS (
+             |  SELECT doc_id, substring(md5(g), 1, 15) AS h FROM (
+             |    SELECT doc_id, unnest(list_distinct(list_transform(
+             |      range(1, len(string_split(text,' ')) - 11),
+             |      i -> array_to_string(string_split(text,' ')[i:i+12], ' '))))
+             |      AS g
+             |    FROM documents WHERE len(string_split(text,' ')) >= 13)),
+             |mf_ev AS (SELECT DISTINCT h FROM mf_g13 WHERE doc_id < 20),
+             |mf_ct AS (
+             |  SELECT DISTINCT g.doc_id FROM mf_g13 g
+             |  JOIN mf_ev e ON g.h = e.h WHERE g.doc_id >= 20),
+             |mf AS (
+             |  SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(CASE WHEN sc.z >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS qc_keep,
+             |    CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_dup,
+             |    CAST(SUM(h.is_head) AS BIGINT) AS n_head,
+             |    CAST(SUM(CASE WHEN b.doc_id >= 20 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_train,
+             |    CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_contam
+             |  FROM mf_base b
+             |  JOIN sc ON b.doc_id = sc.doc_id
+             |  JOIN mf_head h ON b.doc_id = h.doc_id
+             |  LEFT JOIN mf_dup d ON b.doc_id = d.doc_id
+             |  LEFT JOIN mf_ct c ON b.doc_id = c.doc_id
+             |  GROUP BY 1)
+             |SELECT source, n_docs, n_tokens,
+             |  (qc_keep * 10000) // n_docs AS keep_e4,
+             |  (n_dup * 10000) // n_docs AS dup_e4,
+             |  (n_head * 10000) // n_docs AS head_e4,
+             |  (n_contam * 10000) // GREATEST(n_train, 1) AS contam_e4
+             |FROM mf ORDER BY source""".stripMargin))
   )
 }

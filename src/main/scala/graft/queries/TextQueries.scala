@@ -449,7 +449,7 @@ object TextQueries {
     * seam, same as bpeModel): the two consumers pay the bigram explode
     * + count aggs once and read the doc-level scores at rest after.
     */
-  private def lmScoreFrame(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def lmScoreFrame(s: SparkSession, dir: String): DataFrame = {
     var bgRelease: DataFrame = null
     val out = CorpusTable.materialized(s, dir, "lmscore") {
       import graft.functions.Shingles.shinglesAll
@@ -542,7 +542,7 @@ object TextQueries {
     * q_perplexity_bucket oracles. Ends in
     * `lm(doc_id, n_bigrams, lm_score_e4)`.
     */
-  private val NgramLmSql: String =
+  private[queries] val NgramLmSql: String =
     """t AS (
       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |bg AS (
