@@ -2111,6 +2111,143 @@ object DedupQueries {
              |  (n_dup * 10000) // n_docs AS dup_e4,
              |  (n_head * 10000) // n_docs AS head_e4,
              |  (n_contam * 10000) // GREATEST(n_train, 1) AS contam_e4
-             |FROM mf ORDER BY source""".stripMargin))
+             |FROM mf ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // lake_dedup_index_e2e ★ (new r14) — CROSS-VERSION dedup-index
+    // maintenance: q_dedup_incremental dedups one batch against an
+    // index it (re)derives in-corpus; the production shape is an index
+    // that LIVES IN THE LAKE across corpus versions — a new crawl's
+    // fingerprints probe the at-rest index, then MERGE into it
+    // (LakeOps.upsert), and version 1 is never recomputed. Scenario on
+    // the real documents table (T = the 4/5 cutoff, the
+    // q_dedup_incremental rule):
+    //   1. build v1's per-doc sorted 3-shingle hash sets (doc_id < T)
+    //      and COMMIT them as a partitioned lake table;
+    //   2. v2 arrives (doc_id ≥ T): compute ITS sets only — O(batch) —
+    //      read v1's sets AT REST (require()d: the probe plan's input
+    //      files are the lake table's parquet), PPJoin-probe with
+    //      d2 ≥ T, count batch docs with a ≥0.6-Jaccard match;
+    //   3. MERGE v2's rows + one re-crawled v1 doc into the index
+    //      (copy-on-write upsert keyed on doc_id; the re-crawl
+    //      exercises the UPDATE path — replaced, not duplicated);
+    //   4. parity: the merged at-rest index must be row-for-row
+    //      identical to a from-scratch rebuild (full-outer join on
+    //      doc_id, array-equality on hs; the rebuild is this row's
+    //      VERIFICATION, not the production path).
+    // The index design is what makes cross-version maintenance sound:
+    // sets are sorted by HASH — a version-independent global order —
+    // so each doc's PPJoin prefix is just its first n−⌈t·n⌉+1 at-rest
+    // hashes, lossless for the threshold with NO corpus-wide
+    // df-reranking per merge (df-rank prefixes are a candidate-count
+    // optimization that would drift across versions; hash-rank pays a
+    // few more candidates for an index that merges by pure append/
+    // replace). Partition key pb = doc_id mod 4 — a stable function of
+    // the merge key, the upsert contract — so a merge rewrites only
+    // touched partitions. Exact-Jaccard verify makes the pair relation
+    // identical to the oracle's jac regardless of prefix choice.
+    // At 100 TB: step-2 cost is O(batch + candidates); the index is
+    // corpus-linear at rest; nothing old×old ever re-runs.
+    QueryDef(
+      "lake_dedup_index_e2e",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        import graft.functions.Shingles.shingles
+        import graft.sink.{HiveParquetWriter, LakeOps}
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_dix_")
+        val tableDir = tmpRoot.toString + "/warehouse/jacindex"
+        val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+        try {
+          val docs = Tables(s, dir, "documents")
+          val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+          val t = (4L * (maxId + 1L)) / 5L
+          def setsOf(d: DataFrame): DataFrame = d
+            .select(col("doc_id"),
+              explode(shingles(split(col("text"), " "), 3)).as("sg"))
+            .select(col("doc_id"), hash60(col("sg")).as("h"))
+            .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("hs"))
+            .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+              col("hs"), (col("doc_id") % 4L).cast("string").as("pb"))
+          def withPrefix(sets: DataFrame): DataFrame = sets
+            .withColumn("prefix", slice(col("hs"), lit(1),
+              (col("n") - ceilDiv(col("n") * 6000L, lit(10000L)) + 1L)
+                .cast("int")))
+          val w = new HiveParquetWriter
+          val v1 = setsOf(docs.filter(col("doc_id") < t))
+          val c1 = w.append(v1, Seq("pb"), tableDir)
+          // step 2 — the at-rest probe: v1 sets come off the lake table,
+          // not a recompute (asserted on the actual scan inputs)
+          val atRest = LakeOps.readTable(s, tableDir)
+            .select(col("doc_id"), col("n"), col("hs"))
+          require(atRest.inputFiles.nonEmpty &&
+            atRest.inputFiles.forall(_.contains("jacindex")),
+            "v1 index must be read from the lake table")
+          val batch = setsOf(docs.filter(col("doc_id") >= t))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += batch
+          val nBatch = batch.count()
+          val union = withPrefix(
+            atRest.unionByName(batch.select("doc_id", "n", "hs")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += union
+          union.count()
+          val nDrop = pairsFromSets(union, 6000L, probeMinD2 = Some(t))
+            .select("d2").distinct().count()
+          // step 3 — merge: the batch plus one re-crawled v1 doc (its
+          // lowest id with a set) through the copy-on-write upsert
+          val recrawlId = v1.agg(min("doc_id")).collect()(0).getLong(0)
+          LakeOps.upsert(s, tableDir,
+            batch.unionByName(setsOf(docs.filter(col("doc_id") === recrawlId))),
+            Seq("doc_id"), Seq("pb"))
+          // step 4 — parity vs a from-scratch rebuild
+          val merged = LakeOps.readTable(s, tableDir)
+            .select(col("doc_id"), col("hs"))
+          val fresh = setsOf(docs).select(col("doc_id"), col("hs").as("hs2"))
+          val nMerged = merged.count()
+          val mism = merged.join(fresh, Seq("doc_id"), "full_outer")
+            .filter(col("hs").isNull || col("hs2").isNull ||
+              not(col("hs") === col("hs2")))
+            .count()
+          Seq(
+            (1L, "1_index_v1", c1.rows, c1.rows),
+            (2L, "2_dedup_batch", nBatch, nDrop),
+            (3L, "3_merge_v2", nMerged, nBatch + 1L),
+            (4L, "4_parity", nMerged, mism))
+            .toDF("step", "op", "n_rows", "n_aux")
+            .orderBy("step")
+        } finally {
+          persisted.foreach(_.unpersist(blocking = false))
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmpRoot)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: Exception => () })
+        }
+      },
+      Some(s"""WITH $ShSql,
+             |$JacSql,
+             |tt AS (SELECT (4*(MAX(doc_id)+1))//5 AS t FROM documents),
+             |ix AS (
+             |  SELECT doc_id FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |nv1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ix, tt
+             |        WHERE doc_id < tt.t),
+             |nv2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ix, tt
+             |        WHERE doc_id >= tt.t),
+             |nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ix),
+             |nd AS (
+             |  SELECT CAST(COUNT(DISTINCT d2) AS BIGINT) AS n FROM jac, tt
+             |  WHERE jac_e4 >= 6000 AND d2 >= tt.t)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS step, '1_index_v1' AS op,
+             |    nv1.n AS n_rows, nv1.n AS n_aux FROM nv1
+             |  UNION ALL
+             |  SELECT 2, '2_dedup_batch', nv2.n, nd.n FROM nv2, nd
+             |  UNION ALL
+             |  SELECT 3, '3_merge_v2', nall.n, nv2.n + 1 FROM nall, nv2
+             |  UNION ALL
+             |  SELECT 4, '4_parity', nall.n, 0 FROM nall)
+             |ORDER BY step""".stripMargin))
   )
 }
