@@ -137,7 +137,11 @@ object PlanAudit {
     // eval-suite shingles: the decontamination contract is an
     // asymmetric probe — the eval side is a BENCHMARK (KBs–MBs,
     // doc_id < 20 here), never the corpus; see the query's scaladoc
-    "q_decontaminate" -> 1)
+    "q_decontaminate" -> 1,
+    // the manifest's contamination leg reuses the q_decontaminate
+    // shape: the broadcast side is the eval set's distinct 13-gram
+    // hashes (benchmark-sized by contract), never the corpus
+    "q_source_manifest" -> 1)
 
   /** One sweep finding: query, flag, whether it's in [[documented]]. */
   final case class Finding(query: String, flag: String, documented: Boolean)

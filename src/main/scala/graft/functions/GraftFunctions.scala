@@ -25,6 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT graft_normalize_text(text)                  -- canonicalize (r12)
   * SELECT graft_bpe_apply(toks, 'a', 'b')             -- one BPE merge (r12)
   * SELECT graft_log2e20(n)                            -- exact fixed-point log2 (r13)
+ * SELECT graft_unigram_viterbi(w, ps, ss)            -- unigram Viterbi seg (r14)
   * }}}
   *
   * Two registration paths sharing ONE builder list:
@@ -71,7 +72,8 @@ object GraftFunctions {
     "graft_bpe_apply" -> (es =>
       BpeApply(es.head, strLit(es(1), "merge pair left"),
         strLit(es(2), "merge pair right"))),
-    "graft_log2e20" -> (es => ExactMath.Log2E20Expr(es.head)))
+    "graft_log2e20" -> (es => ExactMath.Log2E20Expr(es.head)),
+    "graft_unigram_viterbi" -> (es => UnigramViterbi(es(0), es(1), es(2))))
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftFunctions.type].getName, name)

@@ -439,6 +439,213 @@ object TextQueries {
         coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"))
   }
 
+  // ---------------------------------------------------------------
+  // Unigram-LM (SentencePiece) tokenizer trainer — the other tokenizer
+  // family next to BPE (Kudo 2018, with the hard-EM/Viterbi E-step).
+  // ---------------------------------------------------------------
+
+  /** EM rounds for q_unigram_train: round r's Viterbi runs under the
+    * counts round r−1 produced, so ≥2 exercises re-estimated scores
+    * feeding a later segmentation. */
+  private[graft] val UnigramRounds = 2
+
+  /** Max trainable word length (SentencePiece's own cap); longer words
+    * are excluded from training and char-fallback at encode. */
+  private[queries] val UnigramMaxWord = 16
+
+  /** Training-run counter, test-observable (the bpeTrainRuns pattern):
+    * q_unigram_train AND q_unigram_encode on one corpus train at most
+    * once through the [[unigramModel]] materialization. */
+  private[graft] val unigramTrainRuns =
+    new java.util.concurrent.atomic.AtomicInteger
+
+  /** Shared unigram trainer core: hard-EM (Viterbi E-step) over the
+    * corpus-compressed word-frequency table. Seed vocabulary = every
+    * substring of length ≤ 4 of every (≤ 16-char) word; counts are
+    * Laplace-smoothed over the seed domain (cnt = 1 + uses) so the
+    * vocabulary never collapses and every position stays reachable
+    * (single chars always present — the [[graft.functions.UnigramViterbi]]
+    * segmentability contract). Each of [[UnigramRounds]] driver-
+    * orchestrated rounds: integer scores L(cnt) − L(C) (exact Q30
+    * log2e20; total C is a 1-row driver fetch), one vocabulary-sized
+    * join building each word's aligned (piece, score) arrays, the
+    * codegen'd Viterbi kernel, then a piece-count agg. EVERYTHING is
+    * statistics-sized — the corpus is touched once for word
+    * frequencies; at 100 TB each round is an agg over a vocab-sized
+    * frame, the bpeTrainCore argument verbatim. Returns the final
+    * (p, cnt) model counts and the final (w, wf, seg) segmentation,
+    * both persisted for the caller to release.
+    */
+  private def unigramTrainCore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    unigramTrainRuns.incrementAndGet()
+    import graft.functions.UnigramViterbi.unigramViterbi
+    import graft.functions.ExactMath.log2e20
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wfu = Tables(s, dir, "documents")
+      .select(explode(toks).as("w"))
+      .filter(length(col("w")) <= UnigramMaxWord)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .persist(mem)
+    wfu.count()
+    // seed occurrences WITH multiplicity: one row per (word, start, len)
+    val occ = wfu.select(col("w"), col("wf"), explode(expr(
+      "flatten(transform(sequence(1, length(w)), a -> " +
+        "transform(sequence(1, least(4, length(w) - a + 1)), " +
+        "k -> substring(w, a, k))))")).as("p"))
+    val seedWP = occ.select("w", "p").distinct().persist(mem)
+    seedWP.count()
+    var cnt = occ.groupBy("p").agg((sum("wf") + lit(1L)).as("cnt"))
+      .persist(mem)
+    cnt.count()
+    var seg: DataFrame = null
+    var r = 1
+    while (r <= UnigramRounds) {
+      val totC = cnt.agg(sum("cnt")).collect()(0).getLong(0)
+      require(totC < (1L << 33),
+        s"unigram train: total count $totC exceeds the log2e20 domain")
+      val lTot = graft.multimodal.Multimodal.log2e20(totC)
+      val sc = cnt.select(col("p"), (log2e20(col("cnt")) - lit(lTot)).as("s"))
+      val wp = seedWP.join(sc, "p")
+        .groupBy("w").agg(collect_list(struct(col("p"), col("s"))).as("ps"))
+      val segR = wfu.join(wp, "w")
+        .select(col("w"), col("wf"),
+          unigramViterbi(col("w"), expr("transform(ps, x -> x.p)"),
+            expr("transform(ps, x -> x.s)")).as("seg"))
+        .persist(mem)
+      segR.count()
+      val uses = segR.select(col("wf"), explode(col("seg")).as("p"))
+        .groupBy("p").agg(sum("wf").as("u"))
+      val next = seedWP.select("p").distinct()
+        .join(uses, Seq("p"), "left")
+        .select(col("p"), (coalesce(col("u"), lit(0L)) + lit(1L)).as("cnt"))
+        .persist(mem)
+      next.count()
+      cnt.unpersist()
+      if (seg != null) seg.unpersist()
+      cnt = next
+      seg = segR
+      r += 1
+    }
+    wfu.unpersist()
+    seedWP.unpersist()
+    (cnt, seg)
+  }
+
+  /** The trained unigram model, MATERIALIZED once per corpus through
+    * the [[CorpusTable]] seam (the bpeModel pattern, including the
+    * one-table/one-atomic-install argument): kind='p' rows carry the
+    * final Laplace counts (p, cnt), kind='s' rows the final per-word
+    * Viterbi segmentation (w, wf, seg). Shared by q_unigram_train and
+    * q_unigram_encode — encode is a vocabulary-sized join against the
+    * at-rest segmentation, never a re-train.
+    */
+  private def unigramModel(s: SparkSession, dir: String): DataFrame = {
+    var release: Seq[DataFrame] = Seq.empty
+    val model = CorpusTable.materialized(s, dir, "unigrammodel") {
+      val (cnt, seg) = unigramTrainCore(s, dir)
+      release = Seq(cnt, seg)
+      val p = cnt.select(lit("p").as("kind"), col("p"), col("cnt"),
+        lit(null).cast("string").as("w"), lit(null).cast("long").as("wf"),
+        lit(null).cast("array<string>").as("seg"))
+      val v = seg.select(lit("s").as("kind"),
+        lit(null).cast("string").as("p"), lit(null).cast("long").as("cnt"),
+        col("w"), col("wf"), col("seg"))
+      p.unionByName(v)
+    }
+    release.foreach(_.unpersist())
+    model
+  }
+
+  /** One EM round of the unigram oracle as generated CTEs (the
+    * BpeTrainSql rule — round logic exists once): the Log2Sql score
+    * recurrence over round r−1's counts, the per-(word, end-position)
+    * candidate-score pivot `ucs` (s1..s4 = scores of the ≤4 pieces
+    * ending at j), the forward Viterbi DP as a recursive CTE carrying
+    * the LAST FOUR dp values as columns (one self-reference, no
+    * aggregation — dp[j+1] = GREATEST of the four carried options,
+    * sentinel-coalesced; the CASE ladder checks k ascending so
+    * equal-value ties keep the smallest k, the
+    * [[graft.functions.UnigramViterbi]] rule verbatim), the backtrace
+    * walk `uwb` (j → j − bk[j], emitting the piece that ends at j),
+    * and the re-estimated Laplace counts. MATERIALIZED hints are
+    * load-bearing: without them DuckDB re-inlines the round chain per
+    * consumer (measured 56 s → 0.13 s at sf0.001).
+    */
+  private def unigramRoundCte(r: Int): String = {
+    val prev = r - 1
+    val neg = "-4611686018427387904"
+    def t(k: Int) = s"COALESCE(d.v${k - 1} + c.s$k, $neg)"
+    val g = s"GREATEST(${t(1)}, ${t(2)}, ${t(3)}, ${t(4)})"
+    s"""domu$r AS (SELECT DISTINCT v FROM (
+       |  SELECT cnt AS v FROM ucnt$prev
+       |  UNION ALL SELECT CAST(SUM(cnt) AS BIGINT) FROM ucnt$prev)),
+       |${Log2Sql.cte(s"u$r")},
+       |utot$r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS c FROM ucnt$prev),
+       |usc$r AS MATERIALIZED (
+       |  SELECT cc.p, lc.l - lt.l AS s
+       |  FROM ucnt$prev cc
+       |  JOIN lgu$r lc ON lc.v = cc.cnt
+       |  CROSS JOIN utot$r ut
+       |  JOIN lgu$r lt ON lt.v = ut.c),
+       |ucs$r AS MATERIALIZED (
+       |  SELECT o.w, o.a + o.k - 1 AS j,
+       |    MAX(CASE WHEN o.k = 1 THEN sc.s END) AS s1,
+       |    MAX(CASE WHEN o.k = 2 THEN sc.s END) AS s2,
+       |    MAX(CASE WHEN o.k = 3 THEN sc.s END) AS s3,
+       |    MAX(CASE WHEN o.k = 4 THEN sc.s END) AS s4
+       |  FROM (SELECT DISTINCT w, a, k, p FROM uocc) o
+       |  JOIN usc$r sc ON sc.p = o.p
+       |  GROUP BY 1, 2),
+       |udp$r(w, j, v0, v1, v2, v3, bk) AS (
+       |  SELECT w, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 0 FROM uwf
+       |  UNION ALL
+       |  SELECT d.w, d.j + 1, $g, d.v0, d.v1, d.v2,
+       |    CASE WHEN ${t(1)} = $g THEN 1
+       |         WHEN ${t(2)} = $g THEN 2
+       |         WHEN ${t(3)} = $g THEN 3
+       |         ELSE 4 END
+       |  FROM udp$r d JOIN ucs$r c ON c.w = d.w AND c.j = d.j + 1
+       |  WHERE d.j < length(d.w)),
+       |uwb$r(w, j, p) AS (
+       |  SELECT w, CAST(length(w) AS INTEGER), CAST(NULL AS VARCHAR) FROM uwf
+       |  UNION ALL
+       |  SELECT b.w, b.j - d.bk, substring(b.w, b.j - d.bk + 1, d.bk)
+       |  FROM uwb$r b JOIN udp$r d ON d.w = b.w AND d.j = b.j
+       |  WHERE b.j > 0),
+       |uuse$r AS MATERIALIZED (
+       |  SELECT b.p, CAST(SUM(f.wf) AS BIGINT) AS u
+       |  FROM uwb$r b JOIN uwf f ON f.w = b.w
+       |  WHERE b.p IS NOT NULL GROUP BY 1),
+       |ucnt$r AS MATERIALIZED (
+       |  SELECT sd.p, COALESCE(u.u, 0) + 1 AS cnt
+       |  FROM (SELECT DISTINCT p FROM uocc) sd
+       |  LEFT JOIN uuse$r u ON u.p = sd.p)""".stripMargin
+  }
+
+  /** Shared WITH-prefix of the two unigram oracles: word frequencies,
+    * positional substring occurrences, Laplace seed counts, and
+    * [[UnigramRounds]] generated round chains. Callers open with
+    * `WITH RECURSIVE` and read `ucnt$UnigramRounds` (final counts) /
+    * `uwb$UnigramRounds` (final segmentation walk).
+    */
+  private lazy val UnigramRoundsSql: String =
+    s"""uwf AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) <= $UnigramMaxWord GROUP BY w),
+       |ua AS (SELECT w, wf, unnest(range(1, length(w) + 1)) AS a FROM uwf),
+       |uocc AS MATERIALIZED (
+       |  SELECT w, wf, a, k,
+       |    substring(w, CAST(a AS INTEGER), CAST(k AS INTEGER)) AS p
+       |  FROM (SELECT w, wf, a,
+       |          unnest(range(1, least(4, length(w) - a + 1) + 1)) AS k
+       |        FROM ua)),
+       |ucnt0 AS MATERIALIZED (
+       |  SELECT p, CAST(SUM(wf) + 1 AS BIGINT) AS cnt FROM uocc GROUP BY 1),
+       |${(1 to UnigramRounds).map(unigramRoundCte).mkString(",\n")}""".stripMargin
+
   /** Per-document bigram-predictability frame (doc_id, n_bigrams,
     * lm_score_e4) — the KenLM-style LM signal shared by q_ngram_lm
     * (declared per-doc scores) and q_perplexity_bucket (the CCNet
@@ -1490,6 +1697,98 @@ object TextQueries {
               |  (CAST(SUM(n_chars) AS BIGINT) * 10000) //
               |    GREATEST(CAST(SUM(n_sub) AS BIGINT), 1) AS chars_per_sub_e4
               |FROM enc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_unigram_train ★ (new r14) — the unigram-LM (SentencePiece)
+    // tokenizer trainer, the OTHER tokenizer family a data pipeline
+    // meets next to BPE (Kudo 2018; hard-EM with the Viterbi E-step):
+    // seed vocabulary = every ≤4-char substring of every word, Laplace
+    // counts, then [[UnigramRounds]] EM rounds of (integer log₂ scores
+    // → per-word Viterbi segmentation → re-estimated counts). Where
+    // BPE grows a vocabulary bottom-up by merges, unigram starts from
+    // an overcomplete seed and lets EM concentrate mass on useful
+    // pieces — the trainer publishes the count table and the final
+    // segmentation as one materialized model ([[unigramModel]]).
+    // Declared output: the top-32 pieces by final count (cnt DESC,
+    // piece ASC — deterministic) with the number of distinct words
+    // whose final segmentation uses them. All exact integers: scores
+    // are Q30 log2e20 differences, so the oracle's recursive-CTE DP
+    // reproduces every dp value bit-for-bit.
+    // Scale: everything after the one corpus pass (word frequencies)
+    // is VOCABULARY-sized — seed ≤ 64·|vocab| rows, per-round work is
+    // a vocab join + the codegen'd per-word DP kernel + a piece agg;
+    // the bpeTrainCore argument verbatim. Counts stay under the
+    // log2e20 2³³ domain through gen-sf10 (require()d at train time).
+    QueryDef(
+      "q_unigram_train",
+      (s: SparkSession, dir: String) => {
+        val model = unigramModel(s, dir)
+        val nWords = model.filter(col("kind") === "s")
+          .select(col("w"), explode(col("seg")).as("p"))
+          .distinct()
+          .groupBy("p").agg(count(lit(1)).as("n_words"))
+        model.filter(col("kind") === "p")
+          .select(col("p"), col("cnt"))
+          .join(nWords, Seq("p"), "left")
+          .select(col("p").as("piece"), col("cnt"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"))
+          .orderBy(col("cnt").desc, col("piece"))
+          .limit(32)
+      },
+      Some(s"""WITH RECURSIVE $UnigramRoundsSql,
+              |unw AS (SELECT p, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+              |        FROM uwb$UnigramRounds WHERE p IS NOT NULL GROUP BY 1)
+              |SELECT c.p AS piece, CAST(c.cnt AS BIGINT) AS cnt,
+              |  COALESCE(unw.n_words, 0) AS n_words
+              |FROM ucnt$UnigramRounds c LEFT JOIN unw ON unw.p = c.p
+              |ORDER BY cnt DESC, piece LIMIT 32""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_unigram_encode ★ (new r14) — corpus encode against the trained
+    // unigram model: the per-word segmentation is published BY the
+    // model (kind='s' rows of the materialized [[unigramModel]] — one
+    // training run per corpus ever, the bpeModel seam), so encoding is
+    // ONE vocabulary-sized left join on the exploded token stream —
+    // broadcastable at 100 TB, no per-document DP. Words longer than
+    // [[UnigramMaxWord]] fall back to character segmentation
+    // (SentencePiece's own cap), counted per doc. Declared output is
+    // the per-doc encode budget (words, pieces, fallbacks,
+    // fertility_e4) — the q_bpe_encode shape on the second tokenizer
+    // family, so the two are directly comparable row-for-row.
+    QueryDef(
+      "q_unigram_encode",
+      (s: SparkSession, dir: String) => {
+        val vocab = unigramModel(s, dir).filter(col("kind") === "s")
+          .select(col("w"), size(col("seg")).cast("long").as("n_sub"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("w"))
+          .join(vocab, Seq("w"), "left")
+          .select(col("doc_id"),
+            when(col("n_sub").isNull, 1L).otherwise(0L).as("fallback"),
+            coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_pieces"),
+            sum("fallback").as("n_fallback"))
+          .withColumn("fertility_e4",
+            floorDivL(col("n_pieces") * 10000L, col("n_words")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $UnigramRoundsSql,
+              |usegn AS MATERIALIZED (
+              |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub
+              |  FROM uwb$UnigramRounds WHERE p IS NOT NULL GROUP BY 1),
+              |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |        FROM documents),
+              |enc AS (
+              |  SELECT tok.doc_id,
+              |    CASE WHEN u.n_sub IS NULL THEN 1 ELSE 0 END AS fallback,
+              |    COALESCE(u.n_sub, length(tok.w)) AS n_sub
+              |  FROM tok LEFT JOIN usegn u ON tok.w = u.w)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+              |  CAST(SUM(n_sub) AS BIGINT) AS n_pieces,
+              |  CAST(SUM(fallback) AS BIGINT) AS n_fallback,
+              |  (CAST(SUM(n_sub) AS BIGINT) * 10000) // COUNT(*) AS fertility_e4
+              |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_quality_classifier ★ (new r13) — LEARNED quality filtering, the

@@ -543,6 +543,24 @@ class SqlFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_unigram_viterbi in SQL matches the API (r14)") {
+    val rows = Seq(("abab", Seq("a", "b", "ab"), Seq(-5L, -5L, -3L)),
+      ("aaa", Seq("a", "aa", "aaa"), Seq(-2L, -3L, -9L)))
+    rows.toDF("w", "ps", "ss").createOrReplaceTempView("uv_sql")
+    val sql = spark.sql(
+      "SELECT graft_unigram_viterbi(w, ps, ss) FROM uv_sql")
+      .as[Seq[String]].collect().toSeq
+    val api = rows.toDF("w", "ps", "ss")
+      .select(graft.functions.UnigramViterbi
+        .unigramViterbi(col("w"), col("ps"), col("ss")))
+      .as[Seq[String]].collect().toSeq
+    assert(sql == api)
+    assert(sql(0) == Seq("ab", "ab"))
+    // dp[2] = -3 (aa); dp[3]: k=1 gives -5, k=2 (dp[1]+aa) also -5 —
+    // the smallest-k tie rule keeps k=1 -> backtrace ["aa","a"]
+    assert(sql(1) == Seq("aa", "a"))
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

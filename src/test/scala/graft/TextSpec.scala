@@ -808,4 +808,95 @@ class TextSpec extends SparkSpec {
     // ...and both KL columns are live non-negative measurements
     assert(wantEval._4 >= 0L && wantEval._5 >= 0L)
   }
+
+  test("q_unigram_train/encode == plain-Scala hard-EM unigram trainer (r14)") {
+    import graft.multimodal.Multimodal.log2e20
+    val runsBefore = graft.queries.TextQueries.unigramTrainRuns.get()
+    val wf: Map[String, Long] = docs
+      .flatMap(_._2.split(" ", -1)).filter(_.length <= 16)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    // seed: every <=4-char substring with multiplicity, Laplace +1
+    var cnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- wf; a <- 0 until w.length;
+         k <- 1 to math.min(4, w.length - a))
+      cnt.updateWith(w.substring(a, a + k))(o => Some(o.getOrElse(0L) + f))
+    val seed = cnt.keySet.toSet
+    cnt = cnt.map { case (p, c) => p -> (c + 1L) }.to(scala.collection.mutable.Map)
+    def viterbi(w: String, sc: Map[String, Long]): Seq[String] = {
+      val n = w.length
+      val dp = Array.fill[Option[Long]](n + 1)(None); dp(0) = Some(0L)
+      val bk = Array.fill(n + 1)(0)
+      for (j <- 1 to n; k <- 1 to math.min(4, j)) {
+        (sc.get(w.substring(j - k, j)), dp(j - k)) match {
+          case (Some(s), Some(v)) if dp(j).forall(v + s > _) =>
+            dp(j) = Some(v + s); bk(j) = k
+          case _ =>
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = n
+      while (p > 0) { out.prepend(w.substring(p - bk(p), p)); p -= bk(p) }
+      out.toSeq
+    }
+    var seg = Map.empty[String, Seq[String]]
+    for (_ <- 1 to graft.queries.TextQueries.UnigramRounds) {
+      val c = cnt.values.sum
+      val lC = log2e20(c)
+      val sc = cnt.map { case (p, v) => p -> (log2e20(v) - lC) }.toMap
+      seg = wf.keys.map(w => w -> viterbi(w, sc)).toMap
+      val uses = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- wf; p <- seg(w))
+        uses.updateWith(p)(o => Some(o.getOrElse(0L) + f))
+      cnt = seed.map(p => p -> (uses.getOrElse(p, 0L) + 1L))
+        .to(scala.collection.mutable.Map)
+    }
+    val nWords = seg.toSeq.flatMap { case (w, ps) => ps.distinct.map(_ -> w) }
+      .groupBy(_._1).map { case (p, o) => p -> o.size.toLong }
+    val want = cnt.toSeq.map { case (p, c) =>
+      (p, c, nWords.getOrElse(p, 0L)) }
+      .sortBy { case (p, c, _) => (-c, p) }.take(32)
+    val got = SparkEntry.queries("q_unigram_train")(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+    // EM concentrated mass: multi-char pieces are live units in the
+    // top-32 (used by at least one word's final segmentation)
+    assert(got.exists(r => r._1.length > 1 && r._3 > 0))
+
+    // q_unigram_encode against the SAME final segmentation
+    val segSize = seg.map { case (w, ps) => w -> ps.size.toLong }
+    val wantEnc = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val np = ws.map(w => segSize.getOrElse(w, w.length.toLong)).sum
+      val nf = ws.count(w => !segSize.contains(w)).toLong
+      (id, ws.length.toLong, np, nf, np * 10000L / ws.length)
+    }.sortBy(_._1)
+    val gotEnc = SparkEntry.queries("q_unigram_encode")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotEnc == wantEnc)
+    // fertility strictly better than character segmentation somewhere
+    assert(gotEnc.exists(r => r._3 < docs.toMap.apply(r._1).replace(" ", "").length))
+    // the model is materialized per corpus: train + encode above shared
+    // at most ONE training run (0 if already installed)
+    val runsAfter = graft.queries.TextQueries.unigramTrainRuns.get()
+    assert(runsAfter - runsBefore <= 1,
+      s"unigramTrainCore ran ${runsAfter - runsBefore}x for train+encode")
+  }
+
+  test("UnigramViterbi kernel: smallest-k tie rule, unreachable throws (r14)") {
+    import graft.functions.UnigramViterbi.unigramViterbi
+    def seg(w: String, m: Seq[(String, Long)]): Seq[String] =
+      Seq((w, m.map(_._1), m.map(_._2)))
+        .toDF("w", "ps", "ss")
+        .select(unigramViterbi(col("w"), col("ps"), col("ss")))
+        .as[Seq[String]].collect().head
+    // equal-score alternatives: ("ab")(-2) vs ("a")(-1)+("b")(-1) tie at
+    // -2 -> smallest k wins at every position -> chars
+    assert(seg("ab", Seq("a" -> -1L, "b" -> -1L, "ab" -> -2L)) == Seq("a", "b"))
+    // strictly better big piece wins
+    assert(seg("ab", Seq("a" -> -3L, "b" -> -3L, "ab" -> -2L)) == Seq("ab"))
+    // missing single char -> unreachable -> loud failure
+    val ex = intercept[Exception] { seg("ax", Seq("a" -> -1L)) }
+    assert((Option(ex.getMessage) ++ Option(ex.getCause).map(_.getMessage))
+      .exists(_.contains("unreachable")))
+  }
 }
