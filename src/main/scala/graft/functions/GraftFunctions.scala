@@ -26,6 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT graft_bpe_apply(toks, 'a', 'b')             -- one BPE merge (r12)
   * SELECT graft_log2e20(n)                            -- exact fixed-point log2 (r13)
  * SELECT graft_unigram_viterbi(w, ps, ss)            -- unigram Viterbi seg (r14)
+  * SELECT graft_wp_merge(toks, 'a', '##b', 'ab')      -- one WordPiece merge (r14)
+  * SELECT graft_wp_match(w, pieces)                   -- WordPiece longest-match (r14)
   * }}}
   *
   * Two registration paths sharing ONE builder list:
@@ -73,7 +75,11 @@ object GraftFunctions {
       BpeApply(es.head, strLit(es(1), "merge pair left"),
         strLit(es(2), "merge pair right"))),
     "graft_log2e20" -> (es => ExactMath.Log2E20Expr(es.head)),
-    "graft_unigram_viterbi" -> (es => UnigramViterbi(es(0), es(1), es(2))))
+    "graft_unigram_viterbi" -> (es => UnigramViterbi(es(0), es(1), es(2))),
+    "graft_wp_merge" -> (es =>
+      WordPieceOps.WordPieceMergeApply(es.head, strLit(es(1), "merge pair left"),
+        strLit(es(2), "merge pair right"), strLit(es(3), "merged token"))),
+    "graft_wp_match" -> (es => WordPieceOps.WordPieceMatch(es(0), es(1))))
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftFunctions.type].getName, name)

@@ -646,6 +646,272 @@ object TextQueries {
        |  SELECT p, CAST(SUM(wf) + 1 AS BIGINT) AS cnt FROM uocc GROUP BY 1),
        |${(1 to UnigramRounds).map(unigramRoundCte).mkString(",\n")}""".stripMargin
 
+  // ---------------------------------------------------------------
+  // WordPiece tokenizer trainer + longest-match encode — the THIRD
+  // tokenizer family next to BPE and unigram-LM (Schuster & Nakajima
+  // 2012; the BERT tokenizer). Kernels in
+  // [[graft.functions.WordPieceOps]].
+  // ---------------------------------------------------------------
+
+  /** Merge rounds for q_wordpiece_train — matches [[BpeTrainRounds]]
+    * so the two merge-based families are directly comparable. */
+  private[graft] val WordPieceRounds = 5
+
+  /** US (chr(31)): the pair/segmentation separator — below every
+    * printable byte and absent from token text, so single-string
+    * order IS tuple order (the BPE rule restated). */
+  private val US = ""
+
+  /** Training-run counter, test-observable (the bpeTrainRuns pattern):
+    * q_wordpiece_train AND q_wordpiece_encode on one corpus train at
+    * most once through the [[wordPieceModel]] materialization. */
+  private[graft] val wordPieceTrainRuns =
+    new java.util.concurrent.atomic.AtomicInteger
+
+  /** Shared WordPiece trainer core: [[WordPieceRounds]] driver-
+    * orchestrated rounds over the corpus-compressed word-frequency
+    * table (the bpeTrainCore argument verbatim — the corpus is read
+    * once; every round is vocabulary-sized). Initial segmentation is
+    * BERT's: first character bare, every later character
+    * `##`-prefixed. Each round merges the adjacent pair maximizing
+    * LIKELIHOOD GAIN count(t1 t2) / (count(t1) · count(t2)) — the
+    * WordPiece objective, vs BPE's raw pair count — applied greedily
+    * left-to-right by the codegen'd
+    * [[graft.functions.WordPieceOps.WordPieceMergeApply]] (merged
+    * token = t1 ++ t2 minus t2's `##`).
+    *
+    * The score is the IEEE-754 double n / (na · nb): the operands are
+    * exact (counts ≪ 2^53) and double multiply/divide are CORRECTLY
+    * ROUNDED per IEEE-754, so the sort key is bit-identical in the
+    * JVM and DuckDB; ties (identical doubles) break on the
+    * US-joined pair string — deterministic in both engines. The
+    * argmax fetch is ONE model row per round (bounded driver data,
+    * the q_pagerank3 pattern).
+    *
+    * Returns the merge table rows (round, t1, t2, merged, n, na, nb),
+    * the FINAL segmentation (w, wf, toks), and the initial alphabet
+    * (distinct s0 pieces) — the last two persisted for the caller
+    * ([[wordPieceModel]] releases them once the model is written).
+    */
+  private def wordPieceTrainCore(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long, Long, Long)], DataFrame, DataFrame) = {
+    wordPieceTrainRuns.incrementAndGet()
+    import graft.functions.WordPieceOps.wpMerge
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words = Tables(s, dir, "documents")
+      .select(explode(toks).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    var seg = words.select(col("w"), col("wf"),
+      expr("transform(sequence(1, length(w)), i -> " +
+        "IF(i = 1, substring(w, i, 1), concat('##', substring(w, i, 1))))")
+        .as("toks"))
+      .persist(mem)
+    seg.count()
+    val alphabet = seg.select(explode(col("toks")).as("p")).distinct()
+      .persist(mem)
+    alphabet.count()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= WordPieceRounds && !exhausted) {
+      val tc = seg.select(col("wf"), explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(sum("wf").as("n"))
+      // sequence(1, n) DESCENDS for n < 1 (the q_bpe_pairs trap):
+      // fully-merged single-token words must not reach the explode
+      val top = seg.filter(size(col("toks")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(toks[i-1], chr(31), toks[i]))")).as("pair"))
+        .groupBy("pair").agg(sum("wf").as("n"))
+        .withColumn("t1", substring_index(col("pair"), US, 1))
+        .withColumn("t2", substring_index(col("pair"), US, -1))
+        .join(tc.select(col("tok").as("t1"), col("n").as("na")), "t1")
+        .join(tc.select(col("tok").as("t2"), col("n").as("nb")), "t2")
+        .withColumn("score", col("n").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")))
+        .orderBy(desc("score"), asc("pair")).limit(1)
+        .select("t1", "t2", "n", "na", "nb")
+        .collect() // 1 model row per round — bounded driver data
+      if (top.isEmpty) exhausted = true // vocabulary fully merged
+      else {
+        val (t1, t2) = (top(0).getString(0), top(0).getString(1))
+        val merged = t1 + t2.stripPrefix("##")
+        merges += ((r.toLong, t1, t2, merged,
+          top(0).getLong(2), top(0).getLong(3), top(0).getLong(4)))
+        val next = seg.select(col("w"), col("wf"),
+          wpMerge(col("toks"), t1, t2, merged).as("toks"))
+          .persist(mem)
+        next.count() // materialize BEFORE releasing the parent
+        seg.unpersist()
+        seg = next
+        r += 1
+      }
+    }
+    (merges.toSeq, seg, alphabet)
+  }
+
+  /** The trained WordPiece model, MATERIALIZED once per corpus through
+    * the [[CorpusTable]] seam (the bpeModel pattern, including the
+    * one-table/one-atomic-install argument): kind='m' rows the merge
+    * table (round, t1, t2, merged, n, na, nb), kind='s' rows the
+    * final training segmentation (w, wf, toks), kind='v' rows the
+    * SHIPPED VOCABULARY — initial alphabet ∪ merged tokens, the piece
+    * set BERT's runtime loads (a seed piece fully merged away
+    * everywhere still ships; longest-match may use it).
+    */
+  private def wordPieceModel(s: SparkSession, dir: String): DataFrame = {
+    var release: Seq[DataFrame] = Seq.empty
+    val model = CorpusTable.materialized(s, dir, "wpmodel") {
+      val (merges, seg, alphabet) = wordPieceTrainCore(s, dir)
+      release = Seq(seg, alphabet)
+      import s.implicits._
+      def nulls(cs: (String, String)*) =
+        cs.map { case (n, t) => lit(null).cast(t).as(n) }
+      val mDf = merges.toDF("round", "t1", "t2", "merged", "n", "na", "nb")
+      val m = mDf.select(
+        (lit("m").as("kind") +: Seq("round", "t1", "t2", "merged", "n",
+          "na", "nb").map(col)) ++
+          nulls("w" -> "string", "wf" -> "long", "toks" -> "array<string>",
+            "p" -> "string"): _*)
+      val v = seg.select(
+        (lit("s").as("kind") +: nulls("round" -> "long", "t1" -> "string",
+          "t2" -> "string", "merged" -> "string", "n" -> "long",
+          "na" -> "long", "nb" -> "long")) ++
+          Seq(col("w"), col("wf"), col("toks")) :+
+          lit(null).cast("string").as("p"): _*)
+      val vocab = alphabet.select(col("p"))
+        .union(mDf.select(col("merged").as("p")))
+        .distinct()
+        .select(
+          (lit("v").as("kind") +: nulls("round" -> "long", "t1" -> "string",
+            "t2" -> "string", "merged" -> "string", "n" -> "long",
+            "na" -> "long", "nb" -> "long", "w" -> "string", "wf" -> "long",
+            "toks" -> "array<string>")) :+ col("p"): _*)
+      m.unionByName(v).unionByName(vocab)
+    }
+    release.foreach(_.unpersist())
+    model
+  }
+
+  /** Per-word longest-match encode frame (w, n_pieces, unk, diverged)
+    * against the at-rest [[wordPieceModel]] vocabulary — greedy
+    * longest-match-first, BERT's actual runtime algorithm
+    * ([[graft.functions.WordPieceOps.WordPieceMatch]]), which is NOT a
+    * replay of the merges: `diverged` marks trained words whose
+    * longest-match segmentation differs from their training
+    * segmentation (a real, observable property of WordPiece).
+    * Everything is WORD-VOCABULARY-sized: distinct words → candidate
+    * substring pieces (lengths capped by the vocabulary's max piece
+    * length — one model-sized driver fetch) → vocab equi-join → the
+    * per-word kernel; the corpus token stream then joins this frame
+    * once (broadcastable at 100 TB).
+    */
+  private def wordPieceEncoded(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WordPieceOps.{wpMatch, Unk}
+    val model = wordPieceModel(s, dir)
+    val vocab = model.filter(col("kind") === "v").select(col("p"))
+    val maxL = vocab.agg(max(length(col("p")))).collect()(0).getInt(0)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persisted: feeds both the candidate explode and the final join
+    // (the PERF_NOTES multi-consumer rule); Bench's per-query
+    // clearCache() reclaims it (file convention, r5)
+    val words = Tables(s, dir, "documents")
+      .select(explode(toks).as("w")).distinct()
+      .persist(mem)
+    words.count()
+    // candidate pieces: k ≤ maxL over-generates for ##-continuations
+    // (k chars + the 2-char prefix) — harmless, they cannot be in a
+    // vocabulary whose pieces are ≤ maxL chars, so the join drops them
+    val cand = words.select(col("w"), explode(expr(
+      s"flatten(transform(sequence(1, length(w)), a -> " +
+        s"transform(sequence(1, least($maxL, length(w) - a + 1)), " +
+        s"k -> IF(a = 1, substring(w, a, k), concat('##', substring(w, a, k))))))"))
+      .as("p")).distinct()
+    val matched = cand.join(vocab, "p").groupBy("w")
+      .agg(collect_list(col("p")).as("ps")) // set-probed: order-free
+    val trained = model.filter(col("kind") === "s")
+      .select(col("w"), concat_ws(US, col("toks")).as("tseg"))
+    words.join(matched, Seq("w"), "left")
+      .select(col("w"), wpMatch(col("w"),
+        coalesce(col("ps"), expr("CAST(array() AS array<string>)"))).as("seg"))
+      .join(trained, Seq("w"), "left")
+      .select(col("w"),
+        size(col("seg")).cast("long").as("n_pieces"),
+        when(element_at(col("seg"), 1) === Unk, 1L).otherwise(0L).as("unk"),
+        when(col("tseg").isNotNull &&
+          concat_ws(US, col("seg")) =!= col("tseg"), 1L).otherwise(0L)
+          .as("diverged"))
+  }
+
+  /** One WordPiece training round of the oracle as generated CTEs (the
+    * BpeTrainSql rule — round logic exists once): token counts over
+    * round r−1's segmentation, adjacent-pair counts, the
+    * likelihood-gain argmax (the same IEEE double both engines
+    * compute bit-identically — see [[wordPieceTrainCore]]), and the
+    * greedy list_reduce apply writing the `##`-stripped merged token
+    * (BpeApply's produced-token-never-re-merges invariant holds:
+    * merged ≠ t1 and contains no chr(31)).
+    */
+  private def wpPairCte(r: Int) =
+    s"""wtc$r AS MATERIALIZED (SELECT tok, CAST(SUM(wf) AS BIGINT) AS n FROM (
+       |  SELECT wf, unnest(toks) AS tok FROM wps${r - 1}) GROUP BY 1),
+       |wpp$r AS MATERIALIZED (SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM (
+       |  SELECT wf, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || chr(31) || toks[i+1])) AS pair
+       |  FROM wps${r - 1} WHERE len(toks) >= 2) GROUP BY 1),
+       |wpm$r AS MATERIALIZED (SELECT t1, t2,
+       |  t1 || CASE WHEN starts_with(t2, '##') THEN t2[3:] ELSE t2 END AS merged,
+       |  n, na, nb FROM (
+       |  SELECT string_split(p.pair, chr(31))[1] AS t1,
+       |    string_split(p.pair, chr(31))[2] AS t2, p.n AS n,
+       |    a.n AS na, b.n AS nb, p.pair AS pair,
+       |    CAST(p.n AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS s
+       |  FROM wpp$r p
+       |  JOIN wtc$r a ON a.tok = string_split(p.pair, chr(31))[1]
+       |  JOIN wtc$r b ON b.tok = string_split(p.pair, chr(31))[2]
+       |  ORDER BY s DESC, pair LIMIT 1))""".stripMargin
+
+  private def wpApplyCte(r: Int) =
+    s"""wps$r AS MATERIALIZED (SELECT w, wf, string_split(list_reduce(toks,
+       |  (acc, x) -> CASE WHEN x = wpm$r.t2 AND (acc = wpm$r.t1
+       |      OR ends_with(acc, chr(31) || wpm$r.t1))
+       |    THEN left(acc, length(acc) - length(wpm$r.t1)) || wpm$r.merged
+       |    ELSE acc || chr(31) || x END), chr(31)) AS toks
+       |  FROM wps${r - 1}, wpm$r
+       |  UNION ALL
+       |  SELECT w, wf, toks FROM wps${r - 1}
+       |  WHERE NOT EXISTS (SELECT 1 FROM wpm$r))""".stripMargin
+
+  /** Shared WITH-prefix of the two WordPiece oracles: word
+    * frequencies, the BERT `##` character segmentation, and
+    * [[WordPieceRounds]] generated round CTEs. */
+  private def wpRoundsSql(finalApply: Boolean): String = {
+    val rounds = (1 to WordPieceRounds).map { r =>
+      if (r < WordPieceRounds || finalApply) wpPairCte(r) + ",\n" + wpApplyCte(r)
+      else wpPairCte(r)
+    }.mkString(",\n")
+    s"""wpwf AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS wf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |wps0 AS MATERIALIZED (SELECT w, wf, list_transform(range(1, length(w) + 1),
+       |  i -> CASE WHEN i = 1 THEN substring(w, CAST(i AS INTEGER), 1)
+       |       ELSE '##' || substring(w, CAST(i AS INTEGER), 1) END) AS toks
+       |  FROM wpwf),
+       |$rounds""".stripMargin
+  }
+
+  private val WpTrainSql: String = {
+    val selects = (1 to WordPieceRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, t1, t2, merged, n, na, nb FROM wpm$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${wpRoundsSql(finalApply = false)}
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
   /** Per-document bigram-predictability frame (doc_id, n_bigrams,
     * lm_score_e4) — the KenLM-style LM signal shared by q_ngram_lm
     * (declared per-doc scores) and q_perplexity_bucket (the CCNet
@@ -1789,6 +2055,123 @@ object TextQueries {
               |  CAST(SUM(fallback) AS BIGINT) AS n_fallback,
               |  (CAST(SUM(n_sub) AS BIGINT) * 10000) // COUNT(*) AS fertility_e4
               |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_wordpiece_train ★ (new r14) — the WordPiece tokenizer trainer
+    // (Schuster & Nakajima 2012; BERT), the THIRD tokenizer family:
+    // where BPE merges the most FREQUENT adjacent pair and unigram-LM
+    // prunes an overcomplete seed by EM, WordPiece merges the pair
+    // maximizing LIKELIHOOD GAIN count(t1 t2)/(count(t1)·count(t2)) —
+    // a frequent pair of rare tokens beats a frequent pair of common
+    // ones — over BERT's `##`-continuation segmentation (first char
+    // bare, rest ##-prefixed; merging drops t2's ##). Declared output:
+    // the merge table (round, t1, t2, merged, n, na, nb) — the
+    // artifact a WordPiece tokenizer ships next to its vocab.
+    // Orchestration is bpeTrainCore verbatim (driver loop, one model
+    // row per round, codegen'd apply, all rounds vocabulary-sized
+    // after the one corpus pass). The argmax key is the IEEE double
+    // n/(na·nb): operands exact (≪ 2^53), multiply/divide correctly
+    // rounded per IEEE-754 — bit-identical in JVM and DuckDB — with
+    // ties broken on the pair string ([[wordPieceTrainCore]]).
+    // Oracle: the identical rounds unrolled as CTEs; the list_reduce
+    // apply writes the ##-stripped merged token.
+    QueryDef(
+      "q_wordpiece_train",
+      (s: SparkSession, dir: String) =>
+        wordPieceModel(s, dir).filter(col("kind") === "m")
+          .select(col("round"), col("t1"), col("t2"), col("merged"),
+            col("n"), col("na"), col("nb"))
+          .orderBy("round"),
+      Some(WpTrainSql)),
+
+    // ------------------------------------------------------------------
+    // q_wordpiece_encode ★ (new r14) — greedy LONGEST-MATCH-FIRST
+    // encode against the trained WordPiece vocabulary: BERT's actual
+    // runtime tokenizer, and semantically distinct from both
+    // q_bpe_encode and q_unigram_encode — the runtime does NOT replay
+    // the training merges, it matches the longest vocab piece at each
+    // cursor (bare at word start, ##-prefixed after), and a word with
+    // ANY unmatchable position becomes the single [UNK] token (the
+    // whole-word failure rule). Declared per-doc output adds
+    // n_diverged — trained words whose longest-match segmentation
+    // differs from their training segmentation, a real WordPiece
+    // property the other families can't exhibit — plus n_unk and the
+    // fertility the pipeline budgets by.
+    // Scale: everything is word-vocabulary-sized ([[wordPieceEncoded]]:
+    // candidate explode capped by the vocab's max piece length, one
+    // vocab equi-join, the per-word codegen'd kernel); the corpus
+    // token stream joins the per-word frame ONCE (broadcastable at
+    // 100 TB). Oracle: candidates via the same capped explode, the
+    // per-position longest match as a plain GROUP BY MAX, the greedy
+    // walk as a recursive CTE (terminating early at unmatched
+    // positions → the [UNK] CASE), diverged via the final training
+    // segmentation wps5.
+    QueryDef(
+      "q_wordpiece_encode",
+      (s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("w"))
+          .join(wordPieceEncoded(s, dir), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"),
+            sum("unk").as("n_unk"), sum("diverged").as("n_diverged"))
+          .withColumn("fertility_e4",
+            floorDivL(col("n_pieces") * 10000L, col("n_words")))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${wpRoundsSql(finalApply = true)},
+              |wpvocab AS MATERIALIZED (
+              |  SELECT DISTINCT p FROM (
+              |    SELECT unnest(toks) AS p FROM wps0
+              |${(1 to WordPieceRounds).map(r =>
+                s"    UNION ALL SELECT merged FROM wpm$r").mkString("\n")})),
+              |wpml0 AS (SELECT MAX(length(p)) AS ml FROM wpvocab),
+              |wpew AS MATERIALIZED (SELECT DISTINCT w FROM (
+              |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+              |wpnext AS MATERIALIZED (
+              |  SELECT c.w, c.a, MAX(c.k) AS k FROM (
+              |    SELECT w, a, unnest(range(1, least(ml, length(w) - a + 1) + 1)) AS k
+              |    FROM (SELECT w, unnest(range(1, length(w) + 1)) AS a FROM wpew)
+              |    CROSS JOIN wpml0) c
+              |  JOIN wpvocab v ON v.p = CASE WHEN c.a = 1
+              |    THEN substring(c.w, CAST(c.a AS INTEGER), CAST(c.k AS INTEGER))
+              |    ELSE '##' || substring(c.w, CAST(c.a AS INTEGER), CAST(c.k AS INTEGER)) END
+              |  GROUP BY 1, 2),
+              |wpwalk(w, pos, np, seg) AS (
+              |  SELECT w, CAST(1 AS BIGINT), 0, CAST('' AS VARCHAR) FROM wpew
+              |  UNION ALL
+              |  SELECT wk.w, wk.pos + m.k, wk.np + 1,
+              |    wk.seg || CASE WHEN wk.np = 0 THEN '' ELSE chr(31) END ||
+              |    CASE WHEN wk.pos = 1
+              |      THEN substring(wk.w, CAST(wk.pos AS INTEGER), CAST(m.k AS INTEGER))
+              |      ELSE '##' || substring(wk.w, CAST(wk.pos AS INTEGER), CAST(m.k AS INTEGER)) END
+              |  FROM wpwalk wk JOIN wpnext m ON m.w = wk.w AND m.a = wk.pos
+              |  WHERE wk.pos <= length(wk.w)),
+              |wpfin AS (
+              |  SELECT w, pos, np, seg,
+              |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos DESC) AS rn
+              |  FROM wpwalk),
+              |wpseg AS MATERIALIZED (
+              |  SELECT w,
+              |    CASE WHEN pos = length(w) + 1 THEN np ELSE 1 END AS n_pieces,
+              |    CASE WHEN pos = length(w) + 1 THEN 0 ELSE 1 END AS unk,
+              |    CASE WHEN pos = length(w) + 1 THEN seg ELSE '[UNK]' END AS seg
+              |  FROM wpfin WHERE rn = 1),
+              |wptr AS (SELECT w, array_to_string(toks, chr(31)) AS tseg
+              |         FROM wps$WordPieceRounds),
+              |wpper AS MATERIALIZED (
+              |  SELECT g.w, g.n_pieces, g.unk,
+              |    CASE WHEN t.tseg IS NOT NULL AND t.tseg <> g.seg
+              |         THEN 1 ELSE 0 END AS diverged
+              |  FROM wpseg g LEFT JOIN wptr t ON t.w = g.w),
+              |wptok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |          FROM documents)
+              |SELECT wptok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+              |  CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+              |  CAST(SUM(p.unk) AS BIGINT) AS n_unk,
+              |  CAST(SUM(p.diverged) AS BIGINT) AS n_diverged,
+              |  (CAST(SUM(p.n_pieces) AS BIGINT) * 10000) // COUNT(*) AS fertility_e4
+              |FROM wptok JOIN wpper p ON p.w = wptok.w
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_quality_classifier ★ (new r13) — LEARNED quality filtering, the

@@ -561,6 +561,30 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sql(1) == Seq("aa", "a"))
   }
 
+  test("graft_wp_merge / graft_wp_match in SQL match the API (r14)") {
+    val rows = Seq(("abc", Seq("a", "ab", "##b", "##c")),
+      ("abc", Seq("a", "##b")))
+    rows.toDF("w", "ps").createOrReplaceTempView("wp_sql")
+    val sql = spark.sql(
+      """SELECT graft_wp_match(w, ps),
+        |  graft_wp_merge(ps, 'a', '##b', 'ab')
+        |FROM wp_sql""".stripMargin)
+      .as[(Seq[String], Seq[String])].collect().toSeq
+    val api = rows.toDF("w", "ps")
+      .select(graft.functions.WordPieceOps.wpMatch(col("w"), col("ps")),
+        graft.functions.WordPieceOps.wpMerge(col("ps"), "a", "##b", "ab"))
+      .as[(Seq[String], Seq[String])].collect().toSeq
+    assert(sql == api)
+    assert(sql(0)._1 == Seq("ab", "##c"))
+    assert(sql(1)._1 == Seq("[UNK]")) // no ##-piece covers position 3
+    assert(sql(1)._2 == Seq("ab"))
+    // static merge args must be string literals
+    intercept[Exception] {
+      spark.sql("SELECT graft_wp_merge(ps, w, '##b', 'ab') FROM wp_sql")
+        .collect()
+    }
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

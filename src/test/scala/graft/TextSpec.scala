@@ -899,4 +899,123 @@ class TextSpec extends SparkSpec {
     assert((Option(ex.getMessage) ++ Option(ex.getCause).map(_.getMessage))
       .exists(_.contains("unreachable")))
   }
+
+  test("q_wordpiece_train/encode == plain-Scala WordPiece trainer (r14)") {
+    val runsBefore = graft.queries.TextQueries.wordPieceTrainRuns.get()
+    val wf: Map[String, Long] = docs
+      .flatMap(_._2.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    // BERT initial segmentation: first char bare, rest ##-prefixed
+    var seg: Map[String, Vector[String]] = wf.keys.map { w =>
+      w -> w.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else "##" + c }.toVector
+    }.toMap
+    val alphabet = seg.values.flatten.toSet
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long, Long)]
+    for (r <- 1 to graft.queries.TextQueries.WordPieceRounds) {
+      val tc = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- wf; t <- seg(w))
+        tc.updateWith(t)(o => Some(o.getOrElse(0L) + f))
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, f) <- wf; Seq(a, b) <- seg(w).sliding(2) if seg(w).size >= 2)
+        pc.updateWith((a, b))(o => Some(o.getOrElse(0L) + f))
+      if (pc.nonEmpty) {
+        // likelihood gain n/(na*nb) desc, then US-joined pair asc —
+        // the exact argmax the engine and the oracle compute
+        val ((t1, t2), n) = pc.toSeq.minBy { case ((a, b), n) =>
+          (-n.toDouble / (tc(a).toDouble * tc(b).toDouble),
+            a + "\u001f" + b)
+        }
+        val merged = t1 + t2.stripPrefix("##")
+        merges += ((r.toLong, t1, t2, merged, n, tc(t1), tc(t2)))
+        seg = seg.map { case (w, ts) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ts.length) {
+            if (i + 1 < ts.length && ts(i) == t1 && ts(i + 1) == t2) {
+              out += merged; i += 2
+            } else { out += ts(i); i += 1 }
+          }
+          w -> out.toVector
+        }
+      }
+    }
+    val got = SparkEntry.queries("q_wordpiece_train")(spark, sfDir)
+      .as[(Long, String, String, String, Long, Long, Long)].collect().toSeq
+    assert(got == merges.toSeq)
+    assert(got.size == graft.queries.TextQueries.WordPieceRounds)
+    // the ##-continuation machinery is live: some merge touches a
+    // continuation token (t2 starts with ##, merged strips it)
+    assert(got.exists(m => m._3.startsWith("##") && !m._4.contains("##")
+      || m._2.startsWith("##")))
+
+    // encode replica: greedy longest-match-first against
+    // vocab = alphabet ∪ merged tokens; whole-word [UNK] on failure
+    val vocab: Set[String] = alphabet ++ merges.map(_._4)
+    def lm(w: String): Option[Vector[String]] = {
+      val out = Vector.newBuilder[String]
+      var pos = 0
+      while (pos < w.length) {
+        var k = w.length - pos
+        var hit: String = null
+        while (k >= 1 && hit == null) {
+          val c = if (pos == 0) w.substring(0, k)
+                  else "##" + w.substring(pos, pos + k)
+          if (vocab(c)) hit = c else k -= 1
+        }
+        if (hit == null) return None
+        out += hit
+        pos += (hit.length - (if (pos == 0) 0 else 2))
+      }
+      Some(out.result())
+    }
+    val per: Map[String, (Long, Long, Long)] =
+      docs.flatMap(_._2.split(" ", -1)).distinct.map { w =>
+        val ms = lm(w)
+        val pieces = ms.getOrElse(Vector("[UNK]"))
+        val div = if (seg.contains(w) && seg(w) != pieces) 1L else 0L
+        w -> (pieces.size.toLong, if (ms.isEmpty) 1L else 0L, div)
+      }.toMap
+    val wantEnc = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val np = ws.map(w => per(w)._1).sum
+      (id, ws.length.toLong, np, ws.map(w => per(w)._2).sum,
+        ws.map(w => per(w)._3).sum, np * 10000L / ws.length)
+    }.sortBy(_._1)
+    val gotEnc = SparkEntry.queries("q_wordpiece_encode")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotEnc == wantEnc)
+    // the model is materialized per corpus: train + encode above
+    // shared at most ONE training run (0 if already installed)
+    val runsAfter = graft.queries.TextQueries.wordPieceTrainRuns.get()
+    assert(runsAfter - runsBefore <= 1,
+      s"wordPieceTrainCore ran ${runsAfter - runsBefore}x for train+encode")
+  }
+
+  test("WordPiece kernels: longest-match-first, whole-word UNK, " +
+      "##-stripped greedy merge (r14)") {
+    import graft.functions.WordPieceOps.{wpMatch, wpMerge}
+    def m(w: String, ps: Seq[String]): Seq[String] =
+      Seq((w, ps)).toDF("w", "ps")
+        .select(wpMatch(col("w"), col("ps"))).as[Seq[String]].collect().head
+    // longest piece wins at the cursor, continuation needs ##
+    assert(m("abc", Seq("a", "ab", "##b", "##c")) == Seq("ab", "##c"))
+    // no piece at position 2 -> the WHOLE word is [UNK], not partial
+    assert(m("abc", Seq("a", "ab", "##b")) == Seq("[UNK]"))
+    // head pieces never match mid-word
+    assert(m("aa", Seq("a")) == Seq("[UNK]"))
+    assert(m("aa", Seq("a", "##a")) == Seq("a", "##a"))
+    def g(ts: Seq[String], t1: String, t2: String, mg: String): Seq[String] =
+      Seq(Tuple1(ts)).toDF("ts")
+        .select(wpMerge(col("ts"), t1, t2, mg)).as[Seq[String]].collect().head
+    // the merged token is the caller's ##-stripped constant
+    assert(g(Seq("a", "##b", "##c"), "a", "##b", "ab") ==
+      Seq("ab", "##c"))
+    // greedy left-to-right non-overlap (the BpeApply rule)
+    assert(g(Seq("##a", "##a", "##a"), "##a", "##a", "##aa") ==
+      Seq("##aa", "##a"))
+    assert(g(Seq("##a", "##a", "##a", "##a"), "##a", "##a", "##aa") ==
+      Seq("##aa", "##aa"))
+  }
 }
