@@ -2405,6 +2405,67 @@ object TextQueries {
       Some(qcTrainSql)),
 
     // ------------------------------------------------------------------
+    // q_quality_calibration ★ (new r14) — the classifier family's
+    // RELIABILITY DIAGRAM: per (source, score-decile), the mean
+    // PREDICTED keep probability vs the OBSERVED pseudo-label rate —
+    // the table that tells a curation run whether the filter's scores
+    // can be read as probabilities (threshold/quota decisions assume
+    // they can) or are merely a ranking. Deciles are equi-depth per
+    // source (NTILE(10) ordered by (z, doc_id) — deterministic,
+    // identical semantics in both engines; partitioned by source, the
+    // q_perplexity_bucket window shape, never a global sort). The
+    // predicted probability is the EXACT quantized fast sigmoid the
+    // training family already uses (pred_e6 = qcResidE6(z, 0) —
+    // floor(s(z/1e6)·1e6 + 0.5), bit-identical across engines by the
+    // correctly-rounded-operand-tree argument at [[qcResidE6]]);
+    // everything after it is integer arithmetic. gap_e6 > 0 means the
+    // scorer is overconfident in that decile.
+    // Scale: one map-only score pass (the qcScoreE6 fold at scan
+    // speed), a per-source window sort, a ≤10·sources-group agg.
+    QueryDef(
+      "q_quality_calibration",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), qcScoreE6.as("z"),
+            qcLabel.as("y"))
+        scored
+          .withColumn("decile", ntile(10).over(
+            Window.partitionBy("source").orderBy(col("z"), col("doc_id"))))
+          .groupBy("source", "decile")
+          .agg(count(lit(1)).as("n_docs"),
+            min("z").as("z_min"), max("z").as("z_max"),
+            sum(qcResidE6(col("z"), lit(0L))).as("sp"),
+            sum("y").as("npos"))
+          .select(col("source"), col("decile").cast("long").as("decile"),
+            col("n_docs"), col("z_min"), col("z_max"),
+            floorDivL(col("sp"), col("n_docs")).as("mean_pred_e6"),
+            floorDivL(col("npos") * 1000000L, col("n_docs")).as("obs_pos_e6"))
+          .withColumn("gap_e6", col("mean_pred_e6") - col("obs_pos_e6"))
+          .orderBy("source", "decile")
+      },
+      Some(s"""WITH $QcScoreSql,
+              |yl AS (SELECT doc_id,
+              |  CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+              |         >= len(string_split(text, ' '))
+              |       AND len(string_split(text, ' ')) >= 10
+              |    THEN 1 ELSE 0 END AS y
+              |  FROM documents),
+              |b AS (SELECT sc.doc_id, sc.source, sc.z, yl.y,
+              |  ${qcResidSqlExpr("sc.z", "0")} AS pred,
+              |  NTILE(10) OVER (PARTITION BY sc.source
+              |                  ORDER BY sc.z, sc.doc_id) AS decile
+              |  FROM sc JOIN yl USING (doc_id))
+              |SELECT source, CAST(decile AS BIGINT) AS decile,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max,
+              |  CAST(SUM(pred) AS BIGINT) // COUNT(*) AS mean_pred_e6,
+              |  (CAST(SUM(y) AS BIGINT) * 1000000) // COUNT(*) AS obs_pos_e6,
+              |  CAST(SUM(pred) AS BIGINT) // COUNT(*)
+              |    - (CAST(SUM(y) AS BIGINT) * 1000000) // COUNT(*) AS gap_e6
+              |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_collocation_pmi ★ — top-50 two-word collocations ranked by
     // pointwise mutual information: phrases whose words co-occur far
     // more than their individual frequencies predict (the phrase-mining

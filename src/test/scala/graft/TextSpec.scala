@@ -1018,4 +1018,61 @@ class TextSpec extends SparkSpec {
     assert(g(Seq("##a", "##a", "##a", "##a"), "##a", "##a", "##aa") ==
       Seq("##aa", "##aa"))
   }
+
+  test("q_quality_calibration == plain-Scala reliability table (r14)") {
+    import graft.queries.TextQueries.{qcWeights, qcBias}
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dimOf(t: String): Int =
+      (BigInt(md5hex(t).take(15), 16) % 256).toInt
+    def zOf(text: String): Long =
+      qcBias + text.split(" ", -1).map(t => qcWeights(dimOf(t))).sum
+    def yOf(text: String): Long = {
+      val ts = text.split(" ", -1)
+      if (ts.distinct.length * 2 >= ts.length && ts.length >= 10) 1L else 0L
+    }
+    def predOf(zE6: Long): Long = {
+      val z = zE6.toDouble / 1000000.0
+      val sg = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+      math.floor(sg * 1000000.0 + 0.5).toLong
+    }
+    val corpus = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    // NTILE replica: first (n mod 10) deciles get the extra row
+    val want = corpus.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val sorted = ds.map(d => (zOf(d._3), d._1, yOf(d._3)))
+        .sortBy(t => (t._1, t._2))
+      val n = sorted.size
+      var idx = 0
+      (1 to 10).flatMap { b =>
+        val sz = n / 10 + (if (b <= n % 10) 1 else 0)
+        if (sz == 0) None
+        else {
+          val slice = sorted.slice(idx, idx + sz); idx += sz
+          val sp = slice.map(t => predOf(t._1)).sum
+          val meanPred = sp / sz
+          val obs = slice.map(_._3).sum * 1000000L / sz
+          Some((src, b.toLong, sz.toLong, slice.map(_._1).min,
+            slice.map(_._1).max, meanPred, obs, meanPred - obs))
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_quality_calibration")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // deciles are monotone in score within each source
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 >= a._5,
+          s"decile ${b._2} z_min ${b._4} < decile ${a._2} z_max ${a._5}")
+        case _ =>
+      }
+    }
+    // the diagram is live: prediction and observation actually differ
+    // somewhere (gap nonzero) and both columns vary across deciles
+    assert(got.exists(_._8 != 0L))
+    assert(got.map(_._6).distinct.size > 1)
+  }
 }
