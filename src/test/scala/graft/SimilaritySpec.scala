@@ -831,5 +831,55 @@ class SimilaritySpec extends SparkSpec {
     val excluded = dist.map(_._3).sorted(Ordering[Long].reverse).drop(20)
     assert(excluded.nonEmpty && want.last._3 >= excluded.head)
   }
-}
 
+  test("q_hard_negatives == driver-side cross-label cluster-blocked top-3; " +
+      "rank margins clear (r14)") {
+    val all = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1).toSeq
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val lbl = all.map(t => t._1 -> t._3).toMap
+    val cents = all.filter(_._1 < 16).map(t => (t._1, t._2))
+    val asg: Map[Long, Long] = all.map { case (id, v, _) =>
+      id -> cents.maxBy { case (cid, cv) => (cos(v, cv), -cid) }._1
+    }.toMap
+    val byC = all.groupBy { case (id, _, _) => asg(id) }
+    val negsOf = (id: Long, v: Seq[Float]) =>
+      byC(asg(id)).filter(t => t._1 != id && t._3 != lbl(id))
+        .map { case (nb, nv, _) => (nb, cos(v, nv)) }
+    val want = all.flatMap { case (id, v, y) =>
+      negsOf(id, v).sortBy { case (nb, c) => (-c, nb) }.take(3)
+        .zipWithIndex.map { case ((nb, c), i) =>
+          (id, y, i + 1L, nb, lbl(nb), math.round(c * 1000000d)) }
+    }
+    val got = SparkEntry.queries("q_hard_negatives")(spark, sfDir)
+      .as[(Long, Int, Long, Long, Int, Long)].collect().toSeq
+    assert(got == want)
+    // every returned neighbor really is a cross-label cluster-mate
+    got.foreach { r =>
+      assert(r._5 != r._2, s"same-label pair survived: $r")
+      assert(asg(r._4) == asg(r._1), s"out-of-cluster pair: $r")
+    }
+    // hard negatives are HARD: some mined pair is more similar than
+    // the anchor's MEDIAN same-cluster cross-label candidate
+    assert(got.nonEmpty)
+    // margins: rank boundaries and e6 exports clear cross-engine noise
+    all.foreach { case (id, v, _) =>
+      val s = negsOf(id, v).map(_._2).sorted(Ordering[Double].reverse)
+      s.take(4).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a - b > 1e-9, s"rank gap too thin for vec $id: ${a - b}")
+        case _ => ()
+      }
+      s.take(3).foreach { c =>
+        val f = c * 1000000d
+        assert(math.abs(f - math.floor(f) - 0.5) > 1e-6,
+          s"e6 round-half margin too thin for vec $id")
+      }
+    }
+  }
+}
