@@ -682,6 +682,78 @@ object AdvancedQueries {
              |ORDER BY t.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_fim_split ★ (new r14) — FILL-IN-THE-MIDDLE preparation, the
+    // infilling-objective transform (Bavarian et al. 2022) a code/text
+    // pipeline runs next to span corruption: each selected document is
+    // split prefix|middle|suffix at two pivots and re-laid-out as
+    // PSM (prefix, suffix, middle) with 3 sentinel tokens, teaching
+    // the model to infill. Deterministic variant (the q_span_corrupt
+    // rule): the FIM gate (50% of docs — the paper's fim_rate) and
+    // both pivots are pure md5 functions of doc_id — reproducible
+    // across runs/engines/cluster sizes, re-shards can never re-split
+    // differently. Pivots are uniform over [0, n] (empty prefix/
+    // middle/suffix all legal, as in the reference implementation).
+    // Declared output: the per-doc layout budget (segment lengths,
+    // PSM length = n+3 sentinels for FIM docs) + an md5 fingerprint
+    // of the middle span so a downstream consumer can verify the cut
+    // bytes, not just the lengths. Plan: map-only single projection —
+    // no explode, no shuffle except the output sort; runs at scan
+    // speed at 100 TB.
+    QueryDef(
+      "q_fim_split",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables(s, dir, "documents")
+        val toksD = split(col("text"), " ")
+        def h(tag: String) = conv(substring(md5(concat(lit(tag + ":"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        docs.select(col("doc_id"), toksD.as("ts"))
+          .withColumn("n", size(col("ts")).cast("long"))
+          .withColumn("fim",
+            when(pmod(h("fim"), lit(2L)) === 0L, 1L).otherwise(0L))
+          .withColumn("a", pmod(h("fa"), col("n") + 1L))
+          .withColumn("b", pmod(h("fb"), col("n") + 1L))
+          .withColumn("lo", when(col("fim") === 1L,
+            least(col("a"), col("b"))).otherwise(col("n")))
+          .withColumn("hi", when(col("fim") === 1L,
+            greatest(col("a"), col("b"))).otherwise(col("n")))
+          .select(col("doc_id"), col("fim"), col("n").as("n_tokens"),
+            col("lo").as("n_prefix"),
+            (col("hi") - col("lo")).as("n_middle"),
+            (col("n") - col("hi")).as("n_suffix"),
+            substring(md5(concat_ws(" ",
+              slice(col("ts"), (col("lo") + 1L).cast("int"),
+                (col("hi") - col("lo")).cast("int")))), 1, 8).as("mid_fp"),
+            (col("n") + when(col("fim") === 1L, 3L).otherwise(0L))
+              .as("psm_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |b AS (
+             |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+             |    CASE WHEN ('0x' || substring(md5('fim:' || doc_id), 1, 15))::BIGINT
+             |           % 2 = 0 THEN 1 ELSE 0 END AS fim,
+             |    ('0x' || substring(md5('fa:' || doc_id), 1, 15))::BIGINT
+             |      % (CAST(len(ts) AS BIGINT) + 1) AS a,
+             |    ('0x' || substring(md5('fb:' || doc_id), 1, 15))::BIGINT
+             |      % (CAST(len(ts) AS BIGINT) + 1) AS b
+             |  FROM t),
+             |c AS (
+             |  SELECT doc_id, ts, n, fim,
+             |    CASE WHEN fim = 1 THEN LEAST(a, b) ELSE n END AS lo,
+             |    CASE WHEN fim = 1 THEN GREATEST(a, b) ELSE n END AS hi
+             |  FROM b)
+             |SELECT doc_id, CAST(fim AS BIGINT) AS fim, n AS n_tokens,
+             |  lo AS n_prefix, hi - lo AS n_middle, n - hi AS n_suffix,
+             |  -- COALESCE: an out-of-range slice (empty middle) is NULL in
+             |  -- DuckDB but an empty array in Spark -> both hash ''
+             |  substring(md5(COALESCE(array_to_string(
+             |    ts[CAST(lo + 1 AS INTEGER):CAST(hi AS INTEGER)], ' '), '')),
+             |    1, 8) AS mid_fp,
+             |  n + CASE WHEN fim = 1 THEN 3 ELSE 0 END AS psm_len
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_mix_weights ★ — the data-mixing table of a training pipeline:
     // per source, document count, token count, and the source's token
     // share of the corpus in exact integer e6 (the sampling weights a

@@ -622,4 +622,41 @@ class AdvancedSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(again == got)
   }
+
+  test("q_fim_split == plain-Scala deterministic splitter; layout invariants (r14)") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(tag: String, id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"$tag:$id").substring(0, 15), 16)
+    val corpus = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val want = corpus.map { case (id, text) =>
+      val ts = text.split(" ", -1)
+      val n = ts.length.toLong
+      val fim = if (h("fim", id) % 2 == 0) 1L else 0L
+      val (lo, hi) =
+        if (fim == 1L) {
+          val a = h("fa", id) % (n + 1); val b = h("fb", id) % (n + 1)
+          (math.min(a, b), math.max(a, b))
+        } else (n, n)
+      val mid = ts.slice(lo.toInt, hi.toInt).mkString(" ")
+      (id, fim, n, lo, hi - lo, n - hi, md5hex(mid).take(8),
+        n + (if (fim == 1L) 3L else 0L))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_fim_split")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, String, Long)].collect().toSeq
+    assert(got == want)
+    // layout invariants: segments tile the doc; PSM adds exactly the 3
+    // sentinels on FIM docs; the gate selects a non-degenerate subset
+    got.foreach { r =>
+      assert(r._4 + r._5 + r._6 == r._3, s"segments do not tile: $r")
+      assert(r._8 == r._3 + 3 * r._2, s"psm_len wrong: $r")
+      if (r._2 == 0L) assert(r._5 == 0L && r._6 == 0L)
+    }
+    val nFim = got.count(_._2 == 1L)
+    assert(nFim > 0 && nFim < got.size, s"degenerate FIM gate: $nFim/${got.size}")
+    // some FIM doc has a non-empty middle (the objective is live)
+    assert(got.exists(r => r._2 == 1L && r._5 > 0L))
+  }
 }
