@@ -261,7 +261,7 @@ object DedupQueries {
   // DuckDB CTE fragments shared by both oracle queries. `s0` is the
   // shingle text, `s` its 15-hex md5 prefix (the same 60-bit identity
   // Spark holds as a long).
-  private val ShSql =
+  private[queries] val ShSql =
     """sh0 AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(string_split(text,' ')) - 1),
@@ -303,7 +303,7 @@ object DedupQueries {
     * scaladoc for the portability argument). Requires `sh` (from
     * [[ShSql]]) in scope.
     */
-  private val MinhashCandSql = {
+  private[queries] val MinhashCandSql = {
     val sigMins = (0 until 8).map(i =>
       s"min((${MinhashA(i)}*h32 + ${MinhashB(i)}) % $MinhashP) AS h$i").mkString(",\n      |  ")
     s"""h32s AS (SELECT doc_id, ('0x' || substring(md5(s0),1,8))::BIGINT AS h32 FROM sh),
@@ -319,6 +319,38 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** STATELESS per-doc LSH band keys (doc_id, band, k1, k2) — the
+    * SAME MinHash(8) + 4×2-band arithmetic as [[minhashDocCand]]
+    * (identical h32, affine family, grouping of mins into bands; the
+    * per-fixture equality is spec-asserted in StreamingQueriesSpec),
+    * but computed as ONE per-row projection: the signature mins are
+    * array-HOF folds over the doc's own distinct-shingle array, never
+    * a groupBy. That makes the frame legal INSIDE a streaming plan
+    * (no per-doc shuffle agg whose state would grow with the stream) —
+    * stream_neardup_e2e's map stage — and usable in batch wherever the
+    * per-doc agg isn't already paid. Docs too short to shingle (< 3
+    * tokens) are dropped, mirroring the agg path which never sees
+    * them.
+    */
+  private[queries] def minhashBandKeys(docs: DataFrame): DataFrame = {
+    val withSig0 = docs
+      .select(col("doc_id"),
+        graft.functions.Shingles.shingles(split(col("text"), " "), 3).as("shs"))
+      .filter(size(col("shs")) >= 1)
+      .withColumn("h32s", expr(
+        "transform(shs, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"))
+    val sig = (0 until 8).foldLeft(withSig0) { (df, i) =>
+      df.withColumn(s"h$i", array_min(expr(
+        s"transform(h32s, h -> pmod(h * ${MinhashA(i)} + ${MinhashB(i)}, $MinhashP))")))
+    }
+    val bandArr = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))): _*)
+    sig.select(col("doc_id"), explode(bandArr).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
   }
 
   /** Per-doc MinHash state + LSH band candidate pairs, shared by

@@ -187,6 +187,24 @@ object StreamingQueries {
         sum(when(col("z") >= 0, 1L).otherwise(0L)).as("n_keep"),
         sum("z").as("score_sum_e6"))
 
+  /** Streaming NEAR-dup index build: the stateless per-doc MinHash
+    * band-key projection ([[DedupQueries.minhashBandKeys]] — signature
+    * mins are array folds over each doc's own shingles, so the map
+    * stage carries NO state) feeding a per-band-bucket running
+    * (owner = min doc_id, n_docs) aggregate. State is one row per
+    * DISTINCT band bucket — corpus-linear, not horizon-bounded: a
+    * production deployment bounds it either by dedup horizon
+    * (dropDuplicatesWithinWatermark on the bucket key) or by
+    * periodically flushing this exact bucket table to the at-rest
+    * lake dedup index (the lake_dedup_index_e2e MERGE) and restarting
+    * the stream against it; the fixture drain proves the in-stream
+    * operator semantics.
+    */
+  private def neardupTopo(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.minhashBandKeys(docsStream(s, dir))
+      .groupBy("band", "k1", "k2")
+      .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
+
   /** Pre-start streaming topologies keyed by declared query name, for
     * [[graft.PlanAudit.sweepStreaming]]. Every stream_* QueryDef below
     * drains EXACTLY the frame its builder returns, so sweeping these IS
@@ -206,14 +224,16 @@ object StreamingQueries {
     "stream_ss_join_e2e" -> ssJoinTopo("inner") _,
     "stream_ss_left_e2e" -> ssJoinTopo("leftOuter") _,
     "stream_ss_full_e2e" -> (ssFullTopo _),
-    "stream_quality_e2e" -> (qualityTopo _))
+    "stream_quality_e2e" -> (qualityTopo _),
+    "stream_neardup_e2e" -> (neardupTopo _))
 
   /** Drain output mode per topology for the executed-plan sweep —
     * topologies absent here drain in append (the suite default).
     * stream_quality_e2e's unwatermarked group-bounded aggregate is
     * only legal in complete/update. */
   val topologyModes: Map[String, String] = Map(
-    "stream_quality_e2e" -> "complete")
+    "stream_quality_e2e" -> "complete",
+    "stream_neardup_e2e" -> "complete")
 
   /** Drain `df` through a memory sink and return the sink table.
     * AvailableNow processes every pending file, then (because
@@ -280,6 +300,61 @@ object StreamingQueries {
               |    // CAST(COUNT(*) AS BIGINT) AS keep_rate_e4,
               |  CAST(SUM(z) AS BIGINT) AS score_sum_e6
               |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // stream_neardup_e2e ★ (new r14) — NEAR-duplicate detection as a
+    // stream: stream_dedup_e2e generalized from exact keys to MinHash
+    // LSH bands. The map stage is the STATELESS per-doc band-key
+    // projection (signature mins as array folds — see
+    // [[DedupQueries.minhashBandKeys]]; no per-doc shuffle agg inside
+    // the stream), feeding a per-band-bucket running
+    // (owner = MIN(doc_id), n_docs) aggregate drained in complete
+    // mode. MIN makes the bucket table a pure function of the data —
+    // arrival-order independent, unlike dropDuplicates' survivor —
+    // which is what lets this row carry a hash-compared oracle.
+    // Declared output is the per-DOC near-dup verdict the batch family
+    // reads off its pair relation: bands lost to an earlier owner,
+    // bucket-mates, and the candidate flag (exactly q_minhash_dup's
+    // candidate set, restated per doc: doc is a candidate iff it
+    // shares ≥ 1 band bucket with a smaller doc_id). The post-drain
+    // batch join re-derives doc→band keys with the SAME shared
+    // projection, so stream and label sides cannot drift.
+    // State/scale honesty: bucket state is corpus-linear (one row per
+    // distinct band key), not horizon-bounded — production bounds it
+    // by dedup horizon (dropDuplicatesWithinWatermark on the bucket
+    // key) or flushes this exact table into the at-rest lake dedup
+    // index (lake_dedup_index_e2e's MERGE) and restarts against it.
+    QueryDef(
+      "stream_neardup_e2e",
+      (s: SparkSession, dir: String) => {
+        val buckets =
+          drain(s, neardupTopo(s, dir), "graft_stream_neardup", mode = "complete")
+        val docBands = DedupQueries.minhashBandKeys(
+          s.read.parquet(s"$dir/documents.parquet"))
+        docBands.join(buckets, Seq("band", "k1", "k2"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L))
+              .as("n_lost_bands"),
+            sum(col("n_docs") - 1L).as("n_bucket_mates"))
+          .select(col("doc_id"), col("n_lost_bands"), col("n_bucket_mates"),
+            when(col("n_lost_bands") > 0L, 1L).otherwise(0L).as("is_candidate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${DedupQueries.ShSql},
+              |${DedupQueries.MinhashCandSql},
+              |own AS (SELECT band, k1, k2, MIN(doc_id) AS owner,
+              |  COUNT(*) AS nd FROM bands GROUP BY 1, 2, 3),
+              |per AS (SELECT b.doc_id,
+              |  CAST(SUM(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_lost_bands,
+              |  CAST(SUM(o.nd - 1) AS BIGINT) AS n_bucket_mates
+              |  FROM bands b JOIN own o
+              |    ON b.band = o.band AND b.k1 = o.k1 AND b.k2 = o.k2
+              |  GROUP BY 1)
+              |SELECT doc_id, n_lost_bands, n_bucket_mates,
+              |  CAST(CASE WHEN n_lost_bands > 0 THEN 1 ELSE 0 END AS BIGINT)
+              |    AS is_candidate
+              |FROM per ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // stream_tumbling_e2e ★ (new r5) — watermarked tumbling-window
