@@ -1707,6 +1707,88 @@ object TextQueries {
              |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_doremi_weights ★ (new r14) — DoReMi-style domain reweighting
+    // (Xie et al. 2023: Group-DRO multiplicative weights on per-domain
+    // EXCESS LOSS; the mixture optimizer behind modern pretraining
+    // mixes, vs q_mix_weights' static token shares and q_dsir's
+    // per-DOCUMENT importance selection — this row optimizes the
+    // per-SOURCE sampling distribution). Exact-integer analog: the
+    // per-domain loss proxy is the SHARED [[lmScoreFrame]] bigram
+    // predictability (low predictability = high perplexity = high
+    // loss), excess(s) = corpus mean − domain mean in e4 (positive for
+    // worse-predicted domains, which DRO upweights); 3 multiplicative-
+    // weights rounds w ← w·clamp(1e6 + 100·excess, ≥1) // 1e6
+    // (truncating division ≡ DuckDB //), exported as the per-round
+    // NORMALIZED share trajectory s0..s3_e6 — the schedule a mixture-
+    // trained run consumes. No overflow: |excess| ≤ 1e4 → factor
+    // ≤ 2e6 → w_3 ≤ 8e6, ·1e6 ≪ 2^63.
+    // Plan: the LM signal reads AT REST (lmscore CorpusTable); this
+    // row adds one thin doc→source join, a ~20-group agg, then pure
+    // column arithmetic (w_r composes as expressions — no per-round
+    // join) + one 1-row broadcast of the four share denominators.
+    // Everything after the doc-level join is source-cardinality-sized.
+    QueryDef(
+      "q_doremi_weights",
+      (s: SparkSession, dir: String) => {
+        val meta = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        val perSrc = lmScoreFrame(s, dir).join(meta, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("lm_score_e4").as("sum_e4"))
+        val tot = perSrc.agg(sum("sum_e4").as("ts"), sum("n_docs").as("tn"))
+        val w = perSrc.crossJoin(broadcast(tot))
+          .withColumn("m_e4", floorDivL(col("sum_e4"), col("n_docs")))
+          .withColumn("excess_e4",
+            floorDivL(col("ts"), col("tn")) - col("m_e4"))
+          .withColumn("w0", lit(1000000L))
+          .withColumn("f",
+            greatest(lit(1000000L) + col("excess_e4") * 100L, lit(1L)))
+          .withColumn("w1", floorDivL(col("w0") * col("f"), lit(1000000L)))
+          .withColumn("w2", floorDivL(col("w1") * col("f"), lit(1000000L)))
+          .withColumn("w3", floorDivL(col("w2") * col("f"), lit(1000000L)))
+        val sums = w.agg(sum("w0").as("t0"), sum("w1").as("t1"),
+          sum("w2").as("t2"), sum("w3").as("t3"))
+        w.crossJoin(broadcast(sums))
+          .select(col("source"), col("n_docs"), col("m_e4"), col("excess_e4"),
+            floorDivL(col("w0") * 1000000L, col("t0")).as("s0_e6"),
+            floorDivL(col("w1") * 1000000L, col("t1")).as("s1_e6"),
+            floorDivL(col("w2") * 1000000L, col("t2")).as("s2_e6"),
+            floorDivL(col("w3") * 1000000L, col("t3")).as("s3_e6"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $NgramLmSql,
+             |meta AS (SELECT doc_id, source FROM documents),
+             |ps AS (
+             |  SELECT meta.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(lm.lm_score_e4) AS BIGINT) AS sum_e4
+             |  FROM lm JOIN meta USING (doc_id) GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(sum_e4) AS BIGINT) AS ts,
+             |  CAST(SUM(n_docs) AS BIGINT) AS tn FROM ps),
+             |b AS (
+             |  SELECT source, n_docs, sum_e4 // n_docs AS m_e4,
+             |    (SELECT ts // tn FROM tot) - sum_e4 // n_docs AS excess_e4
+             |  FROM ps),
+             |w AS (
+             |  SELECT source, n_docs, m_e4, excess_e4,
+             |    CAST(1000000 AS BIGINT) AS w0,
+             |    GREATEST(1000000 + excess_e4 * 100, 1) AS f
+             |  FROM b),
+             |wr AS (
+             |  SELECT *, (w0 * f) // 1000000 AS w1,
+             |    ((w0 * f) // 1000000 * f) // 1000000 AS w2,
+             |    (((w0 * f) // 1000000 * f) // 1000000 * f) // 1000000 AS w3
+             |  FROM w),
+             |sums AS (SELECT CAST(SUM(w0) AS BIGINT) AS t0,
+             |  CAST(SUM(w1) AS BIGINT) AS t1, CAST(SUM(w2) AS BIGINT) AS t2,
+             |  CAST(SUM(w3) AS BIGINT) AS t3 FROM wr)
+             |SELECT source, n_docs, m_e4, excess_e4,
+             |  (w0 * 1000000) // (SELECT t0 FROM sums) AS s0_e6,
+             |  (w1 * 1000000) // (SELECT t1 FROM sums) AS s1_e6,
+             |  (w2 * 1000000) // (SELECT t2 FROM sums) AS s2_e6,
+             |  (w3 * 1000000) // (SELECT t3 FROM sums) AS s3_e6
+             |FROM wr ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_bpe_pairs ★ (new r5) — the vocabulary-induction kernel of BPE
     // tokenizer training: the first merge iteration's candidate table,
     // i.e. every adjacent character pair's corpus frequency, weighted

@@ -1075,4 +1075,41 @@ class TextSpec extends SparkSpec {
     assert(got.exists(_._8 != 0L))
     assert(got.map(_._6).distinct.size > 1)
   }
+
+  test("q_doremi_weights == plain-Scala multiplicative-weights fold over " +
+      "the declared LM signal (r14)") {
+    val lm = SparkEntry.queries("q_ngram_lm")(spark, sfDir)
+      .select("doc_id", "lm_score_e4").as[(Long, Long)].collect().toMap
+    val src = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    val corpusMean = src.map(d => lm(d._1)).sum / src.size.toLong
+    val base = src.groupBy(_._2).toSeq.map { case (sr, ds) =>
+      val n = ds.size.toLong
+      val m = ds.map(d => lm(d._1)).sum / n
+      val ex = corpusMean - m
+      val f = math.max(1000000L + ex * 100L, 1L)
+      val w = Iterator.iterate(1000000L)(x => x * f / 1000000L).take(4).toVector
+      (sr, n, m, ex, w)
+    }
+    val tot = (0 to 3).map(r => base.map(_._5(r)).sum)
+    val want = base.map { case (sr, n, m, ex, w) =>
+      (sr, n, m, ex, w(0) * 1000000L / tot(0), w(1) * 1000000L / tot(1),
+        w(2) * 1000000L / tot(2), w(3) * 1000000L / tot(3))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_doremi_weights")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // DRO direction: the max-excess (worst-predicted) source's share
+    // never shrinks across rounds, and some reweighting actually moved
+    val worst = want.maxBy(_._4)
+    assert(worst._8 >= worst._5, s"worst source share shrank: $worst")
+    assert(want.exists(r => r._8 != r._5), "no share moved in 3 rounds")
+    // each round's shares are a floor-normalized distribution
+    Seq(want.map(_._5), want.map(_._6), want.map(_._7), want.map(_._8))
+      .foreach { shares =>
+        val t = shares.sum
+        assert(t <= 1000000L && t > 1000000L - want.size,
+          s"shares do not floor-sum to 1e6: $t")
+      }
+  }
 }
