@@ -903,6 +903,61 @@ object TextQueries {
        |$rounds""".stripMargin
   }
 
+  /** Oracle twin of [[wordPieceEncoded]] — the per-word longest-match
+    * encode as CTEs (candidate explode capped by the vocab's max piece
+    * length, per-position longest match as GROUP BY MAX, the greedy
+    * walk as a recursive CTE terminating early at unmatched positions
+    * → [UNK]). Requires `wps0..wps{R}` + `wpm1..wpm{R}` (from
+    * [[wpRoundsSql]] with finalApply) in scope and a `WITH RECURSIVE`
+    * opener; ends in `wpper(w, n_pieces, unk, diverged)`. Shared by
+    * the q_wordpiece_encode and q_tokenizer_compare oracles.
+    */
+  private lazy val WpEncodePerWordSql: String =
+    s"""wpvocab AS MATERIALIZED (
+       |  SELECT DISTINCT p FROM (
+       |    SELECT unnest(toks) AS p FROM wps0
+       |${(1 to WordPieceRounds).map(r =>
+         s"    UNION ALL SELECT merged FROM wpm$r").mkString("\n")})),
+       |wpml0 AS (SELECT MAX(length(p)) AS ml FROM wpvocab),
+       |wpew AS MATERIALIZED (SELECT DISTINCT w FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+       |wpnext AS MATERIALIZED (
+       |  SELECT c.w, c.a, MAX(c.k) AS k FROM (
+       |    SELECT w, a, unnest(range(1, least(ml, length(w) - a + 1) + 1)) AS k
+       |    FROM (SELECT w, unnest(range(1, length(w) + 1)) AS a FROM wpew)
+       |    CROSS JOIN wpml0) c
+       |  JOIN wpvocab v ON v.p = CASE WHEN c.a = 1
+       |    THEN substring(c.w, CAST(c.a AS INTEGER), CAST(c.k AS INTEGER))
+       |    ELSE '##' || substring(c.w, CAST(c.a AS INTEGER), CAST(c.k AS INTEGER)) END
+       |  GROUP BY 1, 2),
+       |wpwalk(w, pos, np, seg) AS (
+       |  SELECT w, CAST(1 AS BIGINT), 0, CAST('' AS VARCHAR) FROM wpew
+       |  UNION ALL
+       |  SELECT wk.w, wk.pos + m.k, wk.np + 1,
+       |    wk.seg || CASE WHEN wk.np = 0 THEN '' ELSE chr(31) END ||
+       |    CASE WHEN wk.pos = 1
+       |      THEN substring(wk.w, CAST(wk.pos AS INTEGER), CAST(m.k AS INTEGER))
+       |      ELSE '##' || substring(wk.w, CAST(wk.pos AS INTEGER), CAST(m.k AS INTEGER)) END
+       |  FROM wpwalk wk JOIN wpnext m ON m.w = wk.w AND m.a = wk.pos
+       |  WHERE wk.pos <= length(wk.w)),
+       |wpfin AS (
+       |  SELECT w, pos, np, seg,
+       |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos DESC) AS rn
+       |  FROM wpwalk),
+       |wpseg AS MATERIALIZED (
+       |  SELECT w,
+       |    CASE WHEN pos = length(w) + 1 THEN np ELSE 1 END AS n_pieces,
+       |    CASE WHEN pos = length(w) + 1 THEN 0 ELSE 1 END AS unk,
+       |    CASE WHEN pos = length(w) + 1 THEN seg ELSE '[UNK]' END AS seg
+       |  FROM wpfin WHERE rn = 1),
+       |wptr AS (SELECT w, array_to_string(toks, chr(31)) AS tseg
+       |         FROM wps$WordPieceRounds),
+       |wpper AS MATERIALIZED (
+       |  SELECT g.w, g.n_pieces, g.unk,
+       |    CASE WHEN t.tseg IS NOT NULL AND t.tseg <> g.seg
+       |         THEN 1 ELSE 0 END AS diverged
+       |  FROM wpseg g LEFT JOIN wptr t ON t.w = g.w)""".stripMargin
+
   private val WpTrainSql: String = {
     val selects = (1 to WordPieceRounds).map { r =>
       s"SELECT CAST($r AS BIGINT) AS round, t1, t2, merged, n, na, nb FROM wpm$r"
@@ -2201,50 +2256,7 @@ object TextQueries {
             floorDivL(col("n_pieces") * 10000L, col("n_words")))
           .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE ${wpRoundsSql(finalApply = true)},
-              |wpvocab AS MATERIALIZED (
-              |  SELECT DISTINCT p FROM (
-              |    SELECT unnest(toks) AS p FROM wps0
-              |${(1 to WordPieceRounds).map(r =>
-                s"    UNION ALL SELECT merged FROM wpm$r").mkString("\n")})),
-              |wpml0 AS (SELECT MAX(length(p)) AS ml FROM wpvocab),
-              |wpew AS MATERIALIZED (SELECT DISTINCT w FROM (
-              |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
-              |wpnext AS MATERIALIZED (
-              |  SELECT c.w, c.a, MAX(c.k) AS k FROM (
-              |    SELECT w, a, unnest(range(1, least(ml, length(w) - a + 1) + 1)) AS k
-              |    FROM (SELECT w, unnest(range(1, length(w) + 1)) AS a FROM wpew)
-              |    CROSS JOIN wpml0) c
-              |  JOIN wpvocab v ON v.p = CASE WHEN c.a = 1
-              |    THEN substring(c.w, CAST(c.a AS INTEGER), CAST(c.k AS INTEGER))
-              |    ELSE '##' || substring(c.w, CAST(c.a AS INTEGER), CAST(c.k AS INTEGER)) END
-              |  GROUP BY 1, 2),
-              |wpwalk(w, pos, np, seg) AS (
-              |  SELECT w, CAST(1 AS BIGINT), 0, CAST('' AS VARCHAR) FROM wpew
-              |  UNION ALL
-              |  SELECT wk.w, wk.pos + m.k, wk.np + 1,
-              |    wk.seg || CASE WHEN wk.np = 0 THEN '' ELSE chr(31) END ||
-              |    CASE WHEN wk.pos = 1
-              |      THEN substring(wk.w, CAST(wk.pos AS INTEGER), CAST(m.k AS INTEGER))
-              |      ELSE '##' || substring(wk.w, CAST(wk.pos AS INTEGER), CAST(m.k AS INTEGER)) END
-              |  FROM wpwalk wk JOIN wpnext m ON m.w = wk.w AND m.a = wk.pos
-              |  WHERE wk.pos <= length(wk.w)),
-              |wpfin AS (
-              |  SELECT w, pos, np, seg,
-              |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos DESC) AS rn
-              |  FROM wpwalk),
-              |wpseg AS MATERIALIZED (
-              |  SELECT w,
-              |    CASE WHEN pos = length(w) + 1 THEN np ELSE 1 END AS n_pieces,
-              |    CASE WHEN pos = length(w) + 1 THEN 0 ELSE 1 END AS unk,
-              |    CASE WHEN pos = length(w) + 1 THEN seg ELSE '[UNK]' END AS seg
-              |  FROM wpfin WHERE rn = 1),
-              |wptr AS (SELECT w, array_to_string(toks, chr(31)) AS tseg
-              |         FROM wps$WordPieceRounds),
-              |wpper AS MATERIALIZED (
-              |  SELECT g.w, g.n_pieces, g.unk,
-              |    CASE WHEN t.tseg IS NOT NULL AND t.tseg <> g.seg
-              |         THEN 1 ELSE 0 END AS diverged
-              |  FROM wpseg g LEFT JOIN wptr t ON t.w = g.w),
+              |$WpEncodePerWordSql,
               |wptok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
               |          FROM documents)
               |SELECT wptok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -2254,6 +2266,86 @@ object TextQueries {
               |  (CAST(SUM(p.n_pieces) AS BIGINT) * 10000) // COUNT(*) AS fertility_e4
               |FROM wptok JOIN wpper p ON p.w = wptok.w
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_tokenizer_compare ★ (new r14) — the tokenizer-eval CAPSTONE:
+    // all three trained families (BPE merges, unigram-LM/SentencePiece,
+    // WordPiece longest-match) encoded over the SAME token stream and
+    // compared per language in one table — fertility side by side plus
+    // WordPiece's UNK count. This is the table a pipeline reads to
+    // PICK a tokenizer (the lowest-fertility family per language wins
+    // sequence-length budget); it exists only because all three
+    // trainers share the corpus and their encode semantics are already
+    // declared rows — this row adds NO new semantics, it joins the
+    // three at-rest models ([[bpeModel]] / [[unigramModel]] /
+    // [[wordPieceModel]] — zero re-training, the CorpusTable seam) on
+    // one exploded (lang, word) stream. Per-family fallback rules are
+    // each family's own (BPE: <2-char chars; unigram: >16-char chars;
+    // WordPiece: whole-word [UNK]).
+    // Scale: three vocab-sized left joins on the token stream (each
+    // broadcastable at 100 TB) + a ≤5-group lang agg.
+    QueryDef(
+      "q_tokenizer_compare",
+      (s: SparkSession, dir: String) => {
+        val lw = Tables(s, dir, "documents")
+          .select(col("lang"), explode(toks).as("w"))
+        val bpe = bpeEncodedTokens(s, dir).groupBy("lang")
+          .agg(count(lit(1)).as("n_words"), sum("n_sub").as("bpe_pieces"))
+        val uniV = unigramModel(s, dir).filter(col("kind") === "s")
+          .select(col("w"), size(col("seg")).cast("long").as("n_sub"))
+        val uni = lw.join(uniV, Seq("w"), "left")
+          .select(col("lang"),
+            coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"))
+          .groupBy("lang").agg(sum("n_sub").as("uni_pieces"))
+        val wp = lw.join(wordPieceEncoded(s, dir)
+            .select(col("w"), col("n_pieces"), col("unk")), "w")
+          .groupBy("lang")
+          .agg(sum("n_pieces").as("wp_pieces"), sum("unk").as("wp_unk"))
+        bpe.join(uni, "lang").join(wp, "lang")
+          .select(col("lang"), col("n_words"),
+            floorDivL(col("bpe_pieces") * 10000L, col("n_words"))
+              .as("bpe_fert_e4"),
+            floorDivL(col("uni_pieces") * 10000L, col("n_words"))
+              .as("uni_fert_e4"),
+            floorDivL(col("wp_pieces") * 10000L, col("n_words"))
+              .as("wp_fert_e4"),
+            col("wp_unk"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE ${bpeRoundsSql(finalApply = true).stripPrefix("WITH ")},
+              |bv AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub
+              |       FROM s$BpeTrainRounds),
+              |$UnigramRoundsSql,
+              |usegn2 AS MATERIALIZED (
+              |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub
+              |  FROM uwb$UnigramRounds WHERE p IS NOT NULL GROUP BY 1),
+              |${wpRoundsSql(finalApply = true)},
+              |$WpEncodePerWordSql,
+              |ltok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+              |         FROM documents),
+              |bfert AS (
+              |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+              |    CAST(SUM(COALESCE(bv.n_sub, length(ltok.w))) AS BIGINT)
+              |      AS pieces
+              |  FROM ltok LEFT JOIN bv ON bv.w = ltok.w GROUP BY 1),
+              |ufert AS (
+              |  SELECT lang,
+              |    CAST(SUM(COALESCE(u2.n_sub, length(ltok.w))) AS BIGINT)
+              |      AS pieces
+              |  FROM ltok LEFT JOIN usegn2 u2 ON u2.w = ltok.w GROUP BY 1),
+              |wfert AS (
+              |  SELECT lang, CAST(SUM(p.n_pieces) AS BIGINT) AS pieces,
+              |    CAST(SUM(p.unk) AS BIGINT) AS wp_unk
+              |  FROM ltok JOIN wpper p ON p.w = ltok.w GROUP BY 1)
+              |SELECT bfert.lang, bfert.n_words,
+              |  (bfert.pieces * 10000) // bfert.n_words AS bpe_fert_e4,
+              |  (ufert.pieces * 10000) // bfert.n_words AS uni_fert_e4,
+              |  (wfert.pieces * 10000) // bfert.n_words AS wp_fert_e4,
+              |  wfert.wp_unk
+              |FROM bfert
+              |JOIN ufert ON ufert.lang = bfert.lang
+              |JOIN wfert ON wfert.lang = bfert.lang
+              |ORDER BY bfert.lang""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_quality_classifier ★ (new r13) — LEARNED quality filtering, the

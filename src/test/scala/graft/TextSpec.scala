@@ -1112,4 +1112,40 @@ class TextSpec extends SparkSpec {
           s"shares do not floor-sum to 1e6: $t")
       }
   }
+
+  test("q_tokenizer_compare == the three declared family rows re-aggregated " +
+      "per lang (r14)") {
+    val langOf = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    // BPE: q_bpe_fertility is already the per-lang table
+    val bpe = SparkEntry.queries("q_bpe_fertility")(spark, sfDir)
+      .select("lang", "n_words", "fertility_e4")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // unigram/WordPiece: per-doc rows re-aggregated by the doc's lang
+    val uni = SparkEntry.queries("q_unigram_encode")(spark, sfDir)
+      .select("doc_id", "n_words", "n_pieces")
+      .as[(Long, Long, Long)].collect().toSeq
+      .groupBy(r => langOf(r._1))
+      .map { case (l, rs) => l -> (rs.map(_._2).sum, rs.map(_._3).sum) }
+    val wp = SparkEntry.queries("q_wordpiece_encode")(spark, sfDir)
+      .select("doc_id", "n_words", "n_pieces", "n_unk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .groupBy(r => langOf(r._1))
+      .map { case (l, rs) =>
+        l -> (rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum) }
+    val got = SparkEntry.queries("q_tokenizer_compare")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (lang, nWords, bpeF, uniF, wpF, wpUnk) =>
+      assert(nWords == bpe(lang)._1, s"$lang n_words vs q_bpe_fertility")
+      assert(bpeF == bpe(lang)._2, s"$lang bpe fertility drifted")
+      assert(nWords == uni(lang)._1 && nWords == wp(lang)._1,
+        s"$lang denominators drifted across families")
+      assert(uniF == uni(lang)._2 * 10000L / nWords, s"$lang uni fertility")
+      assert(wpF == wp(lang)._2 * 10000L / nWords, s"$lang wp fertility")
+      assert(wpUnk == wp(lang)._3, s"$lang wp unk count")
+    }
+    // the comparison is live: the three families do not all tie
+    assert(got.exists(r => Set(r._3, r._4, r._5).size > 1))
+  }
 }
