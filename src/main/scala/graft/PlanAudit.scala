@@ -53,6 +53,7 @@ object PlanAudit {
     ("q_trend_ols", "BroadcastNestedLoopJoin"),       // 1-row corpus min day
     ("q_vocab_growth", "BroadcastNestedLoopJoin"),    // 1-row max doc_id
     ("q_dsir", "BroadcastNestedLoopJoin"),            // 1-row L(R)−L(T) normalizer
+    ("q_doremi_weights", "BroadcastNestedLoopJoin"),  // 1-row corpus-mean + 1-row share denominators
     ("q_dsir_eval", "BroadcastNestedLoopJoin"),       // 1-row normalizer + 1-row×1-row scalar assembly
     ("q_embed_ood", "BroadcastNestedLoopJoin"),       // 1-row vector count
     // windows over the USER table / the ≤10-row growth-curve frame,
