@@ -263,6 +263,71 @@ object IngestQueries {
              | t(step, op, n_rows, n_files, sum_v, n_expired)
              |ORDER BY step""".stripMargin)),
 
+    // lake_rollback_e2e ★ (new r14) — ROLLBACK as a declared row:
+    // Iceberg's `rollback_to_snapshot` is the recovery op every lake
+    // deployment eventually runs (bad upsert, bad delete → restore),
+    // and its semantics are subtle enough to pin: a rollback is a
+    // FORWARD commit (a `rewrite` whose live set is the target
+    // snapshot's), so history stays append-only — the rolled-back-over
+    // snapshots remain time-travel-readable until expiry, and the
+    // rollback is itself roll-back-able. Lifecycle here: append →
+    // upsert (update + insert) → delete → ROLLBACK to s1 → append,
+    // observing (rows, live files, content sum) at every snapshot,
+    // plus the step that proves history survived: re-reading the
+    // DELETE snapshot AFTER the rollback still shows the deleted
+    // state. Golden VALUES oracle (the lake_ops_e2e trust argument:
+    // constant fixture ⇒ fixed ledger; every number is computed from
+    // the lake state, so snapshot isolation, the restored-live-set
+    // row fold, or history preservation drifting fails the hash).
+    QueryDef("lake_rollback_e2e", (s: SparkSession, _: String) => {
+      import s.implicits._
+      import graft.sink.{GraftLog, HiveParquetWriter, LakeOps}
+      val tmpRoot = Files.createTempDirectory("graft_rollback_")
+      val tableDir = tmpRoot.toString + "/warehouse/t"
+      val w = new HiveParquetWriter
+      def snapRow(step: Long, label: String, id: Long): (Long, String, Long, Long, Long) = {
+        val a = LakeOps.readSnapshot(s, tableDir, id)
+          .agg(count(lit(1)).cast("long"), sum(col("v")).cast("long")).head()
+        (step, label, a.getLong(0),
+          GraftLog.liveFiles(tableDir, Some(id)).size.toLong, a.getLong(1))
+      }
+      val s1 = w.append(Seq((1L, "c1", 10L), (2L, "c1", 20L), (3L, "c2", 30L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val r1 = snapRow(1, "append", s1)
+      val s2 = LakeOps.upsert(s, tableDir,
+        Seq((2L, "c1", 21L), (4L, "c2", 40L)).toDF("id", "category", "v"),
+        keyCols = Seq("id"), partitionCols = Seq("category")).snapshotId
+      val r2 = snapRow(2, "upsert", s2)
+      val s3 = LakeOps.delete(s, tableDir, col("category") === "c2",
+        Seq("category")).snapshotId
+      val r3 = snapRow(3, "delete", s3)
+      val s4 = LakeOps.rollback(tableDir, s1).snapshotId
+      val r4 = snapRow(4, "rollback_to_s1", s4)
+      val s5 = w.append(Seq((6L, "c3", 60L))
+        .toDF("id", "category", "v"), Seq("category"), tableDir).snapshotId
+      val r5 = snapRow(5, "append", s5)
+      // history preserved: the delete snapshot reads the same AFTER the
+      // rollback commit landed on top of it
+      val r6 = snapRow(6, "s3_after_rollback", s3)
+      deleteTree(tmpRoot)
+      Seq(r1, r2, r3, r4, r5, r6)
+        .toDF("step", "op", "n_rows", "n_files", "sum_v")
+        .orderBy("step")
+    },
+      Some("""SELECT CAST(step AS BIGINT) AS step, op,
+             |  CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_files AS BIGINT) AS n_files,
+             |  CAST(sum_v AS BIGINT) AS sum_v
+             |FROM (VALUES
+             |  (1, 'append',            3, 2, 60),
+             |  (2, 'upsert',            4, 2, 101),
+             |  (3, 'delete',            2, 1, 31),
+             |  (4, 'rollback_to_s1',    3, 2, 60),
+             |  (5, 'append',            4, 3, 120),
+             |  (6, 's3_after_rollback', 2, 1, 31))
+             | t(step, op, n_rows, n_files, sum_v)
+             |ORDER BY step""".stripMargin)),
+
     // ------------------------------------------------------------------
     // lake_upsert_e2e (new r5) — copy-on-write MERGE as a declared
     // query: append 3 rows across partitions c1/c2, then upsert a batch
