@@ -1245,6 +1245,105 @@ object ProfileQueries {
              |        // (CAST(den1 AS HUGEINT) * CAST(den2 AS HUGEINT)))
              |      AS BIGINT)
              |  END AS r2_e6
-             |FROM c ORDER BY t1, t2""".stripMargin))
+             |FROM c ORDER BY t1, t2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_bootstrap_ci ★ (new r14) — BOOTSTRAP confidence intervals for a
+    // per-source corpus metric (the mean quality score), the error bars
+    // an eval/curation table needs before acting on a per-source number
+    // (a 2-point source's mean is noise; a 2000-doc source's is not —
+    // this row quantifies exactly that). Poisson bootstrap (Chamandy et
+    // al. 2012 — the resampling scheme that works on a DATA-PARALLEL
+    // stream: each doc independently enters replica b with weight
+    // w ~ Poisson(1), no global resample), DETERMINISTIC variant: the
+    // weight is a pure md5 function of (replica, doc_id) mapped through
+    // the exact integer Poisson(1) CDF ladder in e6 units
+    // (P(≤k)·1e6 = 367879, 735758, 919698, 981011, 996340, 999406 —
+    // identical CASE ladder in both engines, reproducible across
+    // runs/shards, the q_split_assign argument applied to resampling).
+    // B = 32 replicas; per source, the replica means' 2nd-smallest /
+    // 2nd-largest are the reported percentile interval (exact ranks,
+    // no quantile interpolation to drift between engines). Declared
+    // output: n_docs, the point estimate, lo/hi, and the halfwidth.
+    // Plan: ONE pass over docs × a 32-wide replica explode (constant
+    // fan-out, map-only, the score fold is a plan constant) → a
+    // (source × 32)-group agg (map-side combined) → source-partitioned
+    // rank window over 32-row groups → ≤ sources-group agg. All exact
+    // integers; truncating division on the (possibly signed) replica
+    // sums matches DuckDB `//` by the ExactMath contract.
+    QueryDef(
+      "q_bootstrap_ci",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = 32
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), TextQueries.qcScoreE6.as("x"))
+        val rep = docs.select(col("doc_id"), col("source"), col("x"),
+            explode(expr(s"sequence(0, ${b - 1})")).as("r"))
+          .withColumn("u", pmod(conv(substring(md5(concat(lit("bs"),
+            col("r").cast("string"), lit(":"), col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long"), lit(1000000L)))
+          .withColumn("w",
+            when(col("u") < 367879L, 0L).when(col("u") < 735758L, 1L)
+              .when(col("u") < 919698L, 2L).when(col("u") < 981011L, 3L)
+              .when(col("u") < 996340L, 4L).when(col("u") < 999406L, 5L)
+              .otherwise(6L))
+        val means = rep.groupBy("source", "r")
+          .agg(sum(col("w") * col("x")).as("sw"), sum("w").as("n"))
+          .select(col("source"), col("r"),
+            ExactMath.divTrunc(col("sw"), greatest(col("n"), lit(1L))).as("m"))
+        val rk = Window.partitionBy("source").orderBy(col("m"), col("r"))
+        val ranked = means
+          .withColumn("rn", row_number().over(rk))
+          .filter(col("rn") === 2 || col("rn") === (b - 1))
+          .groupBy("source")
+          .agg(min("m").as("lo_e6"), max("m").as("hi_e6"))
+        val pt = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("x").as("sx"))
+          .select(col("source"), col("n_docs"),
+            ExactMath.divTrunc(col("sx"), col("n_docs")).as("point_e6"))
+        pt.join(ranked, "source")
+          .withColumn("halfwidth_e6",
+            ExactMath.divTrunc(col("hi_e6") - col("lo_e6"), lit(2L)))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${TextQueries.QcScoreSql},
+             |rep AS (
+             |  SELECT sc.doc_id, sc.source, sc.z AS x,
+             |    unnest(range(0, 32)) AS r
+             |  FROM sc),
+             |wts AS (
+             |  SELECT doc_id, source, x, r,
+             |    ('0x' || substring(md5('bs' || r || ':' || doc_id), 1, 15))::BIGINT
+             |      % 1000000 AS u
+             |  FROM rep),
+             |wt AS (
+             |  SELECT source, r, x,
+             |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+             |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+             |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+             |         ELSE 6 END AS w
+             |  FROM wts),
+             |means AS (
+             |  SELECT source, r,
+             |    CAST(SUM(w * x) AS BIGINT) //
+             |      GREATEST(CAST(SUM(w) AS BIGINT), 1) AS m
+             |  FROM wt GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT source, m,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, r) AS rn
+             |  FROM means),
+             |ci AS (
+             |  SELECT source, CAST(MIN(m) AS BIGINT) AS lo_e6,
+             |    CAST(MAX(m) AS BIGINT) AS hi_e6
+             |  FROM ranked WHERE rn = 2 OR rn = 31 GROUP BY 1),
+             |pt AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(z) AS BIGINT) // COUNT(*) AS point_e6
+             |  FROM sc GROUP BY 1)
+             |SELECT pt.source, pt.n_docs, pt.point_e6, ci.lo_e6, ci.hi_e6,
+             |  (ci.hi_e6 - ci.lo_e6) // 2 AS halfwidth_e6
+             |FROM pt JOIN ci ON ci.source = pt.source
+             |ORDER BY pt.source""".stripMargin))
   )
 }

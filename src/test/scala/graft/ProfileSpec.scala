@@ -626,4 +626,44 @@ class ProfileSpec extends SparkSpec {
     val mid = got(("a", "e")).get
     assert(math.abs(mid) < 1000000L && mid != 0L)
   }
+
+  test("q_bootstrap_ci == plain-Scala deterministic Poisson bootstrap (r14)") {
+    import graft.queries.TextQueries.{qcWeights, qcBias}
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h15(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).substring(0, 15), 16)
+    def dimOf(t: String): Int = (BigInt(md5hex(t).take(15), 16) % 256).toInt
+    def zOf(text: String): Long =
+      qcBias + text.split(" ", -1).map(t => qcWeights(dimOf(t))).sum
+    val cut = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999406L)
+    def wOf(r: Int, id: Long): Long = {
+      val u = h15(s"bs$r:$id") % 1000000L
+      cut.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
+    }
+    val corpus = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)]
+      .collect().toSeq
+    val want = corpus.groupBy(_._2).toSeq.map { case (src, ds) =>
+      val xs = ds.map(d => (d._1, zOf(d._3)))
+      val means = (0 until 32).map { r =>
+        val sw = xs.map { case (id, x) => wOf(r, id) * x }.sum
+        val n = xs.map { case (id, _) => wOf(r, id) }.sum
+        (sw / math.max(n, 1L), r)
+      }.sortBy(identity)
+      val (lo, hi) = (means(1)._1, means(30)._1)
+      val point = xs.map(_._2).sum / xs.size.toLong
+      (src, xs.size.toLong, point, lo, hi, (hi - lo) / 2)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_bootstrap_ci")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the interval is live and ordered; the point estimate sits inside
+    // it for the typical source (percentile bootstrap coverage)
+    got.foreach(r => assert(r._4 <= r._5, s"lo > hi: $r"))
+    assert(got.count(r => r._4 <= r._3 && r._3 <= r._5) * 2 > got.size,
+      "point estimate outside its CI for most sources")
+    assert(got.exists(r => r._6 > 0L), "all intervals degenerate")
+  }
 }
