@@ -2640,6 +2640,97 @@ object TextQueries {
               |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_conformal_gate ★ (new r14) — SPLIT-CONFORMAL calibration of the
+    // quality filter's keep threshold (Vovk et al.; the Papadopoulos
+    // 2002 split/inductive form): instead of the fixed z ≥ 0 rule,
+    // pick τ so that ≥ 90% of true positives survive the gate WITH A
+    // FINITE-SAMPLE GUARANTEE — on exchangeable data, τ = the k-th
+    // smallest calibration-positive score with k = ⌊(n+1)·α⌋ (α = 0.1)
+    // bounds the miss rate at α. The calibration/deployment halves are
+    // the deterministic md5(doc_id) mod 100 < 50 split (the
+    // q_split_assign machinery — no RNG, membership never migrates).
+    // Declared output: per-source deployment stats under the conformal
+    // τ (kept, kept positives, achieved recall, keep rate) + the
+    // global (n_cal_pos, τ) so the guarantee is auditable.
+    // Scale: the order statistic is computed over the score HISTOGRAM
+    // (one hash agg to distinct-z granularity — ties need no doc
+    // tiebreak, the k-th smallest VALUE is what conformal uses), so
+    // the cumulative window runs on the value domain, never corpus
+    // rows; τ and the counts ride as 1-row broadcasts. Precondition:
+    // the calibration half contains ≥ 1 positive (any non-degenerate
+    // corpus; require()d).
+    QueryDef(
+      "q_conformal_gate",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
+          1, 15), 16, 10).cast("long"), lit(100L))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), qcScoreE6.as("z"),
+            qcLabel.as("y"),
+            when(h < 50, lit("cal")).otherwise(lit("dep")).as("half"))
+        val hist = docs.filter(col("half") === "cal" && col("y") === 1L)
+          .groupBy("z").agg(count(lit(1)).as("c"))
+        val k1 = hist.agg(sum("c").as("n"))
+          .select(col("n"),
+            greatest(lit(1L), floorDivL(col("n") + 1L, lit(10L))).as("k"))
+        require(k1.head().getLong(0) > 0L,
+          "q_conformal_gate: no calibration positives")
+        val tau = hist.crossJoin(broadcast(k1))
+          .withColumn("cum", sum("c").over(Window.orderBy("z")))
+          .filter(col("cum") >= col("k"))
+          .groupBy("n").agg(min("z").as("t"))
+        docs.filter(col("half") === "dep")
+          .crossJoin(broadcast(tau))
+          .groupBy("source", "n", "t")
+          .agg(count(lit(1)).as("n_dep"), sum("y").as("n_dep_pos"),
+            sum(when(col("z") >= col("t"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("y") === 1L && col("z") >= col("t"), 1L)
+              .otherwise(0L)).as("kept_pos"))
+          .select(col("source"), col("n").as("n_cal_pos"),
+            col("t").as("tau_e6"), col("n_dep"), col("n_dep_pos"),
+            col("n_kept"), col("kept_pos"),
+            floorDivL(col("kept_pos") * 10000L,
+              greatest(col("n_dep_pos"), lit(1L))).as("recall_e4"),
+            floorDivL(col("n_kept") * 10000L, col("n_dep"))
+              .as("keep_rate_e4"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $QcScoreSql,
+              |yl AS (SELECT doc_id,
+              |  CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+              |         >= len(string_split(text, ' '))
+              |       AND len(string_split(text, ' ')) >= 10
+              |    THEN 1 ELSE 0 END AS y
+              |  FROM documents),
+              |d AS (SELECT sc.doc_id, sc.source, sc.z, yl.y,
+              |  CASE WHEN ('0x' || substring(md5(CAST(sc.doc_id AS VARCHAR)),
+              |    1, 15))::BIGINT % 100 < 50 THEN 'cal' ELSE 'dep' END AS half
+              |  FROM sc JOIN yl USING (doc_id)),
+              |hist AS (SELECT z, COUNT(*) AS c FROM d
+              |         WHERE half = 'cal' AND y = 1 GROUP BY 1),
+              |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+              |kk AS (SELECT GREATEST(1, (n + 1) // 10) AS k FROM n1),
+              |cum AS (SELECT z, SUM(c) OVER (ORDER BY z) AS cum FROM hist),
+              |tau AS (SELECT MIN(z) AS t FROM cum, kk WHERE cum >= kk.k)
+              |SELECT source,
+              |  (SELECT n FROM n1) AS n_cal_pos,
+              |  (SELECT CAST(t AS BIGINT) FROM tau) AS tau_e6,
+              |  CAST(COUNT(*) AS BIGINT) AS n_dep,
+              |  CAST(SUM(y) AS BIGINT) AS n_dep_pos,
+              |  CAST(SUM(CASE WHEN z >= (SELECT t FROM tau)
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(SUM(CASE WHEN y = 1 AND z >= (SELECT t FROM tau)
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_pos,
+              |  (CAST(SUM(CASE WHEN y = 1 AND z >= (SELECT t FROM tau)
+              |    THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+              |    // GREATEST(CAST(SUM(y) AS BIGINT), 1) AS recall_e4,
+              |  (CAST(SUM(CASE WHEN z >= (SELECT t FROM tau)
+              |    THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+              |    // CAST(COUNT(*) AS BIGINT) AS keep_rate_e4
+              |FROM d WHERE half = 'dep' GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_collocation_pmi ★ — top-50 two-word collocations ranked by
     // pointwise mutual information: phrases whose words co-occur far
     // more than their individual frequencies predict (the phrase-mining
