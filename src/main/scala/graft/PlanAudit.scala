@@ -54,11 +54,6 @@ object PlanAudit {
     ("q_vocab_growth", "BroadcastNestedLoopJoin"),    // 1-row max doc_id
     ("q_dsir", "BroadcastNestedLoopJoin"),            // 1-row L(R)−L(T) normalizer
     ("q_doremi_weights", "BroadcastNestedLoopJoin"),  // 1-row corpus-mean + 1-row share denominators
-    ("q_conformal_gate", "BroadcastNestedLoopJoin"),  // 1-row (k, n) + 1-row tau broadcasts
-    // cumulative count over the calibration SCORE HISTOGRAM (distinct-z
-    // granularity — the value domain, never corpus rows; conformal's
-    // k-th smallest VALUE needs no per-doc tiebreak)
-    ("q_conformal_gate", "globalWindow"),
     ("q_dsir_eval", "BroadcastNestedLoopJoin"),       // 1-row normalizer + 1-row×1-row scalar assembly
     ("q_embed_ood", "BroadcastNestedLoopJoin"),       // 1-row vector count
     // windows over the USER table / the ≤10-row growth-curve frame,
@@ -108,8 +103,6 @@ object PlanAudit {
     // domain by construction, the broadcastable "model table" of the
     // hashed-n-gram generative model (persists at rest at 100 TB)
     "q_dsir" -> 1,
-    // 1-row (n, k) order-statistic scalars + the 1-row tau frame
-    "q_conformal_gate" -> 2,
     // eval instantiates dsirWeighted twice (keep set + mean-logw
     // scalars) — the same 512-bucket model hint at each site
     "q_dsir_eval" -> 2,

@@ -154,7 +154,10 @@ object WordPieceOps {
       i += 1
     }
     val n = w.length
-    if (n == 0) return UnkArray
+    // empty word = complete 0-piece segmentation (parity with the
+    // DuckDB wpwalk oracle and the TextSpec replica, which both treat
+    // '' as already fully segmented — NOT as an unknown token)
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.ArrayList[Any](4)
     var pos = 0
     while (pos < n) {

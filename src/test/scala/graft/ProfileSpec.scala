@@ -642,17 +642,25 @@ class ProfileSpec extends SparkSpec {
       val u = h15(s"bs$r:$id") % 1000000L
       cut.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
     }
+    // replica semantics (r15): zero-total-weight resamples are
+    // EXCLUDED; ranks are 2nd-from-each-end of the survivors
+    // (degrading to min/max when < 2 survive)
+    def ciOf(xs: Seq[(Long, Long)]): (Long, Long) = {
+      val means = (0 until 32).flatMap { r =>
+        val sw = xs.map { case (id, x) => wOf(r, id) * x }.sum
+        val n = xs.map { case (id, _) => wOf(r, id) }.sum
+        if (n > 0L) Some((sw / n, r)) else None
+      }.sortBy(identity)
+      val cnt = means.size
+      val k = math.min(2, cnt)
+      (means(k - 1)._1, means(cnt - k)._1)
+    }
     val corpus = Tables(spark, sfDir, "documents")
       .select("doc_id", "source", "text").as[(Long, String, String)]
       .collect().toSeq
     val want = corpus.groupBy(_._2).toSeq.map { case (src, ds) =>
       val xs = ds.map(d => (d._1, zOf(d._3)))
-      val means = (0 until 32).map { r =>
-        val sw = xs.map { case (id, x) => wOf(r, id) * x }.sum
-        val n = xs.map { case (id, _) => wOf(r, id) }.sum
-        (sw / math.max(n, 1L), r)
-      }.sortBy(identity)
-      val (lo, hi) = (means(1)._1, means(30)._1)
+      val (lo, hi) = ciOf(xs)
       val point = xs.map(_._2).sum / xs.size.toLong
       (src, xs.size.toLong, point, lo, hi, (hi - lo) / 2)
     }.sortBy(_._1)
@@ -665,5 +673,52 @@ class ProfileSpec extends SparkSpec {
     assert(got.count(r => r._4 <= r._3 && r._3 <= r._5) * 2 > got.size,
       "point estimate outside its CI for most sources")
     assert(got.exists(r => r._6 > 0L), "all intervals degenerate")
+  }
+
+  test("q_bootstrap_ci: a planted 2-doc source's interval tracks its " +
+      "data, not weight-0 resamples (r15)") {
+    import graft.queries.TextQueries.{qcWeights, qcBias}
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h15(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).substring(0, 15), 16)
+    def dimOf(t: String): Int = (BigInt(md5hex(t).take(15), 16) % 256).toInt
+    def zOf(text: String): Long =
+      qcBias + text.split(" ", -1).map(t => qcWeights(dimOf(t))).sum
+    val cut = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999406L)
+    def wOf(r: Int, id: Long): Long = {
+      val u = h15(s"bs$r:$id") % 1000000L
+      cut.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bsci").toString
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny", "alpha beta gamma delta"),
+      (2L, "tiny", "epsilon zeta eta theta"),
+      (3L, "big", "one two three"), (4L, "big", "four five six"),
+      (5L, "big", "seven eight nine"), (6L, "big", "ten eleven twelve"),
+      (7L, "big", "a b c d"), (8L, "big", "e f g h"))
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_bootstrap_ci")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // plain-Scala replica on the planted corpus
+    val xs = docs.filter(_._2 == "tiny").map(d => (d._1, zOf(d._3)))
+    val means = (0 until 32).flatMap { r =>
+      val sw = xs.map { case (id, x) => wOf(r, id) * x }.sum
+      val n = xs.map { case (id, _) => wOf(r, id) }.sum
+      if (n > 0L) Some((sw / n, r)) else None
+    }.sortBy(identity)
+    val k = math.min(2, means.size)
+    val tiny = got("tiny")
+    assert(tiny._4 == means(k - 1)._1 && tiny._5 == means(means.size - k)._1)
+    // the r14 failure mode is gone: with scores far from 0, weight-0
+    // resamples can no longer pin the interval's low end at exactly 0
+    val zs = xs.map(_._2)
+    assert(tiny._4 >= zs.min && tiny._5 <= zs.max,
+      s"2-doc interval ${(tiny._4, tiny._5)} outside data range " +
+        s"${(zs.min, zs.max)} — empty resamples leaked back in")
   }
 }

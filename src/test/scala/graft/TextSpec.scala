@@ -1006,6 +1006,11 @@ class TextSpec extends SparkSpec {
     // head pieces never match mid-word
     assert(m("aa", Seq("a")) == Seq("[UNK]"))
     assert(m("aa", Seq("a", "##a")) == Seq("a", "##a"))
+    // empty word (consecutive/leading/trailing spaces in the split) is
+    // a COMPLETE 0-piece segmentation, not [UNK] — oracle/replica
+    // parity (r15 ADVICE fix)
+    assert(m("", Seq("a", "##a")) == Seq.empty[String])
+    assert(m("", Seq.empty[String]) == Seq.empty[String])
     def g(ts: Seq[String], t1: String, t2: String, mg: String): Seq[String] =
       Seq(Tuple1(ts)).toDF("ts")
         .select(wpMerge(col("ts"), t1, t2, mg)).as[Seq[String]].collect().head
@@ -1199,5 +1204,27 @@ class TextSpec extends SparkSpec {
       s"conformal recall collapsed: $pooledKeptPos/$pooledPos")
     // and the gate is live: it drops something on the deployment half
     assert(want.map(_._6).sum < want.map(_._4).sum)
+  }
+
+  test("bucketedKthSmallest: multi-level bucketed descent == sorted " +
+      "multiset order statistic, tiny maxB forces >= 3 levels (r15)") {
+    import spark.implicits._
+    // weighted histogram over a wide, gappy value range with ties
+    val pts = Seq(
+      (-1000000L, 3L), (-999999L, 1L), (-5L, 2L), (0L, 1L),
+      (7L, 4L), (123456L, 1L), (123457L, 5L), (999999999L, 2L))
+    val hist = pts.toDF("z", "c").persist()
+    hist.count()
+    val multiset = pts.flatMap { case (z, c) => Seq.fill(c.toInt)(z) }.sorted
+    val lo = multiset.head
+    val hi = multiset.last
+    val n = multiset.size
+    for (k <- Seq(1, 2, n / 2, n - 1, n); b <- Seq(16L, 65536L)) {
+      val got = graft.queries.TextQueries.bucketedKthSmallest(
+        hist, k.toLong, lo, hi, b)
+      assert(got == multiset(k - 1),
+        s"k=$k maxB=$b: got $got want ${multiset(k - 1)}")
+    }
+    hist.unpersist()
   }
 }
