@@ -95,6 +95,51 @@ object DedupQueries {
       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
       |  FROM g)""".stripMargin
 
+  /** Paragraph-chunk relation (doc_id, ok, chunk, n_toks, h) over a
+    * documents frame — the CCNet stage-1 unit SHARED by
+    * q_paragraph_dedup (profile), q_paragraph_apply (reconstruction)
+    * and pipeline_e2e (composed stage), so the three can never
+    * disagree on what a paragraph is. 12-token non-overlapping chunks
+    * (this fixture's text is single-line; a newline-delimited corpus
+    * swaps split(text, '\n\n') into this one spot); ok = doc_id·2²⁰ +
+    * pid is the folded (doc, position) lexmin key (headroom:
+    * pid < 2²⁰ paragraphs/doc, doc_id < 2⁴³); h is the 60-bit md5
+    * chunk identity. Corpus-linear: ≤⌈n/12⌉ rows per doc.
+    */
+  private def paraChunks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("ts")) - 1, lit(12))))
+      .select(col("doc_id"),
+        (col("doc_id") * lit(1048576L)
+          + (col("start") / 12).cast("long")).as("ok"),
+        concat_ws(" ", slice(col("ts"), col("start") + 1, lit(12)))
+          .as("chunk"),
+        size(slice(col("ts"), col("start") + 1, lit(12))).cast("long")
+          .as("n_toks"))
+      .withColumn("h", hash60(col("chunk")))
+
+  /** DuckDB twin of [[paraChunks]] plus the corpus-wide keep-first
+    * owner — ONE copy of the CTE chain (the CcSql rule), shared by the
+    * q_paragraph_dedup / q_paragraph_apply / pipeline_e2e oracles.
+    * Ends in `pch(doc_id, ok, chunk, n_toks, h)` and `pown(h, mo)`;
+    * a chunk is kept iff ok = mo.
+    */
+  private val ParaSql: String =
+    """pt AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |pp0 AS (
+      |  SELECT doc_id, ts, unnest(range(0, len(ts), 12)) AS start FROM pt),
+      |pch AS (
+      |  SELECT doc_id,
+      |    doc_id * 1048576 + CAST(start // 12 AS BIGINT) AS ok,
+      |    array_to_string(ts[start+1:start+12], ' ') AS chunk,
+      |    CAST(len(ts[start+1:start+12]) AS BIGINT) AS n_toks,
+      |    ('0x' || substring(md5(array_to_string(ts[start+1:start+12], ' ')),
+      |      1, 15))::BIGINT AS h
+      |  FROM pp0),
+      |pown AS (SELECT h, MIN(ok) AS mo FROM pch GROUP BY 1)""".stripMargin
+
   /** Exact integer floor/ceil division on non-negative long columns.
     * `Column./` is TRUE (double) division: `(n*t + 9999) / 10000` then
     * `.cast("int")` truncates ~ceil-0.0001, which shortens the PPJoin
@@ -1801,10 +1846,12 @@ object DedupQueries {
              |ORDER BY src_a, src_b""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // pipeline_e2e ★ (new r13) — the CURATION PIPELINE COMPOSED into
-    // one declared query (r12 verdict #7): normalize → quality gate →
-    // exact-dedup prune (canonicalize-then-hash, the q_dedup_normalized
-    // insight operationalized) → content-addressed leakage-safe split →
+    // pipeline_e2e ★ (new r13; r15: paragraph-aware) — the CURATION
+    // PIPELINE COMPOSED into one declared query (r12 verdict #7):
+    // paragraph dedup (CCNet stage 1, AHEAD of normalization — r14
+    // verdict #5) → normalize → quality gate → exact-dedup prune
+    // (canonicalize-then-hash, the q_dedup_normalized insight
+    // operationalized) → content-addressed leakage-safe split →
     // 512-token sequence packing, with the stage funnel (docs/tokens
     // surviving each stage) and per-split pack counts as the declared
     // output — the monitoring table a real 100 TB curation run emits,
@@ -1817,39 +1864,58 @@ object DedupQueries {
     // counts), a ~60-byte row, and THAT narrow frame is what the
     // multi-consumer persist holds (the PERF_NOTES race rule), never
     // the corpus. Stages:
-    //  1. normalize: the codegen'd [[graft.functions.NormalizeText]]
-    //     byte pass, fused into the scan;
-    //  2. quality gate: ≥ 10 normalized tokens AND ≥ half distinct
+    //  1. paragraph dedup (r15): the [[paraChunks]] keep-first kernel
+    //     (corpus-wide MIN owner on the 60-bit chunk hash), then the
+    //     q_paragraph_apply reassembly — downstream stages consume the
+    //     SURVIVING text only; a doc whose every paragraph is
+    //     boilerplate vanishes here. Raw/kept funnel rows count RAW
+    //     tokens (normalization hasn't run yet);
+    //  2. normalize: the codegen'd [[graft.functions.NormalizeText]]
+    //     byte pass over the kept text;
+    //  3. quality gate: ≥ 10 normalized tokens AND ≥ half distinct
     //     (exact integers — the q_quality_grad pseudo-label rule);
-    //  3. dedup-prune: per near-dup CLUSTER ([[ccLabelTable]] — the
-    //     battery's shared ≥0.6-Jaccard CC relation, read AT REST, the
-    //     "reads the materialized tables" composition the verdict
-    //     asked for), keep the minimum-doc_id GATED member — survivor
-    //     policy restricted to gate survivors, so a cluster whose
-    //     canonical copy was dropped for quality still keeps exactly
-    //     one (its best-id) member;
-    //  4. split: 60-bit fingerprint mod 100 → 90/5/5 — CONTENT-
+    //  4. dedup-prune: per near-dup CLUSTER ([[ccLabelTable]] — the
+    //     battery's shared ≥0.6-Jaccard CC relation over the ORIGINAL
+    //     docs, read AT REST, the "reads the materialized tables"
+    //     composition the verdict asked for), keep the minimum-doc_id
+    //     GATED member — survivor policy restricted to gate survivors,
+    //     so a cluster whose canonical copy was dropped for quality
+    //     still keeps exactly one (its best-id) member;
+    //  5. split: 60-bit fingerprint mod 100 → 90/5/5 — CONTENT-
     //     addressed, so identical content lands in one split across
     //     corpus versions and re-runs, the leakage-safe property
     //     (q_split_leakage_safe covers the assign-by-cluster variant);
-    //  5. pack: q_pack_sequences' rule (window prefix-sum, bin =
+    //  6. pack: q_pack_sequences' rule (window prefix-sum, bin =
     //     cum-before // 512) per split partition.
-    // Oracle: the identical five stages in SQL — normalization via the
+    // Oracle: the identical six stages in SQL — the paragraph stage
+    // via the shared [[ParaSql]] CTE chain, normalization via the
     // spec-pinned regex-chain equivalent of the byte pass, clustering
     // via the battery's shared recursive-CTE fragment (CcSql), so the
-    // pipeline's cluster relation provably IS the battery's.
+    // pipeline's paragraph and cluster relations provably ARE the
+    // battery's.
     QueryDef(
       "pipeline_e2e",
       (s: SparkSession, dir: String) => {
         import graft.functions.NormalizeText.normalizeText
         import org.apache.spark.sql.expressions.Window
+        val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val paras = paraChunks(Tables(s, dir, "documents")).persist(mem)
+        paras.count() // raw funnel row + owner agg + rejoin reuse it
+        val own = paras.groupBy("h").agg(min("ok").as("mo"))
+        val keptDoc = paras.join(own, "h").filter(col("ok") === col("mo"))
+          .groupBy("doc_id")
+          .agg(sum("n_toks").as("rawtoks"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("ok"), col("chunk")))),
+              x => x.getField("chunk")), " ").as("ktext"))
         val ts = split(col("nt"), " ")
-        val perDoc = Tables(s, dir, "documents")
-          .select(col("doc_id"), normalizeText(col("text")).as("nt"))
-          .select(col("doc_id"), md5(col("nt")).as("fp"),
+        val perDoc = keptDoc
+          .select(col("doc_id"), col("rawtoks"),
+            normalizeText(col("ktext")).as("nt"))
+          .select(col("doc_id"), col("rawtoks"), md5(col("nt")).as("fp"),
             size(ts).cast("long").as("toks"),
             size(array_distinct(ts)).cast("long").as("dtoks"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(mem)
         perDoc.count() // materialize once for the multi-stage consumers
         val gated = perDoc
           .filter(col("toks") >= 10 && col("dtoks") * 2 >= col("toks"))
@@ -1874,28 +1940,38 @@ object DedupQueries {
         val splitRows = packed.groupBy("split")
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
             (max("bin") + 1L).as("n_bins"))
-          .select(concat(lit("3_split_"), col("split")).as("stage"),
+          .select(concat(lit("4_split_"), col("split")).as("stage"),
             col("n_docs"), col("n_tokens"), col("n_bins"))
         def funnel(df: DataFrame, stage: String) = df
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
           .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"),
             lit(0L).as("n_bins"))
-        funnel(perDoc, "0_raw")
-          .unionByName(funnel(gated, "1_quality"))
-          .unionByName(funnel(surv, "2_dedup"))
+        funnel(paras.groupBy("doc_id").agg(sum("n_toks").as("toks")),
+            "0_raw")
+          .unionByName(funnel(
+            perDoc.select(col("doc_id"), col("rawtoks").as("toks")),
+            "1_paradedup"))
+          .unionByName(funnel(gated, "2_quality"))
+          .unionByName(funnel(surv, "3_dedup"))
           .unionByName(splitRows)
           .orderBy("stage")
       },
       Some(s"""WITH RECURSIVE $ShSql,
              |$JacSql,
              |$CcSql,
+             |$ParaSql,
+             |ka AS (
+             |  SELECT pch.doc_id, CAST(SUM(n_toks) AS BIGINT) AS rawtoks,
+             |    string_agg(chunk, ' ' ORDER BY ok) AS ktext
+             |  FROM pch JOIN pown ON pch.h = pown.h AND pch.ok = pown.mo
+             |  GROUP BY 1),
              |nn AS (
-             |  SELECT doc_id, trim(regexp_replace(regexp_replace(
-             |    regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+             |  SELECT doc_id, rawtoks, trim(regexp_replace(regexp_replace(
+             |    regexp_replace(lower(ktext), '[[:punct:]]', '', 'g'),
              |    '[0-9]+', '0', 'g'), '[[:space:]]+', ' ', 'g')) AS nt
-             |  FROM documents),
+             |  FROM ka),
              |p AS (
-             |  SELECT doc_id, md5(nt) AS fp,
+             |  SELECT doc_id, rawtoks, md5(nt) AS fp,
              |    CAST(len(string_split(nt, ' ')) AS BIGINT) AS toks,
              |    CAST(len(list_distinct(string_split(nt, ' '))) AS BIGINT) AS dtoks
              |  FROM nn),
@@ -1916,17 +1992,20 @@ object DedupQueries {
              |  SUM(toks) OVER (PARTITION BY split ORDER BY doc_id
              |    ROWS UNBOUNDED PRECEDING) AS cum
              |  FROM sp),
-             |sr AS (SELECT '3_split_' || split AS stage,
+             |sr AS (SELECT '4_split_' || split AS stage,
              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
              |  CAST(MAX((cum - toks) // 512) + 1 AS BIGINT) AS n_bins
              |  FROM pk GROUP BY split)
-             |SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  CAST(SUM(toks) AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_bins
-             |FROM p
-             |UNION ALL SELECT '1_quality', CAST(COUNT(*) AS BIGINT),
+             |SELECT '0_raw' AS stage,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_bins
+             |FROM pch
+             |UNION ALL SELECT '1_paradedup', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(rawtoks) AS BIGINT), CAST(0 AS BIGINT) FROM ka
+             |UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
              |  CAST(SUM(toks) AS BIGINT), CAST(0 AS BIGINT) FROM g
-             |UNION ALL SELECT '2_dedup', CAST(COUNT(*) AS BIGINT),
+             |UNION ALL SELECT '3_dedup', CAST(COUNT(*) AS BIGINT),
              |  CAST(SUM(toks) AS BIGINT), CAST(0 AS BIGINT) FROM s
              |UNION ALL SELECT * FROM sr
              |ORDER BY stage""".stripMargin)),
@@ -1958,17 +2037,8 @@ object DedupQueries {
     QueryDef(
       "q_paragraph_dedup",
       (s: SparkSession, dir: String) => {
-        val paras = Tables(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ts"))
-          .withColumn("start",
-            explode(sequence(lit(0), size(col("ts")) - 1, lit(12))))
-          .select(col("doc_id"),
-            (col("doc_id") * lit(1048576L)
-              + (col("start") / 12).cast("long")).as("ok"),
-            hash60(concat_ws(" ", slice(col("ts"), col("start") + 1, lit(12))))
-              .as("h"),
-            size(slice(col("ts"), col("start") + 1, lit(12))).cast("long")
-              .as("n_toks"))
+        val paras = paraChunks(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("ok"), col("h"), col("n_toks"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         paras.count() // eager: the min-owner agg + the rejoin reuse it
         try {
@@ -1986,21 +2056,8 @@ object DedupQueries {
             .orderBy("doc_id")
         } finally paras.unpersist(blocking = false)
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-             |p0 AS (
-             |  SELECT doc_id, ts, unnest(range(0, len(ts), 12)) AS start
-             |  FROM t),
-             |p AS (
-             |  SELECT doc_id,
-             |    doc_id * 1048576 + CAST(start // 12 AS BIGINT) AS ok,
-             |    ('0x' || substring(md5(
-             |      array_to_string(ts[start+1:start+12], ' ')), 1, 15))::BIGINT
-             |      AS h,
-             |    CAST(len(ts[start+1:start+12]) AS BIGINT) AS n_toks
-             |  FROM p0),
-             |own AS (SELECT h, MIN(ok) AS mo FROM p GROUP BY 1)
-             |SELECT p.doc_id,
+      Some(s"""WITH $ParaSql
+             |SELECT pch.doc_id,
              |  CAST(COUNT(*) AS BIGINT) AS n_paras,
              |  CAST(SUM(CASE WHEN ok = mo THEN 0 ELSE 1 END) AS BIGINT)
              |    AS n_dup_paras,
@@ -2010,7 +2067,52 @@ object DedupQueries {
              |  (CAST(SUM(CASE WHEN ok = mo THEN n_toks ELSE 0 END) AS BIGINT)
              |    * 10000) // GREATEST(CAST(SUM(n_toks) AS BIGINT), 1)
              |    AS kept_frac_e4
-             |FROM p JOIN own ON p.h = own.h
+             |FROM pch JOIN pown ON pch.h = pown.h
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_paragraph_apply ★ (new r15, r14 verdict #5) — the APPLY of
+    // CCNet stage 1: where q_paragraph_dedup emits the survival
+    // PROFILE, this row reconstructs each document's surviving TEXT
+    // under the same keep-first rule (the [[paraChunks]] kernel — one
+    // boundary + hash + owner scheme, so profile and apply can never
+    // drift), which is the frame every doc-level stage downstream
+    // actually consumes (pipeline_e2e swaps this in ahead of
+    // normalization). A document whose every paragraph is a duplicate
+    // keeps zero chunks and VANISHES (CCNet drops it — there is no
+    // text left to score). Declared output: doc_id, kept paragraph /
+    // token counts, and the reassembled text.
+    // Plan: the q_paragraph_dedup shape (corpus-linear chunk explode,
+    // corpus-wide MIN owner, equi-join back) plus one doc-keyed
+    // ordered reassembly — array_sort over the PER-DOC kept chunk
+    // structs (bounded by the doc's own paragraph count, never
+    // corpus-global) then a codegen'd join+transform. No new shuffle
+    // class vs the profile; the only extra bytes are the kept chunk
+    // text riding the doc-keyed exchange it already needed.
+    QueryDef(
+      "q_paragraph_apply",
+      (s: SparkSession, dir: String) => {
+        val paras = paraChunks(Tables(s, dir, "documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        paras.count() // eager: the min-owner agg + the rejoin reuse it
+        try {
+          val own = paras.groupBy("h").agg(min("ok").as("mo"))
+          paras.join(own, "h").filter(col("ok") === col("mo"))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_paras_kept"),
+              sum("n_toks").as("n_tokens_kept"),
+              array_join(transform(
+                array_sort(collect_list(struct(col("ok"), col("chunk")))),
+                x => x.getField("chunk")), " ").as("text"))
+            .orderBy("doc_id")
+        } finally paras.unpersist(blocking = false)
+      },
+      Some(s"""WITH $ParaSql
+             |SELECT pch.doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_paras_kept,
+             |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept,
+             |  string_agg(chunk, ' ' ORDER BY ok) AS text
+             |FROM pch JOIN pown ON pch.h = pown.h AND pch.ok = pown.mo
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------

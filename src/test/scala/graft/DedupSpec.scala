@@ -619,5 +619,32 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(sf.size == Tables(spark, sfDir, "documents").count())
     assert(sf.forall(r => r._5 <= r._4 && r._6 <= 10000L))
+
+    // q_paragraph_apply (r15): reconstructs exactly the kept chunks in
+    // position order, under the same keep-first relation
+    val gotApply = SparkEntry.queries("q_paragraph_apply")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val wantApply = paras.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val kept = ps.filter(p => minOwner(p._3) == p._2).sortBy(_._2)
+      if (kept.isEmpty) None
+      else Some((id, kept.size.toLong, kept.map(_._4).sum,
+        kept.map(_._3).mkString(" ")))
+    }.sortBy(_._1)
+    assert(gotApply == wantApply)
+    val appById = gotApply.map(r => r._1 -> r).toMap
+    // doc 1 (first occurrence) keeps its full original text verbatim
+    assert(appById(1L)._4 == docs.find(_._1 == 1L).get._2)
+    // docs 3 and 5 keep only their unique bodies (boilerplate stripped;
+    // doc 3 loses BOTH copies)
+    assert(appById(3L)._4 == body(3, 12))
+    assert(appById(5L)._4 == body(5, 3))
+    // apply and profile agree doc-by-doc on the survivors (shared
+    // kernel — kept counts can't drift)
+    val profById = got.map(r => r._1 -> r).toMap
+    gotApply.foreach { a =>
+      val p = profById(a._1)
+      assert(a._2 == p._2 - p._3 && a._3 == p._5,
+        s"apply/profile drift on doc ${a._1}: $a vs $p")
+    }
   }
 }
