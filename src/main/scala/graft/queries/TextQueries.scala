@@ -291,6 +291,142 @@ object TextQueries {
        |ORDER BY dim""".stripMargin
   }
 
+  /** Full-batch descent steps for the language-ID family (the
+    * QcTrainSteps rule). */
+  private[queries] val LangIdSteps = 3
+
+  /** Observability: how many times [[langIdTrainCore]] actually ran —
+    * the spec pins that train + apply share ONE materialized model. */
+  private[graft] val langIdTrainRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** LangID trainer core — a fastText-style HASHED-FEATURE linear
+    * classifier (Joulin et al. 2017's shape: hashed token features →
+    * per-class linear score; the subword n-gram leg would hash char
+    * n-grams into the same 256-dim table — one extra explode, same
+    * plan): K one-vs-rest binary classifiers over the SHARED qcDim
+    * feature scheme (q_feature_hash's md5-mod-256), trained from ZERO
+    * init by [[LangIdSteps]] full-batch steps of the
+    * [[qcResidE6]] rational-fast-sigmoid descent at the exact 2/S
+    * smoothness step (S = Σ_docs(Σ_d c_d² + 1), shared across classes
+    * — same features). The descent is the q_quality_train machinery
+    * vectorized over the class axis: the corpus is read ONCE into the
+    * (doc, dim, count) sufficient-statistics frame; each step is one
+    * statistics-sized pass computing all K scores as agg columns and
+    * all K×257 gradient longs in one collect (≈ 1.3k longs for K = 5
+    * — model-sized, the q_kmeans_iter argument). Returns the final
+    * (lang, dim, w_e6) weight frame, dim = −1 the bias.
+    */
+  private def langIdTrainCore(s: SparkSession, dir: String): DataFrame = {
+    langIdTrainRuns.incrementAndGet()
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables(s, dir, "documents")
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val cnt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .select(col("doc_id"), qcDim(col("tk")).cast("int").as("d"))
+      .groupBy("doc_id", "d").agg(count(lit(1)).as("c"))
+      .persist(mem)
+    val yf = docs.select(col("doc_id"), col("lang")).persist(mem)
+    val sumC2 = cnt.agg(sum(col("c") * col("c"))).collect()(0).getLong(0)
+    val sVal = sumC2 + yf.count() // + Σ_docs 1² (the bias feature)
+    var w: Map[String, Array[Long]] =
+      langs.map(_ -> Array.fill(256)(0L)).toMap
+    var b: Map[String, Long] = langs.map(_ -> 0L).toMap
+    for (_ <- 1 to LangIdSteps) {
+      val zCols = langs.map { l =>
+        val wArr = array(w(l).toIndexedSeq.map(lit(_)): _*)
+        sum(col("c") * element_at(wArr, col("d") + 1)).as(s"zs_$l")
+      }
+      val z = cnt.groupBy("doc_id").agg(zCols.head, zCols.tail: _*)
+      val rCols = langs.map { l =>
+        qcResidE6(lit(b(l)) + col(s"zs_$l"),
+          when(col("lang") === l, 1L).otherwise(0L)).as(s"r_$l")
+      }
+      val rs = z.join(yf, "doc_id")
+        .select(col("doc_id") +: rCols: _*)
+        .persist(mem)
+      val gCols = langs.map(l => sum(col(s"r_$l") * col("c")).as(s"g_$l"))
+      val g = cnt.join(rs, "doc_id")
+        .groupBy("d").agg(gCols.head, gCols.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> langs.indices.map(i => r.getLong(i + 1)))
+        .toMap
+      val gbCols =
+        langs.map(l => coalesce(sum(col(s"r_$l")), lit(0L)).as(s"gb_$l"))
+      val gb = rs.agg(gbCols.head, gbCols.tail: _*).collect()(0)
+      rs.unpersist()
+      w = langs.zipWithIndex.map { case (l, li) =>
+        l -> Array.tabulate(256)(d =>
+          w(l)(d) - g.get(d).map(_(li)).getOrElse(0L) * 2L / sVal)
+      }.toMap
+      b = langs.zipWithIndex.map { case (l, li) =>
+        l -> (b(l) - gb.getLong(li) * 2L / sVal)
+      }.toMap
+    }
+    cnt.unpersist(); yf.unpersist()
+    import s.implicits._
+    langs.flatMap { l =>
+      ((-1, b(l)) +: (0 until 256).map(d => (d, w(l)(d))))
+        .map { case (d, wv) => (l, d, wv) }
+    }.toDF("lang", "dim", "w_e6")
+  }
+
+  /** The trained langid model, MATERIALIZED once per corpus through
+    * the [[CorpusTable]] seam (the bpeModel pattern): (lang, dim, w_e6)
+    * with dim = −1 the bias. Shared by q_langid_train and
+    * q_langid_apply — apply is a broadcast join against the at-rest
+    * model, never a re-train.
+    */
+  private def langIdModel(s: SparkSession, dir: String): DataFrame =
+    CorpusTable.materialized(s, dir, "langidmodel")(langIdTrainCore(s, dir))
+
+  /** The langid descent unrolled as generated CTEs, LANG-KEYED (the
+    * qcTrainSql rule vectorized over the one-vs-rest class axis) —
+    * ONE copy of the chain, shared by the q_langid_train and
+    * q_langid_apply oracles. Ends in `lw{LangIdSteps}(lang, d, w)`.
+    * MATERIALIZED hints are load-bearing (the unigramRoundCte rule:
+    * multi-consumer CTE chains re-inline exponentially without them).
+    */
+  private def langIdSql: String = {
+    val steps = (1 to LangIdSteps).map { r =>
+      val p = r - 1
+      s"""lz$r AS MATERIALIZED (
+         |  SELECT w.lang, cnt.doc_id, CAST(SUM(cnt.c * w.w) AS BIGINT) AS zs
+         |  FROM cnt JOIN lw$p w ON cnt.d = w.d GROUP BY 1, 2),
+         |lr$r AS MATERIALIZED (
+         |  SELECT z.lang, z.doc_id,
+         |    ${qcResidSqlExpr("(z.zs + b.w)",
+            "(CASE WHEN y.lang = z.lang THEN 1 ELSE 0 END)")} AS r
+         |  FROM lz$r z
+         |  JOIN lw$p b ON b.lang = z.lang AND b.d = -1
+         |  JOIN y ON y.doc_id = z.doc_id),
+         |lg$r AS MATERIALIZED (
+         |  SELECT r.lang, cnt.d, CAST(SUM(r.r * cnt.c) AS BIGINT) AS g
+         |  FROM cnt JOIN lr$r r ON cnt.doc_id = r.doc_id GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT lang, -1, CAST(SUM(r) AS BIGINT) FROM lr$r GROUP BY 1),
+         |lw$r AS MATERIALIZED (
+         |  SELECT w.lang, w.d, w.w - (COALESCE(g.g, 0) * 2) // s2.s AS w
+         |  FROM lw$p w LEFT JOIN lg$r g ON w.lang = g.lang AND w.d = g.d
+         |  CROSS JOIN s2)""".stripMargin
+    }.mkString(",\n")
+    s"""lgs AS (SELECT DISTINCT lang FROM documents),
+       |lw0 AS (SELECT lang, CAST(d AS INTEGER) AS d, CAST(0 AS BIGINT) AS w
+       |        FROM lgs CROSS JOIN (SELECT unnest(range(-1, 256)) AS d) dd),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents),
+       |cnt AS MATERIALIZED (SELECT doc_id,
+       |  CAST(('0x' || substring(md5(t), 1, 15))::BIGINT % 256 AS INTEGER) AS d,
+       |  CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |s2 AS (SELECT CAST(SUM(c * c) AS BIGINT)
+       |  + (SELECT COUNT(*) FROM documents) AS s FROM cnt),
+       |y AS (SELECT doc_id, lang FROM documents),
+       |$steps""".stripMargin
+  }
+
   /** Rounds for q_bpe_train: ≥ 3 per the r11 verdict; 5 exercises
     * merged tokens participating in later rounds' pairs.
     */
@@ -2785,6 +2921,125 @@ object TextQueries {
               |    THEN 1 ELSE 0 END) AS BIGINT) * 10000)
               |    // CAST(COUNT(*) AS BIGINT) AS keep_rate_e4
               |FROM d WHERE half = 'dep' GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_langid_train ★ (new r15, r14 verdict #3) — the LEARNED
+    // language-ID stage (q_text_lang_id is marker-word scoring — a
+    // fixture probe; production lang-ID is a fastText-style
+    // hashed-feature linear classifier, Joulin et al. 2017):
+    // [[langIdTrainCore]] trains K one-vs-rest binary classifiers over
+    // the shared qcDim hashed-token features (q_feature_hash's scheme)
+    // with the exact rational-fast-sigmoid descent of q_quality_train
+    // (zero init, 2/S smoothness step, [[LangIdSteps]] full-batch
+    // steps — every distributed sum a commutative long sum, the
+    // per-doc residual bit-identical across engines by the qcResidE6
+    // operand-tree argument). Declared output: the final model
+    // (lang, dim, w_e6), dim −1 = bias — K×257 rows, the artifact a
+    // filtering run ships. MATERIALIZED per corpus ([[langIdModel]],
+    // the CorpusTable seam) and shared with q_langid_apply: training
+    // runs ONCE per corpus however many consumers read it.
+    // HONESTY NOTE: this fixture's lang column is a pure LABEL (the
+    // generator writes all-English text), so on this corpus the
+    // learned table collapses toward the majority-class prior — the
+    // spec proves real learning on a planted corpus whose text DOES
+    // carry per-lang token signal (diagonal confusion dominance).
+    // Scale: one corpus pass builds the (doc, dim, count) statistics
+    // frame; each step is statistics-sized (all K classes as agg
+    // columns — no K× re-scan); the model is K×257 longs at rest.
+    QueryDef(
+      "q_langid_train",
+      (s: SparkSession, dir: String) =>
+        langIdModel(s, dir).orderBy("lang", "dim"),
+      Some(s"""WITH $langIdSql
+              |SELECT lang, CAST(d AS INTEGER) AS dim, CAST(w AS BIGINT) AS w_e6
+              |FROM lw$LangIdSteps ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q_langid_apply ★ (new r15) — the APPLY + EVAL of the learned
+    // lang-ID model: score every doc against all K classes from the
+    // AT-REST [[langIdModel]] (zero retraining — the q_bpe_encode
+    // composition rule, pinned by the langIdTrainRuns counter in
+    // TextSpec), predict argmax (ties broken toward the smaller lang
+    // string — deterministic in both engines), and emit the per-lang
+    // EVAL table vs the fixture's lang column: support, predicted
+    // count, correct count, precision/recall in e4 (the confusion
+    // matrix's row/column sums plus its diagonal — what a curation run
+    // reads before trusting the router).
+    // Plan: the (doc, dim, count) statistics frame joins the
+    // BROADCAST model (K×256 rows) → (doc, lang) score agg → per-DOC
+    // rank window (K rows per partition, never global) → two ≤K-group
+    // aggs. At 100 TB the scoring pass is one scan + one doc-keyed
+    // shuffle; the model rides as a broadcast exactly like production
+    // fastText weights.
+    QueryDef(
+      "q_langid_apply",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val model = langIdModel(s, dir)
+        val docs = Tables(s, dir, "documents")
+        val cnt = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+          .select(col("doc_id"), qcDim(col("tk")).cast("int").as("d"))
+          .groupBy("doc_id", "d").agg(count(lit(1)).as("c"))
+        val wt = model.filter(col("dim") >= 0)
+          .select(col("lang"), col("dim").as("d"), col("w_e6"))
+        val bias = model.filter(col("dim") === -1)
+          .select(col("lang"), col("w_e6").as("b"))
+        val z = cnt.join(broadcast(wt), "d")
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("c") * col("w_e6")).as("zs"))
+          .join(broadcast(bias), "lang")
+          .select(col("doc_id"), col("lang"), (col("zs") + col("b")).as("z"))
+        val rk = Window.partitionBy("doc_id")
+          .orderBy(col("z").desc, col("lang"))
+        val pred = z.withColumn("rn", row_number().over(rk))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang").as("pred"))
+        val j = docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+        val t = j.groupBy("lang")
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+              .as("n_correct"))
+        val p = j.groupBy(col("pred").as("lang"))
+          .agg(count(lit(1)).as("n_pred"))
+        t.join(p, Seq("lang"), "left")
+          .select(col("lang"), col("n_true"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("n_correct"),
+            floorDivL(col("n_correct") * 10000L,
+              greatest(coalesce(col("n_pred"), lit(0L)), lit(1L)))
+              .as("precision_e4"),
+            floorDivL(col("n_correct") * 10000L, col("n_true"))
+              .as("recall_e4"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $langIdSql,
+              |az AS (SELECT w.lang, cnt.doc_id,
+              |  CAST(SUM(cnt.c * w.w) AS BIGINT) AS zs
+              |  FROM cnt JOIN lw$LangIdSteps w ON cnt.d = w.d GROUP BY 1, 2),
+              |asc2 AS (SELECT z.doc_id, z.lang, z.zs + b.w AS z
+              |  FROM az z JOIN lw$LangIdSteps b
+              |    ON b.lang = z.lang AND b.d = -1),
+              |pr AS (SELECT doc_id, lang AS pred FROM (
+              |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |    ORDER BY z DESC, lang) AS rn FROM asc2)
+              |  WHERE rn = 1),
+              |jj AS (SELECT d.doc_id, d.lang, pr.pred
+              |  FROM documents d JOIN pr USING (doc_id)),
+              |tt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true,
+              |  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_correct
+              |  FROM jj GROUP BY 1),
+              |pp AS (SELECT pred AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred
+              |  FROM jj GROUP BY 1)
+              |SELECT tt.lang, tt.n_true,
+              |  CAST(COALESCE(pp.n_pred, 0) AS BIGINT) AS n_pred,
+              |  tt.n_correct,
+              |  (tt.n_correct * 10000)
+              |    // GREATEST(CAST(COALESCE(pp.n_pred, 0) AS BIGINT), 1)
+              |    AS precision_e4,
+              |  (tt.n_correct * 10000) // tt.n_true AS recall_e4
+              |FROM tt LEFT JOIN pp ON tt.lang = pp.lang
+              |ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_collocation_pmi ★ — top-50 two-word collocations ranked by

@@ -1206,6 +1206,51 @@ class TextSpec extends SparkSpec {
     assert(want.map(_._6).sum < want.map(_._4).sum)
   }
 
+  test("q_langid_train/apply: the learner separates a planted corpus " +
+      "with real per-lang token signal; one model run serves both; the " +
+      "shipped fixture honestly collapses to the majority prior (r15)") {
+    import spark.implicits._
+    // planted corpus: 5 langs × 40 docs, DISJOINT token vocabularies —
+    // text genuinely determines lang (unlike the shipped fixture,
+    // whose lang is a pure label on all-English text)
+    val langs = Seq("aa", "bb", "cc", "dd", "ee")
+    val docs = for {
+      (l, li) <- langs.zipWithIndex
+      k <- 0 until 40
+    } yield (li * 40L + k,
+      (0 until 12).map(j => s"${l}tok${(k + j) % 10}").mkString(" "),
+      l, "src0")
+    val dir = java.nio.file.Files.createTempDirectory("langid").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val runsBefore = graft.queries.TextQueries.langIdTrainRuns.get()
+    val model = SparkEntry.queries("q_langid_train")(spark, dir)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(model.size == 5 * 257)
+    assert(model.map(_._1).distinct.sorted == langs)
+    val evalT = SparkEntry.queries("q_langid_apply")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // real learning: every planted lang classified with high
+    // precision AND recall (disjoint vocab → near-perfect separation)
+    evalT.foreach { r =>
+      assert(r._5 >= 9000L && r._6 >= 9000L,
+        s"lang ${r._1} precision/recall collapsed: $r")
+    }
+    // train + apply shared ONE materialized model (CorpusTable seam)
+    val runsAfter = graft.queries.TextQueries.langIdTrainRuns.get()
+    assert(runsAfter - runsBefore <= 1,
+      s"langIdTrainCore ran ${runsAfter - runsBefore}x for train+apply")
+    // and on the shipped fixture (lang = label, all-English text) the
+    // honest outcome is majority-prior collapse: predictions conserve
+    // docs, and the majority class dominates the predicted counts
+    val sfEval = SparkEntry.queries("q_langid_apply")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(sfEval.map(_._2).sum == nDocs && sfEval.map(_._3).sum == nDocs)
+    sfEval.foreach(r => assert(r._4 <= math.min(r._2, r._3)))
+  }
+
   test("bucketedKthSmallest: multi-level bucketed descent == sorted " +
       "multiset order statistic, tiny maxB forces >= 3 levels (r15)") {
     import spark.implicits._
