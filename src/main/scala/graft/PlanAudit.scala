@@ -106,6 +106,13 @@ object PlanAudit {
     // eval instantiates dsirWeighted twice (keep set + mean-logw
     // scalars) — the same 512-bucket model hint at each site
     "q_dsir_eval" -> 2,
+    // langid model: K×256 weight rows + K bias rows — closed-domain
+    // model tables by construction (the q_dsir argument; K = |langs|,
+    // the at-rest fastText-weights analogue). Count 4: the per-lang
+    // eval table joins two aggregations of the same scored frame
+    // (support/correct by true lang × predicted counts), so each of
+    // the two model hints appears on both sides of that self-join
+    "q_langid_apply" -> 4,
     // 64-dim centroid frame: dimension-count-sized closed domain (the
     // at-rest "model" exactly like the IVF codebook)
     "q_embed_ood" -> 1,

@@ -379,7 +379,7 @@ object DedupQueries {
     * tokens) are dropped, mirroring the agg path which never sees
     * them.
     */
-  private[queries] def minhashBandKeys(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBandKeys(docs: DataFrame): DataFrame = {
     val withSig0 = docs
       .select(col("doc_id"),
         graft.functions.Shingles.shingles(split(col("text"), " "), 3).as("shs"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -205,6 +205,140 @@ object StreamingQueries {
       .groupBy("band", "k1", "k2")
       .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
 
+  /** Per-doc near-dup verdict off a band-bucket table — shared by
+    * stream_neardup_e2e (buckets from the drained sink) and
+    * stream_neardup_flush_e2e (buckets from the at-rest lake index),
+    * so the two rows' semantics can never drift. */
+  private def neardupVerdict(docBands: DataFrame, buckets: DataFrame)
+      : DataFrame =
+    docBands.join(buckets, Seq("band", "k1", "k2"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_lost_bands"),
+        sum(col("n_docs") - 1L).as("n_bucket_mates"))
+      .select(col("doc_id"), col("n_lost_bands"), col("n_bucket_mates"),
+        when(col("n_lost_bands") > 0L, 1L).otherwise(0L).as("is_candidate"))
+      .orderBy("doc_id")
+
+  /** ONE oracle text for both near-dup streaming rows: the per-doc
+    * verdict over the corpus-wide bucket relation. MIN/SUM merge is
+    * associative-commutative, so the flushed two-phase index equals
+    * the one-shot bucket table — same oracle, by construction. */
+  private lazy val NeardupVerdictSql: String =
+    s"""WITH ${DedupQueries.ShSql},
+       |${DedupQueries.MinhashCandSql},
+       |own AS (SELECT band, k1, k2, MIN(doc_id) AS owner,
+       |  COUNT(*) AS nd FROM bands GROUP BY 1, 2, 3),
+       |per AS (SELECT b.doc_id,
+       |  CAST(SUM(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_lost_bands,
+       |  CAST(SUM(o.nd - 1) AS BIGINT) AS n_bucket_mates
+       |  FROM bands b JOIN own o
+       |    ON b.band = o.band AND b.k1 = o.k1 AND b.k2 = o.k2
+       |  GROUP BY 1)
+       |SELECT doc_id, n_lost_bands, n_bucket_mates,
+       |  CAST(CASE WHEN n_lost_bands > 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_candidate
+       |FROM per ORDER BY doc_id""".stripMargin
+
+  /** Two-phase streaming near-dup with a LAKE-INDEX FLUSH between the
+    * phases — the production state bound for stream_neardup_e2e's
+    * otherwise corpus-linear bucket state (r14 verdict #1), now real
+    * code instead of a scaladoc promise:
+    *   1. phase 1 streams the first half of the corpus through the
+    *      band-bucket running aggregate, then its final bucket table
+    *      is FLUSHED into an at-rest partitioned lake table and the
+    *      stream is stopped (state discarded);
+    *   2. phase 2 is a RESTARTED stream over the second half only —
+    *      its state holds phase-2 buckets alone (the spec pins this
+    *      from the engine's own stateOperators metrics) — whose final
+    *      buckets MERGE into the index: probe the at-rest table
+    *      (require()d off the lake files, the lake_dedup_index rule),
+    *      combine owner = MIN / n_docs = SUM on the touched keys only,
+    *      copy-on-write upsert (O(batch + touched keys), nothing
+    *      old×old re-runs).
+    * MIN/SUM are associative-commutative, so the merged index is
+    * row-identical to the one-shot bucket table no matter where the
+    * flush boundary falls — which is exactly what makes a periodic
+    * flush a sound state bound at 100 TB: state between flushes is
+    * O(docs since last flush), the index is corpus-linear AT REST,
+    * and the verdict read off the index equals the unbounded-state
+    * answer (this row's oracle = stream_neardup_e2e's oracle).
+    * Returns (verdict rows, per-phase peak state rows).
+    */
+  private[graft] def neardupFlushRun(s: SparkSession, dir: String)
+      : (DataFrame, Seq[Long]) = {
+    import graft.sink.{HiveParquetWriter, LakeOps}
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ndflush_")
+    val root = tmpRoot.toString
+    val tableDir = s"$root/warehouse/neardupindex"
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val t = (maxId + 1L) / 2L
+    val schema = docs.schema
+    val stateRows = scala.collection.mutable.Buffer.empty[Long]
+    def phase(n: Int, pred: Column): Unit = {
+      val phaseDir = s"$root/in/p$n"
+      docs.filter(pred).write.parquet(phaseDir)
+      val topo = DedupQueries.minhashBandKeys(
+          s.readStream.schema(schema).parquet(phaseDir))
+        .groupBy("band", "k1", "k2")
+        .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
+      val sink = s"graft_ndflush_p$n"
+      s.catalog.dropTempView(sink)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // the drain() rule
+      try {
+        val q = topo.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        stateRows += q.recentProgress.toSeq
+          .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+          .map(_.numRowsTotal).max
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val buckets = s.table(sink)
+        .withColumn("pb", col("band").cast("string"))
+      if (n == 1) {
+        new HiveParquetWriter().append(buckets, Seq("pb"), tableDir); ()
+      } else {
+        val atRest = LakeOps.readTable(s, tableDir)
+        require(atRest.inputFiles.nonEmpty &&
+          atRest.inputFiles.forall(_.contains("neardupindex")),
+          "flush merge must probe the at-rest lake index")
+        val old = atRest.select(col("band"), col("k1"), col("k2"),
+          col("owner").as("o0"), col("n_docs").as("n0"))
+        val combined = buckets.join(old, Seq("band", "k1", "k2"), "left")
+          .select(col("band"), col("k1"), col("k2"),
+            least(col("owner"), coalesce(col("o0"), lit(Long.MaxValue)))
+              .as("owner"),
+            (col("n_docs") + coalesce(col("n0"), lit(0L))).as("n_docs"),
+            col("pb"))
+        LakeOps.upsert(s, tableDir, combined,
+          Seq("band", "k1", "k2"), Seq("pb")); ()
+      }
+    }
+    phase(1, col("doc_id") < t)
+    phase(2, col("doc_id") >= t)
+    val index = LakeOps.readTable(s, tableDir)
+      .select(col("band"), col("k1"), col("k2"), col("owner"), col("n_docs"))
+    require(index.inputFiles.nonEmpty &&
+      index.inputFiles.forall(_.contains("neardupindex")),
+      "verdict must be read off the flushed lake index")
+    val verdict = neardupVerdict(DedupQueries.minhashBandKeys(docs), index)
+    // collect-and-clean (the IngestQueries rule): the verdict is 4 longs
+    // per doc; rebuilding it as a local frame lets the temp lake tree go
+    val rows = verdict.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), verdict.schema)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmpRoot)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: Exception => () })
+    (out, stateRows.toSeq)
+  }
+
   /** Pre-start streaming topologies keyed by declared query name, for
     * [[graft.PlanAudit.sweepStreaming]]. Every stream_* QueryDef below
     * drains EXACTLY the frame its builder returns, so sweeping these IS
@@ -225,7 +359,10 @@ object StreamingQueries {
     "stream_ss_left_e2e" -> ssJoinTopo("leftOuter") _,
     "stream_ss_full_e2e" -> (ssFullTopo _),
     "stream_quality_e2e" -> (qualityTopo _),
-    "stream_neardup_e2e" -> (neardupTopo _))
+    "stream_neardup_e2e" -> (neardupTopo _),
+    // the flush row's per-phase in-stream topology IS neardupTopo (the
+    // flush/merge runs post-drain on batch plans, spec-covered)
+    "stream_neardup_flush_e2e" -> (neardupTopo _))
 
   /** Drain output mode per topology for the executed-plan sweep —
     * topologies absent here drain in append (the suite default).
@@ -233,7 +370,8 @@ object StreamingQueries {
     * only legal in complete/update. */
   val topologyModes: Map[String, String] = Map(
     "stream_quality_e2e" -> "complete",
-    "stream_neardup_e2e" -> "complete")
+    "stream_neardup_e2e" -> "complete",
+    "stream_neardup_flush_e2e" -> "complete")
 
   /** Drain `df` through a memory sink and return the sink table.
     * AvailableNow processes every pending file, then (because
@@ -319,11 +457,11 @@ object StreamingQueries {
     // shares ≥ 1 band bucket with a smaller doc_id). The post-drain
     // batch join re-derives doc→band keys with the SAME shared
     // projection, so stream and label sides cannot drift.
-    // State/scale honesty: bucket state is corpus-linear (one row per
-    // distinct band key), not horizon-bounded — production bounds it
-    // by dedup horizon (dropDuplicatesWithinWatermark on the bucket
-    // key) or flushes this exact table into the at-rest lake dedup
-    // index (lake_dedup_index_e2e's MERGE) and restarts against it.
+    // State/scale honesty: THIS row's one-shot drain holds bucket
+    // state corpus-linearly (one row per distinct band key) — it pins
+    // the in-stream operator semantics; the production state bound is
+    // the periodic lake-index flush, which is REAL CODE in the next
+    // row (stream_neardup_flush_e2e / [[neardupFlushRun]], r15).
     QueryDef(
       "stream_neardup_e2e",
       (s: SparkSession, dir: String) => {
@@ -331,30 +469,31 @@ object StreamingQueries {
           drain(s, neardupTopo(s, dir), "graft_stream_neardup", mode = "complete")
         val docBands = DedupQueries.minhashBandKeys(
           s.read.parquet(s"$dir/documents.parquet"))
-        docBands.join(buckets, Seq("band", "k1", "k2"))
-          .groupBy("doc_id")
-          .agg(sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L))
-              .as("n_lost_bands"),
-            sum(col("n_docs") - 1L).as("n_bucket_mates"))
-          .select(col("doc_id"), col("n_lost_bands"), col("n_bucket_mates"),
-            when(col("n_lost_bands") > 0L, 1L).otherwise(0L).as("is_candidate"))
-          .orderBy("doc_id")
+        neardupVerdict(docBands, buckets)
       },
-      Some(s"""WITH ${DedupQueries.ShSql},
-              |${DedupQueries.MinhashCandSql},
-              |own AS (SELECT band, k1, k2, MIN(doc_id) AS owner,
-              |  COUNT(*) AS nd FROM bands GROUP BY 1, 2, 3),
-              |per AS (SELECT b.doc_id,
-              |  CAST(SUM(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END)
-              |    AS BIGINT) AS n_lost_bands,
-              |  CAST(SUM(o.nd - 1) AS BIGINT) AS n_bucket_mates
-              |  FROM bands b JOIN own o
-              |    ON b.band = o.band AND b.k1 = o.k1 AND b.k2 = o.k2
-              |  GROUP BY 1)
-              |SELECT doc_id, n_lost_bands, n_bucket_mates,
-              |  CAST(CASE WHEN n_lost_bands > 0 THEN 1 ELSE 0 END AS BIGINT)
-              |    AS is_candidate
-              |FROM per ORDER BY doc_id""".stripMargin)),
+      Some(NeardupVerdictSql)),
+
+    // ------------------------------------------------------------------
+    // stream_neardup_flush_e2e ★ (new r15, r14 verdict #1) — the
+    // production STATE BOUND for streaming near-dup, end to end: run
+    // the band-bucket stream over the first half of the corpus, FLUSH
+    // its final bucket table into an at-rest partitioned lake index,
+    // RESTART the stream over the second half with empty state, and
+    // MERGE its buckets into the index (at-rest probe require()d off
+    // the lake files; owner = MIN / n_docs = SUM combined on touched
+    // keys only, copy-on-write upsert — the lake_dedup_index_e2e
+    // machinery on the streaming state table). Because MIN/SUM merge
+    // is associative-commutative, the flushed index is row-identical
+    // to the unbounded one-shot state no matter where the flush
+    // boundary falls — so the declared per-doc verdict (read OFF THE
+    // INDEX) shares stream_neardup_e2e's oracle verbatim, and the
+    // state between flushes is O(docs since last flush) instead of
+    // O(corpus): the bound StreamOpsSpec pins from the engine's own
+    // stateOperators metrics. See [[neardupFlushRun]].
+    QueryDef(
+      "stream_neardup_flush_e2e",
+      (s: SparkSession, dir: String) => neardupFlushRun(s, dir)._1,
+      Some(NeardupVerdictSql)),
 
     // ------------------------------------------------------------------
     // stream_tumbling_e2e ★ (new r5) — watermarked tumbling-window

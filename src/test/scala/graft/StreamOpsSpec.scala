@@ -281,4 +281,33 @@ class StreamOpsSpec extends SparkSpec {
         s"pair window missing past the delayed watermark: ${rows()}")
     } finally q.stop()
   }
+
+  test("neardup flush: restarted stream's state holds only post-flush " +
+      "buckets, and the flushed index reproduces the one-shot verdict (r15)") {
+    import graft.queries.{DedupQueries, StreamingQueries}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val t = (maxId + 1L) / 2L
+    def nBuckets(d: org.apache.spark.sql.DataFrame): Long =
+      DedupQueries.minhashBandKeys(d)
+        .select("band", "k1", "k2").distinct().count()
+    val b1 = nBuckets(docs.filter(col("doc_id") < t))
+    val b2 = nBuckets(docs.filter(col("doc_id") >= t))
+    val bAll = nBuckets(docs)
+    val (verdict, stateRows) =
+      StreamingQueries.neardupFlushRun(spark, sfDir)
+    // the engine's own state metrics: each phase's state is exactly
+    // its OWN half's distinct buckets — the restart did not inherit
+    // phase-1 state (that is the flush bound)
+    assert(stateRows == Seq(b1, b2),
+      s"per-phase state $stateRows != per-half buckets ${Seq(b1, b2)}")
+    // and the bound bites: the corpus has more buckets than either half
+    assert(bAll > b2 && bAll > b1,
+      s"fixture degenerate: all=$bAll halves=($b1,$b2) — no shared buckets")
+    // the verdict read off the flushed index == the unbounded one-shot
+    // stream's verdict (MIN/SUM merge associativity, engine-to-engine)
+    val oneShot = SparkEntry.queries("stream_neardup_e2e")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(verdict.collect().map(_.toSeq).toSeq == oneShot)
+  }
 }
