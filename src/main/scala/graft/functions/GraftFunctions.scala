@@ -28,6 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * SELECT graft_unigram_viterbi(w, ps, ss)            -- unigram Viterbi seg (r14)
   * SELECT graft_wp_merge(toks, 'a', '##b', 'ab')      -- one WordPiece merge (r14)
   * SELECT graft_wp_match(w, pieces)                   -- WordPiece longest-match (r14)
+  * SELECT graft_md5_u64(x)                            -- first 8 md5 bytes as long (r15)
+  * SELECT graft_md5_ws_u64(arr)                       -- md5 u64 of space-joined array (r15)
+  * SELECT graft_shingle_md5_u64(split(text,' '), 5)   -- per-window shingle md5 u64s (r15)
   * }}}
   *
   * Two registration paths sharing ONE builder list:
@@ -79,7 +82,11 @@ object GraftFunctions {
     "graft_wp_merge" -> (es =>
       WordPieceOps.WordPieceMergeApply(es.head, strLit(es(1), "merge pair left"),
         strLit(es(2), "merge pair right"), strLit(es(3), "merged token"))),
-    "graft_wp_match" -> (es => WordPieceOps.WordPieceMatch(es(0), es(1))))
+    "graft_wp_match" -> (es => WordPieceOps.WordPieceMatch(es(0), es(1))),
+    "graft_md5_u64" -> (es => Md5Ops.Md5U64(es.head)),
+    "graft_md5_ws_u64" -> (es => Md5Ops.Md5WsU64(es.head)),
+    "graft_shingle_md5_u64" -> (es =>
+      Md5Ops.ShingleMd5U64(es.head, intLit(es(1), "shingle width"))))
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftFunctions.type].getName, name)

@@ -99,8 +99,7 @@ object AdvancedQueries {
       "q_sample_hash",
       (s: SparkSession, dir: String) =>
         Tables(s, dir, "documents")
-          .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast("long"), lit(10L)) === 0L)
+          .filter(pmod(graft.functions.Md5Ops.md5Prefix(col("doc_id").cast("string"), 15), lit(10L)) === 0L)
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id, lang FROM documents
@@ -145,8 +144,7 @@ object AdvancedQueries {
         val exact = { exactLazy.count(); exactLazy }
         def bucket(row: org.apache.spark.sql.Column,
             tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          pmod(conv(substring(md5(concat(row.cast("string"), lit(":"), tok)), 1, 15),
-            16, 10).cast("long"), lit(1024L))
+          pmod(graft.functions.Md5Ops.md5Prefix(concat(row.cast("string"), lit(":"), tok), 15), lit(1024L))
         val hashed = exact
           .select(explode(sequence(lit(0), lit(3))).as("r"), col("t"), col("exact"))
           .select(col("r"), bucket(col("r"), col("t")).as("b"), col("exact"))
@@ -202,7 +200,7 @@ object AdvancedQueries {
         val dims = Tables(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
           .select(col("doc_id"),
-            pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+            pmod(graft.functions.Md5Ops.md5Prefix(col("t"), 15),
               lit(256L)).as("dim"))
           .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
         dims.groupBy("doc_id")
@@ -241,8 +239,7 @@ object AdvancedQueries {
     QueryDef(
       "q_split_assign",
       (s: SparkSession, dir: String) => {
-        val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(100L))
+        val h = pmod(graft.functions.Md5Ops.md5Prefix(col("doc_id").cast("string"), 15), lit(100L))
         Tables(s, dir, "documents")
           .select(col("source"),
             when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"),
@@ -568,9 +565,8 @@ object AdvancedQueries {
           .select(col("doc_id"),
             explode(sequence(lit(0L), lit(2L))).as("epoch"))
           .withColumn("k",
-            conv(substring(md5(concat(col("doc_id").cast("string"),
-              lit(":"), col("epoch").cast("string"))), 1, 15), 16, 10)
-              .cast("long"))
+            graft.functions.Md5Ops.md5Prefix(concat(col("doc_id").cast("string"),
+              lit(":"), col("epoch").cast("string")), 15))
           .withColumn("shard", col("k") % 8L)
           .withColumn("pos", row_number().over(w).cast("long"))
           .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
@@ -617,8 +613,8 @@ object AdvancedQueries {
             posexplode(toksD).as(Seq("i0", "tk")))
           .select(col("doc_id"), col("n"), (col("i0") + 1L).as("i"))
           .filter(pmod(
-            conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-              col("i").cast("string"))), 1, 15), 16, 10).cast("long"),
+            graft.functions.Md5Ops.md5Prefix(concat(col("doc_id").cast("string"), lit(":"),
+              col("i").cast("string")), 15),
             lit(20L)) === 0L)
         val w = Window.partitionBy("doc_id").orderBy("i")
         val isl = seeds
@@ -704,8 +700,8 @@ object AdvancedQueries {
       (s: SparkSession, dir: String) => {
         val docs = Tables(s, dir, "documents")
         val toksD = split(col("text"), " ")
-        def h(tag: String) = conv(substring(md5(concat(lit(tag + ":"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        def h(tag: String) = graft.functions.Md5Ops.md5Prefix(concat(lit(tag + ":"),
+          col("doc_id").cast("string")), 15)
         docs.select(col("doc_id"), toksD.as("ts"))
           .withColumn("n", size(col("ts")).cast("long"))
           .withColumn("fim",
@@ -1600,8 +1596,7 @@ object AdvancedQueries {
       "q_sample_weighted",
       (s: SparkSession, dir: String) => {
         import graft.functions.ExactMath
-        val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(1000000L))
+        val h = pmod(graft.functions.Md5Ops.md5Prefix(col("doc_id").cast("string"), 15), lit(1000000L))
         val docs = Tables(s, dir, "documents")
         val langN = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
           .withColumn("p_e6",

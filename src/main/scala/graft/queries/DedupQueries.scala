@@ -40,9 +40,14 @@ import graft.functions.SimHash64.simHash64
   */
 object DedupQueries {
 
-  /** 60-bit shingle identity: md5 hex prefix as a long. */
+  /** 60-bit shingle identity: md5 hex prefix as a long. r15: computed
+    * from the raw digest bytes ([[graft.functions.Md5Ops.md5Prefix]] —
+    * bit-identical to the historical conv(substring(md5,1,15),16,10)
+    * chain and to the oracle's ('0x'||…)::BIGINT, minus the per-row
+    * hex-string/substring/conv allocations that drove the gen-sf10 GC
+    * pauses, PERF_NOTES r14). */
   private def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Ops.md5Prefix(c, 15)
 
   /** Winnowed fingerprint selections (doc_id, i, mk) over a documents
     * frame — the q_winnow kernel (Schleimer et al. 2003; see that
@@ -53,14 +58,18 @@ object DedupQueries {
     * distinct mk (per doc) / distinct mk >> 20 (cross-doc hash).
     */
   private def winnowSelected(docs: DataFrame): DataFrame = {
-    import graft.functions.Shingles.shinglesAll
     import org.apache.spark.sql.expressions.Window
     val toksD = split(col("text"), " ")
+    // r15: per-window md5 u64s streamed straight from the token array
+    // (no 5-gram string per window — the allocation that drove the
+    // gen-sf10 GC pauses on this row); u >>> 4 IS hash60 of the
+    // space-joined window, bit-identical to the oracle's g CTE
     val grams = docs
       .select(col("doc_id"),
-        posexplode(shinglesAll(toksD, 5)).as(Seq("i0", "sh")))
+        posexplode(graft.functions.Md5Ops.shingleMd5U64s(toksD, 5))
+          .as(Seq("i0", "u")))
       .select(col("doc_id"), (col("i0") + 1L).as("i"),
-        (pmod(hash60(col("sh")), lit(1L << 40)) * (1L << 20)
+        (pmod(shiftrightunsigned(col("u"), 4), lit(1L << 40)) * (1L << 20)
           + (lit((1L << 20) - 1L) - col("i0") - 1L)).as("key"))
     val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
     val cw = Window.partitionBy("doc_id")
@@ -116,8 +125,13 @@ object DedupQueries {
         concat_ws(" ", slice(col("ts"), col("start") + 1, lit(12)))
           .as("chunk"),
         size(slice(col("ts"), col("start") + 1, lit(12))).cast("long")
-          .as("n_toks"))
-      .withColumn("h", hash60(col("chunk")))
+          .as("n_toks"),
+        // h from the slice directly (md5WsPrefix hashes the same bytes
+        // concat_ws would produce) so the PROFILE plan, which never
+        // reads `chunk`, prunes the joined-string build entirely (r15)
+        graft.functions.Md5Ops
+          .md5WsPrefix(slice(col("ts"), col("start") + 1, lit(12)), 15)
+          .as("h"))
 
   /** DuckDB twin of [[paraChunks]] plus the corpus-wide keep-first
     * owner — ONE copy of the CTE chain (the CcSql rule), shared by the
@@ -380,12 +394,18 @@ object DedupQueries {
     * them.
     */
   private[graft] def minhashBandKeys(docs: DataFrame): DataFrame = {
+    // r15: per-window md5 u64s computed WITHOUT materializing shingle
+    // strings (ShingleMd5U64 streams each window's tokens into the
+    // digest). All windows instead of distinct ones — the signature
+    // folds are array_min per permutation, for which multiplicity is
+    // irrelevant, so every band key is bit-identical to the r14
+    // distinct-shingle derivation (and to the oracle's).
     val withSig0 = docs
       .select(col("doc_id"),
-        graft.functions.Shingles.shingles(split(col("text"), " "), 3).as("shs"))
-      .filter(size(col("shs")) >= 1)
-      .withColumn("h32s", expr(
-        "transform(shs, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"))
+        graft.functions.Md5Ops.shingleMd5U64s(split(col("text"), " "), 3)
+          .as("hu64s"))
+      .filter(size(col("hu64s")) >= 1)
+      .withColumn("h32s", expr("transform(hu64s, u -> shiftrightunsigned(u, 32))"))
     val sig = (0 until 8).foldLeft(withSig0) { (df, i) =>
       df.withColumn(s"h$i", array_min(expr(
         s"transform(h32s, h -> pmod(h * ${MinhashA(i)} + ${MinhashB(i)}, $MinhashP))")))
@@ -407,11 +427,18 @@ object DedupQueries {
     * the distinct (d1 < d2) band-collision pairs.
     */
   private def minhashDocCand(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sh = shingleText(s, dir)
-      .withColumn("md", md5(col("s")))
+    // r15: both prefixes from ONE streamed digest u64 (u>>>4 = the
+    // 15-digit h, u>>>32 = the 8-digit h32) — no shingle string, no
+    // hex md5, one digest per DISTINCT window instead of the
+    // md5+2×conv chain (distinct = true preserves r14's set semantics
+    // for hs/n; u64 identity IS the downstream identity).
+    val sh = Tables(s, dir, "documents")
       .select(col("doc_id"),
-        conv(substring(col("md"), 1, 15), 16, 10).cast("long").as("h"),
-        conv(substring(col("md"), 1, 8), 16, 10).cast("long").as("h32"))
+        explode(graft.functions.Md5Ops
+          .shingleMd5U64s(split(col("text"), " "), 3, distinct = true)).as("u"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("u"), 4).as("h"),
+        shiftrightunsigned(col("u"), 32).as("h32"))
     val aggs = (0 until 8).map(i =>
       min(pmod(col("h32") * MinhashA(i) + MinhashB(i), lit(MinhashP))).as(s"h$i")) ++
       Seq(sort_array(collect_list(col("h"))).as("hs"),
@@ -850,8 +877,7 @@ object DedupQueries {
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("long").as("toks"))
         val key = coalesce(col("cluster_id"), col("doc_id"))
-        val h = pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(100L))
+        val h = pmod(graft.functions.Md5Ops.md5Prefix(key.cast("string"), 15), lit(100L))
         docs.join(lbl, Seq("doc_id"), "left")
           .select(col("source"),
             when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"),

@@ -760,8 +760,7 @@ object ProfileQueries {
             sum(when(col("event_type") === "error", 1L).otherwise(0L)))
             .cast("long").as("converted"))
           .select(
-            pmod(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-              .cast("long"), lit(2L)).as("arm"),
+            pmod(graft.functions.Md5Ops.md5Prefix(col("user_id").cast("string"), 15), lit(2L)).as("arm"),
             col("converted"))
         abTest(users.groupBy("arm")
           .agg(count(lit(1)).as("n"), sum("converted").as("x")))
@@ -1285,9 +1284,8 @@ object ProfileQueries {
           .select(col("doc_id"), col("source"), TextQueries.qcScoreE6.as("x"))
         val rep = docs.select(col("doc_id"), col("source"), col("x"),
             explode(expr(s"sequence(0, ${b - 1})")).as("r"))
-          .withColumn("u", pmod(conv(substring(md5(concat(lit("bs"),
-            col("r").cast("string"), lit(":"), col("doc_id").cast("string"))),
-            1, 15), 16, 10).cast("long"), lit(1000000L)))
+          .withColumn("u", pmod(graft.functions.Md5Ops.md5Prefix(concat(lit("bs"),
+            col("r").cast("string"), lit(":"), col("doc_id").cast("string")), 15), lit(1000000L)))
           .withColumn("w",
             when(col("u") < 367879L, 0L).when(col("u") < 735758L, 1L)
               .when(col("u") < 919698L, 2L).when(col("u") < 981011L, 3L)

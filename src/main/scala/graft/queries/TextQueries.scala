@@ -155,7 +155,7 @@ object TextQueries {
 
   /** Feature dim of a token — q_feature_hash's exact scheme. */
   private def qcDim(t: Column): Column =
-    pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(256L))
+    pmod(graft.functions.Md5Ops.md5Prefix(t, 15), lit(256L))
 
   /** Pseudo-label shared by q_quality_grad and q_quality_train: a cheap
     * heuristic gate (≥ 10 tokens AND ≥ half distinct) — the CCNet-style
@@ -1201,7 +1201,7 @@ object TextQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), explode(toks).as("t"))
         .select(col("doc_id"), col("source"), col("lang"),
-          pmod(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+          pmod(graft.functions.Md5Ops.md5Prefix(col("t"), 15),
             lit(512L)).as("b"))
         .groupBy("doc_id", "source", "lang", "b").agg(count(lit(1)).as("c"))
     }
@@ -1807,8 +1807,7 @@ object TextQueries {
       "q_lm_holdout",
       (s: SparkSession, dir: String) => {
         import graft.functions.Shingles.shinglesAll
-        val split100 = pmod(conv(substring(md5(col("doc_id").cast("string")),
-          1, 15), 16, 10).cast("long"), lit(100L))
+        val split100 = pmod(graft.functions.Md5Ops.md5Prefix(col("doc_id").cast("string"), 15), lit(100L))
         val sdocs = Tables(s, dir, "documents")
           .select(col("doc_id"),
             when(split100 < 90L, "train").when(split100 < 95L, "val")
@@ -2854,8 +2853,7 @@ object TextQueries {
     QueryDef(
       "q_conformal_gate",
       (s: SparkSession, dir: String) => {
-        val h = pmod(conv(substring(md5(col("doc_id").cast("string")),
-          1, 15), 16, 10).cast("long"), lit(100L))
+        val h = pmod(graft.functions.Md5Ops.md5Prefix(col("doc_id").cast("string"), 15), lit(100L))
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"), qcScoreE6.as("z"),
             qcLabel.as("y"),

@@ -585,6 +585,69 @@ class SqlFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("Md5Ops: prefix/ws/shingle u64s are bit-identical to the " +
+      "conv(substring(md5)) chains they replace (r15)") {
+    import spark.implicits._
+    import graft.functions.Md5Ops
+    val strs = Seq("", "a", "hello world", "ünïcode ☃ text",
+      "x" * 300, "a b", " leading", "trailing ")
+    // md5Prefix(c, n) == conv(substring(md5(c), 1, n), 16, 10) for
+    // every n in 1..15
+    val df = strs.toDF("s")
+    for (n <- Seq(1, 8, 15)) {
+      val got = df.select(Md5Ops.md5Prefix(col("s"), n)).as[Long].collect().toSeq
+      val want = df.select(
+        conv(substring(md5(col("s")), 1, n), 16, 10).cast("long"))
+        .as[Long].collect().toSeq
+      assert(got == want, s"md5Prefix($n) drifted")
+    }
+    // md5WsPrefix(arr, 15) == md5Prefix(concat_ws(' ', arr), 15),
+    // including empty arrays, empty tokens, and null elements
+    val arrs: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "c"), Seq(""), Seq("", ""), Seq("x"),
+      Seq.empty[String], Seq("multi word", "z"))
+    val adf = arrs.toDF("a")
+    val gotWs = adf.select(Md5Ops.md5WsPrefix(col("a"), 15)).as[Long].collect().toSeq
+    val wantWs = adf.select(
+      conv(substring(md5(concat_ws(" ", col("a"))), 1, 15), 16, 10)
+        .cast("long")).as[Long].collect().toSeq
+    assert(gotWs == wantWs)
+    val nullDf = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("a")
+    assert(nullDf.select(Md5Ops.md5WsPrefix(col("a"), 15)).as[Long].head() ==
+      nullDf.select(conv(substring(md5(concat_ws(" ", col("a"))), 1, 15),
+        16, 10).cast("long")).as[Long].head())
+    // shingleMd5U64s == Shingles + per-element md5 chain, both flavors
+    val toksDf = Seq("a b c d e f", "a a a a", "x y", "single", "")
+      .toDF("t").select(split(col("t"), " ").as("ts"))
+    for (dist <- Seq(false, true)) {
+      val got = toksDf.select(
+        transform(Md5Ops.shingleMd5U64s(col("ts"), 3, dist),
+          u => shiftrightunsigned(u, 4))).as[Seq[Long]].collect().toSeq
+      val base = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.Shingles(
+          org.apache.spark.sql.GraftBridge.expression(col("ts")), 3, dist))
+      val want = toksDf.select(
+        transform(base,
+          x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+        .as[Seq[Long]].collect().toSeq
+      assert(got == want, s"shingleMd5U64s(distinct=$dist) drifted")
+    }
+    // SQL registration parity: the registered functions return the raw
+    // u64s the Column API derives its prefixes from
+    Seq(("a b c d", Seq("p", "q"))).toDF("s", "a").createOrReplaceTempView("m5")
+    val sqlRow = spark.sql(
+      "SELECT graft_md5_u64(s), graft_md5_ws_u64(a), " +
+        "graft_shingle_md5_u64(split(s, ' '), 2) FROM m5")
+      .as[(Long, Long, Seq[Long])].head()
+    val apiRow = Seq(("a b c d", Seq("p", "q"))).toDF("s", "a")
+      .select(Md5Ops.md5U64(col("s")),
+        Md5Ops.md5WsPrefix(col("a"), 15),
+        Md5Ops.shingleMd5U64s(split(col("s"), " "), 2))
+      .as[(Long, Long, Seq[Long])].head()
+    assert(sqlRow._1 == apiRow._1 && sqlRow._3 == apiRow._3)
+    assert((sqlRow._2 >>> 4) == apiRow._2)
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
