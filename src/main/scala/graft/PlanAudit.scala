@@ -26,6 +26,9 @@ object PlanAudit {
     // over a 5-row broadcast IS the intended stream-the-corpus plan
     ("q_sim_topk", "BroadcastNestedLoopJoin"),
     ("q_ann_recall", "BroadcastNestedLoopJoin"), // exactTop10's query-set nested loop
+    // the ≤5-query-set nested loops of the prefix scorer + exactTop10
+    // (the q_sim_topk shape, one per ranking side)
+    ("q_matryoshka", "BroadcastNestedLoopJoin"),
     ("q_ivf_recall", "BroadcastNestedLoopJoin"), // same exactTop10 ground-truth leg
     ("q_pq_recall", "BroadcastNestedLoopJoin"),  // same exactTop10 ground-truth leg
     // same shape: 8-row query-token bag / 5-row query set broadcast,
@@ -132,6 +135,7 @@ object PlanAudit {
     "q_sim_topk" -> 1,
     "q_sim_ann" -> 1,
     "q_ann_recall" -> 2, // both rankers' query-set broadcasts in one plan
+    "q_matryoshka" -> 2, // the one-pass prefix scorer's query set + exactTop10's
     "q_sim_ivf" -> 1,
     "q_ivf_recall" -> 2, // ivfCandidates' probed query set + exactTop10's query set
     "q_pq_recall" -> 1,  // exactTop10's query set (the ADC lookup table is a bounded local relation)

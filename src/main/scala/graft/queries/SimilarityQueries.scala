@@ -1905,6 +1905,112 @@ object SimilarityQueries {
              |FROM j ORDER BY q_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_matryoshka ★ (new r15) — TRUNCATED-DIMENSION retrieval curve
+    // (Matryoshka representation learning, Kusupati et al. 2022: MRL
+    // embeddings are consumed at prefix dimensions d ≪ D to trade
+    // index size/bandwidth for recall; the deployment question is
+    // "how much recall does the d-dim prefix keep?"). Per curve point
+    // d ∈ {8, 16, 32}: top-10 by cosine over the FIRST d dimensions
+    // vs the exact full-dim ground truth ([[exactTop10]] — the same
+    // relation q_sim_topk declares), per query:
+    // (d, q_id, n_exact, n_hit, recall_e4).
+    // ONE corpus×queries scoring pass serves every curve point (the
+    // q_ivf_recall one-pass rule): all three prefix cosines are
+    // computed as columns of a single scan, unpivoted, and ranked via
+    // [[heapTopK]] on the folded (d·1024 + q_id) key — no per-d
+    // re-scan, no global sort. Prefix cosines reuse the fused codegen
+    // [[cosine]] over array slices (same sequential fold the oracle's
+    // list_sum performs — the q_sim_topk operand-tree parity argument,
+    // unchanged by truncation). A vector whose d-prefix is all-zero
+    // has no d-cosine and is excluded at that curve point in both
+    // engines (the zero-norm guard, prefix edition). Set-intersection
+    // counts add no new float decision beyond each ranking's own
+    // rank-10 margin (spec-measured, the family rule). On these
+    // near-random embeddings the curve is LIVE: recall rises with d
+    // and the 8-dim point sits well below 1.0 (spec-pinned).
+    QueryDef(
+      "q_matryoshka",
+      (s: SparkSession, dir: String) => {
+        import graft.functions.ExactMath
+        val ds = Seq(8, 16, 32)
+        val q = broadcast(queriesDf(s, dir))
+        val prefC = ds.map(d => cosine(slice(col("q_emb"), 1, d),
+          slice(col("embedding"), 1, d)).as(s"c$d"))
+        val scored = guarded(s, dir).join(q, col("vec_id") =!= col("q_id"))
+          .select(Seq(col("q_id"), col("vec_id")) ++ prefC: _*)
+        val un = scored.select(col("q_id"), col("vec_id"),
+            explode(array(ds.map(d =>
+              struct(lit(d.toLong).as("d"), col(s"c$d").as("cos"))): _*))
+              .as("dc"))
+          .select(col("q_id"), col("vec_id"),
+            col("dc.d").as("d"), col("dc.cos").as("cos"))
+          .filter(col("cos").isNotNull)
+        val keyed = un.select((col("d") * 1024L + col("q_id")).as("q_id"),
+          col("vec_id"), col("cos"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("id"))
+        val top = heapTopK(keyed, 10)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(ExactMath.divTrunc(col("q_id"), lit(1024L)).as("d"),
+            pmod(col("q_id"), lit(1024L)).as("q_id"), col("id").as("vec_id"),
+            lit(1L).as("hit"))
+        val xd = exactTop10(s, dir).select(col("q_id"), col("vec_id"),
+          explode(array(ds.map(d => lit(d.toLong)): _*)).as("d"))
+        xd.join(top, Seq("d", "q_id", "vec_id"), "left")
+          .groupBy("d", "q_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("d"), col("q_id"), col("n_exact"), col("n_hit"),
+            ExactMath.divTrunc(col("n_hit") * 20000L + col("n_exact"),
+              col("n_exact") * 2L).as("recall_e4"))
+          .orderBy("d", "q_id")
+      },
+      Some {
+        val ds = Seq(8, 16, 32)
+        val per = ds.map { d =>
+          s"""tsc$d AS (
+             |  SELECT q.vec_id AS q_id, e.vec_id,
+             |    list_sum(list_transform(range(1, $d + 1), i -> e.v[i]*q.v[i])) /
+             |      (sqrt(list_sum(list_transform(e.v[1:$d], x -> x*x))) *
+             |       sqrt(list_sum(list_transform(q.v[1:$d], x -> x*x)))) AS cos
+             |  FROM e CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 5) q
+             |  WHERE e.vec_id != q.vec_id
+             |    AND list_sum(list_transform(e.v[1:$d], x -> x*x)) > 0
+             |    AND list_sum(list_transform(q.v[1:$d], x -> x*x)) > 0),
+             |trk$d AS (
+             |  SELECT q_id, vec_id,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+             |      AS rank
+             |  FROM tsc$d),
+             |j$d AS (
+             |  SELECT xx.q_id, COUNT(*) AS n_exact,
+             |    CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_hit
+             |  FROM (SELECT q_id, vec_id FROM xranked WHERE rank <= 10) xx
+             |  LEFT JOIN (SELECT q_id, vec_id FROM trk$d WHERE rank <= 10) t
+             |    ON t.q_id = xx.q_id AND t.vec_id = xx.vec_id
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        val sel = ds.map(d =>
+          s"""SELECT CAST($d AS BIGINT) AS d, q_id,
+             |  CAST(n_exact AS BIGINT) AS n_exact, n_hit,
+             |  CAST((n_hit * 20000 + n_exact) // (n_exact * 2) AS BIGINT)
+             |    AS recall_e4 FROM j$d""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings
+           |  WHERE list_sum(list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+           |$ExactRankedSql,
+           |$per
+           |SELECT * FROM (
+           |$sel)
+           |ORDER BY d, q_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // q_ivf_recall ★ (new r11) — the IVF TUNING CURVE: recall@10 of
     // the declared IVF path (the SHARED [[ivfCandidates]] — q_sim_ivf's
     // own quantizer, assignment, and probe order) against the exact

@@ -3040,6 +3040,127 @@ object TextQueries {
               |ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q_gopher_rules ★ (new r15) — the CLASSIC rule-based quality
+    // battery (Gopher, Rae et al. 2021 §A1.1; reused by MassiveText /
+    // RefinedWeb / Dolma): seven document gates at the paper's REAL
+    // thresholds —
+    //   1. word count ∈ [50, 100000];
+    //   2. mean word length ∈ [3, 10] chars;
+    //   3. symbol-to-word ratio ('#', '…') ≤ 0.1;
+    //   4. ≤ 90% of lines start with a bullet ('- ', '* ', '•');
+    //   5. ≤ 30% of lines end with an ellipsis ('…' or '...');
+    //   6. ≥ 80% of words contain ≥ 1 alphabetic character;
+    //   7. ≥ 2 distinct of {the, be, to, of, and, that, have, with}.
+    // Declared output: the per-source RULE FUNNEL (docs failing each
+    // rule, docs passing all, pass rate) — the table a curation run
+    // reads to see WHICH rule is doing the filtering on each source.
+    // On this synthetic fixture the stopword rule rejects everything —
+    // the battery working as designed on non-natural text (the
+    // honesty-note pattern of q_langid_train); TextSpec plants a
+    // natural-English doc that passes all seven plus one doc per rule
+    // failing exactly that rule.
+    // Exactness: every ratio threshold is an integer cross-
+    // multiplication (3·wc ≤ chars ≤ 10·wc; 10·nsym ≤ wc;
+    // 10·nbullet ≤ 9·nlines; 10·nell ≤ 3·nlines; 5·nalpha ≥ 4·wc) —
+    // no division anywhere. Plan: one map-only pass of per-doc
+    // bounded folds (line/token predicates over the doc's own
+    // arrays), then a ≤|sources|-group agg; at 100 TB this is a
+    // scan-speed stage exactly like qcScoreE6.
+    QueryDef(
+      "q_gopher_rules",
+      (s: SparkSession, dir: String) => {
+        val t = split(col("text"), " ")
+        val lines = split(col("text"), "\n")
+        val stop = array(Seq("the", "be", "to", "of", "and", "that",
+          "have", "with").map(lit(_)): _*)
+        val d = Tables(s, dir, "documents").select(col("source"),
+          size(t).cast("long").as("wc"),
+          length(translate(col("text"), " ", "")).cast("long").as("chars"),
+          (length(col("text")) - length(translate(col("text"), "#…", "")))
+            .cast("long").as("nsym"),
+          size(lines).cast("long").as("nlines"),
+          size(filter(lines, x => x.startsWith("- ") || x.startsWith("* ")
+            || x.startsWith("•"))).cast("long").as("nbullet"),
+          size(filter(lines, x => x.endsWith("…") || x.endsWith("...")))
+            .cast("long").as("nell"),
+          size(filter(t, x => x.rlike("[a-zA-Z]"))).cast("long").as("nalpha"),
+          size(array_intersect(array_distinct(t), stop)).cast("long")
+            .as("nstop"))
+        val f = d.select(col("source"),
+          when(col("wc") >= 50L && col("wc") <= 100000L, 0L).otherwise(1L)
+            .as("f_wc"),
+          when(col("chars") >= col("wc") * 3L &&
+            col("chars") <= col("wc") * 10L, 0L).otherwise(1L).as("f_mwl"),
+          when(col("nsym") * 10L <= col("wc"), 0L).otherwise(1L).as("f_sym"),
+          when(col("nbullet") * 10L <= col("nlines") * 9L, 0L).otherwise(1L)
+            .as("f_bullet"),
+          when(col("nell") * 10L <= col("nlines") * 3L, 0L).otherwise(1L)
+            .as("f_ell"),
+          when(col("nalpha") * 5L >= col("wc") * 4L, 0L).otherwise(1L)
+            .as("f_alpha"),
+          when(col("nstop") >= 2L, 0L).otherwise(1L).as("f_stop"))
+        val fails = Seq("f_wc", "f_mwl", "f_sym", "f_bullet", "f_ell",
+          "f_alpha", "f_stop")
+        val aggs = count(lit(1)).as("n_docs") +:
+          fails.map(c => sum(col(c)).as(s"n_$c")) :+
+          sum("pass").as("n_pass")
+        f.withColumn("pass",
+            when(fails.map(col(_) === 0L).reduce(_ && _), 1L).otherwise(0L))
+          .groupBy("source")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("source") +: col("n_docs") +:
+            fails.map(c => col(s"n_$c")) :+ col("n_pass") :+
+            floorDivL(col("n_pass") * 10000L, col("n_docs"))
+              .as("pass_rate_e4"): _*)
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+             |    CAST(length(text) - length(replace(replace(text, '#', ''),
+             |      '…', '')) AS BIGINT) AS nsym,
+             |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS nlines,
+             |    CAST(len(list_filter(string_split(text, chr(10)),
+             |      x -> starts_with(x, '- ') OR starts_with(x, '* ')
+             |        OR starts_with(x, '•'))) AS BIGINT) AS nbullet,
+             |    CAST(len(list_filter(string_split(text, chr(10)),
+             |      x -> ends_with(x, '…') OR ends_with(x, '...')))
+             |      AS BIGINT) AS nell,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS nalpha,
+             |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+             |      ['the','be','to','of','and','that','have','with']))
+             |      AS BIGINT) AS nstop
+             |  FROM documents),
+             |f AS (
+             |  SELECT source,
+             |    CASE WHEN wc >= 50 AND wc <= 100000 THEN 0 ELSE 1 END AS f_wc,
+             |    CASE WHEN chars >= wc * 3 AND chars <= wc * 10
+             |      THEN 0 ELSE 1 END AS f_mwl,
+             |    CASE WHEN nsym * 10 <= wc THEN 0 ELSE 1 END AS f_sym,
+             |    CASE WHEN nbullet * 10 <= nlines * 9 THEN 0 ELSE 1 END
+             |      AS f_bullet,
+             |    CASE WHEN nell * 10 <= nlines * 3 THEN 0 ELSE 1 END AS f_ell,
+             |    CASE WHEN nalpha * 5 >= wc * 4 THEN 0 ELSE 1 END AS f_alpha,
+             |    CASE WHEN nstop >= 2 THEN 0 ELSE 1 END AS f_stop
+             |  FROM d)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(f_wc) AS BIGINT) AS n_f_wc,
+             |  CAST(SUM(f_mwl) AS BIGINT) AS n_f_mwl,
+             |  CAST(SUM(f_sym) AS BIGINT) AS n_f_sym,
+             |  CAST(SUM(f_bullet) AS BIGINT) AS n_f_bullet,
+             |  CAST(SUM(f_ell) AS BIGINT) AS n_f_ell,
+             |  CAST(SUM(f_alpha) AS BIGINT) AS n_f_alpha,
+             |  CAST(SUM(f_stop) AS BIGINT) AS n_f_stop,
+             |  CAST(SUM(CASE WHEN f_wc + f_mwl + f_sym + f_bullet + f_ell
+             |    + f_alpha + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             |  (CAST(SUM(CASE WHEN f_wc + f_mwl + f_sym + f_bullet + f_ell
+             |    + f_alpha + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+             |    // CAST(COUNT(*) AS BIGINT) AS pass_rate_e4
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q_collocation_pmi ★ — top-50 two-word collocations ranked by
     // pointwise mutual information: phrases whose words co-occur far
     // more than their individual frequencies predict (the phrase-mining

@@ -882,4 +882,46 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q_matryoshka: truncated-dim recall == plain-Scala prefix-cosine " +
+      "replica; the curve is live and rises with d (r15)") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_matryoshka")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val ds = Seq(8L, 16L, 32L)
+    assert(rows.map(_._1).distinct.sorted == ds)
+    assert(rows.size == ds.size * 5 && rows.forall(_._3 == 10L))
+    rows.foreach(r => assert(r._4 <= r._3 && r._5 <= 10000L))
+    // plain-Scala replica: exact full-dim top-10 vs prefix-cosine top-10
+    val all = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().toSeq
+      .filter(_._2.exists(_ != 0f))
+    def cos(a: Seq[Float], b: Seq[Float], d: Int): Option[Double] = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn > 0.0) Some(dot / nn) else None
+    }
+    def top10(qid: Long, qv: Seq[Float], d: Int): Set[Long] =
+      all.filter(_._1 != qid)
+        .flatMap { case (id, v) => cos(qv, v, d).map(c => (id, c)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val queries = all.filter(_._1 < 5)
+    val want = (for ((qid, qv) <- queries; d <- ds) yield {
+      val exact = top10(qid, qv, 64)
+      val hit = (exact & top10(qid, qv, d.toInt)).size.toLong
+      (d, qid, 10L, hit,
+        (hit * 20000L + 10L) / 20L)
+    }).sortBy(r => (r._1, r._2))
+    assert(rows.sortBy(r => (r._1, r._2)) == want)
+    // curve shape: mean recall rises from the 8-dim prefix to full 32
+    def mean(d: Long) = rows.filter(_._1 == d).map(_._5).sum / 5
+    assert(mean(8L) < mean(32L),
+      s"curve not rising: ${ds.map(d => d -> mean(d))}")
+  }
 }

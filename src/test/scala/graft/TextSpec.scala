@@ -1251,6 +1251,62 @@ class TextSpec extends SparkSpec {
     sfEval.foreach(r => assert(r._4 <= math.min(r._2, r._3)))
   }
 
+  test("q_gopher_rules: each planted doc fails exactly its rule; a " +
+      "natural-English doc passes all seven (r15)") {
+    import spark.implicits._
+    def words(n: Int, base: Seq[String]): String =
+      (0 until n).map(i => base(i % base.size)).mkString(" ")
+    val good = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "that", "lazy", "dog", "with", "great", "energy", "and", "vigor")
+    val docs = Seq(
+      ("pass", words(60, good)),
+      // < 50 words, everything else clean
+      ("wc", words(20, good)),
+      // mean word length 2.04 < 3; stopwords via 'the'/'and'
+      ("mwl", words(48, Seq("ab")) + " the and"),
+      // >10% symbol chars; the symbol token is 1 of 61 words (alpha ok)
+      ("sym", words(60, good) + " ##########"),
+      // every line starts with a bullet
+      ("bullet", (1 to 4).map(_ => "- " + words(15, good)).mkString("\n")),
+      // every line ends with an ellipsis
+      ("ell", (1 to 4).map(_ => words(15, good) + " more...").mkString("\n")),
+      // 15 of 63 words numeric -> alphabetic fraction 0.76 < 0.8
+      ("alpha", words(48, good) + " " + words(15, Seq("123", "456"))),
+      // zero stopwords, everything else clean
+      ("stop", words(60, Seq("zebra", "lion", "tiger", "eagle", "shark"))))
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    docs.zipWithIndex.map { case ((src, t), i) => (i.toLong, t, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_gopher_rules")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // (source, n_docs, f_wc, f_mwl, f_sym, f_bullet, f_ell, f_alpha,
+    //  f_stop, n_pass, rate)
+    val failIdx = Map("wc" -> 3, "mwl" -> 4, "sym" -> 5, "bullet" -> 6,
+      "ell" -> 7, "alpha" -> 8, "stop" -> 9)
+    val p = got("pass")
+    assert(p._10 == 1L && p._11 == 10000L, s"pass doc rejected: $p")
+    failIdx.foreach { case (src, idx) =>
+      val r = got(src)
+      assert(r._10 == 0L, s"$src doc passed the battery: $r")
+      (3 to 9).foreach { i =>
+        val v = r.productElement(i - 1).asInstanceOf[Long]
+        assert(v == (if (i == idx) 1L else 0L),
+          s"$src: rule column $i = $v, expected ${if (i == idx) 1 else 0}: $r")
+      }
+    }
+    // the shipped fixture: synthetic text carries no English stopwords
+    // for most docs — the battery rejects it, which is the battery
+    // working; the funnel must conserve docs
+    val sf = SparkEntry.queries("q_gopher_rules")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(sf.map(_._2).sum == Tables(spark, sfDir, "documents").count())
+    sf.foreach(r => assert(r._10 <= r._2 && r._11 <= 10000L))
+  }
+
   test("bucketedKthSmallest: multi-level bucketed descent == sorted " +
       "multiset order statistic, tiny maxB forces >= 3 levels (r15)") {
     import spark.implicits._
