@@ -1019,7 +1019,10 @@ object TextQueries {
       .join(trained, Seq("w"), "left")
       .select(col("w"),
         size(col("seg")).cast("long").as("n_pieces"),
-        when(element_at(col("seg"), 1) === Unk, 1L).otherwise(0L).as("unk"),
+        // try_element_at: an empty word's segmentation is the EMPTY
+        // array (r15 parity fix) and ANSI element_at would throw on it
+        when(expr("try_element_at(seg, 1)") === Unk, 1L).otherwise(0L)
+          .as("unk"),
         when(col("tseg").isNotNull &&
           concat_ws(US, col("seg")) =!= col("tseg"), 1L).otherwise(0L)
           .as("diverged"))
@@ -2346,7 +2349,13 @@ object TextQueries {
           .select(col("doc_id"), explode(toks).as("w"))
           .join(vocab, Seq("w"), "left")
           .select(col("doc_id"),
-            when(col("n_sub").isNull, 1L).otherwise(0L).as("fallback"),
+            // an EMPTY word (consecutive/leading/trailing spaces) has a
+            // 0-piece segmentation in the Spark model but never appears
+            // in the oracle's backtrace-derived table — both engines
+            // count it as a fallback with 0 pieces (r15 parity fix,
+            // found by the planted double-space fixture)
+            when(col("n_sub").isNull || col("n_sub") === 0L, 1L)
+              .otherwise(0L).as("fallback"),
             coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_pieces"),

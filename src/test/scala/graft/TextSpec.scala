@@ -1251,6 +1251,41 @@ class TextSpec extends SparkSpec {
     sfEval.foreach(r => assert(r._4 <= math.min(r._2, r._3)))
   }
 
+  test("empty tokens (double/leading/trailing spaces) encode as 0-piece " +
+      "fallbacks, not [UNK]s — differential corpus pin (r15)") {
+    import spark.implicits._
+    // two docs identical except double spaces: the empty tokens must
+    // add exactly (n_words, n_fallback) += 2 and n_pieces += 0, with
+    // the rest of the encode unchanged (shared trained vocab)
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta"),
+      (1L, "alpha  beta  gamma alpha beta"),
+      (2L, "alpha beta gamma delta epsilon"))
+    val dir = java.nio.file.Files.createTempDirectory("emptytok").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val enc = SparkEntry.queries("q_unigram_encode")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (a, b) = (enc(0L), enc(1L))
+    assert(b._2 == a._2 + 2, s"n_words: $b vs $a")
+    assert(b._3 == a._3, s"n_pieces changed: $b vs $a")
+    assert(b._4 == a._4 + 2, s"n_fallback: $b vs $a")
+    // wordpiece: the empty word is a COMPLETE 0-piece segmentation —
+    // never an [UNK]: the double-space twin gains 2 words but zero
+    // pieces and ZERO unks (pre-fix it gained 2 unks)
+    val wp = SparkEntry.queries("q_wordpiece_encode")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (wa, wb) = (wp(0L), wp(1L))
+    assert(wb._2 == wa._2 + 2, s"wp n_words: $wb vs $wa")
+    assert(wb._3 == wa._3, s"wp n_pieces changed: $wb vs $wa")
+    assert(wb._4 == wa._4, s"wp n_unk changed (empty word counted as " +
+      s"[UNK]): $wb vs $wa")
+  }
+
   test("q_gopher_rules: each planted doc fails exactly its rule; a " +
       "natural-English doc passes all seven (r15)") {
     import spark.implicits._
