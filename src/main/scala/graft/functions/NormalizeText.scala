@@ -32,7 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Equivalent (and spec-pinned against)
   *   `trim(regexp_replace(regexp_replace(regexp_replace(lower(s),
   *      '[[:punct:]]', ''), '[0-9]+', '0'), '[[:space:]]+', ' '))`
-  * in both Spark and DuckDB — but implemented as ONE codegen'd byte
+  * on ASCII input — the DuckDB oracle twins spell step 1 as
+  * `translate(s, 'A..Z', 'a..z')`, NOT `lower(s)`, because DuckDB's
+  * lower() silently Unicode-case-folds and would drift from this
+  * byte pass on any non-ASCII corpus (caught r15 by a planted
+  * unicode fixture). Implemented as ONE codegen'd byte
   * pass: the regex chain allocates three intermediate strings and
   * re-scans the document four times; normalization runs once per
   * document per corpus scan at 100 TB and must stay inside

@@ -1691,10 +1691,10 @@ object DedupQueries {
              |              WHEN (i-1) % 11 = 3 THEN ts[i] || ','
              |              ELSE ts[i] END), ' ') AS txt FROM t),
              |nva AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
-             |  regexp_replace(lower(txt), '[[:punct:]]', '', 'g'),
+             |  regexp_replace(translate(txt, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[[:punct:]]', '', 'g'),
              |  '[0-9]+', '0', 'g'), '[[:space:]]+', ' ', 'g')) AS txt FROM va),
              |nvb AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
-             |  regexp_replace(lower(txt), '[[:punct:]]', '', 'g'),
+             |  regexp_replace(translate(txt, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[[:punct:]]', '', 'g'),
              |  '[0-9]+', '0', 'g'), '[[:space:]]+', ' ', 'g')) AS txt FROM vb),
              |sra AS (SELECT DISTINCT doc_id, substring(md5(shs),1,15) AS h FROM (
              |  SELECT doc_id, unnest(list_transform(
@@ -1993,7 +1993,7 @@ object DedupQueries {
              |  GROUP BY 1),
              |nn AS (
              |  SELECT doc_id, rawtoks, trim(regexp_replace(regexp_replace(
-             |    regexp_replace(lower(ktext), '[[:punct:]]', '', 'g'),
+             |    regexp_replace(translate(ktext, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[[:punct:]]', '', 'g'),
              |    '[0-9]+', '0', 'g'), '[[:space:]]+', ' ', 'g')) AS nt
              |  FROM ka),
              |p AS (
