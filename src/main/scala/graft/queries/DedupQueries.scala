@@ -1769,11 +1769,22 @@ object DedupQueries {
     // ≪ corpus and both key-join sides shuffle vocabulary-scale rows.
     // The canonical column implements the merge direction (variant →
     // most frequent form) a normalization pass applies.
+    // WORD-LENGTH CAP (r15): the deletion fan-out is 1 + L + L(L−1)/2
+    // keys of ~L bytes — QUADRATIC in word length, and a single
+    // 520-byte blob token (URL, base64, DNA) costs ~135k × 519-byte
+    // keys (measured: one such token burned 338 s CPU on an 8-doc
+    // fixture). Words over 24 UTF-8 bytes are excluded in BOTH engines
+    // — typo/OCR variant mining is a natural-word operation; blob
+    // tokens are whole-token identities for the exact-dedup family,
+    // not typo candidates. Distance is over UTF-8 BYTES in both
+    // engines (see the bf note in the body).
     QueryDef(
       "q_fuzzy_match",
       (s: SparkSession, dir: String) => {
         val vLazy = Tables(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
+          .filter(octet_length(col("w")) <= 24) // the word-length cap —
+          // bounds the quadratic deletion fan-out; see the scaladoc
           .groupBy("w").agg(count(lit(1)).as("c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val v = { vLazy.count(); vLazy }
@@ -1786,10 +1797,19 @@ object DedupQueries {
           .select(col("a.w").as("w1"), col("a.c").as("c1"),
             col("b.w").as("w2"), col("b.c").as("c2"))
           .distinct()
+        // edit distance over UTF-8 BYTES (what DuckDB/Postgres
+        // levenshtein natively computes; Spark's is codepoint-based —
+        // they diverge on any non-ASCII word, caught r15 by the planted
+        // unicode fixture). The latin-1 re-decode views each byte as
+        // one char, so Spark's levenshtein computes the byte distance.
+        // Blocking stays lossless: byte-lev ≤ 2 ⇒ codepoint-lev ≤ 2
+        // (k byte edits touch ≤ k chars), and the char-deletion-variant
+        // candidates cover codepoint-lev ≤ 2.
+        def bf(c: Column) = decode(encode(c, "UTF-8"), "ISO-8859-1")
         cand
-          .filter(levenshtein(col("w1"), col("w2")) <= 2)
+          .filter(levenshtein(bf(col("w1")), bf(col("w2"))) <= 2)
           .select(col("w1"), col("w2"),
-            levenshtein(col("w1"), col("w2")).as("dist"),
+            levenshtein(bf(col("w1")), bf(col("w2"))).as("dist"),
             col("c1"), col("c2"),
             when(col("c1") >= col("c2"), col("w1")).otherwise(col("w2"))
               .as("canonical"))
@@ -1798,13 +1818,14 @@ object DedupQueries {
       Some("""WITH v AS (
              |  SELECT w, COUNT(*) AS c FROM (
              |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE strlen(w) <= 24
              |  GROUP BY 1)
              |SELECT a.w AS w1, b.w AS w2,
              |  CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist,
              |  a.c AS c1, b.c AS c2,
              |  CASE WHEN a.c >= b.c THEN a.w ELSE b.w END AS canonical
              |FROM v a JOIN v b ON a.w < b.w
-             |WHERE abs(length(a.w) - length(b.w)) <= 2
+             |WHERE abs(strlen(a.w) - strlen(b.w)) <= 2
              |  AND levenshtein(a.w, b.w) <= 2
              |ORDER BY dist, w1, w2""".stripMargin)),
 
