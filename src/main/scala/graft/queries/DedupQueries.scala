@@ -1948,6 +1948,8 @@ object DedupQueries {
         val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val paras = paraChunks(Tables(s, dir, "documents")).persist(mem)
         paras.count() // raw funnel row + owner agg + rejoin reuse it
+        var perDocP: DataFrame = null
+        try {
         val own = paras.groupBy("h").agg(min("ok").as("mo"))
         val keptDoc = paras.join(own, "h").filter(col("ok") === col("mo"))
           .groupBy("doc_id")
@@ -1963,6 +1965,7 @@ object DedupQueries {
             size(ts).cast("long").as("toks"),
             size(array_distinct(ts)).cast("long").as("dtoks"))
           .persist(mem)
+        perDocP = perDoc
         perDoc.count() // materialize once for the multi-stage consumers
         val gated = perDoc
           .filter(col("toks") >= 10 && col("dtoks") * 2 >= col("toks"))
@@ -2002,6 +2005,10 @@ object DedupQueries {
           .unionByName(funnel(surv, "3_dedup"))
           .unionByName(splitRows)
           .orderBy("stage")
+        } finally { // the sibling paragraph rows' rule: never leak cache
+          paras.unpersist(blocking = false)
+          if (perDocP != null) { perDocP.unpersist(blocking = false); () }
+        }
       },
       Some(s"""WITH RECURSIVE $ShSql,
              |$JacSql,

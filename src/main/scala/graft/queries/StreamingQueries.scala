@@ -205,6 +205,13 @@ object StreamingQueries {
       .groupBy("band", "k1", "k2")
       .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
 
+  /** The periodic-flush row's IN-STREAM topology: the stateless per-doc
+    * band projection alone — all aggregation is delegated to the
+    * at-rest staging + merge in [[neardupPeriodicRun]], so the stream
+    * holds zero state (append-legal, no stateOperators). */
+  private def bandsTopo(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.minhashBandKeys(docsStream(s, dir))
+
   /** Per-doc near-dup verdict off a band-bucket table — shared by
     * stream_neardup_e2e (buckets from the drained sink) and
     * stream_neardup_flush_e2e (buckets from the at-rest lake index),
@@ -264,7 +271,8 @@ object StreamingQueries {
     * O(docs since last flush), the index is corpus-linear AT REST,
     * and the verdict read off the index equals the unbounded-state
     * answer (this row's oracle = stream_neardup_e2e's oracle).
-    * Returns (verdict rows, per-phase peak state rows).
+    * Returns (lazy verdict frame — an at-rest parquet read, never a
+    * driver collect — and the per-phase peak state rows).
     */
   private[graft] def neardupFlushRun(s: SparkSession, dir: String)
       : (DataFrame, Seq[Long]) = {
@@ -273,13 +281,19 @@ object StreamingQueries {
     val root = tmpRoot.toString
     val tableDir = s"$root/warehouse/neardupindex"
     val docs = s.read.parquet(s"$dir/documents.parquet")
-    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val maxId = docs.agg(max("doc_id")).collect()(0)
+      .get(0) match { case null => 0L; case v => v.asInstanceOf[Long] }
     val t = (maxId + 1L) / 2L
     val schema = docs.schema
     val stateRows = scala.collection.mutable.Buffer.empty[Long]
+    // true once a flush has committed data — phase 2 of a corpus whose
+    // ids all fall on one side of the midpoint APPENDS instead of
+    // merging (degenerate/offset-id corpora must not crash the row)
+    var indexHasData = false
     def phase(n: Int, pred: Column): Unit = {
       val phaseDir = s"$root/in/p$n"
       docs.filter(pred).write.parquet(phaseDir)
+      if (s.read.parquet(phaseDir).isEmpty) { stateRows += 0L; return }
       val topo = DedupQueries.minhashBandKeys(
           s.readStream.schema(schema).parquet(phaseDir))
         .groupBy("band", "k1", "k2")
@@ -294,11 +308,11 @@ object StreamingQueries {
         q.awaitTermination()
         stateRows += q.recentProgress.toSeq
           .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
-          .map(_.numRowsTotal).max
+          .map(_.numRowsTotal).maxOption.getOrElse(0L)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       val buckets = s.table(sink)
         .withColumn("pb", col("band").cast("string"))
-      if (n == 1) {
+      if (!indexHasData) {
         new HiveParquetWriter().append(buckets, Seq("pb"), tableDir); ()
       } else {
         val atRest = LakeOps.readTable(s, tableDir)
@@ -316,27 +330,184 @@ object StreamingQueries {
         LakeOps.upsert(s, tableDir, combined,
           Seq("band", "k1", "k2"), Seq("pb")); ()
       }
+      indexHasData = true
     }
-    phase(1, col("doc_id") < t)
-    phase(2, col("doc_id") >= t)
-    val index = LakeOps.readTable(s, tableDir)
-      .select(col("band"), col("k1"), col("k2"), col("owner"), col("n_docs"))
-    require(index.inputFiles.nonEmpty &&
-      index.inputFiles.forall(_.contains("neardupindex")),
-      "verdict must be read off the flushed lake index")
-    val verdict = neardupVerdict(DedupQueries.minhashBandKeys(docs), index)
-    // collect-and-clean (the IngestQueries rule): the verdict is 4 longs
-    // per doc; rebuilding it as a local frame lets the temp lake tree go
-    val rows = verdict.collect()
-    val out = s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), verdict.schema)
+    try {
+      phase(1, col("doc_id") < t)
+      phase(2, col("doc_id") >= t)
+      val index = if (indexHasData) {
+        val idx = LakeOps.readTable(s, tableDir)
+          .select(col("band"), col("k1"), col("k2"),
+            col("owner"), col("n_docs"))
+        require(idx.inputFiles.nonEmpty &&
+          idx.inputFiles.forall(_.contains("neardupindex")),
+          "verdict must be read off the flushed lake index")
+        idx
+      } else // empty corpus: batch-derive the (empty) bucket shape
+        DedupQueries.minhashBandKeys(docs).groupBy("band", "k1", "k2")
+          .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
+      val verdict = neardupVerdict(DedupQueries.minhashBandKeys(docs), index)
+      // Materialize the verdict as a DISTRIBUTED parquet write into the
+      // session-scoped verdict store (never a driver collect — the
+      // verdict is corpus-sized, 4 longs per doc; r15 verdict #1), then
+      // hand back the lazy read: exactly what a production job does —
+      // write the per-doc verdict to the lake, downstream reads it.
+      // The at-rest verdict outlives the temp flush tree (deleted in
+      // the finally below); the store itself dies with the JVM.
+      val outDir = s"$verdictStore/${java.util.UUID.randomUUID()}"
+      verdict.write.parquet(outDir)
+      (s.read.parquet(outDir), stateRows.toSeq)
+    } finally deleteTree(tmpRoot)
+  }
+
+  /** PERIODIC in-run lake-index flush (r15 verdict #2) — the production
+    * steady-state generalization of [[neardupFlushRun]]'s
+    * stop→flush→restart: ONE stream over the whole corpus that MERGEs
+    * its running bucket delta into the at-rest index every `everyN`
+    * micro-batches WHILE THE STREAM KEEPS RUNNING, via `foreachBatch`.
+    *
+    * The state story is strictly stronger than the two-phase row's:
+    * the in-stream topology is the STATELESS per-doc band projection
+    * ([[DedupQueries.minhashBandKeys]] — zero stateOperators, the spec
+    * pins peak state = 0 from the engine's own metrics); each
+    * micro-batch's bucket delta (batch-local MIN/SUM — a BATCH
+    * aggregation inside foreachBatch, never streaming state) is
+    * appended to an at-rest STAGING table, and every `everyN` batches
+    * the staged deltas are combined (MIN owner / SUM n_docs — the same
+    * associative-commutative merge the two-phase row proves) into the
+    * partitioned lake index with the copy-on-write upsert on touched
+    * keys only, after which staging is CLEARED. So the accumulator
+    * between flushes is O(docs since last flush) — at rest, spillable,
+    * restart-recoverable — and the index is the only corpus-linear
+    * object, exactly the bound a 100 TB always-on stream needs.
+    * foreachBatch is at-least-once; a production deployment adds the
+    * [[graft.streaming.StreamingIngest]] batch-id fence to the staging
+    * append (same machinery, kept out of this row to keep its oracle
+    * the shared verdict).
+    *
+    * Returns (lazy at-rest verdict frame — shared oracle with
+    * stream_neardup_e2e, MIN/SUM associativity —, the flush ledger
+    * (micro-batches drained, staged delta rows) per flush, and the
+    * engine-reported peak streaming state, which must be 0).
+    */
+  private[graft] def neardupPeriodicRun(s: SparkSession, dir: String,
+      everyN: Int = 2, nSplits: Int = 4)
+      : (DataFrame, Seq[(Long, Long)], Long) = {
+    import graft.sink.{HiveParquetWriter, LakeOps}
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ndperiodic_")
+    val root = tmpRoot.toString
+    val tableDir = s"$root/warehouse/neardupindex"
+    val stagingDir = s"$root/staging"
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val inDir = s"$root/in"
+    // split the corpus so AvailableNow + maxFilesPerTrigger=1 yields a
+    // real multi-batch drain (a live deployment's batches come from the
+    // source's arrival cadence instead)
+    docs.repartition(nSplits).write.parquet(inDir)
+    val schema = docs.schema
+    try {
+      var sinceFlush = 0L
+      var indexHasData = false
+      val ledger = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      def flush(): Unit = {
+        if (sinceFlush == 0L) return
+        val staged = s.read.parquet(stagingDir)
+        val nStaged = staged.count()
+        val delta = staged.groupBy("band", "k1", "k2")
+          .agg(min("owner").as("owner"), sum("n_docs").as("n_docs"))
+          .withColumn("pb", col("band").cast("string"))
+        if (!indexHasData) {
+          indexHasData =
+            new HiveParquetWriter().append(delta, Seq("pb"), tableDir).rows > 0
+        } else {
+          val atRest = LakeOps.readTable(s, tableDir)
+          require(atRest.inputFiles.nonEmpty &&
+            atRest.inputFiles.forall(_.contains("neardupindex")),
+            "periodic flush must merge into the at-rest lake index")
+          val old = atRest.select(col("band"), col("k1"), col("k2"),
+            col("owner").as("o0"), col("n_docs").as("n0"))
+          val combined = delta.join(old, Seq("band", "k1", "k2"), "left")
+            .select(col("band"), col("k1"), col("k2"),
+              least(col("owner"), coalesce(col("o0"), lit(Long.MaxValue)))
+                .as("owner"),
+              (col("n_docs") + coalesce(col("n0"), lit(0L))).as("n_docs"),
+              col("pb"))
+          LakeOps.upsert(s, tableDir, combined,
+            Seq("band", "k1", "k2"), Seq("pb")); ()
+        }
+        ledger += ((sinceFlush, nStaged))
+        deleteTree(java.nio.file.Paths.get(stagingDir)) // flushed → gone
+        sinceFlush = 0L
+      }
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // the drain() rule
+      val q = try {
+        val qq = DedupQueries.minhashBandKeys(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(inDir))
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              b.groupBy("band", "k1", "k2")
+                .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
+                .write.mode("append").parquet(stagingDir)
+              sinceFlush += 1L
+              if (sinceFlush >= everyN) flush()
+            }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        qq.awaitTermination()
+        qq
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      flush() // tail batches since the last periodic boundary
+      val peakState = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsTotal).maxOption.getOrElse(0L)
+      val index = if (indexHasData) {
+        val idx = LakeOps.readTable(s, tableDir)
+          .select(col("band"), col("k1"), col("k2"),
+            col("owner"), col("n_docs"))
+        require(idx.inputFiles.nonEmpty &&
+          idx.inputFiles.forall(_.contains("neardupindex")),
+          "verdict must be read off the flushed lake index")
+        idx
+      } else // empty corpus: batch-derive the (empty) bucket shape
+        DedupQueries.minhashBandKeys(docs).groupBy("band", "k1", "k2")
+          .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
+      val verdict = neardupVerdict(DedupQueries.minhashBandKeys(docs), index)
+      val outDir = s"$verdictStore/${java.util.UUID.randomUUID()}"
+      verdict.write.parquet(outDir)
+      (s.read.parquet(outDir), ledger.toSeq, peakState)
+    } finally deleteTree(tmpRoot)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(tmpRoot)
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator().asScala.foreach(p =>
-        try java.nio.file.Files.deleteIfExists(p)
-        catch { case _: Exception => () })
-    (out, stateRows.toSeq)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(q =>
+          try { java.nio.file.Files.deleteIfExists(q); () }
+          catch { case _: Exception => () })
+  }
+
+  /** Session-scoped at-rest store for streaming rows' declared outputs
+    * (the lake location a deployment would write verdicts to); swept by
+    * a JVM shutdown hook so repeated in-session runs never leak across
+    * process lifetimes.
+    */
+  private lazy val verdictStore: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ndverdict_")
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(q =>
+          try { java.nio.file.Files.deleteIfExists(q); () }
+          catch { case _: Exception => () })
+      catch { case _: Exception => () }
+    }))
+    p.toString
   }
 
   /** Pre-start streaming topologies keyed by declared query name, for
@@ -362,7 +533,11 @@ object StreamingQueries {
     "stream_neardup_e2e" -> (neardupTopo _),
     // the flush row's per-phase in-stream topology IS neardupTopo (the
     // flush/merge runs post-drain on batch plans, spec-covered)
-    "stream_neardup_flush_e2e" -> (neardupTopo _))
+    "stream_neardup_flush_e2e" -> (neardupTopo _),
+    // the periodic row's in-stream topology is the STATELESS band
+    // projection (its batch-local delta agg + merge run inside
+    // foreachBatch on batch plans, spec-covered)
+    "stream_neardup_periodic_e2e" -> (bandsTopo _))
 
   /** Drain output mode per topology for the executed-plan sweep —
     * topologies absent here drain in append (the suite default).
@@ -493,6 +668,27 @@ object StreamingQueries {
     QueryDef(
       "stream_neardup_flush_e2e",
       (s: SparkSession, dir: String) => neardupFlushRun(s, dir)._1,
+      Some(NeardupVerdictSql)),
+
+    // ------------------------------------------------------------------
+    // stream_neardup_periodic_e2e ★ (new r16, r15 verdict #2) — the
+    // ALWAYS-ON generalization of the flush row: one stream over the
+    // whole corpus that MERGEs its bucket delta into the at-rest lake
+    // index every N micro-batches from inside foreachBatch, while the
+    // stream keeps running. In-stream state is ZERO (the topology is
+    // the stateless band projection; the per-batch MIN/SUM delta is a
+    // batch aggregation inside foreachBatch, staged at rest, cleared
+    // on every flush) — so the between-flush accumulator is O(docs
+    // since last flush) ON DISK and the index is the only
+    // corpus-linear object. MIN/SUM associativity makes the merged
+    // index row-identical to the one-shot bucket table for ANY batch
+    // slicing and flush cadence, so this row carries the family's
+    // shared oracle verbatim. StreamOpsSpec pins: peak engine state
+    // = 0, ≥2 in-run merges, staging bounded and cleared, index ==
+    // the unbounded one-shot. See [[neardupPeriodicRun]].
+    QueryDef(
+      "stream_neardup_periodic_e2e",
+      (s: SparkSession, dir: String) => neardupPeriodicRun(s, dir)._1,
       Some(NeardupVerdictSql)),
 
     // ------------------------------------------------------------------
