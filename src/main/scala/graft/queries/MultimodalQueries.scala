@@ -5,16 +5,19 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{MmFixture, Multimodal}
 
 /** Batch 9 ★ — multimodal binary-column operators. The testdata has no
   * media table, so payloads are derived (`encode(text)` → binary) —
   * the point is the operator plumbing, which is payload-agnostic:
   * opaque bytes in, typed metadata / frame samples / content signals
-  * out. The codec itself is the documented stub
+  * out. The codec for derived-text payloads is the documented stub
   * ([[graft.multimodal.Multimodal.StubCodec]]); it is a pure function
   * of the bytes, which keeps these queries DuckDB-oracle-checkable —
-  * the oracle reproduces the stub arithmetic from `octet_length`.
+  * the oracle reproduces the stub arithmetic from `octet_length`. As
+  * of r16, q_mm_meta additionally decodes REAL planted PNG/BMP
+  * payloads through [[graft.multimodal.Multimodal.HeaderCodec]]
+  * (true header parsing; see [[graft.multimodal.MmFixture]]).
   */
 object MultimodalQueries {
 
@@ -90,24 +93,43 @@ object MultimodalQueries {
 
     // ------------------------------------------------------------------
     // q_mm_meta ★ — per-partition codec decode (mapPartitions batch
-    // shape) → metadata aggregation by format. Corpus text is ASCII, so
-    // ascii(first char) == first payload byte for the oracle.
+    // shape) → metadata aggregation by format, through the REAL header
+    // codec (r16, r15 verdict #3): [[Multimodal.HeaderCodec]] parses
+    // genuine PNG/BMP headers and falls back to the stub for anything
+    // else. The input is the corpus UNION the [[MmFixture]] planted
+    // well-formed PNG/BMP payloads (negative ids — disjoint at every
+    // sf), whose TRUE dimensions the oracle carries as literals built
+    // from the same fixture seq — so the driver's green row is live
+    // evidence the codec decodes real byte formats (a parse bug in
+    // width/height/channels flips the hash), while the corpus rows
+    // keep the stub's arithmetic oracle (ASCII text can never
+    // mis-sniff past the header validation). The stub oracle reads the
+    // first PAYLOAD BYTE via hex(encode(text)) — byte-exact even for
+    // non-ASCII text (r16: DuckDB ascii() is codepoint-based and
+    // diverged on the planted unicode degenerate doc).
     QueryDef(
       "q_mm_meta",
-      (s: SparkSession, dir: String) =>
-        Multimodal.decodeMeta(payloads(s, dir), "doc_id", "payload")
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val planted = MmFixture.planted.map(p => (p.id, p.bytes))
+          .toDF("doc_id", "payload")
+        Multimodal.decodeMeta(
+            payloads(s, dir).unionByName(planted), "doc_id", "payload",
+            () => Multimodal.HeaderCodec)
           .groupBy("format")
           .agg(count(lit(1)).as("n"), sum("width").as("sum_w"),
             sum("height").as("sum_h"), sum("channels").as("sum_c"))
-          .orderBy("format"),
-      Some("""WITH m AS (
-             |  SELECT CASE WHEN len(text) = 0 THEN 'empty'
-             |              WHEN ascii(substring(text,1,1)) % 2 = 0 THEN 'img'
+          .orderBy("format")
+      },
+      Some(s"""WITH m AS (
+             |  SELECT CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+             |              WHEN ('0x' || substring(hex(encode(text)),1,2))::INT % 2 = 0 THEN 'img'
              |              ELSE 'aud' END AS format,
              |    64 + octet_length(encode(text)) % 577 AS width,
              |    64 + octet_length(encode(text)) % 331 AS height,
              |    1 + octet_length(encode(text)) % 3 AS channels
-             |  FROM documents)
+             |  FROM documents
+             |  UNION ALL ${MmFixture.plantedMetaSql})
              |SELECT format, COUNT(*) AS n, SUM(width)::BIGINT AS sum_w,
              |  SUM(height)::BIGINT AS sum_h, SUM(channels)::BIGINT AS sum_c
              |FROM m GROUP BY format ORDER BY format""".stripMargin)),

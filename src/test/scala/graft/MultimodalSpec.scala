@@ -278,4 +278,31 @@ class MultimodalSpec extends SparkSpec {
     assert(viaQuery.nonEmpty && viaQuery.forall(r =>
       r._4 == (if (r._2 > 0) r._3 + 1 else 0L) && r._6 < r._2))
   }
+
+  test("HeaderCodec: true dims for every planted well-formed PNG/BMP; " +
+      "strict validation falls back to the stub on text/truncation (r16)") {
+    import graft.multimodal.{MmFixture, Multimodal}
+    // golden: each planted payload decodes to its declared true meta
+    MmFixture.planted.foreach { p =>
+      val m = Multimodal.HeaderCodec.decode(p.id, p.bytes)
+      assert((m.format, m.width, m.height, m.channels) ==
+        (p.format, p.width, p.height, p.channels),
+        s"planted ${p.id}: got $m want $p")
+    }
+    // fallback parity: inputs the validator must REJECT decode exactly
+    // as the stub would (corpus rows keep their arithmetic oracle)
+    val rejects = Seq(
+      ("BM" + "x" * 60).getBytes("UTF-8"),     // ASCII text after 'BM'
+      MmFixture.png(9, 9, colorType = 2).take(20), // truncated PNG
+      MmFixture.png(9, 9, colorType = 5),      // invalid color type
+      MmFixture.bmp(0, 4, 24),                 // zero width
+      Array.empty[Byte])
+    rejects.foreach { b =>
+      assert(Multimodal.HeaderCodec.decode(7L, b) ==
+        Multimodal.StubCodec.decode(7L, b), "validator must fall back")
+    }
+    // and a 2-bpp palette BMP maps to 1 channel
+    val m = Multimodal.HeaderCodec.decode(8L, MmFixture.bmp(5, 5, 2))
+    assert((m.format, m.width, m.height, m.channels) == ("bmp", 5, 5, 1))
+  }
 }
