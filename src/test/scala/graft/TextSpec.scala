@@ -1225,10 +1225,12 @@ class TextSpec extends SparkSpec {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .coalesce(1).write.parquet(s"$dir/documents.parquet")
     val runsBefore = graft.queries.TextQueries.langIdTrainRuns.get()
+    // the row's input is corpus ∪ the TextFixture planted langs (r16)
+    val allLangs = (langs ++ graft.queries.TextFixture.langIdLangs).sorted
     val model = SparkEntry.queries("q_langid_train")(spark, dir)
       .as[(String, Int, Long)].collect().toSeq
-    assert(model.size == 5 * 257)
-    assert(model.map(_._1).distinct.sorted == langs)
+    assert(model.size == allLangs.size * 257)
+    assert(model.map(_._1).distinct.sorted == allLangs)
     val evalT = SparkEntry.queries("q_langid_apply")(spark, dir)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
     // real learning: every planted lang classified with high
@@ -1246,9 +1248,17 @@ class TextSpec extends SparkSpec {
     // docs, and the majority class dominates the predicted counts
     val sfEval = SparkEntry.queries("q_langid_apply")(spark, sfDir)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
-    val nDocs = Tables(spark, sfDir, "documents").count()
+    val nDocs = Tables(spark, sfDir, "documents").count() +
+      graft.queries.TextFixture.langIdDocs.size
     assert(sfEval.map(_._2).sum == nDocs && sfEval.map(_._3).sum == nDocs)
     sfEval.foreach(r => assert(r._4 <= math.min(r._2, r._3)))
+    // and the planted langs are LIVE in the shipped row: diagonal
+    // dominance (high precision AND recall) on every fixture lang
+    graft.queries.TextFixture.langIdLangs.foreach { l =>
+      val r = sfEval.find(_._1 == l).get
+      assert(r._5 >= 9000L && r._6 >= 9000L,
+        s"planted lang $l not separated in the shipped row: $r")
+    }
   }
 
   test("empty tokens (double/leading/trailing spaces) encode as 0-piece " +
@@ -1338,8 +1348,21 @@ class TextSpec extends SparkSpec {
     val sf = SparkEntry.queries("q_gopher_rules")(spark, sfDir)
       .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().toSeq
-    assert(sf.map(_._2).sum == Tables(spark, sfDir, "documents").count())
+    assert(sf.map(_._2).sum == Tables(spark, sfDir, "documents").count() +
+      graft.queries.TextFixture.gopherDocs.size)
     sf.foreach(r => assert(r._10 <= r._2 && r._11 <= 10000L))
+    // the planted funnel is LIVE in the shipped row: the natural
+    // source passes everything, each planted_<rule> source fails
+    // exactly one rule (mixed failures, not the all-fail collapse)
+    val bySrc = sf.map(r => r._1 -> r).toMap
+    assert(bySrc("planted_pass")._11 == 10000L)
+    Seq("planted_wc", "planted_mwl", "planted_sym", "planted_bullet",
+      "planted_ell", "planted_alpha", "planted_stop").foreach { src =>
+      val r = bySrc(src)
+      assert((3 to 9).map(i =>
+        r.productElement(i - 1).asInstanceOf[Long]).sum == 1L &&
+        r._10 == 0L, s"$src should fail exactly one rule: $r")
+    }
   }
 
   test("bucketedKthSmallest: multi-level bucketed descent == sorted " +
