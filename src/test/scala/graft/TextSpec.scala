@@ -1296,6 +1296,54 @@ class TextSpec extends SparkSpec {
       s"[UNK]): $wb vs $wa")
   }
 
+  test("q_bm25 MaxScore pruning: top-10 identical to the unpruned " +
+      "enumeration, with a measured candidate reduction on zipfian " +
+      "text (r16)") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    // planted zipf corpus: every doc carries the 5-word COMMON filler
+    // (df = D ⇒ idf 1 ⇒ low impact); each doc also carries 2 RARE
+    // discriminative terms from a 20-term tail (df ≈ 20 ⇒ idf 10 ⇒
+    // high impact), so every query has ≥ 10 rare-sharing docs — the
+    // head-block floor θ then comes from rare MATCHES and strictly
+    // exceeds the whole common-filler mass, making the filler
+    // non-essential (with < 10 rare sharers the floor is a common-only
+    // score that TIES the common UB prefix, and the exactness rule
+    // correctly keeps everything essential — no win, no loss).
+    val common = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (0 until 200).map { i =>
+      val filler = (0 until 30).map(j => common(j % 5))
+      val rare = Seq(s"rare${i % 20}", s"rare${(i * 7 + 3) % 20}")
+      (i.toLong, (filler ++ rare).mkString(" "), "en", s"src${i % 4}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bm25zipf").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val (weights, qterms) = TextQueries.bm25Parts(spark, dir)
+    val pruned = TextQueries.bm25Candidates(spark, weights, qterms)
+    val full = TextQueries.bm25CandidatesFull(weights, qterms)
+    val (nPruned, nFull) = (pruned.count(), full.count())
+    // the reduction is real AND measured: every query shares the
+    // common filler with all 199 other docs, so full enumeration is
+    // ~5×199 pairs; the pruned set must be a strict (and substantial)
+    // subset
+    assert(nPruned * 2 <= nFull,
+      s"no candidate reduction: pruned=$nPruned full=$nFull")
+    // exactness: identical top-10 from both enumerations, both on the
+    // planted corpus and on the shipped fixture (where the closed
+    // 31-word vocabulary makes every term essential — the documented
+    // no-win case, still exact)
+    def run(c: org.apache.spark.sql.DataFrame,
+        w: org.apache.spark.sql.DataFrame, q: org.apache.spark.sql.DataFrame) =
+      TextQueries.bm25TopK(c, w, q).collect().map(_.toSeq).toSeq
+    assert(run(pruned, weights, qterms) == run(full, weights, qterms))
+    val (wSf, qSf) = TextQueries.bm25Parts(spark, sfDir)
+    val pSf = TextQueries.bm25Candidates(spark, wSf, qSf)
+    val fSf = TextQueries.bm25CandidatesFull(wSf, qSf)
+    assert(run(pSf, wSf, qSf) == run(fSf, wSf, qSf))
+  }
+
   test("q_gopher_rules: each planted doc fails exactly its rule; a " +
       "natural-English doc passes all seven (r15)") {
     import spark.implicits._
