@@ -134,6 +134,11 @@ object PlanAudit {
     // cardinality × a rank cut, never corpus-sized
     "q_sim_topk" -> 1,
     "q_sim_ann" -> 1,
+    // the fixed ≤5-query-doc term bag (and its distinct-term
+    // projection) — query-set × closed-vocabulary bounded, the same
+    // argument as the q_sim_* query sets; the pruned CANDIDATE set is
+    // deliberately NOT hinted (corpus subset — bound-or-drop)
+    "q_bm25" -> 2,
     "q_ann_recall" -> 2, // both rankers' query-set broadcasts in one plan
     "q_matryoshka" -> 2, // the one-pass prefix scorer's query set + exactTop10's
     "q_sim_ivf" -> 1,

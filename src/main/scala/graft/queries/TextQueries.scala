@@ -1409,12 +1409,15 @@ object TextQueries {
     */
   private def bm25Scores(cands: DataFrame, weights: DataFrame,
       qterms: DataFrame): DataFrame =
-    // candidate set and query terms both BROADCAST (floor-bounded and
-    // |q|·|terms|-sized respectively): the posting table is scanned
-    // map-side once, never shuffled, and only the query's terms
-    // survive the first join
+    // the query-term frames are BROADCAST (|fixed query set| × vocab
+    // bounded — the q_sim_topk query-set argument), so only the
+    // query's terms' postings survive the first join. The candidate
+    // set is NOT hinted: pruned or not it is a corpus SUBSET (the
+    // PlanAudit bound-or-drop rule — a forced broadcast would OOM the
+    // driver at index scale); AQE still renders it broadcast at
+    // fixture scale where it measures small
     weights.join(broadcast(qterms.select("term").distinct()), "term")
-      .join(broadcast(cands), "doc_id")
+      .join(cands, "doc_id")
       .join(broadcast(qterms), Seq("q_id", "term"))
       .groupBy("q_id", "doc_id").agg(sum("w").as("score"))
 
