@@ -1996,7 +1996,8 @@ object DedupQueries {
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
           .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"),
             lit(0L).as("n_bins"))
-        funnel(paras.groupBy("doc_id").agg(sum("n_toks").as("toks")),
+        val full = funnel(
+            paras.groupBy("doc_id").agg(sum("n_toks").as("toks")),
             "0_raw")
           .unionByName(funnel(
             perDoc.select(col("doc_id"), col("rawtoks").as("toks")),
@@ -2005,6 +2006,13 @@ object DedupQueries {
           .unionByName(funnel(surv, "3_dedup"))
           .unionByName(splitRows)
           .orderBy("stage")
+        // the funnel is ledger-sized (4 + |splits| rows): materialize
+        // it INSIDE the persist scope so the finally's unpersists
+        // cannot force a cache-less recompute when the consumer
+        // evaluates (r16: the r15-ADVICE leak fix alone had cost
+        // +0.75 s min-basis exactly that way)
+        val rows = full.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), full.schema)
         } finally { // the sibling paragraph rows' rule: never leak cache
           paras.unpersist(blocking = false)
           if (perDocP != null) { perDocP.unpersist(blocking = false); () }

@@ -1373,8 +1373,10 @@ object TextQueries {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables(s, dir, "documents")
     val pairs = docs.select(col("doc_id"), explode(toks).as("term"))
-      .persist(mem)
-    pairs.count() // eager: tf/dl/T all reuse it (PERF_NOTES race rule)
+      .persist(mem) // cache populated by the qterms collect in
+                    // bm25Candidates (its tf scan runs FIRST), so the
+                    // weights job's tf/dl/tt stages all hit it — the
+                    // r15 eager count was a whole extra corpus job
     val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = pairs.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -1394,10 +1396,9 @@ object TextQueries {
                     // full extra job here)
     val qterms = tf.filter(col("doc_id") < 5)
       .select(col("doc_id").as("q_id"), col("term"))
-      .persist(mem)
-    qterms.count() // eager: referenced by every broadcast in the pruned
-                   // enumeration — uncached, each re-runs the tf agg
-                   // over the corpus-sized token pairs
+      .persist(mem) // populated by bm25Candidates' ledger collect;
+                    // every later broadcast reads the cache instead of
+                    // re-running the corpus tf agg
     (weights, qterms)
   }
 
