@@ -69,4 +69,15 @@ object MmFixture {
   val plantedMetaSql: String = planted.map(p =>
     s"SELECT '${p.format}' AS format, ${p.width} AS width, " +
       s"${p.height} AS height, ${p.channels} AS channels").mkString("\n  UNION ALL ")
+
+  /** The planted rows as (doc_id, len, w, h, c) literals for the
+    * q_mm_resize oracle: only the DECODED INPUTS are literal — the
+    * fit-dimension arithmetic runs in SQL exactly as for corpus rows,
+    * so the row cross-checks the engine's fitDims on real decoded
+    * dims rather than echoing precomputed answers.
+    */
+  val plantedResizeSql: String = planted.map(p =>
+    s"SELECT CAST(${p.id} AS BIGINT) AS doc_id, ${p.bytes.length} AS len, " +
+      s"${p.width} AS w, ${p.height} AS h, ${p.channels} AS c")
+    .mkString("\n  UNION ALL ")
 }

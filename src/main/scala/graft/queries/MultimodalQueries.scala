@@ -169,7 +169,10 @@ object MultimodalQueries {
     // ------------------------------------------------------------------
     // q_mm_resize ★ — aspect-preserving resize-to-fit 128×128 through
     // the per-partition codec seam (the feature-extract/resize step of
-    // a multimodal training pipeline). Dimension math is exact integer
+    // a multimodal training pipeline), via the REAL
+    // [[graft.multimodal.Multimodal.HeaderCodec]] as of r16: true
+    // PNG/BMP dims for the planted payloads, stub fallback for the
+    // text corpus — the q_mm_meta arrangement. Dimension math is exact integer
     // e4 scaling (Multimodal.fitDims) and the stub's output payload is
     // the input truncated to the resized pixel budget, so the oracle
     // reproduces dims AND output length from octet_length alone; the
@@ -177,18 +180,30 @@ object MultimodalQueries {
     // payloads — only the integer projection aggregates).
     QueryDef(
       "q_mm_resize",
-      (s: SparkSession, dir: String) =>
-        Multimodal.resizePayloads(payloads(s, dir), "doc_id", "payload", 128, 128)
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        // r16: corpus ∪ the MmFixture planted PNG/BMP payloads through
+        // the REAL header codec — the fit arithmetic below runs on
+        // TRUE decoded dimensions for those rows (the oracle carries
+        // only the decoded inputs as literals; the scaling math runs
+        // in SQL for planted and corpus rows alike)
+        val planted = MmFixture.planted.map(p => (p.id, p.bytes))
+          .toDF("doc_id", "payload")
+        Multimodal.resizePayloads(
+            payloads(s, dir).unionByName(planted), "doc_id", "payload",
+            128, 128, () => Multimodal.HeaderCodec)
           .select(col("media_id").as("doc_id"),
             col("width"), col("height"), col("out_w"), col("out_h"),
             octet_length(col("out_payload")).cast("long").as("out_len"))
-          .orderBy("doc_id"),
-      Some("""WITH m AS (
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (
              |  SELECT doc_id, octet_length(encode(text)) AS len,
              |    64 + octet_length(encode(text)) % 577 AS w,
              |    64 + octet_length(encode(text)) % 331 AS h,
              |    1 + octet_length(encode(text)) % 3 AS c
-             |  FROM documents),
+             |  FROM documents
+             |  UNION ALL ${MmFixture.plantedResizeSql}),
              |s AS (
              |  SELECT doc_id, len, w, h, c,
              |    LEAST(10000, 128*10000 // w, 128*10000 // h) AS s_e4
