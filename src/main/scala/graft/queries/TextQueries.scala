@@ -1370,19 +1370,34 @@ object TextQueries {
     */
   private[graft] def bm25Parts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
+    import s.implicits._
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables(s, dir, "documents")
     val pairs = docs.select(col("doc_id"), explode(toks).as("term"))
-      .persist(mem) // cache populated by the qterms collect in
-                    // bm25Candidates (its tf scan runs FIRST), so the
-                    // weights job's tf/dl/tt stages all hit it — the
-                    // r15 eager count was a whole extra corpus job
+      .persist(mem) // cache populated by the qterms collect below, so
+                    // the weights job's tf/dl/tt stages all hit it
     val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // the fixed query-doc term bag, collected ONCE (ledger-sized: ≤ 5
+    // docs' distinct terms) and rebuilt as a local frame — every later
+    // reference/broadcast is then free
+    val qtRows = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val qterms = qtRows.toDF("q_id", "term")
+    // Only the QUERY terms' postings can ever contribute to a score
+    // (scores sum over q ∩ d), so the weight build restricts to them
+    // BEFORE the join chain — at Heaps-vocabulary scale this shrinks
+    // the posting index from all-terms to the query vocabulary
+    // (gen-sf10: 53 s → see PERF_NOTES r16). df is computed on the
+    // restricted tf and stays EXACT: the restriction drops terms, not
+    // postings of kept terms; dl/T/D stay corpus-computed.
+    val tfq = tf.join(
+      broadcast(qtRows.map(_._2).distinct.toDF("term")), "term")
+    val df_ = tfq.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = pairs.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     val tt = pairs.agg(count(lit(1)).as("t_tokens"))
-    val weights = tf.join(df_, "term").join(dl, "doc_id")
+    val weights = tfq.join(df_, "term").join(dl, "doc_id")
       .crossJoin(broadcast(nd)).crossJoin(broadcast(tt))
       .select(col("doc_id"), col("term"),
         floorDivL(
@@ -1392,13 +1407,7 @@ object TextQueries {
           col("df")).as("w"))
       .persist(mem) // cache built by the first scan (consumers are
                     // sequential actions; no broadcast subquery reads
-                    // weights, so no build race — eager count wasted a
-                    // full extra job here)
-    val qterms = tf.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("q_id"), col("term"))
-      .persist(mem) // populated by bm25Candidates' ledger collect;
-                    // every later broadcast reads the cache instead of
-                    // re-running the corpus tf agg
+                    // weights, so no build race)
     (weights, qterms)
   }
 
