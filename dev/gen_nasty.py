@@ -6,13 +6,26 @@ blob token. Regenerate with:
 
     python3 dev/gen_nasty.py /tmp/fix_nasty /tmp/fix_emptytok
 
-then drive any documents-only query via RunOne + selfcheck.py. The r15
-sweep ran the ENTIRE doc-only battery over fix_nasty (ALL OK) and the
-tokenizer/paragraph rows over fix_emptytok; bugs it caught and fixed:
+then drive the WHOLE battery via graft.RunTolerant + selfcheck.py —
+RunTolerant (r16) attempts every declared query and skips the ones the
+fixture's documents-only table set cannot serve, so the doc-only list
+is discovered, never hand-maintained (the r15 hand list silently
+missed the multimodal family). The r15 sweep ran the hand-listed
+doc-only battery over fix_nasty and the tokenizer/paragraph rows over
+fix_emptytok; bugs it caught and fixed:
 ANSI element_at on empty WordPiece segs, q_unigram_encode empty-word
 fallback parity, NormalizeText oracle unicode lower() drift, byte- vs
 codepoint-levenshtein in q_fuzzy_match, and the unbounded deletion-
-variant fan-out on blob tokens (the 24-byte word cap).
+variant fan-out on blob tokens (the 24-byte word cap). The r16
+RunTolerant sweep (113 runnable rows per fixture, ALL OK after fixes)
+additionally caught: q_mm_meta/q_mm_byte_stats oracles using codepoint
+ascii() where Spark reads UTF-8 bytes (now hex(encode(text))),
+stat.bloomFilter NPE on an empty build side (q_triangles' empty
+support-filtered edge table; ScaleOps.bloomPrune now prunes
+everything, exactly), and q_unigram_train seeding phantom '' pieces
+from empty words (Spark sequence(1,0) DESCENDS while DuckDB range(1,1)
+is empty — the trainer now drops the empty word, matching the oracle
+and the r15 encode-side semantics).
 """
 import sys
 import duckdb

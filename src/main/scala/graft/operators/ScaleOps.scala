@@ -117,7 +117,13 @@ object ScaleOps {
       s"bloomPrune: fact key '$factKey' is $ft but dim key '$dimKey' is $dt — " +
         "xxhash64 hashes equal values of different types differently, which would " +
         "silently drop every matching row; cast both keys to a common type first")
-    val n = math.max(dim.count(), 1L)
+    val n = dim.count()
+    // An EMPTY build side means no fact row can survive the downstream
+    // equi-join, and Spark's stat.bloomFilter NPEs on it (zero rows →
+    // no partial sketch → null merged buffer; hit by the r16
+    // degenerate-fixture sweep via q_triangles' empty support-≥3 edge
+    // table) — prune everything, exactly.
+    if (n == 0L) return fact.filter(lit(false))
     val bf = dim.select(xxhash64(col(dimKey)).as("__k")).stat.bloomFilter("__k", n, fpp)
     val bytes = {
       val baos = new java.io.ByteArrayOutputStream()

@@ -280,10 +280,10 @@ object MultimodalQueries {
     // payloads → low concentration, structured → high), none of the
     // transcendental arithmetic. One codegen'd pass per payload
     // (ByteDist.byteStats expression, r7 — no Scala-lambda UDF
-    // remains in any declared query); the oracle recomputes from
-    // per-char ascii() — valid under
-    // the corpus's documented ASCII-only invariant (payload bytes ==
-    // code points).
+    // remains in any declared query); the oracle recomputes the byte
+    // stream from hex(encode(text)) — byte-exact for non-ASCII text
+    // too (r16: the old per-char ascii() was codepoint-based and
+    // diverged on the planted unicode degenerate doc).
     QueryDef(
       "q_mm_byte_stats",
       (s: SparkSession, dir: String) =>
@@ -291,10 +291,14 @@ object MultimodalQueries {
           .select(col("doc_id"), graft.functions.ByteDist.byteStats(col("payload")).as("st"))
           .select(col("doc_id"), col("st.*"))
           .orderBy("doc_id"),
-      Some("""WITH b AS (
-             |  SELECT doc_id, unnest(list_transform(range(1, len(text)+1),
-             |    i -> ascii(substring(text, i, 1)))) AS byte
+      Some("""WITH hx AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS n
              |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, n + 1),
+             |    i -> ('0x' || substring(h, (i-1)*2 + 1, 2))::INT)) AS byte
+             |  FROM hx),
              |c AS (SELECT doc_id, byte, COUNT(*) AS c FROM b GROUP BY 1, 2),
              |agg AS (
              |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bytes,

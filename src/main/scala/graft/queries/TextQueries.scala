@@ -675,7 +675,15 @@ object TextQueries {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val wfu = Tables(s, dir, "documents")
       .select(explode(toks).as("w"))
-      .filter(length(col("w")) <= UnigramMaxWord)
+      // the EMPTY word (doubled/leading/trailing spaces) must not
+      // enter the trainer: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+      // so '' would seed phantom '' pieces that the oracle's
+      // range(1, 1) (empty) never generates — r16 parity bug, found by
+      // the full-battery sweep over the double-space fixture. The
+      // encode side already treats '' as a 0-piece fallback in both
+      // engines (the r15 fix), so dropping it here changes nothing on
+      // space-normalized corpora.
+      .filter(length(col("w")) >= 1 && length(col("w")) <= UnigramMaxWord)
       .groupBy("w").agg(count(lit(1)).as("wf"))
       .persist(mem)
     wfu.count()
@@ -733,7 +741,7 @@ object TextQueries {
     */
   private def unigramModel(s: SparkSession, dir: String): DataFrame = {
     var release: Seq[DataFrame] = Seq.empty
-    val model = CorpusTable.materialized(s, dir, "unigrammodel") {
+    val model = CorpusTable.materialized(s, dir, "unigrammodel2") { // r16: empty-word fix busts stale caches
       val (cnt, seg) = unigramTrainCore(s, dir)
       release = Seq(cnt, seg)
       val p = cnt.select(lit("p").as("kind"), col("p"), col("cnt"),

@@ -105,6 +105,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept < total / 2, s"bloom kept $kept of $total — not pruning")
   }
 
+  test("bloomPrune: an empty build side prunes everything instead of " +
+      "NPEing (r16 — hit via q_triangles' empty support-filtered edge " +
+      "table on the degenerate fixture)") {
+    val dim = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderkey") < 0).select("o_orderkey") // empty
+    val fact = Tables(spark, sfDir, "lineitem")
+    val pruned = ScaleOps.bloomPrune(fact, "l_orderkey", dim, "o_orderkey")
+    assert(pruned.count() == 0L) // exact: nothing can match an empty dim
+    assert(pruned.schema == fact.schema)
+  }
+
   test("bloomPrune: string keys work (xxhash64 both sides — no cast-to-null hole)") {
     // regression: a Long-typed probe UDF on a string key cast-to-nulls
     // and dropped EVERY row — all true matches lost silently
