@@ -90,15 +90,27 @@ object Multimodal {
     /** BMP: BITMAPFILEHEADER then a DIB header whose SIZE word pins the
       * variant (40/52/56/108/124 — core 12 left out: no bpp>8 support);
       * width/height little-endian i32 at 18/22 (negative height =
-      * top-down row order), bpp u16 at 28.
+      * top-down row order), bpp u16 at 28. Strict sniffing (r17): the
+      * file header's size word must equal the actual byte length, the
+      * reserved words must be 0, and the pixel-array offset must land
+      * inside the file past both headers — so a text payload that
+      * happens to start 'BM' (even one carrying NUL bytes) cannot
+      * validate: it would need its own exact length embedded
+      * little-endian at offset 2. Anything rejected falls back to the
+      * stub, which is the oracle-checked path for corpus rows.
       */
     private def parseBmp(id: Long, b: Array[Byte]): Option[MediaMeta] = {
       if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+      if (le32(b, 2) != b.length || le32(b, 6) != 0) return None
       val dib = le32(b, 14)
       if (dib != 40 && dib != 52 && dib != 56 && dib != 108 && dib != 124)
         return None
+      val off = le32(b, 10)
+      if (off < 14 + dib || off > b.length) return None
+      // abs(Int.MinValue) stays negative, so `h <= 0` (not `h == 0`)
+      // also rejects a crafted 0x80000000 height (r17 advice).
       val w = le32(b, 18); val h = math.abs(le32(b, 22))
-      if (w <= 0 || h == 0) return None
+      if (w <= 0 || h <= 0) return None
       val bpp = le16(b, 28)
       val ch = bpp match {
         case 32 => 4; case 24 => 3; case 16 => 2

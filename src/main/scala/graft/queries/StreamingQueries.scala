@@ -353,9 +353,11 @@ object StreamingQueries {
       // hand back the lazy read: exactly what a production job does —
       // write the per-doc verdict to the lake, downstream reads it.
       // The at-rest verdict outlives the temp flush tree (deleted in
-      // the finally below); the store itself dies with the JVM.
-      val outDir = s"$verdictStore/${java.util.UUID.randomUUID()}"
-      verdict.write.parquet(outDir)
+      // the finally below); the store itself dies with the JVM. One
+      // fixed dir per row, overwritten per run (r17 advice: a UUID per
+      // invocation grew disk unboundedly across bench reps).
+      val outDir = s"$verdictStore/flush"
+      verdict.write.mode("overwrite").parquet(outDir)
       (s.read.parquet(outDir), stateRows.toSeq)
     } finally deleteTree(tmpRoot)
   }
@@ -380,10 +382,21 @@ object StreamingQueries {
     * between flushes is O(docs since last flush) — at rest, spillable,
     * restart-recoverable — and the index is the only corpus-linear
     * object, exactly the bound a 100 TB always-on stream needs.
-    * foreachBatch is at-least-once; a production deployment adds the
-    * [[graft.streaming.StreamingIngest]] batch-id fence to the staging
-    * append (same machinery, kept out of this row to keep its oracle
-    * the shared verdict).
+    *
+    * REPLAY FENCE (r17, closing the r16 verdict's one streaming gap):
+    * foreachBatch is at-least-once — a crash between the staging append
+    * and the checkpoint commit replays the same batchId on restart, and
+    * `n_docs = SUM` is not idempotent (`owner = MIN` is). So the
+    * staging append is now a LAKE commit recording
+    * `stream:<ckpt>:<batchId>` as its source key
+    * ([[stagePeriodicDelta]] — the
+    * [[graft.streaming.StreamingIngest.appendBatch]] machinery), and
+    * the flush migrates the staged keys into the INDEX's commit log
+    * (they ride as `sources` of the merge commit,
+    * [[flushStagedDeltas]]) — so a replayed batch is fenced whether the
+    * crash landed before OR after a flush boundary cleared the staging
+    * table. Pinned by the StreamOpsSpec
+    * kill-between-append-and-checkpoint tests.
     *
     * Returns (lazy at-rest verdict frame — shared oracle with
     * stream_neardup_e2e, MIN/SUM associativity —, the flush ledger
@@ -393,11 +406,12 @@ object StreamingQueries {
   private[graft] def neardupPeriodicRun(s: SparkSession, dir: String,
       everyN: Int = 2, nSplits: Int = 4)
       : (DataFrame, Seq[(Long, Long)], Long) = {
-    import graft.sink.{HiveParquetWriter, LakeOps}
+    import graft.sink.LakeOps
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ndperiodic_")
     val root = tmpRoot.toString
     val tableDir = s"$root/warehouse/neardupindex"
-    val stagingDir = s"$root/staging"
+    val stagingDir = s"$root/warehouse/ndstaging"
+    val ckptDir = s"$root/ckpt"
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val inDir = s"$root/in"
     // split the corpus so AvailableNow + maxFilesPerTrigger=1 yields a
@@ -406,38 +420,21 @@ object StreamingQueries {
     docs.repartition(nSplits).write.parquet(inDir)
     val schema = docs.schema
     try {
-      var sinceFlush = 0L
-      var indexHasData = false
-      val ledger = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      // Cross-thread state: mutated on the stream-execution thread
+      // (inside foreachBatch) and read on the caller thread after
+      // awaitTermination — atomics/concurrent queue make the
+      // visibility explicit (r17 advice; previously plain vars relying
+      // on Spark's termination lock for the happens-before).
+      val sinceFlush = new java.util.concurrent.atomic.AtomicLong(0L)
+      val indexHasData = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val ledger = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
       def flush(): Unit = {
-        if (sinceFlush == 0L) return
-        val staged = s.read.parquet(stagingDir)
-        val nStaged = staged.count()
-        val delta = staged.groupBy("band", "k1", "k2")
-          .agg(min("owner").as("owner"), sum("n_docs").as("n_docs"))
-          .withColumn("pb", col("band").cast("string"))
-        if (!indexHasData) {
-          indexHasData =
-            new HiveParquetWriter().append(delta, Seq("pb"), tableDir).rows > 0
-        } else {
-          val atRest = LakeOps.readTable(s, tableDir)
-          require(atRest.inputFiles.nonEmpty &&
-            atRest.inputFiles.forall(_.contains("neardupindex")),
-            "periodic flush must merge into the at-rest lake index")
-          val old = atRest.select(col("band"), col("k1"), col("k2"),
-            col("owner").as("o0"), col("n_docs").as("n0"))
-          val combined = delta.join(old, Seq("band", "k1", "k2"), "left")
-            .select(col("band"), col("k1"), col("k2"),
-              least(col("owner"), coalesce(col("o0"), lit(Long.MaxValue)))
-                .as("owner"),
-              (col("n_docs") + coalesce(col("n0"), lit(0L))).as("n_docs"),
-              col("pb"))
-          LakeOps.upsert(s, tableDir, combined,
-            Seq("band", "k1", "k2"), Seq("pb")); ()
-        }
-        ledger += ((sinceFlush, nStaged))
-        deleteTree(java.nio.file.Paths.get(stagingDir)) // flushed → gone
-        sinceFlush = 0L
+        if (sinceFlush.get() == 0L) return
+        val (hasData, nStaged) =
+          flushStagedDeltas(s, stagingDir, tableDir, indexHasData.get())
+        indexHasData.set(hasData)
+        ledger.add((sinceFlush.get(), nStaged))
+        sinceFlush.set(0L)
       }
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8") // the drain() rule
@@ -446,14 +443,11 @@ object StreamingQueries {
             s.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(inDir))
           .writeStream
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              b.groupBy("band", "k1", "k2")
-                .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
-                .write.mode("append").parquet(stagingDir)
-              sinceFlush += 1L
-              if (sinceFlush >= everyN) flush()
-            }
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            val key = s"stream:$ckptDir:$batchId"
+            if (stagePeriodicDelta(b, stagingDir, tableDir, key) > 0L &&
+              sinceFlush.incrementAndGet() >= everyN) flush()
           }
           .trigger(Trigger.AvailableNow()).start()
         qq.awaitTermination()
@@ -463,7 +457,7 @@ object StreamingQueries {
       val peakState = q.recentProgress.toSeq
         .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
         .map(_.numRowsTotal).maxOption.getOrElse(0L)
-      val index = if (indexHasData) {
+      val index = if (indexHasData.get()) {
         val idx = LakeOps.readTable(s, tableDir)
           .select(col("band"), col("k1"), col("k2"),
             col("owner"), col("n_docs"))
@@ -475,10 +469,76 @@ object StreamingQueries {
         DedupQueries.minhashBandKeys(docs).groupBy("band", "k1", "k2")
           .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
       val verdict = neardupVerdict(DedupQueries.minhashBandKeys(docs), index)
-      val outDir = s"$verdictStore/${java.util.UUID.randomUUID()}"
-      verdict.write.parquet(outDir)
-      (s.read.parquet(outDir), ledger.toSeq, peakState)
+      val outDir = s"$verdictStore/periodic"
+      verdict.write.mode("overwrite").parquet(outDir)
+      import scala.jdk.CollectionConverters._
+      (s.read.parquet(outDir), ledger.iterator().asScala.toSeq, peakState)
     } finally deleteTree(tmpRoot)
+  }
+
+  /** One micro-batch's staging append for [[neardupPeriodicRun]],
+    * REPLAY-FENCED: the batch-local bucket delta (MIN owner / COUNT
+    * docs — a batch aggregation, never streaming state) commits to the
+    * staging lake table with `fenceKey` (`stream:<ckpt>:<batchId>`) as
+    * its recorded source, and a key already present in EITHER the
+    * staging ledger (crash before the flush) OR the index table's
+    * ledger (crash after a flush cleared staging — the flush migrates
+    * staged keys there, [[flushStagedDeltas]]) is skipped. Returns the
+    * rows staged (0 = fenced or empty batch).
+    */
+  private[graft] def stagePeriodicDelta(b: DataFrame, stagingDir: String,
+      tableDir: String, fenceKey: String): Long = {
+    import graft.sink.{GraftLog, HiveParquetWriter}
+    if (b.isEmpty) return 0L
+    if (GraftLog.committedSources(stagingDir).contains(fenceKey) ||
+      GraftLog.committedSources(tableDir).contains(fenceKey)) return 0L
+    val delta = b.groupBy("band", "k1", "k2")
+      .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
+    new HiveParquetWriter()
+      .append(delta, Seq.empty, stagingDir, sources = Seq(fenceKey)).rows
+  }
+
+  /** Flush for [[neardupPeriodicRun]]: combine the staged per-batch
+    * deltas (MIN owner / SUM n_docs — associative-commutative, so the
+    * result is flush-boundary-invariant) into the partitioned at-rest
+    * index via copy-on-write upsert on touched keys only, then CLEAR
+    * staging. The staged batches' fence keys ride as the merge
+    * commit's `sources`, migrating them into the index ledger so a
+    * post-flush replay of any drained batch stays fenced
+    * ([[stagePeriodicDelta]]). Returns (index now has data, staged
+    * delta rows flushed).
+    */
+  private[graft] def flushStagedDeltas(s: SparkSession, stagingDir: String,
+      tableDir: String, indexHasData: Boolean): (Boolean, Long) = {
+    import graft.sink.{GraftLog, HiveParquetWriter, LakeOps}
+    val stagedKeys = GraftLog.committedSources(stagingDir).toSeq.sorted
+    val staged = s.read.parquet(stagingDir)
+    val nStaged = staged.count()
+    val delta = staged.groupBy("band", "k1", "k2")
+      .agg(min("owner").as("owner"), sum("n_docs").as("n_docs"))
+      .withColumn("pb", col("band").cast("string"))
+    val hasData = if (!indexHasData) {
+      new HiveParquetWriter()
+        .append(delta, Seq("pb"), tableDir, sources = stagedKeys).rows > 0
+    } else {
+      val atRest = LakeOps.readTable(s, tableDir)
+      require(atRest.inputFiles.nonEmpty &&
+        atRest.inputFiles.forall(_.contains("neardupindex")),
+        "periodic flush must merge into the at-rest lake index")
+      val old = atRest.select(col("band"), col("k1"), col("k2"),
+        col("owner").as("o0"), col("n_docs").as("n0"))
+      val combined = delta.join(old, Seq("band", "k1", "k2"), "left")
+        .select(col("band"), col("k1"), col("k2"),
+          least(col("owner"), coalesce(col("o0"), lit(Long.MaxValue)))
+            .as("owner"),
+          (col("n_docs") + coalesce(col("n0"), lit(0L))).as("n_docs"),
+          col("pb"))
+      LakeOps.upsert(s, tableDir, combined,
+        Seq("band", "k1", "k2"), Seq("pb"), sources = stagedKeys)
+      true
+    }
+    deleteTree(java.nio.file.Paths.get(stagingDir)) // flushed → gone
+    (hasData, nStaged)
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {

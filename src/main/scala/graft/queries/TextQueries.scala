@@ -2551,11 +2551,12 @@ object TextQueries {
           .select(col("doc_id"), explode(toks).as("w"))
           .join(vocab, Seq("w"), "left")
           .select(col("doc_id"),
-            // an EMPTY word (consecutive/leading/trailing spaces) has a
-            // 0-piece segmentation in the Spark model but never appears
-            // in the oracle's backtrace-derived table — both engines
-            // count it as a fallback with 0 pieces (r15 parity fix,
-            // found by the planted double-space fixture)
+            // an EMPTY word (consecutive/leading/trailing spaces) is
+            // excluded from training in BOTH engines (r16 trainer fix),
+            // so it is absent from the model entirely and lands in the
+            // isNull branch here — counted as a fallback with 0 pieces
+            // in both engines (r15 parity fix, found by the planted
+            // double-space fixture)
             when(col("n_sub").isNull || col("n_sub") === 0L, 1L)
               .otherwise(0L).as("fallback"),
             coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"))

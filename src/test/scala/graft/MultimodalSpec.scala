@@ -305,4 +305,57 @@ class MultimodalSpec extends SparkSpec {
     val m = Multimodal.HeaderCodec.decode(8L, MmFixture.bmp(5, 5, 2))
     assert((m.format, m.width, m.height, m.channels) == ("bmp", 5, 5, 1))
   }
+
+  test("HeaderCodec failure modes: every malformed class falls back to " +
+      "the stub, gracefully, per case (r17)") {
+    import graft.multimodal.{MmFixture, Multimodal}
+    // patch helper: copy with bytes [at, at+vals) replaced
+    def patch(b: Array[Byte], at: Int, vals: Int*): Array[Byte] = {
+      val c = b.clone()
+      vals.zipWithIndex.foreach { case (v, i) => c(at + i) = v.toByte }
+      c
+    }
+    val png = MmFixture.png(9, 9, colorType = 2)
+    val bmp = MmFixture.bmp(16, 16, 24)
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      // --- PNG ---
+      ("IHDR truncated mid-chunk (32 bytes, one short of the minimum)",
+        png.take(32)),
+      ("IHDR length word != 13", patch(png, 11, 14)),
+      ("IHDR tag corrupted at the CRC-guarded position ('IHDX')",
+        patch(png, 15, 'X')),
+      ("PNG zero width", patch(png, 16, 0, 0, 0, 0)),
+      ("PNG width be32 ≥ 2^31 (overflows negative; w<=0 guard)",
+        patch(png, 16, 0x80, 0, 0, 0)),
+      ("PNG height be32 ≥ 2^31", patch(png, 20, 0x80, 0, 0, 0)),
+      // --- BMP ---
+      ("BITMAPCOREHEADER dib=12 (unsupported core variant)",
+        patch(bmp, 14, 12, 0, 0, 0)),
+      ("BMP height == 0", patch(bmp, 22, 0, 0, 0, 0)),
+      ("BMP height 0x80000000 (abs stays negative; h<=0 guard)",
+        patch(bmp, 22, 0, 0, 0, 0x80)),
+      ("BMP width le32 ≥ 2^31", patch(bmp, 18, 0, 0, 0, 0x80)),
+      ("BMP file-size word disagrees with actual length",
+        patch(bmp, 2, (bmp.length + 1) & 0xff, ((bmp.length + 1) >> 8) & 0xff,
+          ((bmp.length + 1) >> 16) & 0xff, ((bmp.length + 1) >> 24) & 0xff)),
+      ("BMP reserved words nonzero", patch(bmp, 6, 1)),
+      ("BMP pixel offset beyond the file", patch(bmp, 10, 0xff, 0xff, 0, 0)),
+      ("BMP pixel offset inside the headers", patch(bmp, 10, 10, 0, 0, 0)),
+      ("BMP bpp invalid (64)", patch(bmp, 28, 64, 0)),
+      // the ADVICE scenario: a degenerate text payload starting 'BM'
+      // carrying NUL bytes — must NOT sniff as BMP (its length is not
+      // embedded at offset 2, so the strict file-size check rejects it)
+      ("NUL-laden text starting 'BM'",
+        Array[Byte]('B', 'M') ++ new Array[Byte](60)),
+      ("truncated BMP (53 bytes, one short of the headers)", bmp.take(53)))
+    cases.foreach { case (label, b) =>
+      assert(Multimodal.HeaderCodec.decode(9L, b) ==
+        Multimodal.StubCodec.decode(9L, b),
+        s"malformed class must fall back to stub: $label")
+    }
+    // the strict checks must not reject the well-formed planted set
+    MmFixture.planted.foreach { p =>
+      assert(Multimodal.HeaderCodec.decode(p.id, p.bytes).format == p.format)
+    }
+  }
 }

@@ -351,4 +351,72 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(verdict.collect().map(_.toSeq).toSeq == oneShot)
   }
+
+  test("periodic staging append is replay-fenced: a crash-replayed " +
+      "micro-batch cannot double-count, before OR after a flush (r17)") {
+    import graft.queries.{DedupQueries, StreamingQueries}
+    import graft.sink.GraftLog
+    val root = java.nio.file.Files.createTempDirectory("graft_fence_")
+    try {
+      val tableDir = s"$root/warehouse/neardupindex"
+      val stagingDir = s"$root/warehouse/ndstaging"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+      val t = (maxId + 1L) / 2L
+      val b0 = DedupQueries.minhashBandKeys(docs.filter(col("doc_id") < t))
+      val b1 = DedupQueries.minhashBandKeys(docs.filter(col("doc_id") >= t))
+      val key0 = s"stream:$root/ckpt:0"
+      val key1 = s"stream:$root/ckpt:1"
+      // batch 0 stages its delta, then the process dies BEFORE the
+      // checkpoint commit: restart replays batchId 0 — the staging
+      // table's own ledger fences the re-append
+      val staged0 =
+        StreamingQueries.stagePeriodicDelta(b0, stagingDir, tableDir, key0)
+      assert(staged0 > 0L)
+      assert(StreamingQueries.stagePeriodicDelta(
+        b0, stagingDir, tableDir, key0) == 0L,
+        "pre-flush replay must be fenced by the staging ledger")
+      assert(spark.read.parquet(stagingDir).count() == staged0,
+        "fenced replay must not have appended rows")
+      // the flush migrates the staged fence keys into the INDEX ledger…
+      val (hasData, nStaged) = StreamingQueries.flushStagedDeltas(
+        spark, stagingDir, tableDir, indexHasData = false)
+      assert(hasData && nStaged == staged0)
+      assert(GraftLog.committedSources(tableDir).contains(key0),
+        "flush must record the staged batch keys in the index ledger")
+      assert(java.nio.file.Files.notExists(
+        java.nio.file.Paths.get(stagingDir)), "flush must clear staging")
+      // …so a crash between the flush and the checkpoint commit (staging
+      // already cleared!) still fences the replayed batch — without the
+      // key migration this re-append would double-count n_docs at the
+      // next flush (SUM is not idempotent; MIN is)
+      assert(StreamingQueries.stagePeriodicDelta(
+        b0, stagingDir, tableDir, key0) == 0L,
+        "post-flush replay must be fenced by the index ledger")
+      assert(java.nio.file.Files.notExists(
+        java.nio.file.Paths.get(stagingDir)),
+        "a fenced replay must not recreate the staging table")
+      // normal progress continues: batch 1 stages + merges, and the
+      // fenced index is row-identical to the one-shot bucket table
+      assert(StreamingQueries.stagePeriodicDelta(
+        b1, stagingDir, tableDir, key1) > 0L)
+      StreamingQueries.flushStagedDeltas(
+        spark, stagingDir, tableDir, indexHasData = true)
+      assert(GraftLog.committedSources(tableDir).contains(key1))
+      val idx = graft.sink.LakeOps.readTable(spark, tableDir)
+        .select("band", "k1", "k2", "owner", "n_docs")
+      val oneShot = DedupQueries.minhashBandKeys(docs)
+        .groupBy("band", "k1", "k2")
+        .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
+      assert(idx.exceptAll(oneShot).isEmpty && oneShot.exceptAll(idx).isEmpty,
+        "fenced index must be row-identical to the one-shot bucket table")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p =>
+          try { java.nio.file.Files.deleteIfExists(p); () }
+          catch { case _: Exception => () })
+    }
+  }
 }
