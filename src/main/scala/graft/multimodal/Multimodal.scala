@@ -146,7 +146,12 @@ object Multimodal {
     implicit val enc = Encoders.product[MediaMeta]
     ds.mapPartitions { rows =>
       val c = codec() // one instance per partition/task
-      rows.map(r => c.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
+      // null payload (e.g. a NULL source column) decodes as empty —
+      // normalized HERE so every codec sees non-null bytes (r17 sweep)
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        c.decode(r.getLong(0), if (b == null) Array.empty[Byte] else b)
+      }
     }.toDF("media_id", "format", "width", "height", "channels")
   }
 
@@ -185,7 +190,8 @@ object Multimodal {
       val c = codec()
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        val raw = r.getAs[Array[Byte]](1)
+        val bytes = if (raw == null) Array.empty[Byte] else raw // r17: NULL → empty
         val m = c.decode(id, bytes)
         val (ow, oh) = fitDims(m.width, m.height, targetW, targetH)
         val budget = math.min(bytes.length.toLong, ow.toLong * oh * m.channels).toInt

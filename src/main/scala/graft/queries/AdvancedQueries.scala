@@ -422,12 +422,14 @@ object AdvancedQueries {
           .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
           .orderBy("lang", "rk")
       },
+      // ORDER BY lang NULLS FIRST: Spark sorts a NULL stratum first,
+      // DuckDB last (r17 nasty sweep)
       Some("""SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
              |  SELECT lang, doc_id,
              |    row_number() OVER (PARTITION BY lang
              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
              |  FROM documents)
-             |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
+             |WHERE rk <= 5 ORDER BY lang NULLS FIRST, rk""".stripMargin)),
 
     // ------------------------------------------------------------------
     // q_pack_sequences ★ — sequence packing, the batch-assembly step of
@@ -467,7 +469,10 @@ object AdvancedQueries {
              |  FROM d)
              |SELECT source, CAST((cum - toks) // 256 AS BIGINT) AS pack_id,
              |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
-             |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin)),
+             |FROM c GROUP BY source, pack_id
+             |ORDER BY source, pack_id NULLS FIRST""".stripMargin)),
+             // NULLS FIRST: a NULL-text doc yields a NULL pack in both
+             // engines; Spark orders it first, DuckDB last (r17 sweep)
 
     // ------------------------------------------------------------------
     // q_shard_pack ★ (new r13) — token-balanced shard assignment: the
@@ -933,7 +938,10 @@ object AdvancedQueries {
              |  CAST(bucket_cap * COUNT(*) AS BIGINT) AS padded_tokens,
              |  CAST(((bucket_cap * COUNT(*) - SUM(n)) * 10000)
              |    // (bucket_cap * COUNT(*)) AS BIGINT) AS waste_e4
-             |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin)),
+             |FROM b GROUP BY bucket_cap
+             |ORDER BY bucket_cap NULLS FIRST""".stripMargin)),
+             // NULLS FIRST: a NULL-text doc yields a NULL bucket in both
+             // engines; Spark orders it first, DuckDB last (r17 sweep)
 
     // ------------------------------------------------------------------
     // q_mix_temperature ★ (new r5) — TEMPERATURE-scaled mixture weights,
@@ -1019,7 +1027,12 @@ object AdvancedQueries {
             .as(s"p${p}_c")
         Tables(s, dir, "events")
           .select(col("event_type"),
-            round(col("value") * 100).cast("long").as("c"))
+            round(col("value") * 100).try_cast("long").as("c"))
+          // NULL cents (NaN measure) are excluded from the order
+          // statistic — standard aggregate semantics, identical in
+          // both engines (r17 nasty sweep: Spark ranks nulls first,
+          // DuckDB last, shifting every percentile index otherwise)
+          .filter(col("c").isNotNull)
           .withColumn("rn", row_number().over(w))
           .withColumn("n", count(lit(1)).over(wn))
           .groupBy("event_type")
@@ -1027,8 +1040,8 @@ object AdvancedQueries {
           .orderBy("event_type")
       },
       Some("""WITH b AS (
-             |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
-             |  FROM events),
+             |  SELECT event_type, TRY_CAST(round(value*100) AS BIGINT) AS c
+             |  FROM events WHERE TRY_CAST(round(value*100) AS BIGINT) IS NOT NULL),
              |r AS (
              |  SELECT event_type, c,
              |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
@@ -1254,7 +1267,7 @@ object AdvancedQueries {
             expr("CAST(ts AS LONG) DIV 3600" +
               " - (CASE WHEN CAST(ts AS LONG) % 3600 < 0 THEN 1 ELSE 0 END)")
               .as("h"))
-          .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+          .agg(sum(round(col("value") * 100).try_cast("long")).as("c"))
         val wLead = Window.partitionBy("user_id").orderBy("h")
         val spans = hourly.withColumn("h_end",
           coalesce(lead(col("h"), 1).over(wLead) - 1L, col("h")))
@@ -1269,7 +1282,7 @@ object AdvancedQueries {
       },
       Some("""WITH hourly AS (
              |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-             |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS c,
+             |    CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) AS BIGINT) AS c,
              |    COUNT(*) AS n
              |  FROM events GROUP BY 1, 2),
              |b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
@@ -1308,7 +1321,7 @@ object AdvancedQueries {
       "q_approx_percentile",
       (s: SparkSession, dir: String) => {
         val ev = Tables(s, dir, "events")
-          .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+          .select(col("event_type"), round(col("value") * 100).try_cast("long").as("c"))
         val ap = ev.groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             percentile_approx(col("c"),
@@ -1550,7 +1563,7 @@ object AdvancedQueries {
       "q_incr_agg",
       (s: SparkSession, dir: String) => {
         import graft.functions.ExactMath
-        def cents = round(col("value") * 100).cast("long")
+        def cents = round(col("value") * 100).try_cast("long")
         def partial(df: org.apache.spark.sql.DataFrame) =
           df.groupBy(to_date(col("ts")).as("day"), col("event_type"))
             .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"),
@@ -1570,10 +1583,10 @@ object AdvancedQueries {
       },
       Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
              |  COUNT(*) AS n,
-             |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
-             |  MIN(CAST(ROUND(value*100,0) AS BIGINT)) AS min_cents,
-             |  MAX(CAST(ROUND(value*100,0) AS BIGINT)) AS max_cents,
-             |  CAST((SUM(CAST(ROUND(value*100,0) AS BIGINT)) * 200 + COUNT(*))
+             |  CAST(SUM(TRY_CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  MIN(TRY_CAST(ROUND(value*100,0) AS BIGINT)) AS min_cents,
+             |  MAX(TRY_CAST(ROUND(value*100,0) AS BIGINT)) AS max_cents,
+             |  CAST((SUM(TRY_CAST(ROUND(value*100,0) AS BIGINT)) * 200 + COUNT(*))
              |    // (COUNT(*) * 2) AS BIGINT) AS avg_cents
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 

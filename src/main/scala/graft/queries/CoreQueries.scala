@@ -59,12 +59,19 @@ object CoreQueries {
       (s: SparkSession, dir: String) =>
         Tables(s, dir, "events")
           .select(col("event_type"),
-            get_json_object(col("props"), "$.k").cast("int").as("k"))
+            // try_cast: a non-scalar/overflowing $.k (nested object,
+            // 1e400, "12str") → NULL in both engines — A5's
+            // drop-malformed discipline, never an ANSI cast crash (r17)
+            get_json_object(col("props"), "$.k").try_cast("int").as("k"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
           .orderBy("event_type"),
+      // json_valid guard: DuckDB's json_extract_string RAISES on
+      // malformed JSON where Spark's get_json_object returns NULL
       Some("""SELECT event_type, COUNT(*) AS n,
-             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+             |  CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+             |    THEN json_extract_string(props, '$.k') END AS INTEGER))
+             |    AS BIGINT) AS sum_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -161,14 +168,14 @@ object CoreQueries {
             round(sum("value"), 4).as("sum_value"),
             min("value").as("min_value"),
             max("value").as("max_value"),
-            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+            sum(round(col("value") * 100).try_cast("long")).as("sum_cents"))
           .withColumn("avg_value_e4", expr("(sum_cents*200 + n) div (2*n)"))
           .drop("sum_cents")
           .orderBy("d", "event_type"),
       Some(s"""SELECT CAST(date_diff('day', DATE '1970-01-01', CAST($TS AS DATE)) AS INTEGER) AS d,
               |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
               |  MIN(value) AS min_value, MAX(value) AS max_value,
-              |  CAST((SUM(CAST(ROUND(value*100, 0) AS BIGINT))*200 + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS avg_value_e4
+              |  CAST((SUM(TRY_CAST(ROUND(value*100, 0) AS BIGINT))*200 + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS avg_value_e4
               |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin)),
 
     // ------------------------------------------------------------------

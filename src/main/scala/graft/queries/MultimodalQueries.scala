@@ -21,9 +21,13 @@ import graft.multimodal.{MmFixture, Multimodal}
   */
 object MultimodalQueries {
 
+  // NULL text carries an EMPTY payload (not a NULL one): the whole
+  // family's empty-payload semantics then apply uniformly, and the
+  // oracles' encode(COALESCE(text,'')) match byte-for-byte (r17 sweep)
   private def payloads(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
 
   /** Scene-cut profile over (doc_id, payload) rows — the q_mm_scene_cut
     * kernel, public so the spec can drive it on synthetic payloads with
@@ -122,12 +126,12 @@ object MultimodalQueries {
           .orderBy("format")
       },
       Some(s"""WITH m AS (
-             |  SELECT CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
-             |              WHEN ('0x' || substring(hex(encode(text)),1,2))::INT % 2 = 0 THEN 'img'
+             |  SELECT CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0 THEN 'empty'
+             |              WHEN ('0x' || substring(hex(encode(COALESCE(text, ''))),1,2))::INT % 2 = 0 THEN 'img'
              |              ELSE 'aud' END AS format,
-             |    64 + octet_length(encode(text)) % 577 AS width,
-             |    64 + octet_length(encode(text)) % 331 AS height,
-             |    1 + octet_length(encode(text)) % 3 AS channels
+             |    64 + octet_length(encode(COALESCE(text, ''))) % 577 AS width,
+             |    64 + octet_length(encode(COALESCE(text, ''))) % 331 AS height,
+             |    1 + octet_length(encode(COALESCE(text, ''))) % 3 AS channels
              |  FROM documents
              |  UNION ALL ${MmFixture.plantedMetaSql})
              |SELECT format, COUNT(*) AS n, SUM(width)::BIGINT AS sum_w,
@@ -159,11 +163,11 @@ object MultimodalQueries {
       // silently sampled 1 frame from an empty payload — a latent
       // divergence from Spark's 0).
       Some("""SELECT doc_id,
-             |  CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames,
-             |  CAST(len(range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 4)) AS BIGINT) AS n_sampled,
+             |  CAST(ceil(octet_length(encode(COALESCE(text, ''))) / 32.0) AS BIGINT) AS n_frames,
+             |  CAST(len(range(0, CAST(ceil(octet_length(encode(COALESCE(text, ''))) / 32.0) AS BIGINT), 4)) AS BIGINT) AS n_sampled,
              |  COALESCE(CAST(list_sum(list_transform(
-             |    range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 4),
-             |    i -> LEAST(32, octet_length(encode(text)) - 32*i))) AS BIGINT), 0) AS bytes_sampled
+             |    range(0, CAST(ceil(octet_length(encode(COALESCE(text, ''))) / 32.0) AS BIGINT), 4),
+             |    i -> LEAST(32, octet_length(encode(COALESCE(text, ''))) - 32*i))) AS BIGINT), 0) AS bytes_sampled
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -198,10 +202,10 @@ object MultimodalQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH m AS (
-             |  SELECT doc_id, octet_length(encode(text)) AS len,
-             |    64 + octet_length(encode(text)) % 577 AS w,
-             |    64 + octet_length(encode(text)) % 331 AS h,
-             |    1 + octet_length(encode(text)) % 3 AS c
+             |  SELECT doc_id, octet_length(encode(COALESCE(text, ''))) AS len,
+             |    64 + octet_length(encode(COALESCE(text, ''))) % 577 AS w,
+             |    64 + octet_length(encode(COALESCE(text, ''))) % 331 AS h,
+             |    1 + octet_length(encode(COALESCE(text, ''))) % 3 AS c
              |  FROM documents
              |  UNION ALL ${MmFixture.plantedResizeSql}),
              |s AS (
@@ -241,7 +245,7 @@ object MultimodalQueries {
             graft.functions.ByteDist.byteEntropyE6(col("payload")).as("entropy_e6"))
           .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE
-             |p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+             |p AS (SELECT doc_id, encode(COALESCE(text, '')) AS payload FROM documents),
              |h AS (
              |  SELECT doc_id, hex(payload) AS hx,
              |    CAST(octet_length(payload) AS BIGINT) AS n
@@ -292,8 +296,8 @@ object MultimodalQueries {
           .select(col("doc_id"), col("st.*"))
           .orderBy("doc_id"),
       Some("""WITH hx AS (
-             |  SELECT doc_id, hex(encode(text)) AS h,
-             |    octet_length(encode(text)) AS n
+             |  SELECT doc_id, hex(encode(COALESCE(text, ''))) AS h,
+             |    octet_length(encode(COALESCE(text, ''))) AS n
              |  FROM documents),
              |b AS (
              |  SELECT doc_id, unnest(list_transform(range(1, n + 1),
@@ -340,7 +344,7 @@ object MultimodalQueries {
             col("fe.n_frames").as("n_frames"), col("fe.sum_e").as("sum_e"),
             col("fe.max_e").as("max_e"), col("fe.min_e").as("min_e"))
           .orderBy("doc_id"),
-      Some("""WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+      Some("""WITH p AS (SELECT doc_id, encode(COALESCE(text, '')) AS payload FROM documents),
              |h AS (
              |  SELECT doc_id, hex(payload) AS hx,
              |    CAST(octet_length(payload) AS BIGINT) AS n
@@ -379,7 +383,7 @@ object MultimodalQueries {
     QueryDef(
       "q_mm_silence",
       (s: SparkSession, dir: String) => silenceProfile(payloads(s, dir)),
-      Some("""WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+      Some("""WITH p AS (SELECT doc_id, encode(COALESCE(text, '')) AS payload FROM documents),
              |h AS (
              |  SELECT doc_id, hex(payload) AS hx,
              |    CAST(octet_length(payload) AS BIGINT) AS n
@@ -498,8 +502,8 @@ object MultimodalQueries {
         same.unionByName(cross).orderBy("d1", "d2")
       },
       Some("""WITH d AS (
-             |  SELECT doc_id, encode(text) AS p FROM documents
-             |  WHERE octet_length(encode(text)) > 0),
+             |  SELECT doc_id, encode(COALESCE(text, '')) AS p FROM documents
+             |  WHERE octet_length(encode(COALESCE(text, ''))) > 0),
              |b AS (
              |  SELECT doc_id, LEAST(octet_length(p), 64) AS n,
              |    list_transform(range(1, LEAST(octet_length(p), 64) + 1),
@@ -548,7 +552,7 @@ object MultimodalQueries {
     QueryDef(
       "q_mm_scene_cut",
       (s: SparkSession, dir: String) => sceneCutProfile(payloads(s, dir)),
-      Some("""WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+      Some("""WITH p AS (SELECT doc_id, encode(COALESCE(text, '')) AS payload FROM documents),
              |h AS (
              |  SELECT doc_id, hex(payload) AS hx,
              |    CAST(octet_length(payload) AS BIGINT) AS n

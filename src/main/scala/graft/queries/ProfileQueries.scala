@@ -15,7 +15,9 @@ import graft.functions.ExactMath
   */
 object ProfileQueries {
 
-  private def cents: Column = round(col("value") * 100).cast("long")
+  // try_cast: NaN/±Inf measures → NULL cents (DuckDB TRY_CAST
+  // semantic), never an ANSI cast crash (r17 nasty sweep)
+  private def cents: Column = round(col("value") * 100).try_cast("long")
 
   /** Closed-form OLS slope over rows of (event_type, day, y) — the
     * q_trend_ols kernel, public so the spec can prove the degenerate-
@@ -244,7 +246,7 @@ object ProfileQueries {
           .orderBy("col_name"),
       Some("""WITH e AS (
              |  SELECT event_id, user_id, event_type,
-             |    CAST(round(value * 100) AS BIGINT) AS cents, props
+             |    TRY_CAST(round(value * 100) AS BIGINT) AS cents, props
              |  FROM events)
              |SELECT * FROM (
              |  SELECT 'cents' AS col_name, COUNT(*) AS n,
@@ -283,6 +285,9 @@ object ProfileQueries {
         Tables(s, dir, "events")
           .select(col("event_type"),
             ExactMath.divTrunc(cents, lit(500L)).as("bin"))
+          // a NaN measure has no bin — excluded in both engines
+          // (q_profile_stats reports null counts; r17 nasty sweep)
+          .filter(col("bin").isNotNull)
           .groupBy("event_type", "bin")
           .agg(count(lit(1)).as("n"))
           .select(col("event_type"), col("bin"),
@@ -290,8 +295,9 @@ object ProfileQueries {
           .orderBy("event_type", "bin"),
       Some("""WITH b AS (
              |  SELECT event_type,
-             |    CAST(round(value * 100) AS BIGINT) // 500 AS bin
-             |  FROM events)
+             |    TRY_CAST(round(value * 100) AS BIGINT) // 500 AS bin
+             |  FROM events
+             |  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL)
              |SELECT event_type, bin, bin * 500 AS lo_cents, COUNT(*) AS n
              |FROM b GROUP BY event_type, bin
              |ORDER BY event_type, bin""".stripMargin)),
@@ -315,10 +321,15 @@ object ProfileQueries {
     QueryDef(
       "q_outlier_fences",
       (s: SparkSession, dir: String) =>
-        tukeyFences(Tables(s, dir, "events").select(col("event_type"), cents.as("c"))),
+        // NaN measures excluded from fences AND flag counts (standard
+        // aggregate semantics, both engines — r17 nasty sweep)
+        tukeyFences(Tables(s, dir, "events")
+          .select(col("event_type"), cents.as("c"))
+          .filter(col("c").isNotNull)),
       Some("""WITH b AS (
-             |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
-             |  FROM events),
+             |  SELECT event_type, TRY_CAST(round(value*100) AS BIGINT) AS c
+             |  FROM events
+             |  WHERE TRY_CAST(round(value*100) AS BIGINT) IS NOT NULL),
              |r AS (
              |  SELECT event_type, c,
              |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
@@ -472,6 +483,8 @@ object ProfileQueries {
           .partitionBy("event_type").orderBy(col("c"), col("event_id"))
         Tables(s, dir, "events")
           .select(col("event_type"), cents.as("c"), col("event_id"))
+          // NaN measures excluded from the deciles (r17 nasty sweep)
+          .filter(col("c").isNotNull)
           .withColumn("decile", ntile(10).over(w))
           .groupBy("event_type", "decile")
           .agg(count(lit(1)).as("n"),
@@ -479,11 +492,12 @@ object ProfileQueries {
           .orderBy("event_type", "decile")
       },
       Some("""WITH b AS (
-             |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c,
+             |  SELECT event_type, TRY_CAST(round(value*100) AS BIGINT) AS c,
              |    event_id,
              |    ntile(10) OVER (PARTITION BY event_type
-             |      ORDER BY CAST(round(value*100) AS BIGINT), event_id) AS decile
-             |  FROM events)
+             |      ORDER BY TRY_CAST(round(value*100) AS BIGINT), event_id) AS decile
+             |  FROM events
+             |  WHERE TRY_CAST(round(value*100) AS BIGINT) IS NOT NULL)
              |SELECT event_type, CAST(decile AS INTEGER) AS decile,
              |  COUNT(*) AS n, MIN(c) AS lo_cents, MAX(c) AS hi_cents
              |FROM b GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin)),
@@ -535,7 +549,7 @@ object ProfileQueries {
              |  SELECT user_id,
              |    MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day,
              |    COUNT(*) AS frequency,
-             |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             |    CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) AS BIGINT)
              |      AS monetary_cents
              |  FROM events GROUP BY 1),
              |mx AS (SELECT MAX(last_day) AS mxd FROM u),
@@ -615,7 +629,9 @@ object ProfileQueries {
       "q_winsorize",
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window
-        val b = Tables(s, dir, "events").select(col("event_type"), cents.as("c"))
+        val b = Tables(s, dir, "events")
+          .select(col("event_type"), cents.as("c"))
+          .filter(col("c").isNotNull) // NaN measures excluded (r17 sweep)
         val w = Window.partitionBy("event_type").orderBy("c")
         val wn = Window.partitionBy("event_type")
         def qAt(p: Int, nm: String) =
@@ -641,8 +657,9 @@ object ProfileQueries {
           .orderBy("event_type")
       },
       Some("""WITH b AS (
-             |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
-             |  FROM events),
+             |  SELECT event_type, TRY_CAST(round(value*100) AS BIGINT) AS c
+             |  FROM events
+             |  WHERE TRY_CAST(round(value*100) AS BIGINT) IS NOT NULL),
              |r AS (
              |  SELECT event_type, c,
              |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
@@ -706,9 +723,9 @@ object ProfileQueries {
       },
       Some("""WITH b AS (
              |  SELECT event_type,
-             |    CAST(substr(CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR), 1, 1)
+             |    CAST(substr(CAST(TRY_CAST(round(value*100) AS BIGINT) AS VARCHAR), 1, 1)
              |      AS INTEGER) AS digit
-             |  FROM events WHERE CAST(round(value*100) AS BIGINT) > 0),
+             |  FROM events WHERE TRY_CAST(round(value*100) AS BIGINT) > 0),
              |g AS (
              |  SELECT event_type, digit, COUNT(*) AS n_d
              |  FROM b GROUP BY 1, 2),
@@ -1015,7 +1032,7 @@ object ProfileQueries {
              |  SELECT event_type,
              |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
              |      AS BIGINT) AS di,
-             |    CAST(round(value*100) AS BIGINT) // 500 AS bin
+             |    TRY_CAST(round(value*100) AS BIGINT) // 500 AS bin
              |  FROM events),
              |mm AS (SELECT MIN(di) AS mn, MAX(di) AS mx FROM e),
              |b AS (
@@ -1089,7 +1106,7 @@ object ProfileQueries {
       },
       Some("""WITH e AS (
              |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, ts, event_id,
-             |    event_type, user_id, CAST(round(value*100) AS BIGINT) AS cents
+             |    event_type, user_id, TRY_CAST(round(value*100) AS BIGINT) AS cents
              |  FROM events),
              |l AS (
              |  SELECT *,

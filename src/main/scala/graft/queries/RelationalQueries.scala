@@ -25,9 +25,11 @@ import graft.Tables
   */
 object RelationalQueries {
 
-  /** Exact e2 integer units of a 2-decimal double column. */
+  /** Exact e2 integer units of a 2-decimal double column; NaN/±Inf →
+    * NULL via try_cast (the DuckDB TRY_CAST semantic — r17 nasty sweep).
+    */
   private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100).cast("long")
+    round(c * 100).try_cast("long")
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -341,7 +343,7 @@ object RelationalQueries {
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  CAST(SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 

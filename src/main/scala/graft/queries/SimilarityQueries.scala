@@ -224,24 +224,30 @@ object SimilarityQueries {
     * require `e` ([[ExactRankedSql]]) can follow.
     */
   private val AdcRankedSql: String = {
+    // COALESCE(… / sqrt(…), 0): a ZERO-NORM SUB-centroid (a legitimate
+    // PQ codebook state — e.g. an axis vector's other subspaces) makes
+    // DuckDB's x/0 division NULL where the Spark side scores a plain
+    // 0-dot against the unnormalized zero row (and the driver table's
+    // NaN.toLong is 0) — pin both engines to the 0 convention, ties →
+    // smaller idx (r17 nasty sweep)
     val codeCtes = (1 to 4).map { j =>
       val off = (j - 1) * 16
       s"""s$j AS (
          |  SELECT e.vec_id, ci.idx,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_sum(list_transform(range(1, 17),
+         |      COALESCE(list_sum(list_transform(range(1, 17),
          |        i -> e.v[$off + i] * ci.cv[$off + i])) /
          |      sqrt(list_sum(list_transform(range(1, 17),
-         |        i -> ci.cv[$off + i] * ci.cv[$off + i]))) DESC,
+         |        i -> ci.cv[$off + i] * ci.cv[$off + i]))), 0) DESC,
          |      ci.idx) AS rk
          |  FROM e CROSS JOIN cidx ci),
          |t$j AS (
          |  SELECT q.vec_id AS q_id, ci.idx AS code,
          |    CAST(floor(
-         |      list_sum(list_transform(range(1, 17),
+         |      COALESCE(list_sum(list_transform(range(1, 17),
          |        i -> q.v[$off + i] * ci.cv[$off + i])) /
          |      sqrt(list_sum(list_transform(range(1, 17),
-         |        i -> ci.cv[$off + i] * ci.cv[$off + i]))) * 1000000 + 0.5)
+         |        i -> ci.cv[$off + i] * ci.cv[$off + i]))), 0) * 1000000 + 0.5)
          |      AS BIGINT) AS dot_e6
          |  FROM qv q CROSS JOIN cidx ci),
          |sc$j AS (
@@ -778,18 +784,24 @@ object SimilarityQueries {
     // sums S_d = Σ q(v_d), the rational mean never divides —
     //   dist2n2(v) = Σ_d (n·q(v_d) − S_d)²  ( = n²·‖q(v)−mean‖² )
     // ranks identically and is a pure integer in both engines.
-    // Headroom: |n·q| ≤ n·1e4·max|x|; per-dim square ×64 dims needs
-    // n·1e4 < 3.8e8 → n < 3.8e4 vectors per scored population — per
-    // shard/partition scale; a bigger corpus scores against the
-    // PRE-DIVIDED e4 mean (one rounding, same top-k in practice) or
-    // per-label strata. Plan: posexplode → one 64-row dim agg (the
+    // The quantizer SATURATES at ±1e7 (|x| = 1e3 — r17 nasty sweep: a
+    // corrupt 1e10-magnitude vector overflowed the long square; now it
+    // clamps to the cap and still ranks at the TOP, which is exactly
+    // what an OOD gate must do with it — saturation, the int8-quantizer
+    // discipline, identical LEAST/GREATEST in both engines).
+    // Headroom with the cap: |n·q − S| ≤ 2n·1e7; ×64 dims needs
+    // n ≤ 1.9e4 vectors per scored population — per shard/partition
+    // scale; a bigger corpus scores against the PRE-DIVIDED e4 mean
+    // (one rounding, same top-k in practice) or per-label strata.
+    // Plan: posexplode → one 64-row dim agg (the
     // centroid "model", broadcast back, persisting at rest like the
     // IVF codebook) → per-vec agg → TakeOrderedAndProject top-20
     // (per-partition heaps + 20-row driver merge, no global sort).
     QueryDef(
       "q_embed_ood",
       (s: SparkSession, dir: String) => {
-        val q = floor(col("x").cast("double") * 10000d + 0.5d).cast("long")
+        val q = least(greatest(floor(col("x").cast("double") * 10000d + 0.5d),
+          lit(-1.0e7)), lit(1.0e7)).cast("long")
         val xs = corpus(s, dir)
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("d", "x")))
@@ -806,7 +818,9 @@ object SimilarityQueries {
       Some("""WITH e AS (
              |  SELECT vec_id, label,
              |    list_transform(embedding,
-             |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+             |      x -> CAST(LEAST(GREATEST(
+             |        floor(CAST(x AS DOUBLE) * 10000 + 0.5),
+             |        -10000000), 10000000) AS BIGINT))
              |      AS q
              |  FROM embeddings),
              |xs AS (
@@ -1165,13 +1179,15 @@ object SimilarityQueries {
       Some {
         val subs = (1 to 4).map { j =>
           val off = (j - 1) * 16
+          // COALESCE: zero-norm sub-centroids score 0, not NULL — the
+          // AdcRankedSql convention (r17 nasty sweep)
           s"""s$j AS (
              |  SELECT e.vec_id, ci.idx,
              |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |      list_sum(list_transform(range(1, 17),
+             |      COALESCE(list_sum(list_transform(range(1, 17),
              |        i -> e.v[$off + i] * ci.cv[$off + i])) /
              |      sqrt(list_sum(list_transform(range(1, 17),
-             |        i -> ci.cv[$off + i] * ci.cv[$off + i]))) DESC,
+             |        i -> ci.cv[$off + i] * ci.cv[$off + i]))), 0) DESC,
              |      ci.idx) AS rk
              |  FROM e CROSS JOIN cidx ci),
              |p$j AS (SELECT vec_id, idx AS code$j FROM s$j WHERE rk = 1)"""
@@ -1245,12 +1261,17 @@ object SimilarityQueries {
     // longs (floor(x·1e6 + 0.5) in double — bit-identical in both
     // engines, the q_kmeans_iter quantizer), s is ±1, so y and v₁ are
     // exact long sums that COMMUTE (map-side partial agg; a float sum
-    // would be partition-order-dependent). Headroom: |q| ≤ 5.8e5 on
-    // this corpus (max|x| = 0.578), |y| ≤ 64·|q| ≈ 3.7e7, |q·y| ≤
-    // 2.2e13 — the v₁ sum stays in signed 64-bit through ~4e5 vectors;
-    // beyond that lift the second agg to decimal(38,0) (same move as
-    // q_autocorr). The posexplode stream is (n·64) rows — narrow,
-    // codegen'd, no interpreted HOF in either agg.
+    // would be partition-order-dependent). The quantizer SATURATES at
+    // ±1e6 (|x| = 1: r17 nasty sweep — a corrupt 1e10-magnitude vector
+    // overflowed q·y; PCA's hygiene precondition is near-unit-norm
+    // input, so an out-of-domain coordinate clamps to the cap instead
+    // of poisoning the job — q_embed_ood upstream is the gate that
+    // actually removes such rows). Headroom with the cap: |q| ≤ 1e6,
+    // |y| ≤ 64·1e6, |q·y| ≤ 6.4e13 — the v₁ sum stays in signed
+    // 64-bit through ~1.4e5 vectors; beyond that lift the second agg
+    // to decimal(38,0) (same move as q_autocorr). The posexplode
+    // stream is (n·64) rows — narrow, codegen'd, no interpreted HOF
+    // in either agg.
     QueryDef(
       "q_pca_power",
       (s: SparkSession, dir: String) => {
@@ -1260,7 +1281,8 @@ object SimilarityQueries {
         val ex = corpus(s, dir)
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .select(col("vec_id"), col("pos"),
-            floor(col("x").cast("double") * 1000000d + 0.5d).cast("long").as("q"))
+            least(greatest(floor(col("x").cast("double") * 1000000d + 0.5d),
+              lit(-1.0e6)), lit(1.0e6)).cast("long").as("q"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ex.count() // eager: y and v1 below both consume it (PERF_NOTES rule)
         val y = ex.join(signs, "pos")
@@ -1276,7 +1298,8 @@ object SimilarityQueries {
              |  FROM embeddings),
              |ex AS (
              |  SELECT vec_id, CAST(i.range AS INTEGER) AS pos,
-             |    CAST(floor(v[i.range + 1] * 1000000 + 0.5) AS BIGINT) AS q
+             |    CAST(LEAST(GREATEST(floor(v[i.range + 1] * 1000000 + 0.5),
+             |      -1000000), 1000000) AS BIGINT) AS q
              |  FROM e, range(0, $Dim) i),
              |sg AS (
              |  SELECT CAST(d.range AS INTEGER) AS pos,

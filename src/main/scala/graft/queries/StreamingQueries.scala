@@ -62,7 +62,7 @@ object StreamingQueries {
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
-    withTs.withColumn("cents", round(col("value") * 100).cast("long"))
+    withTs.withColumn("cents", round(col("value") * 100).try_cast("long"))
   }
 
   // ---- topology builders -------------------------------------------
@@ -82,7 +82,10 @@ object StreamingQueries {
     import s.implicits._
     val ds = eventsStream(s, dir)
       .select(col("user_id").cast("long"), col("ts"),
-        col("cents").cast("double"))
+        // NULL cents (a NaN measure) ride as 0 through the primitive
+        // Double tuple encoder: the event still opens/extends sessions,
+        // its value just contributes nothing (oracle COALESCEs the same)
+        coalesce(col("cents"), lit(0L)).cast("double"))
       .as[(Long, java.sql.Timestamp, Double)]
     StreamOps.sessionize(
       ds, gapMs = 600000L, timeout = GroupStateTimeout.NoTimeout()).toDF()
@@ -93,7 +96,7 @@ object StreamingQueries {
     val ds = eventsStream(s, dir)
       .withWatermark("ts", "10 minutes")
       .select(col("user_id").cast("long"), col("ts"),
-        col("cents").cast("double"))
+        coalesce(col("cents"), lit(0L)).cast("double")) // NULL → 0, as above
       .as[(Long, java.sql.Timestamp, Double)]
     StreamOps.sessionize(ds, gapMs = 600000L,
       timeout = GroupStateTimeout.EventTimeTimeout()).toDF()
@@ -772,7 +775,7 @@ object StreamingQueries {
       },
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
-             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
              |  FROM events),
              |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e)
              |SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
@@ -810,7 +813,7 @@ object StreamingQueries {
       },
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
-             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
              |  FROM events)
              |SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
              |  event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
@@ -841,7 +844,7 @@ object StreamingQueries {
       },
       Some("""WITH e AS (
              |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |    COALESCE(TRY_CAST(ROUND(value*100, 0) AS BIGINT), 0) AS cents
              |  FROM events),
              |x AS (
              |  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
@@ -889,7 +892,7 @@ object StreamingQueries {
       },
       Some("""WITH e AS (
              |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |    COALESCE(TRY_CAST(ROUND(value*100, 0) AS BIGINT), 0) AS cents
              |  FROM events),
              |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e),
              |x AS (
@@ -956,7 +959,7 @@ object StreamingQueries {
       },
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id,
-             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
              |  FROM events),
              |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e),
              |j AS (
@@ -1000,7 +1003,7 @@ object StreamingQueries {
       },
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
-             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
              |  FROM events)
              |SELECT a.user_id AS user_id, a.ts AS c_ts, b.ts AS b_ts,
              |  a.cents AS c_cents, b.cents AS b_cents
@@ -1039,7 +1042,7 @@ object StreamingQueries {
       },
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
-             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
              |  FROM events),
              |c AS (SELECT user_id, ts AS c_ts, cents AS c_cents
              |      FROM e WHERE event_type = 'click'),
@@ -1095,7 +1098,7 @@ object StreamingQueries {
       },
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
-             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
              |  FROM events),
              |c AS (SELECT user_id, ts AS c_ts, cents AS c_cents
              |      FROM e WHERE event_type = 'click'),
@@ -1144,7 +1147,7 @@ object StreamingQueries {
       },
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
-             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
              |  FROM events),
              |c AS (SELECT user_id, ts AS c_ts, cents AS c_cents
              |      FROM e WHERE event_type = 'click'),

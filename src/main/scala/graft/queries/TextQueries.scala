@@ -211,7 +211,11 @@ object TextQueries {
     */
   private[queries] def qcScoreE6: Column = {
     val wArr = array(qcWeights.map(lit(_)): _*)
-    aggregate(split(col("text"), " "), lit(qcBias),
+    // NULL text scores as '' (one empty token): without the coalesce
+    // Spark's fold returns a NULL score row while the oracle's unnest
+    // DROPS the doc from sc — every downstream count diverges by one
+    // per NULL doc (r17 nasty sweep)
+    aggregate(split(coalesce(col("text"), lit("")), " "), lit(qcBias),
       (acc, t) => acc + element_at(wArr, qcDim(t).cast("int") + 1))
   }
 
@@ -223,7 +227,8 @@ object TextQueries {
     s"""w AS (SELECT CAST(d AS INTEGER) AS d,
        |  $QcWeightSqlExpr AS w
        |  FROM range(0, 256) t(d)),
-       |tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+       |tok AS (SELECT doc_id, source,
+       |          unnest(string_split(COALESCE(text, ''), ' ')) AS t
        |        FROM documents),
        |dims AS (SELECT doc_id, source,
        |  CAST(('0x' || substring(md5(t), 1, 15))::BIGINT % 256 AS INTEGER) AS d
@@ -327,7 +332,12 @@ object TextQueries {
   private def langIdInput(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"))
+      // a NULL label is an UNLABELED doc: both engines fold it into the
+      // '' class (r17 nasty sweep — a null lang NPE'd the driver-side
+      // class-list sort, and SQL's NULL≠NULL join semantics would have
+      // silently frozen a NULL class at zero weights)
+      .select(col("doc_id"), col("text"),
+        coalesce(col("lang"), lit("")).as("lang"))
       .unionByName(TextFixture.langIdDocs.toDF("doc_id", "text", "lang"))
   }
 
@@ -394,7 +404,8 @@ object TextQueries {
     * model, never a re-train.
     */
   private def langIdModel(s: SparkSession, dir: String): DataFrame =
-    CorpusTable.materialized(s, dir, s"langidmodel_${TextFixture.langIdKey}")(
+    CorpusTable.materialized(s, dir,
+      s"langidmodel_v2_${TextFixture.langIdKey}")( // v2: r17 null-lang fold
       langIdTrainCore(s, dir))
 
   /** The langid descent unrolled as generated CTEs, LANG-KEYED (the
@@ -427,7 +438,8 @@ object TextQueries {
          |  FROM lw$p w LEFT JOIN lg$r g ON w.lang = g.lang AND w.d = g.d
          |  CROSS JOIN s2)""".stripMargin
     }.mkString(",\n")
-    s"""ldocs AS (SELECT doc_id, text, lang FROM documents
+    s"""ldocs AS (SELECT doc_id, text, COALESCE(lang, '') AS lang
+       |  FROM documents
        |  UNION ALL ${TextFixture.langIdSqlRows}),
        |lgs AS (SELECT DISTINCT lang FROM ldocs),
        |lw0 AS (SELECT lang, CAST(d AS INTEGER) AS d, CAST(0 AS BIGINT) AS w
@@ -1370,13 +1382,13 @@ object TextQueries {
           .as("dup_bigram_e4"))
   }
 
-  /** BM25 index machinery shared by q_bm25 and its spec: the exact
-    * integer posting weights (see the q_bm25 scaladoc for the
-    * arithmetic) and the benchmark query-term sets. `pairs` and
-    * `weights` persist for the multi-consumer index aggregations (the
-    * q_bm25 convention since r11).
+  /** ONE corpus pass building the BM25 index parts (the exact integer
+    * posting weights — see the q_bm25 scaladoc for the arithmetic —
+    * and the benchmark query-term bags). Invoked once per corpus by
+    * [[bm25Index]]'s materialization; `pairs` and `weights` persist
+    * for the multi-consumer index aggregations within the build.
     */
-  private[graft] def bm25Parts(s: SparkSession, dir: String)
+  private def bm25Build(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     import s.implicits._
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1419,6 +1431,61 @@ object TextQueries {
     (weights, qterms)
   }
 
+  /** Version tag of the BM25 index LAYOUT + build code, folded into the
+    * CorpusTable prefix (the q_langid_train staleness lesson: the
+    * corpus-identity key alone cannot see build-code changes across
+    * runs sharing a tmpdir).
+    */
+  private[graft] val Bm25IndexVersion = "v1"
+
+  /** The AT-REST BM25 index (r17, r16 verdict #2): q_bm25 previously
+    * rebuilt tf→df→weights per run, paying a ~53 s index build at
+    * gen-sf10 for a seconds-scale query — but at 100 TB the index IS
+    * the at-rest artifact. Materialized once per corpus via the
+    * [[CorpusTable]] seam (the graph/dedup/LM pattern), keyed on corpus
+    * identity + [[Bm25IndexVersion]], holding kind-discriminated rows:
+    *
+    *  - `w` — (term, doc_id, w): the query terms' postings with exact
+    *    integer BM25 impact weights (only query-term postings can ever
+    *    contribute to a score; see [[bm25Build]]);
+    *  - `q` — (term, doc_id = q_id): the fixed benchmark query-doc
+    *    term bags;
+    *  - `h` — (term, doc_id, w): the top-10 impact-ordered HEAD BLOCK
+    *    of each posting list; per-term UB(t) = its max `w` — the
+    *    MaxScore/WAND block metadata, stored WITH the index exactly as
+    *    a production deployment stores it, so warm runs skip the
+    *    head-selection window too.
+    *
+    * Warm runs drop to the scoring cost: read postings + ledger-sized
+    * metadata, enumerate, score (TextSpec pins index staleness — a
+    * regenerated corpus must never serve the old index).
+    */
+  private[graft] def bm25Index(s: SparkSession, dir: String): DataFrame =
+    CorpusTable.materialized(s, dir, s"bm25idx_$Bm25IndexVersion") {
+      import org.apache.spark.sql.expressions.Window
+      val (weights, qterms) = bm25Build(s, dir)
+      val hw = Window.partitionBy("term").orderBy(col("w").desc, col("doc_id"))
+      val heads = weights.withColumn("hrk", row_number().over(hw))
+        .filter(col("hrk") <= 10).select("term", "doc_id", "w")
+      weights.select(lit("w").as("kind"), col("term"), col("doc_id"), col("w"))
+        .unionByName(qterms.select(lit("q").as("kind"), col("term"),
+          col("q_id").as("doc_id"), lit(0L).as("w")))
+        .unionByName(heads.select(lit("h").as("kind"), col("term"),
+          col("doc_id"), col("w")))
+    }
+
+  /** The three BM25 index parts read off the at-rest [[bm25Index]]
+    * table: (weights, qterms, heads).
+    */
+  private[graft] def bm25Parts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val idx = bm25Index(s, dir)
+    (idx.filter(col("kind") === "w").select("doc_id", "term", "w"),
+      idx.filter(col("kind") === "q")
+        .select(col("doc_id").as("q_id"), col("term")),
+      idx.filter(col("kind") === "h").select("term", "doc_id", "w"))
+  }
+
   /** Exact BM25 scores of an explicit (q_id, doc_id) candidate set:
     * the posting scan is keyed by the CANDIDATE docs (join on doc_id,
     * then restrict to the query's terms), so work is
@@ -1441,10 +1508,10 @@ object TextQueries {
 
   /** MaxScore / impact-ordered candidate enumeration (r16, r15 verdict
     * #5), EXACT by construction:
-    *  1. index artifacts (term-keyed, stored at rest in a deployment;
-    *     here computed over the query terms' postings only — the block
-    *     metadata LOOKUP, not an index rebuild): per-term max impact
-    *     UB(t) and the top-10 impact-ordered HEAD BLOCK of each
+    *  1. index artifacts (term-keyed, stored AT REST — as of r17 they
+    *     really are: the [[bm25Index]] CorpusTable's `h` rows — the
+    *     block metadata LOOKUP, not an index rebuild): per-term max
+    *     impact UB(t) and the top-10 impact-ordered HEAD BLOCK of each
     *     posting list;
     *  2. floor: per head doc, lb(d) = max single-term impact among the
     *     query's terms — a TRUE lower bound of d's full score (weights
@@ -1467,22 +1534,20 @@ object TextQueries {
     * more per-query cost).
     */
   private[graft] def bm25Candidates(s: SparkSession, weights: DataFrame,
-      qterms: DataFrame): DataFrame = {
+      qterms: DataFrame, headBlocks: DataFrame): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // ONE postings pass builds the block metadata, which is
-    // LEDGER-SIZED and collected: ≤ |distinct query terms| × 10 head
-    // rows (never corpus-scaled — the query-set vocabulary bounds it).
-    // This mirrors production WAND exactly: per-term max impacts and
+    // The block metadata is LEDGER-SIZED and collected: ≤ |distinct
+    // query terms| × 10 head rows (never corpus-scaled — the query-set
+    // vocabulary bounds it). As of r17 it is READ off the at-rest
+    // [[bm25Index]] `h` rows instead of re-derived per run. This
+    // mirrors production WAND exactly: per-term max impacts and
     // head-block metadata live AT THE QUERY NODE; only posting scans
     // stay distributed.
     val qt = qterms.collect().map(r => (r.getLong(0), r.getString(1)))
     val terms = qt.map(_._2).distinct.toSeq
     val qw = weights.join(broadcast(terms.toDF("term")), "term")
-    val hw = Window.partitionBy("term").orderBy(col("w").desc, col("doc_id"))
-    val heads = qw.withColumn("hrk", row_number().over(hw))
-      .filter(col("hrk") <= 10).select("term", "doc_id", "w")
+    val heads = headBlocks.select("term", "doc_id", "w")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val headsByTerm = heads.groupBy(_._1)
     val ub: Map[String, Long] = // UB(t) = the head block's top impact
@@ -1659,7 +1724,8 @@ object TextQueries {
              |  SELECT source, n_tokens,
              |    (n_stop*20000 + n_tokens) // (n_tokens*2) AS score,
              |    ROW_NUMBER() OVER (PARTITION BY source
-             |      ORDER BY (n_stop*20000 + n_tokens) // (n_tokens*2), doc_id) AS rk,
+             |      ORDER BY (n_stop*20000 + n_tokens) // (n_tokens*2)
+             |        NULLS FIRST, doc_id) AS rk,
              |    COUNT(*) OVER (PARTITION BY source) AS n
              |  FROM m)
              |SELECT source, COUNT(*) AS n_docs,
@@ -1711,7 +1777,10 @@ object TextQueries {
              |       WHEN s_es > 0 THEN 'es'
              |       ELSE 'und' END AS predicted,
              |  COUNT(*) AS n
-             |FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin)),
+             |FROM sc GROUP BY 1, 2
+             |ORDER BY lang NULLS FIRST, predicted""".stripMargin)),
+             // NULLS FIRST: Spark sorts a NULL label first, DuckDB last
+             // (r17 nasty sweep — a NULL-lang doc flipped the row order)
 
     // ------------------------------------------------------------------
     // q_text_fingerprint ★ — per-document fingerprints: full-text md5
@@ -2143,7 +2212,10 @@ object TextQueries {
              |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
              |  CAST(MIN(lm_score_e4) AS BIGINT) AS min_score_e4,
              |  CAST(MAX(lm_score_e4) AS BIGINT) AS max_score_e4
-             |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
+             |FROM b GROUP BY 1, 2
+             |ORDER BY lang NULLS FIRST, bucket""".stripMargin)),
+             // NULLS FIRST: the NULL-lang partition sorts first in
+             // Spark, last in DuckDB (r17 nasty sweep)
 
     // ------------------------------------------------------------------
     // q_doremi_weights ★ (new r14) — DoReMi-style domain reweighting
@@ -2483,7 +2555,10 @@ object TextQueries {
               |  (CAST(SUM(n_sub) AS BIGINT) * 10000) // COUNT(*) AS fertility_e4,
               |  (CAST(SUM(n_chars) AS BIGINT) * 10000) //
               |    GREATEST(CAST(SUM(n_sub) AS BIGINT), 1) AS chars_per_sub_e4
-              |FROM enc GROUP BY lang ORDER BY lang""".stripMargin)),
+              |FROM enc GROUP BY lang
+              |ORDER BY lang NULLS FIRST""".stripMargin)),
+              // NULLS FIRST: Spark sorts the NULL-lang group first,
+              // DuckDB last (r17 nasty sweep)
 
     // ------------------------------------------------------------------
     // q_unigram_train ★ (new r14) — the unigram-LM (SentencePiece)
@@ -2872,7 +2947,10 @@ object TextQueries {
           .select(col("doc_id"), col("text"),
             qcResidE6(col("z"), col("y")).as("r"))
         val dimG = perDoc
-          .select(explode(split(col("text"), " ")).as("tk"), col("r"))
+          // coalesce: the NULL-text doc carries ONE '' token, matching
+          // qcScoreE6's fold and the oracle's coalesced tok CTE (r17)
+          .select(explode(split(coalesce(col("text"), lit("")), " ")).as("tk"),
+            col("r"))
           .select(qcDim(col("tk")).cast("int").as("dim"), col("r"))
           .groupBy("dim")
           .agg(sum("r").as("g_e6"), count(lit(1)).as("n_terms"))
@@ -3931,8 +4009,8 @@ object TextQueries {
     QueryDef(
       "q_bm25",
       (s: SparkSession, dir: String) => {
-        val (weights, qterms) = bm25Parts(s, dir)
-        bm25TopK(bm25Candidates(s, weights, qterms), weights, qterms)
+        val (weights, qterms, heads) = bm25Parts(s, dir)
+        bm25TopK(bm25Candidates(s, weights, qterms, heads), weights, qterms)
       },
       Some("""WITH p AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

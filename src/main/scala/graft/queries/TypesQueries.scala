@@ -41,9 +41,14 @@ object TypesQueries {
         Tables(s, dir, "events")
           .select(
             col("event_id"),
-            col("value").cast("long").as("v_long"),
-            col("value").cast("int").as("v_int"),
-            (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("v_dec_e2"),
+            // try_cast throughout the double→exact edges: a NaN/±Inf/
+            // out-of-range measure coerces to NULL in BOTH engines (the
+            // reference's switch drops unrepresentable values the same
+            // way) instead of killing the job under ANSI (r17 sweep)
+            col("value").try_cast("long").as("v_long"),
+            col("value").try_cast("int").as("v_int"),
+            (col("value").try_cast(DecimalType(12, 2)) * 100).cast("long")
+              .as("v_dec_e2"),
             col("value").cast("float").as("v_float"),
             (col("value") > 50).as("v_bool"),
             col("user_id").cast("double").as("uid_double"),
@@ -51,20 +56,30 @@ object TypesQueries {
             col("ts").cast("date").as("d"),
             col("ts").cast("date").cast("string").as("d_str"),
             // Q1 decision: epoch-seconds double → proper timestamp.
-            timestamp_micros((col("value") * lit(1000000.0)).cast("long"))
+            // Domain-bounded to ±9.2e9 s (the int64-NANOSECONDS
+            // interchange window, ~±292 years — arrow/pandas wrap
+            // beyond it); outside → NULL, the A6 drop-malformed rule.
+            when(abs(col("value")) <= lit(9.2e9),
+              timestamp_micros((col("value") * lit(1000000.0)).try_cast("long")))
               .as("ts_from_epoch"))
           .orderBy("event_id"),
+      // DuckDB quirk (probed): TRY_CAST(NaN AS DECIMAL) still raises, so
+      // the decimal edge guards with isfinite() instead.
       Some("""SELECT event_id,
-             |  CAST(TRUNC(value) AS BIGINT) AS v_long,
-             |  CAST(TRUNC(value) AS INTEGER) AS v_int,
-             |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_dec_e2,
+             |  TRY_CAST(TRUNC(value) AS BIGINT) AS v_long,
+             |  TRY_CAST(TRUNC(value) AS INTEGER) AS v_int,
+             |  CAST(CASE WHEN NOT isfinite(value) THEN NULL
+             |       ELSE TRY_CAST(value AS DECIMAL(12,2)) END * 100 AS BIGINT)
+             |    AS v_dec_e2,
              |  CAST(value AS FLOAT) AS v_float,
              |  value > 50 AS v_bool,
              |  CAST(user_id AS DOUBLE) AS uid_double,
              |  CAST(user_id AS VARCHAR) AS uid_str,
              |  CAST(ts AS DATE) AS d,
              |  CAST(CAST(ts AS DATE) AS VARCHAR) AS d_str,
-             |  make_timestamp(CAST(TRUNC(value * 1000000.0) AS BIGINT)) AS ts_from_epoch
+             |  CASE WHEN abs(value) <= 9.2e9 THEN
+             |    make_timestamp(TRY_CAST(TRUNC(value * 1000000.0) AS BIGINT))
+             |  END AS ts_from_epoch
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------

@@ -20,8 +20,11 @@ import graft.Tables
   */
 object WindowQueries {
 
+  // try_cast: a NaN/±Inf measure yields a NULL cents (the DuckDB
+  // TRY_CAST semantic), never a job-killing ANSI cast error (r17 nasty
+  // sweep: one NaN event crashed every window row)
   private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100).cast("long")
+    round(c * 100).try_cast("long")
 
   /** Appended by r5: see q_cdc_state at the end of [[entries]]. */
   val entries: Seq[QueryDef] = Seq(
@@ -65,7 +68,7 @@ object WindowQueries {
           .orderBy("user_id", "event_id")
       },
       Some("""SELECT user_id, event_id,
-             |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) OVER (
+             |  CAST(SUM(TRY_CAST(ROUND(value*100,0) AS BIGINT)) OVER (
              |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
              |  LAG(event_id, 1) OVER (
@@ -93,7 +96,7 @@ object WindowQueries {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, COUNT(*) AS n_distinct_rows,
-             |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  CAST(SUM(TRY_CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM (
              |  SELECT *, ROW_NUMBER() OVER (
              |    PARTITION BY user_id, event_type, value
@@ -117,7 +120,7 @@ object WindowQueries {
           .orderBy("win_start", "event_type"),
       Some("""SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
              |  event_type, COUNT(*) AS n,
-             |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |  CAST(SUM(TRY_CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -136,7 +139,7 @@ object WindowQueries {
           .orderBy("user_id", "sess_start"),
       Some("""WITH marked AS (
              |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-             |    CAST(ROUND(value*100,0) AS BIGINT) AS cents,
+             |    TRY_CAST(ROUND(value*100,0) AS BIGINT) AS cents,
              |    CASE WHEN CAST(ts AS TIMESTAMP)
              |           - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
              |           >= INTERVAL 10 MINUTE OR
@@ -181,7 +184,7 @@ object WindowQueries {
       },
       Some("""WITH ranked AS (
              |  SELECT user_id, event_id, event_type,
-             |    CAST(ROUND(value*100,0) AS BIGINT) AS cents,
+             |    TRY_CAST(ROUND(value*100,0) AS BIGINT) AS cents,
              |    row_number() OVER (PARTITION BY user_id
              |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
              |  FROM events)
@@ -405,14 +408,17 @@ object WindowQueries {
           .orderBy("event_type", "event_id")
       },
       Some("""SELECT event_type, event_id,
-             |  CAST(ROUND(value*100,0) AS BIGINT) AS v_cents,
+             |  TRY_CAST(ROUND(value*100,0) AS BIGINT) AS v_cents,
              |  NTILE(4) OVER w AS quartile,
              |  PERCENT_RANK() OVER w AS pct_rank,
              |  CUME_DIST() OVER w AS cume
              |FROM events
              |WINDOW w AS (PARTITION BY event_type
-             |  ORDER BY CAST(ROUND(value*100,0) AS BIGINT), event_id)
+             |  ORDER BY TRY_CAST(ROUND(value*100,0) AS BIGINT) NULLS FIRST,
+             |    event_id)
              |ORDER BY event_type, event_id""".stripMargin)),
+             // NULLS FIRST in the window order: Spark ranks a NULL
+             // cents (NaN measure) first ASC, DuckDB last (r17 sweep)
 
     // ------------------------------------------------------------------
     // q_sliding_window ★ (new r5) — SLIDING (hopping) windows: 1-hour
@@ -436,7 +442,7 @@ object WindowQueries {
           .orderBy("win_start", "event_type"),
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
-             |    CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+             |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
              |  FROM events),
              |x AS (
              |  SELECT unnest([

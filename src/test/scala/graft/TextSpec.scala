@@ -1320,8 +1320,8 @@ class TextSpec extends SparkSpec {
     docs.toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
       .coalesce(1).write.parquet(s"$dir/documents.parquet")
-    val (weights, qterms) = TextQueries.bm25Parts(spark, dir)
-    val pruned = TextQueries.bm25Candidates(spark, weights, qterms)
+    val (weights, qterms, heads) = TextQueries.bm25Parts(spark, dir)
+    val pruned = TextQueries.bm25Candidates(spark, weights, qterms, heads)
     val full = TextQueries.bm25CandidatesFull(weights, qterms)
     val (nPruned, nFull) = (pruned.count(), full.count())
     // the reduction is real AND measured: every query shares the
@@ -1338,10 +1338,44 @@ class TextSpec extends SparkSpec {
         w: org.apache.spark.sql.DataFrame, q: org.apache.spark.sql.DataFrame) =
       TextQueries.bm25TopK(c, w, q).collect().map(_.toSeq).toSeq
     assert(run(pruned, weights, qterms) == run(full, weights, qterms))
-    val (wSf, qSf) = TextQueries.bm25Parts(spark, sfDir)
-    val pSf = TextQueries.bm25Candidates(spark, wSf, qSf)
+    val (wSf, qSf, hSf) = TextQueries.bm25Parts(spark, sfDir)
+    val pSf = TextQueries.bm25Candidates(spark, wSf, qSf, hSf)
     val fSf = TextQueries.bm25CandidatesFull(wSf, qSf)
     assert(run(pSf, wSf, qSf) == run(fSf, wSf, qSf))
+  }
+
+  test("bm25 at-rest index: head blocks agree with the postings, and a " +
+      "regenerated corpus never serves a stale index (r17)") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    val dir = java.nio.file.Files.createTempDirectory("bm25stale").toString
+    def write(tag: String): Unit =
+      (0L until 8L).map(i =>
+        (i, s"$tag$i ${tag}x filler words shared by every doc", "en", "src0"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write("alpha")
+    val (w1, _, h1) = TextQueries.bm25Parts(spark, dir)
+    val t1 = w1.select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(t1.exists(_.startsWith("alpha")))
+    // the stored head blocks are exactly the per-term top-10 of the
+    // stored postings (same impact-then-doc_id order)
+    val topFromW = w1.withColumn("hrk",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")
+          .orderBy(col("w").desc, col("doc_id"))))
+      .filter(col("hrk") <= 10).select("term", "doc_id", "w")
+    assert(h1.exceptAll(topFromW).isEmpty && topFromW.exceptAll(h1).isEmpty,
+      "head blocks must equal the postings' per-term top-10")
+    // corpus identity = path + size + mtime(ms): regenerate and the
+    // index must follow (the q_langid_train staleness lesson)
+    Thread.sleep(20)
+    write("beta")
+    val t2 = TextQueries.bm25Parts(spark, dir)._1
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(t2.exists(_.startsWith("beta")) && !t2.exists(_.startsWith("alpha")),
+      s"stale index served after corpus regeneration: $t2")
   }
 
   test("q_gopher_rules: each planted doc fails exactly its rule; a " +
