@@ -316,7 +316,9 @@ object AdvancedQueries {
              |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
              |FROM lineitem
              |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |HAVING COUNT(*) > 0
              |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)),
+             // HAVING COUNT(*)>0: the q_rollup empty-table rule (r17)
 
     // ------------------------------------------------------------------
     // q_window_range — interval RANGE frame (event-time sliding sum):

@@ -799,7 +799,10 @@ object DedupQueries {
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables(s, dir, "documents")
-        val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        // null-safe: an EMPTY corpus has no max id — cutoff 0, every
+        // (zero) doc on the v2 side, empty output (r17 empty sweep)
+        val maxId = docs.agg(max(col("doc_id"))).collect()(0)
+          .get(0) match { case null => -1L; case v => v.asInstanceOf[Long] }
         val t = (4L * (maxId + 1L)) / 5L
         val pairs = pairsFromSets(jacSetsTable(s, dir), 6000L,
           probeMinD2 = Some(t))
@@ -2355,7 +2358,9 @@ object DedupQueries {
         val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
         try {
           val docs = Tables(s, dir, "documents")
-          val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+          // null-safe (r17 empty/single sweep): no docs → no max id
+          val maxId = docs.agg(max("doc_id")).collect()(0)
+            .get(0) match { case null => -1L; case v => v.asInstanceOf[Long] }
           val t = (4L * (maxId + 1L)) / 5L
           def setsOf(d: DataFrame): DataFrame = d
             .select(col("doc_id"),
@@ -2372,12 +2377,18 @@ object DedupQueries {
           val v1 = setsOf(docs.filter(col("doc_id") < t))
           val c1 = w.append(v1, Seq("pb"), tableDir)
           // step 2 — the at-rest probe: v1 sets come off the lake table,
-          // not a recompute (asserted on the actual scan inputs)
-          val atRest = LakeOps.readTable(s, tableDir)
-            .select(col("doc_id"), col("n"), col("hs"))
-          require(atRest.inputFiles.nonEmpty &&
-            atRest.inputFiles.forall(_.contains("jacindex")),
-            "v1 index must be read from the lake table")
+          // not a recompute (asserted on the actual scan inputs). A
+          // degenerate corpus whose v1 half is EMPTY has no index to
+          // probe (the Q10 rule: an empty append commits no snapshot) —
+          // the probe side is then the empty sets frame (r17 sweep).
+          val atRest = if (c1.rows > 0) {
+            val at = LakeOps.readTable(s, tableDir)
+              .select(col("doc_id"), col("n"), col("hs"))
+            require(at.inputFiles.nonEmpty &&
+              at.inputFiles.forall(_.contains("jacindex")),
+              "v1 index must be read from the lake table")
+            at
+          } else v1.select(col("doc_id"), col("n"), col("hs")).limit(0)
           val batch = setsOf(docs.filter(col("doc_id") >= t))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           persisted += batch
@@ -2390,13 +2401,19 @@ object DedupQueries {
           val nDrop = pairsFromSets(union, 6000L, probeMinD2 = Some(t))
             .select("d2").distinct().count()
           // step 3 — merge: the batch plus one re-crawled v1 doc (its
-          // lowest id with a set) through the copy-on-write upsert
-          val recrawlId = v1.agg(min("doc_id")).collect()(0).getLong(0)
-          LakeOps.upsert(s, tableDir,
-            batch.unionByName(setsOf(docs.filter(col("doc_id") === recrawlId))),
+          // lowest id with a set) through the copy-on-write upsert;
+          // with an empty v1 there is nothing to re-crawl (r17 sweep)
+          val recrawl = v1.agg(min("doc_id")).collect()(0).get(0) match {
+            case null => v1.limit(0)
+            case rid => setsOf(docs.filter(col("doc_id") === rid.asInstanceOf[Long]))
+          }
+          LakeOps.upsert(s, tableDir, batch.unionByName(recrawl),
             Seq("doc_id"), Seq("pb"))
-          // step 4 — parity vs a from-scratch rebuild
-          val merged = LakeOps.readTable(s, tableDir)
+          // step 4 — parity vs a from-scratch rebuild (an all-empty
+          // corpus commits nothing at all — read the empty shape)
+          val merged = (if (graft.sink.GraftLog.records(tableDir).nonEmpty)
+              LakeOps.readTable(s, tableDir)
+            else v1.limit(0))
             .select(col("doc_id"), col("hs"))
           val fresh = setsOf(docs).select(col("doc_id"), col("hs").as("hs2"))
           val nMerged = merged.count()

@@ -128,7 +128,12 @@ object RelationalQueries {
              |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_e2
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |HAVING COUNT(*) > 0
              |ORDER BY returnflag, linestatus""".stripMargin)),
+             // HAVING COUNT(*)>0: on an EMPTY table the SQL standard's
+             // () grouping set emits a 0-count grand-total row (DuckDB
+             // does) while Spark's rollup emits nothing — bless Spark's
+             // shape; a no-op on any non-empty input (r17 sweep)
 
     // ------------------------------------------------------------------
     // q_grouping_sets ★ (new r5) — ARBITRARY grouping sets, the general
@@ -164,7 +169,9 @@ object RelationalQueries {
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
              |  (o_orderstatus), ())
+             |HAVING COUNT(*) > 0
              |ORDER BY gid, status, priority""".stripMargin)),
+             // HAVING COUNT(*)>0: the q_rollup empty-table rule
 
     // ------------------------------------------------------------------
     // q_set_ops — UNION (distinct) / INTERSECT / EXCEPT over key

@@ -282,8 +282,8 @@ object TextQueries {
        |  CAST(('0x' || substring(md5(t), 1, 15))::BIGINT % 256 AS INTEGER) AS d,
        |  CAST(COUNT(*) AS BIGINT) AS c
        |  FROM tok GROUP BY 1, 2),
-       |s2 AS (SELECT CAST(SUM(c * c) AS BIGINT)
-       |  + (SELECT COUNT(*) FROM documents) AS s FROM cnt),
+       |s2 AS (SELECT GREATEST(1, COALESCE(CAST(SUM(c * c) AS BIGINT), 0)
+       |  + (SELECT COUNT(*) FROM documents)) AS s FROM cnt),
        |y AS (SELECT doc_id,
        |  CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
        |         >= len(string_split(text, ' '))
@@ -698,7 +698,7 @@ object TextQueries {
       .filter(length(col("w")) >= 1 && length(col("w")) <= UnigramMaxWord)
       .groupBy("w").agg(count(lit(1)).as("wf"))
       .persist(mem)
-    wfu.count()
+    val nWords = wfu.count()
     // seed occurrences WITH multiplicity: one row per (word, start, len)
     val occ = wfu.select(col("w"), col("wf"), explode(expr(
       "flatten(transform(sequence(1, length(w)), a -> " +
@@ -710,7 +710,11 @@ object TextQueries {
       .persist(mem)
     cnt.count()
     var seg: DataFrame = null
-    var r = 1
+    if (nWords == 0) // EMPTY vocabulary (r17 empty sweep): no pieces,
+      // no rounds — the model is empty in both engines
+      seg = wfu.select(col("w"), col("wf"),
+        lit(null).cast("array<string>").as("seg")).limit(0)
+    var r = if (nWords == 0) UnigramRounds + 1 else 1
     while (r <= UnigramRounds) {
       val totC = cnt.agg(sum("cnt")).collect()(0).getLong(0)
       require(totC < (1L << 33),
@@ -2365,13 +2369,21 @@ object TextQueries {
           .filter(length(col("w")) >= 2)
           .groupBy("w").agg(count(lit(1)).as("wf"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val top = words
+        val topRow = words
           .select(col("wf"),
             expr("explode(sequence(1, length(w) - 1))").as("i"), col("w"))
           .select(expr("substring(w, i, 2)").as("pair"), col("wf"))
           .groupBy("pair").agg(sum("wf").as("n"))
           .orderBy(desc("n"), asc("pair")).limit(1)
-          .head().getString(0) // the 1-row model (merge-table entry)
+          .collect() // the 1-row model (merge-table entry)
+        if (topRow.isEmpty) {
+          // EMPTY vocabulary: no pair to merge — empty output in both
+          // engines (r17 empty sweep; no `return` in a stored lambda)
+          words.limit(0).select(lit("").as("pair"), col("w"),
+            col("wf"), col("wf").as("n_merges"),
+            col("wf").as("len_before"), col("wf").as("len_after"))
+        } else {
+        val top = topRow.head.getString(0)
         val matches = words
           .select(col("w"), col("wf"),
             expr("explode(sequence(1, length(w) - 1))").as("i"))
@@ -2392,6 +2404,7 @@ object TextQueries {
             length(col("w")).cast("long").as("len_before"),
             (length(col("w")) - col("n_merges")).cast("long").as("len_after"))
           .orderBy(desc("wf"), asc("w")).limit(50)
+        }
       },
       Some("""WITH t AS (
              |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
@@ -3014,8 +3027,12 @@ object TextQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val yf = docs.select(col("doc_id"), qcLabel.as("y"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sumC2 = cnt.agg(sum(col("c") * col("c"))).collect()(0).getLong(0)
-        val sVal = sumC2 + yf.count() // + Σ_docs 1² (the bias feature)
+        val sumC2 = cnt.agg(coalesce(sum(col("c") * col("c")), lit(0L)))
+          .collect()(0).getLong(0)
+        // + Σ_docs 1² (the bias feature); floor at 1 so an EMPTY corpus
+        // degrades to zero-gradient no-op steps (weights stay at init)
+        // instead of a null collect + divide-by-zero (r17 empty sweep)
+        val sVal = math.max(1L, sumC2 + yf.count())
         var w = qcWeights.toArray
         var b = qcBias
         val hist = scala.collection.mutable.ArrayBuffer((w.clone(), b))
