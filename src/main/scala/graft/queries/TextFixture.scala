@@ -100,4 +100,104 @@ object TextFixture {
     val lit = "'" + text.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
     s"SELECT '$src' AS source, $lit AS text"
   }.mkString("\n  UNION ALL ")
+
+  // ------------------------------------------------------------------
+  // Quality-classifier fixture (r17, r16 verdict #4): the synthetic
+  // corpus scores near-uniformly under the fixed hashed-feature
+  // weights, so q_quality_classifier's keep-rate spread and
+  // q_quality_calibration's reliability diagram were degenerate.
+  // These docs are built from tokens CHOSEN BY THEIR WEIGHT under the
+  // exact q_feature_hash scheme (md5 dims → md5 weights — replicated
+  // here, deterministic), so the driver's oracle rows show live
+  // discrimination: an all-positive-token source keeps everything, an
+  // all-negative one keeps nothing, and a 21-doc mixing ramp sweeps
+  // the score (and the predicted probability) through its range.
+
+  private def h60(seed: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+  private def qcDimOf(t: String): Int = (h60(t) % 256L).toInt // h60 ≥ 0
+  private def qcWeightOf(d: Int): Long = h60("qw" + d) % 200001L - 100000L
+
+  /** 8 tokens with strongly POSITIVE weight and 8 strongly NEGATIVE,
+    * scanned deterministically from the `qcw<i>` candidate family.
+    */
+  private val (qcPosToks, qcNegToks) = {
+    val cands = Iterator.from(0).map(i => s"qcw$i")
+      .map(t => t -> qcWeightOf(qcDimOf(t)))
+    val pos = Seq.newBuilder[String]
+    val neg = Seq.newBuilder[String]
+    var nPos = 0
+    var nNeg = 0
+    while (nPos < 8 || nNeg < 8) {
+      val (t, w) = cands.next()
+      if (w > 60000L && nPos < 8) { pos += t; nPos += 1 }
+      if (w < -60000L && nNeg < 8) { neg += t; nNeg += 1 }
+    }
+    (pos.result(), neg.result())
+  }
+
+  /** (doc_id, text, source): 4 high-quality docs, 4 low-quality docs,
+    * and a 21-doc ramp mixing m ∈ [0, 20] positive tokens of 20.
+    */
+  val qcDocs: Seq[(Long, String, String)] = {
+    def doc(m: Int): String =
+      ((0 until m).map(i => qcPosToks(i % 8)) ++
+        (0 until (20 - m)).map(i => qcNegToks(i % 8))).mkString(" ")
+    (0 until 4).map(k => (-(301L + k), doc(20), "planted_qc_good")) ++
+      (0 until 4).map(k => (-(311L + k), doc(0), "planted_qc_bad")) ++
+      (0 to 20).map(m => (-(321L + m), doc(m), "planted_qc_mix"))
+  }
+
+  /** Content hash of the qc planted rows (cache-key folding, the
+    * q_langid_train staleness lesson — kept for any future
+    * materialized consumer).
+    */
+  val qcKey: String = java.security.MessageDigest.getInstance("MD5")
+    .digest(qcDocs.mkString("").getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString.take(8)
+
+  /** The qc planted rows as a SQL relation (doc_id, text, source). */
+  val qcSqlRows: String = qcDocs.map { case (id, text, src) =>
+    s"SELECT CAST($id AS BIGINT) AS doc_id, '$text' AS text, '$src' AS source"
+  }.mkString("\n  UNION ALL ")
+
+  // ------------------------------------------------------------------
+  // DSIR fixture (r17, r16 verdict #4): the corpus's text is
+  // lang-independent, so the 'en' target slice ≈ the raw corpus and
+  // every importance weight collapsed near 0 (the 25% quota then
+  // over-selects arbitrarily). Planted: a TARGET-VOCABULARY slice
+  // labeled 'en' and a raw-only slice under a dedicated lang — the
+  // bucket model then carries a genuine t/r ratio, the driver's
+  // q_dsir row shows a live logw spread, and q_dsir_eval a live KL
+  // improvement.
+
+  /** (doc_id, text, lang, source): 12 target-vocab docs (lang 'en') +
+    * 12 raw-only-vocab docs (dedicated lang), dedicated sources.
+    */
+  val dsirDocs: Seq[(Long, String, String, String)] = {
+    def doc(prefix: String, k: Int): String =
+      (0 until 36).map(j => s"$prefix${(k + j) % 6}").mkString(" ")
+    (0 until 12).map(k =>
+      (-(401L + k), doc("dsA", k), "en", "planted_dsir_t")) ++
+      (0 until 12).map(k =>
+        (-(421L + k), doc("dsB", k), "xx_r", "planted_dsir_r"))
+  }
+
+  /** Content hash of the dsir planted rows — folded into the
+    * dsirBuckets CorpusTable prefix (the staleness lesson).
+    */
+  val dsirKey: String = java.security.MessageDigest.getInstance("MD5")
+    .digest(dsirDocs.mkString("").getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString.take(8)
+
+  /** The dsir planted rows as a SQL relation
+    * (doc_id, text, lang, source).
+    */
+  val dsirSqlRows: String = dsirDocs.map { case (id, text, lang, src) =>
+    s"SELECT CAST($id AS BIGINT) AS doc_id, '$text' AS text, " +
+      s"'$lang' AS lang, '$src' AS source"
+  }.mkString("\n  UNION ALL ")
 }

@@ -222,20 +222,47 @@ object TextQueries {
   /** Shared oracle prefix: the weight table, per-token dims, and the
     * per-doc score — interpolated into both consumers' SQL so the
     * scheme is SHARED TEXT (the DfCutWeightsSql rule). Ends in
-    * sc(doc_id, source, z). */
-  private[queries] lazy val QcScoreSql: String =
+    * sc(doc_id, source, z). Parameterized over the document relation
+    * (r17): the classifier/calibration rows union the
+    * [[TextFixture.qcDocs]] planted slice in, everything else reads
+    * the bare corpus.
+    */
+  private def qcScoreSqlFrom(docsRel: String): String =
     s"""w AS (SELECT CAST(d AS INTEGER) AS d,
        |  $QcWeightSqlExpr AS w
        |  FROM range(0, 256) t(d)),
        |tok AS (SELECT doc_id, source,
        |          unnest(string_split(COALESCE(text, ''), ' ')) AS t
-       |        FROM documents),
+       |        FROM $docsRel),
        |dims AS (SELECT doc_id, source,
        |  CAST(('0x' || substring(md5(t), 1, 15))::BIGINT % 256 AS INTEGER) AS d
        |  FROM tok),
        |sc AS (SELECT doc_id, source,
        |  $qcBias + CAST(SUM(w.w) AS BIGINT) AS z
        |  FROM dims JOIN w USING (d) GROUP BY doc_id, source)""".stripMargin
+
+  private[queries] lazy val QcScoreSql: String = qcScoreSqlFrom("documents")
+
+  /** The corpus ∪ planted-qc document relation, oracle side (doc_id,
+    * text, source).
+    */
+  private[queries] lazy val QcDocsUnionRel: String =
+    s"""(SELECT doc_id, text, source FROM documents
+       |  UNION ALL ${TextFixture.qcSqlRows}) qdocs""".stripMargin
+
+  private[queries] lazy val QcScoreFixtureSql: String =
+    qcScoreSqlFrom(QcDocsUnionRel)
+
+  /** The corpus ∪ planted-qc document frame, Spark side — the
+    * q_quality_classifier / q_quality_calibration input (r17 fixture
+    * liveness; see [[TextFixture.qcDocs]]).
+    */
+  private def qcFixtureInput(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .unionByName(TextFixture.qcDocs.toDF("doc_id", "text", "source"))
+  }
 
   /** Gradient-descent steps for q_quality_train; 3 exercises weights
     * updated from a PREVIOUS step's gradient feeding the next score. */
@@ -1241,8 +1268,20 @@ object TextQueries {
     * (always ≤ the token stream it compresses).
     */
   private def dsirBuckets(s: SparkSession, dir: String): DataFrame =
-    CorpusTable.materialized(s, dir, "dsirbuckets") {
+    // prefix carries the fixture hash: a fixture edit must bust the
+    // cached table (the q_langid_train staleness lesson)
+    CorpusTable.materialized(s, dir,
+      s"dsirbuckets_v2_${TextFixture.dsirKey}") {
+      import s.implicits._
+      // r17 fixture liveness: the corpus's text is lang-independent
+      // (target ≈ raw ⇒ logw ≈ 0), so the planted target-vocabulary
+      // 'en' slice and raw-only slice ride along in BOTH engines —
+      // the driver's rows then show a live importance-weight spread
+      // and a live KL gap (see [[TextFixture.dsirDocs]])
       Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .unionByName(TextFixture.dsirDocs
+          .toDF("doc_id", "text", "lang", "source"))
         .select(col("doc_id"), col("source"), col("lang"), explode(toks).as("t"))
         .select(col("doc_id"), col("source"), col("lang"),
           pmod(graft.functions.Md5Ops.md5Prefix(col("t"), 15),
@@ -2909,8 +2948,13 @@ object TextQueries {
 
     QueryDef(
       "q_quality_classifier",
+      // r17: the input unions the [[TextFixture.qcDocs]] planted slice
+      // (weight-selected vocabularies), so the driver's oracle row
+      // shows LIVE discrimination — planted_qc_good keeps 100%,
+      // planted_qc_bad 0%, planted_qc_mix ≈ half — next to the honest
+      // near-uniform corpus sources.
       (s: SparkSession, dir: String) =>
-        Tables(s, dir, "documents")
+        qcFixtureInput(s, dir)
           .select(col("source"), qcScoreE6.as("z"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
@@ -2920,7 +2964,7 @@ object TextQueries {
             floorDivL(col("n_keep") * 10000L, col("n_docs")).as("keep_rate_e4"),
             col("score_sum_e6"))
           .orderBy("source"),
-      Some(s"""WITH $QcScoreSql
+      Some(s"""WITH $QcScoreFixtureSql
               |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
               |  CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
               |  (CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
@@ -3084,9 +3128,12 @@ object TextQueries {
     // speed), a per-source window sort, a ≤10·sources-group agg.
     QueryDef(
       "q_quality_calibration",
+      // r17: input unions the planted-qc slice (the classifier
+      // arrangement) — the mixing-ramp source sweeps z through its
+      // range, making the driver's reliability diagram LIVE
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window
-        val scored = Tables(s, dir, "documents")
+        val scored = qcFixtureInput(s, dir)
           .select(col("doc_id"), col("source"), qcScoreE6.as("z"),
             qcLabel.as("y"))
         scored
@@ -3104,13 +3151,13 @@ object TextQueries {
           .withColumn("gap_e6", col("mean_pred_e6") - col("obs_pos_e6"))
           .orderBy("source", "decile")
       },
-      Some(s"""WITH $QcScoreSql,
+      Some(s"""WITH $QcScoreFixtureSql,
               |yl AS (SELECT doc_id,
               |  CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
               |         >= len(string_split(text, ' '))
               |       AND len(string_split(text, ' ')) >= 10
               |    THEN 1 ELSE 0 END AS y
-              |  FROM documents),
+              |  FROM $QcDocsUnionRel),
               |b AS (SELECT sc.doc_id, sc.source, sc.z, yl.y,
               |  ${qcResidSqlExpr("sc.z", "0")} AS pred,
               |  NTILE(10) OVER (PARTITION BY sc.source
@@ -4239,7 +4286,8 @@ object TextQueries {
   private lazy val DsirSql: String =
     s"""tok AS (
        |  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS t
-       |  FROM documents),
+       |  FROM (SELECT doc_id, text, lang, source FROM documents
+       |    UNION ALL ${TextFixture.dsirSqlRows}) ddocs),
        |c AS MATERIALIZED (
        |  SELECT doc_id, source, lang,
        |    ('0x' || substring(md5(t), 1, 15))::BIGINT % 512 AS b,

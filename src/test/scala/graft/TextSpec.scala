@@ -427,11 +427,15 @@ class TextSpec extends SparkSpec {
     val corpus = Tables(spark, sfDir, "documents")
       .select("doc_id", "source", "text")
       .as[(Long, String, String)].collect().toSeq
+    // the classifier row unions the planted qc slice (r17 fixture
+    // liveness); grad/train still read the bare corpus
+    val corpusQc = corpus ++ graft.queries.TextFixture.qcDocs
+      .map { case (id, text, src) => (id, src, text) }
 
     // ---- driver-side scorer reference (exact integer e6)
     def zOf(text: String): Long =
       qcBias + text.split(" ", -1).map(t => qcWeights(dimOf(t))).sum
-    val wantApply = corpus.groupBy(_._2).map { case (src, ds) =>
+    val wantApply = corpusQc.groupBy(_._2).map { case (src, ds) =>
       val zs = ds.map(d => zOf(d._3))
       val keep = zs.count(_ >= 0L).toLong
       (src, ds.size.toLong, keep, keep * 10000L / ds.size, zs.sum)
@@ -742,9 +746,13 @@ class TextSpec extends SparkSpec {
         .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def bucket(t: String): Long =
       java.lang.Long.parseLong(md5hex(t).substring(0, 15), 16) % 512L
+    // the dsir battery unions the planted target/raw slices (r17
+    // fixture liveness) — the replica folds over the same union
     val rows = Tables(spark, sfDir, "documents")
       .select("doc_id", "source", "lang", "text")
-      .as[(Long, String, String, String)].collect().toSeq
+      .as[(Long, String, String, String)].collect().toSeq ++
+      graft.queries.TextFixture.dsirDocs
+        .map { case (id, text, lang, src) => (id, src, lang, text) }
     val perDoc = rows.map { case (id, src, lang, text) =>
       val bs = text.split(" ", -1).toSeq.map(bucket)
       (id, src, lang, bs.groupBy(identity).map { case (b, o) => b -> o.size.toLong })
@@ -1042,9 +1050,12 @@ class TextSpec extends SparkSpec {
       val sg = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
       math.floor(sg * 1000000.0 + 0.5).toLong
     }
-    val corpus = Tables(spark, sfDir, "documents")
+    // calibration unions the planted qc slice (r17 fixture liveness)
+    val corpus = (Tables(spark, sfDir, "documents")
       .select("doc_id", "source", "text")
-      .as[(Long, String, String)].collect().toSeq
+      .as[(Long, String, String)].collect().toSeq) ++
+      graft.queries.TextFixture.qcDocs
+        .map { case (id, text, src) => (id, src, text) }
     // NTILE replica: first (n mod 10) deciles get the extra row
     val want = corpus.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
       val sorted = ds.map(d => (zOf(d._3), d._1, yOf(d._3)))
@@ -1467,5 +1478,38 @@ class TextSpec extends SparkSpec {
         s"k=$k maxB=$b: got $got want ${multiset(k - 1)}")
     }
     hist.unpersist()
+  }
+
+  test("qc/dsir fixture liveness: the planted sources make the driver " +
+      "rows show live discrimination, not degenerate agreement (r17)") {
+    // classifier: keep-rate spread 0 / ~half / 1 across the planted
+    // weight-selected sources
+    val cls = SparkEntry.queries("q_quality_classifier")(spark, sfDir)
+      .filter(col("source").startsWith("planted_qc"))
+      .select("source", "keep_rate_e4")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cls("planted_qc_good") == 10000L, s"good source must keep all: $cls")
+    assert(cls("planted_qc_bad") == 0L, s"bad source must keep none: $cls")
+    assert(cls("planted_qc_mix") > 2000L && cls("planted_qc_mix") < 8000L,
+      s"mix source must split: $cls")
+    // calibration: the mixing ramp sweeps the predicted probability
+    val cal = SparkEntry.queries("q_quality_calibration")(spark, sfDir)
+      .filter(col("source") === "planted_qc_mix")
+      .select("mean_pred_e6").collect().map(_.getLong(0))
+    assert(cal.max - cal.min > 300000L,
+      s"calibration ramp must sweep the prediction: ${cal.toSeq.sorted}")
+    // dsir: planted target slice strictly above every corpus weight,
+    // planted raw-only slice strictly below — a LIVE importance gap
+    val dsir = SparkEntry.queries("q_dsir")(spark, sfDir)
+      .select("source", "logw_e20")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val t = dsir.filter(_._1 == "planted_dsir_t").map(_._2)
+    val r = dsir.filter(_._1 == "planted_dsir_r").map(_._2)
+    val corpus = dsir.filterNot(_._1.startsWith("planted_dsir")).map(_._2)
+    assert(t.nonEmpty && r.nonEmpty && corpus.nonEmpty)
+    assert(t.min > corpus.max,
+      s"target slice must out-weigh the corpus: ${t.min} vs ${corpus.max}")
+    assert(r.max < corpus.min,
+      s"raw-only slice must under-weigh the corpus: ${r.max} vs ${corpus.min}")
   }
 }
