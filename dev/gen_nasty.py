@@ -198,7 +198,9 @@ def full(out):
        n_chars=pa.array([len(t) if t is not None else None for t in texts],
                         pa.int64()))
     # embeddings: dense ids, dim 64; zero vector, exact dup, antipodal,
-    # huge/tiny magnitudes, deterministic tail
+    # huge/tiny magnitudes, deterministic tail, and (r17) NON-FINITE
+    # vectors — one NaN component, one +Inf component, all-NaN — the
+    # corrupt-embedding class real fp16 pipelines emit
     rng = np.random.default_rng(7)
     def unit(v):
         v = np.asarray(v, np.float64)
@@ -206,13 +208,16 @@ def full(out):
         return (v / n if n else v).astype(np.float32).tolist()
     e0 = [0.0] * 64
     e1 = [1.0] + [0.0] * 63
+    nanv = unit(rng.standard_normal(64)); nanv[3] = float("nan")
+    infv = unit(rng.standard_normal(64)); infv[0] = float("inf")
     vecs = [e0, e1, list(e1), [-x for x in e1],
             [1e10] * 64, [1e-20] * 64] + \
-           [unit(rng.standard_normal(64)) for _ in range(6)]
+           [unit(rng.standard_normal(64)) for _ in range(6)] + \
+           [nanv, infv, [float("nan")] * 64]
     _w(out, "embeddings",
-       vec_id=pa.array(range(12), pa.int64()),
+       vec_id=pa.array(range(15), pa.int64()),
        embedding=_emb(vecs),
-       label=pa.array([0] * 9 + [1, 2, -1], pa.int32()))
+       label=pa.array([0] * 9 + [1, 2, -1, 0, 0, 0], pa.int32()))
 
 
 def single(out):

@@ -64,6 +64,7 @@ object GraftFunctions {
     "graft_ahash64" -> (es => AHash64(es.head)),
     "graft_java_hash" -> (es => JavaHash(es.head)),
     "graft_quant_i8" -> (es => VectorOps.QuantI8Stats(es.head)),
+    "graft_vec_norm2" -> (es => VectorOps.VecNorm2(es.head)),
     "graft_shingles" -> (es =>
       Shingles(es.head, intLit(es(1), "shingle width"))),
     "graft_frame_energy" -> (es =>

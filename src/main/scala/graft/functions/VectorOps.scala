@@ -43,6 +43,26 @@ object VectorOps {
     if (nn > 0.0) dot / nn else Double.NaN
   }
 
+  /** Σx² widened to double, left-to-right. Finite for every all-finite
+    * float32 input (64·(3.4e38)² ≈ 7e78 ≪ double max), NaN/+Inf iff the
+    * vector carries a NaN/±Inf component — the corrupt-embedding
+    * predicate (norm2 < +Inf ⟺ vector is finite, since NaN compares
+    * above +Inf under Spark ordering and plain `<` is false on both).
+    */
+  def norm2F(a: ArrayData): Double = {
+    var s = 0.0; var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
+  def norm2D(a: ArrayData): Double = {
+    var s = 0.0; var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    s
+  }
+
   def cosineD(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -178,6 +198,36 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** Σx² (double; see [[norm2F]]) — the scan-side finite-vector
+    * predicate `vec_norm2(v) < 'Infinity'` and a general norm builder.
+    */
+  case class VecNorm2(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      elemType(child.dataType) match {
+        case Some(_) => TypeCheckResult.TypeCheckSuccess
+        case None => TypeCheckResult.TypeCheckFailure(
+          s"vec_norm2 expects array<float|double>, got ${child.dataType}")
+      }
+
+    private def isFloat = elemType(child.dataType).contains(FloatType)
+
+    override protected def nullSafeEval(a: Any): Any =
+      if (isFloat) norm2F(a.asInstanceOf[ArrayData])
+      else norm2D(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (isFloat) "norm2F" else "norm2D"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorOps.$fn($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): VecNorm2 =
+      copy(child = newChild)
+  }
+
   /** Sign-bit LSH code expression; `planes` values must be ±1. */
   case class LshCode(child: Expression, planes: Seq[Seq[Int]]) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -282,6 +332,10 @@ object VectorOps {
   /** Cosine similarity; null/zero-norm safe (returns null). */
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Σx² as double (codegen'd; see [[VecNorm2]]). */
+  def vecNorm2(v: Column): Column =
+    GraftBridge.column(VecNorm2(GraftBridge.expression(v)))
 
   /** Sign-bit LSH code from ±1 hyperplanes: bit p = 1 iff
     * dot(planes(p), v) > 0.

@@ -62,8 +62,31 @@ object SimilarityQueries {
 
   private val Dim = 64
 
+  /** The embeddings read every consumer goes through. Non-finite
+    * vectors (any NaN/±Inf component — the corrupt-embedding class real
+    * fp16 pipelines emit) are dropped HERE, at the scan (r17): their
+    * geometry is meaningless, their cosines poison every ranking in
+    * engine-specific ways (DuckDB's total order puts NaN above +Inf;
+    * Spark ANSI throws casting NaN to the e6 integer export; the kmeans
+    * long accumulators overflow), and no downstream operator can repair
+    * them. The predicate is one codegen'd Σx² pass: `vecNorm2(v) <
+    * +Inf` is true exactly for all-finite vectors (float32 widened to
+    * double can never overflow a finite sum — 64·(3.4e38)² ≈ 7e78 —
+    * and NaN compares ABOVE +Inf under Spark ordering, so plain `<`
+    * rejects NaN and ±Inf alike). Zero vectors (Σx² = 0) pass — the
+    * unranked consumers (quantization, PQ codes, OOD) keep processing
+    * them exactly as before; the ranked queries still drop them in
+    * [[guarded]]. A null embedding passes (coalesce), deferred to each
+    * consumer like any other null column. Oracle mirror: every
+    * embeddings CTE carries COALESCE(isfinite(list_sum(x²)), TRUE)
+    * beside its existing predicate.
+    */
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
+      .filter(coalesce(
+        graft.functions.VectorOps.vecNorm2(col("embedding")) <
+          lit(Double.PositiveInfinity),
+        lit(true)))
 
   /** Corpus with zero-norm vectors dropped — the ranked queries' input
     * (see the zero-norm guard note above). cosine(v,v) is null exactly
@@ -238,7 +261,7 @@ object SimilarityQueries {
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |  WHERE list_sum(list_transform(embedding,
-      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
       |scored AS (
       |  SELECT e.vec_id, c.cid,
@@ -271,7 +294,7 @@ object SimilarityQueries {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |  WHERE list_sum(list_transform(embedding,
-      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
       |p AS (
       |  SELECT LEAST(20, GREATEST(4, length(bin(COUNT(*) - 1)) - 3)) AS bits FROM e),
       |pl AS (
@@ -360,7 +383,7 @@ object SimilarityQueries {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |  WHERE list_sum(list_transform(embedding,
-       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
        |cidx AS (
        |  SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS idx,
@@ -407,7 +430,7 @@ object SimilarityQueries {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |  WHERE list_sum(list_transform(embedding,
-      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
       |p AS (
       |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) AS k,
       |    GREATEST(1, (GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INTEGER)) + 3) // 4) AS nprobe,
@@ -775,7 +798,7 @@ object SimilarityQueries {
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings
              |  WHERE list_sum(list_transform(embedding,
-             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
              |scored AS (
              |  SELECT q.q_id, e.vec_id,
@@ -923,7 +946,7 @@ object SimilarityQueries {
              |        floor(CAST(x AS DOUBLE) * 10000 + 0.5),
              |        -10000000), 10000000) AS BIGINT))
              |      AS q
-             |  FROM embeddings),
+             |  FROM embeddings WHERE COALESCE(isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), TRUE)),
              |xs AS (
              |  SELECT vec_id, label, unnest(range(1, len(q) + 1)) AS d, q
              |  FROM e),
@@ -958,7 +981,7 @@ object SimilarityQueries {
       Some("""WITH e AS (
              |  SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
+             |  FROM embeddings WHERE COALESCE(isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), TRUE)),
              |m AS (
              |  SELECT vec_id, v,
              |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
@@ -1013,7 +1036,7 @@ object SimilarityQueries {
       Some("""WITH e AS (
              |  SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
+             |  FROM embeddings WHERE COALESCE(isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), TRUE)),
              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
              |scored AS (
              |  SELECT e.vec_id, c.cid,
@@ -1083,7 +1106,7 @@ object SimilarityQueries {
       Some("""WITH e AS (
              |  SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
+             |  FROM embeddings WHERE COALESCE(isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), TRUE)),
              |p AS (
              |  SELECT a.vec_id AS v1, b.vec_id AS v2,
              |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
@@ -1135,7 +1158,7 @@ object SimilarityQueries {
       Some("""WITH e AS (
              |  SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
+             |  FROM embeddings WHERE COALESCE(isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), TRUE)),
              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
              |scored AS (
              |  SELECT e.vec_id, c.cid, e.v,
@@ -1198,7 +1221,7 @@ object SimilarityQueries {
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings
              |  WHERE list_sum(list_transform(embedding,
-             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
              |p AS (
              |  SELECT GREATEST(8, LEAST(24, length(bin(COUNT(*) - 1)))) AS bits FROM e),
              |pl AS (
@@ -1298,7 +1321,7 @@ object SimilarityQueries {
            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            |  FROM embeddings
            |  WHERE list_sum(list_transform(embedding,
-           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
            |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
            |cidx AS (
            |  SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS idx,
@@ -1396,7 +1419,7 @@ object SimilarityQueries {
       },
       Some(s"""WITH e AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
+             |  FROM embeddings WHERE COALESCE(isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), TRUE)),
              |ex AS (
              |  SELECT vec_id, CAST(i.range AS INTEGER) AS pos,
              |    CAST(LEAST(GREATEST(floor(v[i.range + 1] * 1000000 + 0.5),
@@ -1484,7 +1507,7 @@ object SimilarityQueries {
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings
              |  WHERE list_sum(list_transform(embedding,
-             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
              |scored AS (
              |  SELECT q.q_id, e.vec_id AS id,
@@ -1585,7 +1608,7 @@ object SimilarityQueries {
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings
              |  WHERE list_sum(list_transform(embedding,
-             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
              |q AS (SELECT doc_id AS q_id, vec_id AS q_tok, v AS qv
              |      FROM e WHERE doc_id < 2),
              |pair AS (
@@ -1661,7 +1684,7 @@ object SimilarityQueries {
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings
              |  WHERE list_sum(list_transform(embedding,
-             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
              |coarse AS (
              |  SELECT q.q_id, e.vec_id,
@@ -1768,7 +1791,7 @@ object SimilarityQueries {
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings
              |  WHERE list_sum(list_transform(embedding,
-             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
              |dim AS (
              |  SELECT doc_id, i, AVG(v[i]) AS m
              |  FROM e, range(1, 65) r(i) GROUP BY doc_id, i),
@@ -2075,7 +2098,7 @@ object SimilarityQueries {
           .orderBy("vec_id", "rk")
       },
       Some(s"""WITH $ClusterPairSql,
-             |lb AS (SELECT vec_id, label FROM embeddings),
+             |lb AS (SELECT vec_id, label FROM embeddings WHERE COALESCE(isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), TRUE)),
              |hn AS (
              |  SELECT p.vec_id, la.label AS label, p.nb,
              |    nl.label AS nb_label, p.cos,
@@ -2237,7 +2260,7 @@ object SimilarityQueries {
            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            |  FROM embeddings
            |  WHERE list_sum(list_transform(embedding,
-           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
            |$ExactRankedSql,
            |$per
            |SELECT * FROM (

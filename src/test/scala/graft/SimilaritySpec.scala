@@ -230,6 +230,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("finite-vector scan guard: vec_norm2 semantics, and planted " +
+      "NaN/Inf vectors change no declared result (r17)") {
+    // vecNorm2: Σx² as double; < +Inf is the exact all-finite test
+    // (NaN compares above +Inf under Spark ordering)
+    val probe = Seq(
+      (1L, Seq(3f, 4f)), (2L, Seq.fill(4)(0f)),
+      (3L, Seq(1f, Float.NaN)), (4L, Seq(Float.PositiveInfinity, 1f)),
+      (5L, Seq(Float.NegativeInfinity))).toDF("id", "v")
+      .select(col("id"), vecNorm2(col("v")).as("n2"),
+        (vecNorm2(col("v")) < lit(Double.PositiveInfinity)).as("fin"))
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(probe(1L)._1 == 25.0 && probe(1L)._2)
+    assert(probe(2L)._1 == 0.0 && probe(2L)._2, "zero vector must pass")
+    assert(probe(3L)._1.isNaN && !probe(3L)._2)
+    assert(probe(4L)._1.isPosInfinity && !probe(4L)._2)
+    assert(probe(5L)._1.isPosInfinity && !probe(5L)._2)
+    // corrupt vectors planted into the corpus leave every similarity
+    // result bit-identical — ranked AND unranked consumers (the r5
+    // zero-vector arrangement, extended to the non-finite class)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nanguard").toString
+    val nanv = Seq.tabulate(64)(i => if (i == 3) Float.NaN else 0.1f)
+    val infv = Seq.tabulate(64)(i => if (i == 0) Float.PositiveInfinity else 0.1f)
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(Seq(
+        (999997L, nanv, 0), (999998L, infv, 0),
+        (999999L, Seq.fill(64)(Float.NaN), 0))
+        .toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    for (q <- Seq("q_sim_topk", "q_sim_ann", "q_embed_quant", "q_embed_ood",
+        "q_kmeans_iter", "q_pca_power", "q_embed_cluster")) {
+      val base = SparkEntry.queries(q)(spark, sfDir).collect().toSeq
+      val planted = SparkEntry.queries(q)(spark, tmp).collect().toSeq
+      assert(planted == base, s"$q changed under planted non-finite vectors")
+    }
+  }
+
   test("centroid labels are actual vec_ids, not array indices (sparse id space, r5)") {
     // ADVICE r4: with a sparse/non-contiguous id space the array index
     // and the centroid's vec_id diverge — the exported cluster_id must

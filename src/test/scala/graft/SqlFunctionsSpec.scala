@@ -30,6 +30,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sql == api)
   }
 
+  test("graft_vec_norm2 in SQL == VectorOps.vecNorm2 (finite/NaN/Inf/zero)") {
+    val vs = Seq(Seq(3f, 4f), Seq.fill(4)(0f), Seq(1f, Float.NaN),
+      Seq(Float.PositiveInfinity, 1f))
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").createOrReplaceTempView("n2_sql")
+    val sql = spark.sql("SELECT id, graft_vec_norm2(v) FROM n2_sql")
+      .as[(Long, Double)].collect().toMap
+    val api = spark.table("n2_sql")
+      .select(col("id"), VectorOps.vecNorm2(col("v")))
+      .as[(Long, Double)].collect().toMap
+    assert(sql(0L) == 25.0 && api(0L) == 25.0)
+    assert(sql(1L) == 0.0 && api(1L) == 0.0)
+    assert(sql(2L).isNaN && api(2L).isNaN)
+    assert(sql(3L).isPosInfinity && api(3L).isPosInfinity)
+  }
+
   test("graft_simhash64 / graft_java_hash / graft_shingles in SQL match the API") {
     val docs = Seq("the quick brown fox", "héllo wörld 日本語", "x")
     docs.map(Tuple1(_)).toDF("text").createOrReplaceTempView("d_sql")
