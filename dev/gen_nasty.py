@@ -127,7 +127,8 @@ def full(out):
     # orders: 20 on ONE day (single partition), 2 at the epoch, 2 far
     # future; orphan custkeys; an out-of-domain status; '' priority
     n_ord = 24
-    odates = (["1997-07-01"] * 20 + ["1970-01-01"] * 2 + ["2099-12-31"] * 2)
+    odates = (["1997-07-01"] * 20 + ["1970-01-01", "1969-06-15"]
+              + ["2099-12-31"] * 2)
     _w(out, "orders",
        o_orderkey=pa.array(range(n_ord), pa.int64()),
        o_custkey=pa.array([i % 12 if i % 7 else 999 for i in range(n_ord)],
@@ -157,25 +158,29 @@ def full(out):
        l_returnflag=[["A", "N", "R", ""][i % 4] for i in range(n_li)],
        l_linestatus=[["O", "F"][i % 2] for i in range(n_li)],
        l_shipdate=_ts(*(["1997-07-02"] * (n_li - 4)
-                        + ["1970-01-01", "1970-01-01",
+                        + ["1970-01-01", "1969-06-15",
                            "2099-12-31", "2099-12-31"])))
     # events: ALL within one hour; 30 at one instant (total ties), the
     # rest clustered; one NaN measure; skewed users; malformed JSON props
     base = "2024-01-01T00:00:00"
     ets = ([base] * 30
            + [f"2024-01-01T00:0{i}:30" for i in range(1, 9)]
-           + ["2024-01-01T00:59:59.999999"] * 2)
+           + ["2024-01-01T00:59:59.999999"] * 2
+           # pre-epoch (r17): negative epoch seconds — integer floor-vs-
+           # truncate divergence bait for epoch-bucketing rows
+           + ["1969-12-31T23:59:59", "1969-06-15T00:00:01.5"])
+    n_ev = len(ets)
     props = ["not json", "", '{"k":', '{"k": null}', '{"k": {"x": 1}}',
              '{"k": "12"}', '{"K": 5}', '{"k": 1e400}'] + \
-            ['{"k": %d}' % (i % 9) for i in range(32)]
+            ['{"k": %d}' % (i % 9) for i in range(n_ev - 8)]
     _w(out, "events",
-       event_id=pa.array(range(40), pa.int64()),
+       event_id=pa.array(range(n_ev), pa.int64()),
        ts=_ts(*ets),
-       user_id=pa.array([0] * 35 + [1] * 5, pa.int64()),
+       user_id=pa.array([0] * 35 + [1] * 5 + [2] * (n_ev - 40), pa.int64()),
        event_type=[["view", "click", "", "クリック", "purchase", "signup",
-                    "error"][i % 7] for i in range(40)],
+                    "error"][i % 7] for i in range(n_ev)],
        value=[float("nan"), -1e12, 0.0, 0.0, 999.0]
-       + [float(i % 13) * 1.5 for i in range(35)],
+       + [float(i % 13) * 1.5 for i in range(n_ev - 5)],
        props=props)
     # documents: the NASTY rows + NULL text / NULL lang + an exact-dup
     # pair + a long repetitive doc

@@ -776,7 +776,11 @@ object StreamingQueries {
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
              |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
-             |  FROM events),
+             |  FROM events
+             |  -- born-late drop: Spark's event-time watermark starts at
+             |  -- epoch 0, so pre-1970 rows are late in EVERY watermarked
+             |  -- operator and never enter the aggregation (r17)
+             |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01 00:00:00'),
              |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e)
              |SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
              |  event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
@@ -814,7 +818,9 @@ object StreamingQueries {
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
              |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
-             |  FROM events)
+             |  FROM events
+             |  -- born-late drop (see stream_tumbling_e2e)
+             |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01 00:00:00')
              |SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
              |  event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
              |FROM e
@@ -893,7 +899,10 @@ object StreamingQueries {
       Some("""WITH e AS (
              |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
              |    COALESCE(TRY_CAST(ROUND(value*100, 0) AS BIGINT), 0) AS cents
-             |  FROM events),
+             |  FROM events
+             |  -- born-late drop (see stream_tumbling_e2e); the NoTimeout
+             |  -- sibling stream_session_e2e has no watermark and keeps them
+             |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01 00:00:00'),
              |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e),
              |x AS (
              |  SELECT *, CASE WHEN LAG(ts) OVER win IS NULL
@@ -936,7 +945,14 @@ object StreamingQueries {
           .orderBy("user_id", "event_type")
       },
       Some("""SELECT user_id, event_type, COUNT(*) AS n_arrivals
-             |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin)),
+             |FROM events GROUP BY 1, 2
+             |-- born-late drop (see stream_tumbling_e2e): a key whose every
+             |-- arrival is pre-epoch never reaches the dedup state; keys
+             |-- with any in-watermark arrival keep their FULL batch count
+             |-- (the n_arrivals join reads the batch table)
+             |HAVING COUNT(*) FILTER (WHERE CAST(ts AS TIMESTAMP)
+             |  >= TIMESTAMP '1970-01-01 00:00:00') > 0
+             |ORDER BY user_id, event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
     // stream_join_e2e ★ (new r5) — STREAM-STATIC join through the
@@ -960,7 +976,9 @@ object StreamingQueries {
       Some("""WITH e AS (
              |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id,
              |    TRY_CAST(ROUND(value*100, 0) AS BIGINT) AS cents
-             |  FROM events),
+             |  FROM events
+             |  -- born-late drop (see stream_tumbling_e2e)
+             |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1970-01-01 00:00:00'),
              |wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e),
              |j AS (
              |  SELECT e.ts, e.cents, c.c_mktsegment

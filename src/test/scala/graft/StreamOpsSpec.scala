@@ -419,4 +419,36 @@ class StreamOpsSpec extends SparkSpec {
           catch { case _: Exception => () })
     }
   }
+
+  test("born-late drop: a pre-epoch event time is below Spark's INITIAL " +
+      "watermark (epoch 0) and never enters a watermarked operator (r17)") {
+    // The class the pre-epoch nasty fixture exposed: the event-time
+    // watermark starts at 0 ms, so a 1969 row is late in batch 1
+    // regardless of arrival order — every watermarked topology drops
+    // it, while the unwatermarked NoTimeout sessionizer keeps it. The
+    // driver oracles of the five watermarked stream rows model exactly
+    // this boundary (ts >= epoch).
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.tumblingCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "1 hour", lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("bornlate")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((ts("1969-06-15 12:00:00"), "a", 1.0),
+        (ts("1969-12-31 23:59:59"), "a", 1.0),
+        (ts("2024-01-01 10:05:00"), "a", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the 2024 window so it finalizes
+      in.addData((ts("2024-01-01 12:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("bornlate")
+        .select(col("ws"), col("n")).as[(Timestamp, Long)].collect().toMap
+      assert(got.keySet == Set(ts("2024-01-01 10:00:00")),
+        s"only the post-epoch window may finalize, got ${got.keySet}")
+      assert(got(ts("2024-01-01 10:00:00")) == 1L,
+        "the pre-epoch rows must not be counted anywhere")
+    } finally q.stop()
+  }
 }
