@@ -47,18 +47,25 @@ ADDOPENS = " ".join(
               "sun.security.action", "sun.util.calendar"])
 
 
+# r17: the library's default table store is per-process (deleted on JVM
+# exit), so pin an explicit store dir for the subprocess and read the
+# edge table back from there.
+TABLE_DIR = os.path.join(RUNDIR, "corpus_tables")
+
+
 def edge_table_path(gendir):
     src = os.path.abspath(os.path.join(gendir, "documents.parquet"))
     st = os.stat(src)
     ident = f"{src}:{st.st_size}:{int(st.st_mtime * 1000)}"
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"graft_edges_{key}")
+    return os.path.join(TABLE_DIR, f"graft_edges_{key}")
 
 
 t0 = time.time()
 subprocess.run(
     f"java {ADDOPENS} -Xmx24g -Dspark.ui.enabled=false "
     f"-Dspark.sql.session.timeZone=UTC "
+    f"-Dspark.graft.corpusTableDir={TABLE_DIR} "
     f"-cp '/root/repo/target/scala-2.13/classes:/opt/spark/jars/*' "
     f"graft.RunOne {GEN} {RUNDIR} q_triangles q_pagerank3",
     shell=True, check=True)

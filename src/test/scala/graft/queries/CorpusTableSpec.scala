@@ -12,7 +12,7 @@ import java.nio.file.{Files, Paths}
 class CorpusTableSpec extends graft.SparkSpec {
 
   private def tablePath(prefix: String) = Paths.get(
-    System.getProperty("java.io.tmpdir"),
+    CorpusTable.processTableDir,
     s"${prefix}_${CorpusTable.corpusKey(sfDir)}")
 
   private def deleteAll(p: java.nio.file.Path): Unit = {
@@ -90,6 +90,29 @@ class CorpusTableSpec extends graft.SparkSpec {
       "a consumer rebuilt the pair table instead of reading it")
     assert(Files.getLastModifiedTime(ccPath.resolve("_SUCCESS")) == ccMtime,
       "q_dedup_canonical rebuilt the label table instead of reading it")
+  }
+
+  test("default table store is per-process, not the shared tmpdir (r17 no-cross-run-caching rule)") {
+    // The default store must NOT be the shared tmpdir root: a table
+    // installed there by one JVM would be read by the next invocation,
+    // i.e. a persisted intermediate keyed on the test corpus surviving
+    // across runs. The per-process dir lives UNDER tmpdir with a unique
+    // name and is registered for deletion on JVM exit.
+    val d = Paths.get(CorpusTable.processTableDir)
+    assert(d.getParent == Paths.get(System.getProperty("java.io.tmpdir")),
+      s"process store not under tmpdir: $d")
+    assert(d.getFileName.toString.startsWith("graft_corpus_"),
+      s"unexpected process store name: $d")
+    assert(d != Paths.get(System.getProperty("java.io.tmpdir")),
+      "process store must not be the shared tmpdir root")
+    // and the default build actually lands there
+    val df = CorpusTable.materialized(spark, sfDir, "graft_testproc") {
+      spark.range(3).toDF("v")
+    }
+    assert(df.count() == 3)
+    assert(Files.exists(tablePath("graft_testproc").resolve("_SUCCESS")),
+      "default build did not land in the process store")
+    deleteAll(tablePath("graft_testproc"))
   }
 
   test("spark.graft.corpusTableDir relocates the table store (deployment knob)") {
