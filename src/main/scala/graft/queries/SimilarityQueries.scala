@@ -1970,11 +1970,13 @@ object SimilarityQueries {
     QueryDef(
       "q_knn_refine",
       (s: SparkSession, dir: String) => {
-        val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // Eager localCheckpoint, not persist (r17 optimization): the
+        // round references g0 ~6× (fwd/rev × U∘U sides); persist served
+        // execution but left the blocked-build subtree in the logical
+        // plan 6×, re-analyzed per action — checkpointing swaps it for
+        // a LogicalRDD leaf (see q_knn_descent's note).
         val g0 = knnBlockedTop3(s, dir).select(
-          col("vec_id").as("a"), col("nb").as("b")).persist(mem)
-        g0.count() // eager: referenced 4× in the round (fwd/rev × U∘U
-                   // sides) — uncached each re-runs the n²/k blocked build
+          col("vec_id").as("a"), col("nb").as("b")).localCheckpoint()
         val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
         descentRound(e, ringEdges(e), g0)
           .select(col("vec_id"), col("rk").cast("long").as("rk"),
@@ -2010,26 +2012,35 @@ object SimilarityQueries {
     QueryDef(
       "q_knn_descent",
       (s: SparkSession, dir: String) => {
-        val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val e = guarded(s, dir).select(col("vec_id"), col("embedding"))
         val ring = ringEdges(e)
+        // Eager localCheckpoint, NOT persist (r17 optimization): the
+        // round operator references its input graph ~6× (fwd/rev × the
+        // U∘U sides) and each round's output feeds the next, so with
+        // plain persist the LOGICAL plan grows ~6× per round — the
+        // cache serves execution, but the driver re-ANALYZES the full
+        // unrolled tree on every action, and by round 3 analysis alone
+        // dominated the row (measured sf0.1: 28–35 s/run; plan-
+        // truncated: ~2 s/round, see OPTIMIZATION_r17.md).
+        // localCheckpoint materializes the rows AND swaps the lineage
+        // for a LogicalRDD leaf, which is exactly the guide's
+        // truncate-the-plan remedy for iterative loops (§3.3/§5); a
+        // cluster deployment with executor churn would use reliable
+        // checkpoint() on the same boundaries. Results are unchanged:
+        // the checkpoint only stores what the round already computed.
         var gEdges = knnBlockedTop3(s, dir).select(
-          col("vec_id").as("a"), col("nb").as("b")).persist(mem)
-        gEdges.count() // eager: referenced 4× per round
+          col("vec_id").as("a"), col("nb").as("b")).localCheckpoint()
         var out: DataFrame = null
         var r = 0
         var converged = false
         while (r < KnnDescentRounds && !converged) {
           r += 1
-          val full = descentRound(e, ring, gEdges).persist(mem)
-          full.count()
+          val full = descentRound(e, ring, gEdges).localCheckpoint()
           val edges = full.select(col("vec_id").as("a"), col("nb").as("b"))
           // candidates ⊇ the current graph, so per-node top-3 can never
           // shrink: an empty multiset difference ⇒ identical graphs ⇒
           // fixed point (further rounds are idempotent)
           converged = edges.exceptAll(gEdges).isEmpty
-          gEdges.unpersist()
-          if (out != null) out.unpersist()
           out = full
           gEdges = edges
         }

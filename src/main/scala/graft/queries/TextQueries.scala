@@ -3065,18 +3065,32 @@ object TextQueries {
       "q_quality_train",
       (s: SparkSession, dir: String) => {
         val docs = Tables(s, dir, "documents")
+        // Eager localCheckpoint, not persist (r17 optimization): the
+        // descent loop references cnt/yf in every step's plan, and with
+        // persist the driver re-analyzed the full scan→explode→agg
+        // subtree per action (thread dumps: DeduplicateRelations +
+        // plan-string generation dominated the row). Checkpointing makes
+        // them LogicalRDD leaves; per-step plans are then tiny joins.
+        // repartition by doc_id BEFORE the checkpoint: LogicalRDD keeps
+        // the physical partitioning, so every step's per-doc aggregation
+        // and doc_id joins reuse it instead of re-exchanging cnt
         val cnt = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
           .select(col("doc_id"), qcDim(col("tk")).cast("int").as("d"))
           .groupBy("doc_id", "d").agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val yf = docs.select(col("doc_id"), qcLabel.as("y"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .repartition(col("doc_id"))
+          .localCheckpoint()
+        val yf = docs.select(col("doc_id"), qcLabel.as("y")).localCheckpoint()
         val sumC2 = cnt.agg(coalesce(sum(col("c") * col("c")), lit(0L)))
           .collect()(0).getLong(0)
         // + Σ_docs 1² (the bias feature); floor at 1 so an EMPTY corpus
         // degrades to zero-gradient no-op steps (weights stay at init)
         // instead of a null collect + divide-by-zero (r17 empty sweep)
         val sVal = math.max(1L, sumC2 + yf.count())
+        // the bias gradient Σr is the d = −1 row of the SAME per-dim
+        // aggregation (bias ≡ a constant feature c = 1 on every doc), so
+        // each step needs ONE action, not two (r17 optimization)
+        val biasRows = yf.select(col("doc_id"), lit(-1).as("d"),
+          lit(1L).as("c"))
         var w = qcWeights.toArray
         var b = qcBias
         val hist = scala.collection.mutable.ArrayBuffer((w.clone(), b))
@@ -3087,17 +3101,14 @@ object TextQueries {
               .as("z"))
           val rs = z.join(yf, "doc_id")
             .select(col("doc_id"), qcResidE6(col("z"), col("y")).as("r"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val g = cnt.join(rs, "doc_id")
+          val g = cnt.unionByName(biasRows).join(rs, "doc_id")
             .groupBy("d").agg(sum(col("r") * col("c")).as("g"))
             .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-          val gb = rs.agg(coalesce(sum("r"), lit(0L))).collect()(0).getLong(0)
-          rs.unpersist()
+          val gb = g.getOrElse(-1, 0L)
           w = Array.tabulate(256)(d => w(d) - g.getOrElse(d, 0L) * 2L / sVal)
           b = b - gb * 2L / sVal
           hist += ((w.clone(), b))
         }
-        cnt.unpersist(); yf.unpersist()
         import s.implicits._
         val rows = (-1 until 256).map { d =>
           def at(step: Int) =
