@@ -67,8 +67,8 @@ object HiveParquetWriter {
   private val NullDir = "__HIVE_DEFAULT_PARTITION__"
 
   /** Stage + publish data files under `tableDir` (no commit record).
-    * Returns (relative path, rowCount≈) pairs; row count is the total
-    * df count attributed to the first file (callers only sum it).
+    * Returns (relative path, exact per-file row count) pairs — counts
+    * read from the staged parquet footers, no counting job.
     */
   private[sink] def writeFiles(
       df: DataFrame, partitionCols: Seq[String], tableDir: String): Seq[(String, Long)] = {
@@ -76,29 +76,53 @@ object HiveParquetWriter {
     Files.createDirectories(dir)
     val staging = dir.resolve(s"_staging_${java.util.UUID.randomUUID()}")
 
-    val rows = df.cache().count() // one materialization: row count + write input
-    if (rows == 0) { df.unpersist(); return Seq.empty }
     val writer =
       if (partitionCols.nonEmpty)
         df.repartition(partitionCols.map(col): _*).write.partitionBy(partitionCols: _*)
       else df.write
     writer.parquet(staging.toString)
-    df.unpersist()
 
-    // Publish: move staged data files into the table tree, normalizing
-    // Spark's null-partition dir to the reference's `name=null`.
+    // Row counts come from the staged files' parquet FOOTERS — exact
+    // (a footer's block row counts are the file's row count), read
+    // driver-side without a Spark job. This replaces the former
+    // df.cache().count() pre-pass, which materialized every append
+    // twice (count + write) and paid one extra job per commit (r17
+    // optimization; a cluster deployment would collect the same counts
+    // from the write tasks' commit messages, which is exactly what
+    // Iceberg's commit protocol does).
     val staged = Files.walk(staging).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq
-    val published = staged.map { p =>
+    val counted = staged.map(p => p -> parquetRowCount(p))
+    val rows = counted.map(_._2).sum
+    if (rows == 0) { // Q10: nothing to publish (an all-empty write may
+      // still stage a 0-row schema file — drop it with the staging dir)
+      Files.walk(staging).sorted(Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+      return Seq.empty
+    }
+
+    // Publish: move staged data files into the table tree, normalizing
+    // Spark's null-partition dir to the reference's `name=null`.
+    val published = counted.map { case (p, n) =>
       val rel = staging.relativize(p).toString.replace(s"=$NullDir", "=null")
       val target = dir.resolve(rel)
       Files.createDirectories(target.getParent)
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      rel
+      (rel, n)
     }
     Files.walk(staging).sorted(Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.delete)
-    published.zipWithIndex.map { case (f, i) => (f, if (i == 0) rows else 0L) }
+    published
+  }
+
+  /** Exact row count of one local parquet file, from its footer. */
+  private def parquetRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+    finally r.close()
   }
 }
