@@ -2389,15 +2389,15 @@ object DedupQueries {
               "v1 index must be read from the lake table")
             at
           } else v1.select(col("doc_id"), col("n"), col("hs")).limit(0)
-          val batch = setsOf(docs.filter(col("doc_id") >= t))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          persisted += batch
+          // eager localCheckpoint (r17 optimization): both frames feed
+          // multiple consumers (probe both sides + verify joins + the
+          // merge), and checkpointing leaves LogicalRDD leaves instead
+          // of re-analyzed setsOf subtrees per downstream action
+          val batch = setsOf(docs.filter(col("doc_id") >= t)).localCheckpoint()
           val nBatch = batch.count()
           val union = withPrefix(
             atRest.unionByName(batch.select("doc_id", "n", "hs")))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          persisted += union
-          union.count()
+            .localCheckpoint()
           val nDrop = pairsFromSets(union, 6000L, probeMinD2 = Some(t))
             .select("d2").distinct().count()
           // step 3 — merge: the batch plus one re-crawled v1 doc (its
@@ -2416,11 +2416,18 @@ object DedupQueries {
             else v1.limit(0))
             .select(col("doc_id"), col("hs"))
           val fresh = setsOf(docs).select(col("doc_id"), col("hs").as("hs2"))
-          val nMerged = merged.count()
-          val mism = merged.join(fresh, Seq("doc_id"), "full_outer")
-            .filter(col("hs").isNull || col("hs2").isNull ||
-              not(col("hs") === col("hs2")))
-            .count()
+          // ONE pass over the parity join for both observables (r17
+          // optimization: merged.count() + a second filtered count were
+          // two full passes): n_merged = rows with an index side,
+          // mism = rows where either side is missing or differs
+          val parity = merged.join(fresh, Seq("doc_id"), "full_outer")
+            .agg(
+              coalesce(sum(when(col("hs").isNotNull, 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(when(col("hs").isNull || col("hs2").isNull ||
+                not(col("hs") === col("hs2")), 1L).otherwise(0L)), lit(0L)))
+            .collect()(0)
+          val nMerged = parity.getLong(0)
+          val mism = parity.getLong(1)
           Seq(
             (1L, "1_index_v1", c1.rows, c1.rows),
             (2L, "2_dedup_batch", nBatch, nDrop),
