@@ -1576,13 +1576,14 @@ object DedupQueries {
       "q_winnow_dup",
       (s: SparkSession, dir: String) => {
         val docs = Tables(s, dir, "documents")
-        val fp = winnowSelected(docs)
+        // r17 optimization: the min-owner is a window over the h
+        // partition — the former groupBy + join-back re-shuffled the
+        // fingerprint stream twice more for the same relation
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        val agg = winnowSelected(docs)
           .select(col("doc_id"), shiftright(col("mk"), 20).as("h"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        fp.count() // eager: min-owner agg + the rejoin both reuse it
-        val own = fp.groupBy("h").agg(min("doc_id").as("mo"))
-        val agg = fp.join(own, "h")
+          .withColumn("mo", min("doc_id").over(w))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_fp"),
             sum(when(col("mo") < col("doc_id"), 1L).otherwise(0L))

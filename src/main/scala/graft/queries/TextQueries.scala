@@ -1964,13 +1964,18 @@ object TextQueries {
       "q_tfidf",
       (s: SparkSession, dir: String) => {
         val docs = Tables(s, dir, "documents")
-        val pairs = docs.select(col("doc_id"), explode(toks).as("term"))
+        // r17 optimization (guide §2.3 aggregate-before-shuffle): df and
+        // doc_len both DERIVE from tf — df(term) = #tf rows per term
+        // (tf is one row per distinct (doc, term)), doc_len(doc) = Σ tf
+        // per doc — so the shared frame is the (≈4×-smaller) tf table,
+        // not the raw token pair stream the pre-r17 plan persisted and
+        // re-shuffled three times (incl. a 500k-row distinct).
+        val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pairs.count() // eager for the same three-branch reuse reason
-        val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df_ = pairs.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val len = pairs.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+        tf.count() // eager for the three-branch reuse
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val len = tf.groupBy("doc_id").agg(sum("tf").as("doc_len"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id")
@@ -3720,26 +3725,33 @@ object TextQueries {
     // the two matrices answer different questions and a pipeline
     // building embeddings needs the positional one. Pairs are
     // canonicalized (t1 < t2, both directions folded) and weighted by
-    // occurrence count, not document count. Plan: posexplode keeps the
-    // token POSITION (order matters here — the distinct pair stream of
-    // cooccur deliberately destroys it), the self-join is keyed on
-    // doc_id with |Δpos| ≤ 2 — per-doc-bounded work ∝ doc_len·window,
-    // LINEAR in doc length (cooccur's within-doc quadratic is bounded
-    // by vocabulary; this is bounded by the window — strictly
-    // cheaper), one (t1, t2) hash agg, deterministic top-50.
+    // occurrence count, not document count. Plan (r17 optimization —
+    // guide §2.3/2.4 "aggregate before you shuffle / remove shuffles"):
+    // the window is a CONSTANT (±2), so the (t[i], t[i+d]) pair stream
+    // is generated MAP-SIDE from each document's own token array with
+    // one codegen'd transform — no position table, no doc_id-keyed
+    // self-join (the pre-r17 plan shuffled the posexploded corpus
+    // twice and joined it to itself; same multiset of pairs, two
+    // exchanges more). The pairs flow straight into the (t1, t2) hash
+    // agg with map-side partial aggregation; per-doc work stays
+    // ∝ doc_len·window, deterministic top-50. The inner IF guards the
+    // j index so a tail token emits only its in-bounds pairs (and the
+    // sequence(1, size) over an EMPTY array descends harmlessly into
+    // rows the filter discards — the q_bpe_pairs trap, defused by the
+    // j-bound rather than by a size gate).
     QueryDef(
       "q_skipgram",
       (s: SparkSession, dir: String) => {
-        val pos = Tables(s, dir, "documents")
-          .select(col("doc_id"), posexplode(toks).as(Seq("p", "t")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pos.count() // eager: both self-join sides
-        pos.as("a")
-          .join(pos.as("b"),
-            col("a.doc_id") === col("b.doc_id") &&
-              col("b.p") > col("a.p") && col("b.p") <= col("a.p") + 2)
-          .select(least(col("a.t"), col("b.t")).as("t1"),
-            greatest(col("a.t"), col("b.t")).as("t2"))
+        Tables(s, dir, "documents")
+          .select(split(col("text"), " ").as("ts"))
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(ts)), i -> " +
+              "filter(transform(array(i+1, i+2), j -> " +
+              "IF(j <= size(ts), named_struct('ta', ts[i-1], 'tb', ts[j-1]), " +
+              "CAST(NULL AS STRUCT<ta: STRING, tb: STRING>))), " +
+              "x -> x IS NOT NULL)))")).as("pr"))
+          .select(least(col("pr.ta"), col("pr.tb")).as("t1"),
+            greatest(col("pr.ta"), col("pr.tb")).as("t2"))
           .filter(col("t1") =!= col("t2"))
           .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("t1"), col("t2"))
@@ -3779,14 +3791,17 @@ object TextQueries {
       "q_doc_novelty",
       (s: SparkSession, dir: String) => {
         import graft.functions.Shingles.shingles
-        val bg = Tables(s, dir, "documents")
+        // r17 optimization: `shingles` already dedups per doc, so
+        // (doc_id, bg) rows are unique by construction — the former
+        // global .distinct() was a full extra exchange for nothing —
+        // and first_doc is a min window over the bg partition, folding
+        // the former agg + join-back (two more exchanges of the
+        // bigram stream) into the one bg-keyed shuffle.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("bg")
+        Tables(s, dir, "documents")
           .select(col("doc_id"),
             explode(shingles(toks, 2)).as("bg"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        bg.count() // eager: first-occurrence agg + join-back reuse it
-        val first = bg.groupBy("bg").agg(min("doc_id").as("first_doc"))
-        bg.join(first, "bg")
+          .withColumn("first_doc", min("doc_id").over(w))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
